@@ -1,0 +1,68 @@
+"""Warehouse/catalog helpers: map the reference's ``schema.table`` world
+onto Parquet datasets + Spark temp views.
+
+The reference's only data object is a Redshift table name spliced into SQL
+text (``lib/bricolage/sqlstatement.rb:302-349``). Here a "table" is a
+Parquet directory registered as a temp view; ``load_testdata`` wires the
+driver's TPC-H-ish tables (TESTDATA.md) into the session catalog so both
+``spark.sql`` and DataFrame code can see them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins: even at
+# sf=100 (≈100 TB lineitem) region/nation are tiny and supplier/part grow
+# slowly; Catalyst + AQE handle the threshold, these are the ones we hint
+# explicitly in query code.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver's events.parquet carries TIMESTAMP(NANOS) — a type Spark's
+    # parquet reader rejects outright. Read nanos as raw int64 and rebuild a
+    # (microsecond) timestamp; set defensively here because the driver may
+    # hand us a session built without this legacy conf.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view; return the frames."""
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,230 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point — these must work at 100 TB):
+
+- **Exact dedup** hashes content to a 128-bit digest and groups on it; the
+  shuffle key is the digest, never the document body, so shuffle volume is
+  O(rows·16B) not O(corpus bytes).
+- **MinHash** uses engine-independent hashes derived from md5 (so the
+  DuckDB oracle can reproduce them bit-for-bit — no JVM-private xxhash).
+  Signatures are built by explode→groupBy: one shuffle of
+  (doc, shingle-hash) pairs, map-side combined to per-doc minima.
+- **LSH banding** turns the O(n²) all-pairs problem into a self-join on
+  (band_id, band_hash) buckets — candidate generation is a hash join whose
+  key cardinality ≈ n·bands/avg_bucket, embarrassingly parallel. Skewed
+  buckets (boilerplate shingles) are bounded by AQE skew-join splitting.
+- **Verification** (exact Jaccard) runs only on candidate pairs.
+
+No step materializes anything driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared hashing primitives (engine-independent: md5-based)
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase + collapse whitespace — canonical form for hashing."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def content_hash(col: Column) -> Column:
+    """128-bit content digest of normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def hash32(col: Column, seed: int) -> Column:
+    """Deterministic 32-bit integer hash of a string under ``seed``.
+
+    first-8-hex-chars of md5("<seed>|<value>") → BIGINT in [0, 2^32).
+    Reproducible in any engine with md5 (DuckDB oracle parity).
+    """
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), col)), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical (normalized) content; keep the min-id representative.
+
+    Returns (content_hash, keep_id, dup_count). Cluster sizes are retained
+    so downstream can weight/sample; callers wanting the surviving rows
+    semi-join ``keep_id`` back to the corpus.
+    """
+    return (
+        df.select(
+            content_hash(F.col(text_col)).alias("content_hash"),
+            F.col(id_col),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct word k-shingles per document: (id, shingle).
+
+    Shingles are built with array ops (sequence+transform+slice) — pure
+    Catalyst expressions, whole-stage-codegen'd, no Python in the loop.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """Per-doc MinHash signature: (id, h0..h{num_hashes-1}).
+
+    One aggregation pass: every hash family is a different seed of
+    ``hash32``; map-side partial min keeps shuffle width at
+    num_hashes×8 bytes per doc.
+    """
+    aggs = [
+        F.min(hash32(F.col("shingle"), s)).alias(f"h{s}") for s in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    Returns distinct (id_a, id_b) with id_a < id_b. Self-join key is
+    (band_id, band_hash): equality-only → hash join, AQE splits skewed
+    buckets.
+    """
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_hash"),
+            )
+        )
+    melted = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_rows)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+    a = melted.alias("a")
+    b = melted.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band_id") == F.col(f"b.band_id"))
+            & (F.col(f"a.band_hash") == F.col(f"b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    shingles: DataFrame, pairs: DataFrame, id_col: str = "id"
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs.
+
+    |A∩B| via join on shingle; |A|,|B| via per-doc counts broadcast back.
+    Runs only on candidates — the LSH step already pruned the n² space.
+    Returns (id_a, id_b, jaccard).
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint over word features: (id, simhash).
+
+    Each word hashes to ``bits`` bits; per bit position, +1 if set else −1,
+    summed over all words (with multiplicity); fingerprint bit = sign.
+    Implemented as explode(words)×explode(bit positions) → two-phase agg.
+    Near-dup docs differ in few bits (Hamming distance on the fingerprint).
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
+    )
+    h = hash32(F.col("word"), 7777)
+    # bit test via exact double arithmetic (shiftright needs a literal shift
+    # amount; h < 2^32 and 2^b are exact in binary floating point, so
+    # floor(h / 2^b) % 2 == (h >> b) & 1).
+    bit_contrib = words.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda b: F.when(
+                    (h / F.pow(F.lit(2.0), b)).cast("long") % 2 == 1, F.lit(1)
+                ).otherwise(F.lit(-1)),
+            )
+        ).alias("bit_pos", "contrib"),
+    )
+    bit_sums = bit_contrib.groupBy(id_col, "bit_pos").agg(
+        F.sum("contrib").alias("s")
+    )
+    return bit_sums.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit_pos")).cast("bigint")
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )

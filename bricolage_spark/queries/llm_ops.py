@@ -1,0 +1,404 @@
+"""LLM-data-pipeline query inventory (SURVEY.md §2.7): dedup, similarity
+search, text analysis, multimodal plumbing — over the ``documents`` and
+``embeddings`` testdata tables.
+
+Every hash used is md5-derived so the DuckDB oracle reproduces Spark's
+results bit-for-bit (no engine-private hash functions). DuckDB dialect
+notes honored in the oracles: ``regexp_replace(... , 'g')`` for global
+replace; ``//`` vs ``/``; ``range()`` end-exclusive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bricolage_spark.catalog import read_table
+from bricolage_spark.operators import dedup as D
+from bricolage_spark.operators import multimodal as M
+from bricolage_spark.operators import similarity as S
+from bricolage_spark.operators import textual as T
+from bricolage_spark.queries import register
+
+# Shared oracle CTE: normalized documents + word arrays (mirrors
+# operators.dedup.normalize_text exactly, incl. the 'g' flag).
+_DOCS_CTE = """
+    docs AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+        FROM documents
+    )
+"""
+
+# hash32(s, seed) in DuckDB (mirrors operators.dedup.hash32)
+def _h32(expr: str, seed: int) -> str:
+    return (
+        f"CAST(CAST(('0x' || substr(md5('{seed}|' || {expr}), 1, 8)) AS UBIGINT) AS BIGINT)"
+    )
+
+
+# word 3-shingles per doc, distinct (mirrors operators.dedup.word_shingles)
+_SHINGLES_CTE = f"""
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(words[i : i + 2], ' ') AS shingle
+        FROM docs, UNNEST(range(1, greatest(len(words) - 2, 1) + 1)) AS t(i)
+    )
+"""
+
+
+# --------------------------------------------------------------------------
+# q31 exact dedup (hash-groupBy)
+# --------------------------------------------------------------------------
+@register(
+    "q31_dedup_exact",
+    oracle=f"""
+    WITH {_DOCS_CTE}
+    SELECT md5(norm)        AS content_hash,
+           MIN(doc_id)      AS keep_id,
+           COUNT(*)         AS dup_count
+    FROM docs
+    GROUP BY md5(norm)
+    """,
+    doc="Exact dedup: md5-groupBy, min-id representative. Shuffle key is a "
+    "16-byte digest regardless of document size.",
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# q32 MinHash signatures
+# --------------------------------------------------------------------------
+def _minhash_oracle(num_hashes: int = 8) -> str:
+    mins = ",\n           ".join(
+        f"MIN({_h32('shingle', s)}) AS h{s}" for s in range(num_hashes)
+    )
+    return f"""
+    WITH {_DOCS_CTE}, {_SHINGLES_CTE}
+    SELECT doc_id, {mins}
+    FROM shingles
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "q32_minhash_signatures",
+    oracle=_minhash_oracle(8),
+    doc="MinHash signatures (8 md5-derived hash families) over word "
+    "3-shingles; one explode+groupBy pass, map-side partial min.",
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", k=3)
+    return D.minhash_signatures(sh, "doc_id", num_hashes=8)
+
+
+# --------------------------------------------------------------------------
+# q33 MinHash-LSH near-dup pairs, verified by exact n-gram Jaccard
+# --------------------------------------------------------------------------
+_N_HASHES, _BANDS, _ROWS_PER_BAND, _JACCARD_MIN = 16, 8, 2, 0.2
+
+
+def _lsh_oracle() -> str:
+    mins = ",\n               ".join(
+        f"MIN({_h32('shingle', s)}) AS h{s}" for s in range(_N_HASHES)
+    )
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band_id, "
+        f"md5(concat_ws(',', h{b * _ROWS_PER_BAND}, h{b * _ROWS_PER_BAND + 1})) AS band_hash FROM sigs"
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH {_DOCS_CTE}, {_SHINGLES_CTE},
+    sigs AS (
+        SELECT doc_id, {mins}
+        FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN shingles sa ON sa.doc_id = c.id_a
+        JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(n_inter / (za.sz + zb.sz - n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+    WHERE n_inter / (za.sz + zb.sz - n_inter) >= {_JACCARD_MIN}
+    """
+
+
+@register(
+    "q33_minhash_lsh_pairs",
+    oracle=_lsh_oracle(),
+    doc="Near-dedup: shingle→minhash→band→bucket-join candidates, then "
+    "exact Jaccard ≥ 0.2 verification on candidates only (never n²).",
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", k=3).withColumnRenamed(
+        "doc_id", "id"
+    )
+    sigs = D.minhash_signatures(sh, "id", num_hashes=_N_HASHES)
+    pairs = D.lsh_candidate_pairs(
+        sigs, "id", bands=_BANDS, rows_per_band=_ROWS_PER_BAND
+    )
+    jac = D.ngram_jaccard_pairs(sh, pairs, id_col="id")
+    return jac.filter(F.col("jaccard") >= _JACCARD_MIN)
+
+
+# --------------------------------------------------------------------------
+# q34 SimHash fingerprints
+# --------------------------------------------------------------------------
+@register(
+    "q34_simhash",
+    oracle=f"""
+    WITH {_DOCS_CTE},
+    wordlist AS (
+        SELECT doc_id, UNNEST(words) AS word FROM docs
+    ),
+    hashed AS (
+        SELECT doc_id, {_h32('word', 7777)} AS h FROM wordlist
+    ),
+    bits AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM hashed, UNNEST(range(0, 16)) AS t(b)
+        GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits
+    GROUP BY doc_id
+    """,
+    doc="16-bit SimHash over word features: near-dups land within small "
+    "Hamming distance; two-phase aggregation, no n² anywhere.",
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text", bits=16)
+
+
+# --------------------------------------------------------------------------
+# q35 brute-force cosine top-k (exact ANN baseline)
+# --------------------------------------------------------------------------
+_K, _NQ = 5, 8
+
+
+@register(
+    "q35_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {_NQ}
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ),
+    sims AS (
+        SELECT query_id, neighbor_id,
+               ROUND(
+                 list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                 4) AS cos_sim
+        FROM c, q
+        WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+        FROM sims
+    ) WHERE rank <= {_K}
+    """,
+    doc="Exact cosine top-k: broadcast query set × one corpus scan; dot "
+    "products are codegen'd array exprs (zip_with/aggregate), no UDF.",
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQ)
+    return S.brute_force_cosine_topk(emb, queries, k=_K)
+
+
+@register(
+    "q36_ann_lsh_bucketed",
+    oracle=None,  # approximate by design; driver records rows-only check
+    doc="Scale-path ANN: sign-random-projection LSH buckets (md5-derived "
+    "hyperplanes); search touches ~1/2^planes of the corpus per query. "
+    "At 100 TB the corpus is written partitioned by bucket (IVF layout).",
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQ)
+    return S.lsh_bucketed_topk(emb, queries, k=_K, n_planes=6)
+
+
+# --------------------------------------------------------------------------
+# q37 language ID (marker-word heuristic)
+# --------------------------------------------------------------------------
+def _langid_oracle() -> str:
+    hits = {
+        lang: "len(list_filter(words, w -> w IN ("
+        + ", ".join(f"'{m}'" for m in marks)
+        + ")))"
+        for lang, marks in T.LANG_MARKERS.items()
+    }
+    return f"""
+    WITH {_DOCS_CTE},
+    scored AS (
+        SELECT doc_id,
+               {hits['en']} AS hits_en,
+               {hits['es']} AS hits_es,
+               {hits['fr']} AS hits_fr,
+               {hits['de']} AS hits_de,
+               {hits['zh']} AS hits_zh
+        FROM docs
+    )
+    SELECT doc_id,
+           CASE
+             WHEN hits_zh > GREATEST(hits_en, hits_es, hits_fr, hits_de) THEN 'zh'
+             WHEN hits_de > GREATEST(hits_en, hits_es, hits_fr) THEN 'de'
+             WHEN hits_fr > GREATEST(hits_en, hits_es) THEN 'fr'
+             WHEN hits_es > hits_en THEN 'es'
+             ELSE 'en'
+           END AS pred_lang,
+           CAST(GREATEST(hits_en, hits_es, hits_fr, hits_de, hits_zh) AS BIGINT) AS marker_hits
+    FROM scored
+    """
+
+
+@register(
+    "q37_language_id",
+    oracle=_langid_oracle(),
+    doc="Heuristic language ID: argmax of function-word hits per language; "
+    "pure codegen column expressions.",
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.detect_language(docs, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# q38 token counting
+# --------------------------------------------------------------------------
+@register(
+    "q38_token_stats",
+    oracle=f"""
+    WITH {_DOCS_CTE}
+    SELECT d.doc_id,
+           CAST(len(words) AS BIGINT)                                  AS n_words,
+           CAST(len(regexp_extract_all(t.text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_tokens_regex,
+           CAST(CEIL(length(t.text) / 4.0) AS BIGINT)                  AS n_tokens_bpe_est,
+           CAST(length(t.text) AS BIGINT)                              AS n_chars
+    FROM docs d JOIN documents t USING (doc_id)
+    """,
+    doc="Token counting: whitespace words, GPT-2-style word/punct regex "
+    "tokens, and the chars/4 BPE budget estimate.",
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.token_stats(docs, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# q39 quality scoring
+# --------------------------------------------------------------------------
+_STOPLIST = ", ".join(f"'{m}'" for m in T.LANG_MARKERS["en"])
+
+
+@register(
+    "q39_quality_score",
+    oracle=f"""
+    WITH {_DOCS_CTE},
+    feats AS (
+        SELECT d.doc_id,
+               length(t.text)                                          AS n_chars,
+               len(words)                                              AS n_words,
+               len(regexp_extract_all(t.text, '[^\\w\\s]'))            AS n_punct,
+               len(list_filter(words, w -> w IN ({_STOPLIST})))        AS stop_hits,
+               length(array_to_string(words, ''))                      AS sum_word_len
+        FROM docs d JOIN documents t USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT)                                     AS n_chars,
+           ROUND(n_punct / GREATEST(n_chars, 1), 4)                    AS punct_ratio,
+           ROUND(stop_hits / GREATEST(n_words, 1), 4)                  AS stopword_ratio,
+           ROUND(sum_word_len / GREATEST(n_words, 1), 4)               AS avg_word_len,
+           ROUND((
+               LEAST(GREATEST((n_chars - 100) / 900.0, 0.0), 1.0)
+             + LEAST(ROUND(stop_hits / GREATEST(n_words, 1), 4) / 0.05, 1.0)
+             + LEAST(GREATEST(1.0 - ROUND(n_punct / GREATEST(n_chars, 1), 4) / 0.2, 0.0), 1.0)
+           ) / 3.0, 4)                                                 AS quality
+    FROM feats
+    """,
+    doc="C4/Gopher-style quality heuristics: length, punctuation density, "
+    "stopword ratio → clamped composite score.",
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.quality_score(docs, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# q40 document fingerprinting
+# --------------------------------------------------------------------------
+@register(
+    "q40_fingerprint",
+    oracle=f"""
+    WITH {_DOCS_CTE}, {_SHINGLES_CTE},
+    minsh AS (
+        SELECT doc_id, MIN({_h32('shingle', 0)}) AS min_shingle_hash
+        FROM (SELECT doc_id, array_to_string(words[i : i + 2], ' ') AS shingle
+              FROM docs, UNNEST(range(1, greatest(len(words) - 2, 1) + 1)) AS t(i))
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id, md5(d.norm) AS digest, m.min_shingle_hash
+    FROM docs d JOIN minsh m USING (doc_id)
+    """,
+    doc="Doc fingerprint: content digest + single-value MinHash sketch of "
+    "word 3-shingles (rolling-hash family).",
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.fingerprint(docs, "doc_id", "text", k=3)
+
+
+# --------------------------------------------------------------------------
+# q41 multimodal binary-column pipeline (Arrow-batched mapInPandas)
+# --------------------------------------------------------------------------
+@register(
+    "q41_multimodal_features",
+    oracle="""
+    SELECT doc_id                                        AS media_id,
+           'text/plain'                                  AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT)    AS byte_len,
+           md5(text)                                     AS digest
+    FROM documents
+    """,
+    doc="Binary media column + typed metadata through an Arrow-batched "
+    "mapInPandas decode/feature stage (decode is a documented "
+    "deterministic stub — codecs absent in this container). Feature "
+    "vector column is dropped for the oracle projection; full schema is "
+    "pytest-verified.",
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    media = M.documents_as_media(docs)
+    feats = M.extract_features(media, dim=8)
+    return feats.select("media_id", "media_type", "byte_len", "digest")

@@ -1,0 +1,162 @@
+"""ETL-pattern queries Q28–Q30 (SURVEY.md §2.3).
+
+These re-express the reference's three signature job-class behaviors as
+pure, oracle-checkable queries over the driver testdata:
+
+- Q28 ``insert-delta`` (jobclass/insert-delta.rb:23-26): DELETE WHERE
+  delete-cond + INSERT…SELECT, idempotent on re-run → expressed as
+  anti-filter ∪ recomputed-delta.
+- Q29 ``rebuild-drop``/``rebuild-rename`` (jobclass/rebuild-rename.rb:28-50):
+  the rebuilt table content; the atomic-swap mechanics live in
+  ``jobs/rebuild.py`` and are pytest-verified.
+- Q30 ``streaming_load`` dedup (jobclass/streaming_load.rb:294-330): the
+  right-outer/NOT-IN load-log join that gives exactly-once file loads →
+  expressed as an anti-join of candidate "files" against a load log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bricolage_spark.catalog import read_table
+from bricolage_spark.queries import register
+
+
+# --------------------------------------------------------------------------
+# Q28 insert-delta: idempotent partition upsert
+# --------------------------------------------------------------------------
+# dest = daily sales summary built from lineitem; the delta re-loads
+# July..Dec 2000 (delete-cond: sale_month >= '2000-07-01'). Because the
+# delta is recomputed from source, re-running is idempotent — the final
+# state equals "full rebuild", which is exactly what the oracle computes.
+_DELTA_CUTOFF = "2000-07-01"
+
+
+@register(
+    "q28_insert_delta",
+    oracle=f"""
+    WITH daily AS (
+        SELECT DATE_TRUNC('month', l_shipdate)          AS sale_month,
+               ROUND(SUM(l_extendedprice), 2)           AS revenue,
+               COUNT(*)                                 AS n_items
+        FROM lineitem
+        GROUP BY DATE_TRUNC('month', l_shipdate)
+    )
+    SELECT sale_month, revenue, n_items FROM daily
+    WHERE sale_month < TIMESTAMP '{_DELTA_CUTOFF}'
+    UNION ALL
+    SELECT DATE_TRUNC('month', l_shipdate)    AS sale_month,
+           ROUND(SUM(l_extendedprice), 2)     AS revenue,
+           COUNT(*)                           AS n_items
+    FROM lineitem
+    WHERE DATE_TRUNC('month', l_shipdate) >= TIMESTAMP '{_DELTA_CUTOFF}'
+    GROUP BY DATE_TRUNC('month', l_shipdate)
+    """,
+    doc="insert-delta: keep dest rows outside delete-cond, append recomputed "
+    "delta rows; running twice yields the same state (idempotent).",
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit(_DELTA_CUTOFF).cast("timestamp")
+
+    def summarize(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("month", "l_shipdate").alias("sale_month")
+        ).agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+
+    dest = summarize(li)  # the previously-built table
+    # DELETE FROM dest WHERE sale_month >= cutoff  (insert-delta.rb delete_cond)
+    kept = dest.filter(F.col("sale_month") < cutoff)
+    # INSERT INTO dest SELECT ... (recomputed delta from source)
+    delta = summarize(li.filter(F.date_trunc("month", "l_shipdate") >= cutoff))
+    # run the delete+insert twice to prove idempotence before returning
+    once = kept.unionByName(delta)
+    kept2 = once.filter(F.col("sale_month") < cutoff)
+    return kept2.unionByName(delta)
+
+
+# --------------------------------------------------------------------------
+# Q29 rebuild: full recompute of a derived table
+# --------------------------------------------------------------------------
+@register(
+    "q29_rebuild",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*)                        AS n_orders,
+           ROUND(SUM(o_totalprice), 2)     AS total,
+           ROUND(AVG(o_totalprice), 4)     AS avg_price
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    doc="rebuild-drop/rebuild-rename content: DROP+CREATE+INSERT SELECT ... "
+    "The stage-and-swap writer protocol is exercised in jobs/rebuild.py.",
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q30 streaming-load dedup: anti-join candidates against the load log
+# --------------------------------------------------------------------------
+# "Files" are the daily event batches (one file per day, named like the
+# reference's %Y%m%d pattern, streaming_load.rb:455-473). The load log
+# already contains days 1-14; candidates are all days; only unseen days
+# load. Output = per newly-loaded file: row count + value sum.
+_LOG_CUTOFF = "2024-01-15"
+
+
+@register(
+    "q30_streaming_load_dedup",
+    oracle=f"""
+    WITH files AS (
+        SELECT DISTINCT STRFTIME(DATE_TRUNC('day', ts), '%Y%m%d') || '_00.json' AS data_file,
+               DATE_TRUNC('day', ts) AS d
+        FROM events
+    ),
+    load_log AS (
+        SELECT data_file FROM files WHERE d < TIMESTAMP '{_LOG_CUTOFF}'
+    ),
+    new_files AS (
+        SELECT data_file, d FROM files
+        WHERE data_file NOT IN (SELECT data_file FROM load_log)
+    )
+    SELECT nf.data_file,
+           COUNT(*)                 AS n_rows,
+           ROUND(SUM(e.value), 2)   AS sum_value
+    FROM events e
+    JOIN new_files nf ON DATE_TRUNC('day', e.ts) = nf.d
+    GROUP BY nf.data_file
+    """,
+    doc="Exactly-once micro-batch dedup: candidates ⟕ load-log anti-join "
+    "(streaming_load.rb:294-330), then load only unseen files.",
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    files = (
+        e.select(F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        .select(
+            F.concat(F.date_format("d", "yyyyMMdd"), F.lit("_00.json")).alias("data_file"),
+            "d",
+        )
+    )
+    log_cut = F.lit(_LOG_CUTOFF).cast("timestamp")
+    load_log = files.filter(F.col("d") < log_cut).select("data_file")
+    new_files = files.join(load_log, "data_file", "left_anti")
+    return (
+        e.join(F.broadcast(new_files), F.date_trunc("day", e.ts) == new_files.d)
+        .groupBy("data_file")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

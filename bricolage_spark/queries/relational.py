@@ -1,0 +1,873 @@
+"""Relational query inventory Q01–Q27 (SURVEY.md §2.3).
+
+These are the capabilities bricolage delegates to Redshift (the reference
+ships whole SQL files to the cluster — ``lib/bricolage/psqldatasource.rb``);
+here each is expressed DataFrame-first so Catalyst owns the physical plan:
+filters/projections push down to the parquet scan, small dims broadcast,
+aggregations get map-side partial combine, AQE handles skew at scale.
+
+Determinism rules used throughout (so the DuckDB oracle hash-matches):
+- every computed column is aliased identically on both sides;
+- computed integers → BIGINT on both sides (DuckDB sum(int)=HUGEINT,
+  year()=BIGINT, Spark year()=INT … casts unify);
+- float aggregates rounded identically (sum→2dp, avg/div→4dp) — double
+  summation agrees to ~1e-9 relative between engines, rounding absorbs it;
+- every window/sort has a unique tie-breaker key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bricolage_spark.catalog import read_table
+from bricolage_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Q01 scan + projection
+# --------------------------------------------------------------------------
+@register(
+    "q01_scan_projection",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    """,
+    doc="Full scan with column pruning: ReadSchema must show only 4 columns.",
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q02 filter predicates: AND/OR, comparison, BETWEEN, IN, LIKE, IS NOT NULL
+# --------------------------------------------------------------------------
+@register(
+    "q02_filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_totalprice BETWEEN 50000 AND 300000
+      AND (o_orderstatus = 'F' OR o_orderstatus = 'O')
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+      AND o_orderpriority LIKE '%-%'
+      AND o_custkey IS NOT NULL
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+    """,
+    doc="Conjunctive/disjunctive predicates; all must appear in PushedFilters.",
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_totalprice").between(50000, 300000)
+        & ((F.col("o_orderstatus") == "F") | (F.col("o_orderstatus") == "O"))
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM")
+        & F.col("o_orderpriority").like("%-%")
+        & F.col("o_custkey").isNotNull()
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# Q03 hash aggregate with grouping
+# --------------------------------------------------------------------------
+@register(
+    "q03_group_aggregate",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)               AS sum_qty,
+           ROUND(AVG(l_extendedprice), 4)          AS avg_price,
+           ROUND(MIN(l_extendedprice), 2)          AS min_price,
+           ROUND(MAX(l_extendedprice), 2)          AS max_price,
+           COUNT(*)                                AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="HashAggregateExec with partial (map-side) aggregation before shuffle.",
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q04 global aggregate (no grouping)
+# --------------------------------------------------------------------------
+@register(
+    "q04_global_aggregate",
+    oracle="""
+    SELECT COUNT(*)                                  AS n_rows,
+           ROUND(SUM(l_extendedprice), 2)            AS sum_price,
+           ROUND(AVG(l_discount), 4)                 AS avg_disc,
+           ROUND(MIN(l_quantity), 2)                 AS min_qty,
+           ROUND(MAX(l_quantity), 2)                 AS max_qty,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem
+    """,
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q05 TPC-H Q1 pricing summary — the flagship query (entry() uses this)
+# --------------------------------------------------------------------------
+TPCH_Q1_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "q05_tpch_q1",
+    oracle=TPCH_Q1_ORACLE,
+    doc="TPC-H Q1 pricing summary report (group + multi-agg + order).",
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q06 inner equi-join (shuffle join on the big side)
+# --------------------------------------------------------------------------
+@register(
+    "q06_inner_join",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, c.c_mktsegment, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 250000
+    """,
+    doc="orders ⋈ customer equi-join; AQE picks broadcast when customer is small.",
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    c = _t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q07 broadcast join with explicit hint (small dim at any scale)
+# --------------------------------------------------------------------------
+@register(
+    "q07_broadcast_join",
+    oracle="""
+    SELECT p.p_brand,
+           COUNT(*)                               AS n_items,
+           ROUND(SUM(l.l_extendedprice), 2)       AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type = 'PROMO'
+    GROUP BY p.p_brand
+    """,
+    doc="lineitem ⋈ broadcast(part): no shuffle of the fact side for the join.",
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q08 outer joins (left / full) with null handling
+# --------------------------------------------------------------------------
+@register(
+    "q08_outer_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COALESCE(o.n_orders, 0)            AS n_orders,
+           ROUND(COALESCE(o.total_spent, 0.0), 2) AS total_spent,
+           (o.o_custkey IS NULL)              AS never_ordered
+    FROM customer c
+    LEFT OUTER JOIN (
+        SELECT o_custkey, COUNT(*) AS n_orders, SUM(o_totalprice) AS total_spent
+        FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+    doc="Left outer join preserving customers without orders (mirrors the "
+    "right-outer dedup join in reference streaming_load.rb:294-302).",
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_spent"),
+        )
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+    return j.select(
+        "c_custkey",
+        "c_name",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.round(F.coalesce("total_spent", F.lit(0.0)), 2).alias("total_spent"),
+        F.col("o_custkey").isNull().alias("never_ordered"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q09 semi / anti joins (EXISTS / NOT IN — reference streaming_load dedup)
+# --------------------------------------------------------------------------
+@register(
+    "q09_semi_anti_join",
+    oracle="""
+    SELECT c_custkey, 'has_orders' AS bucket FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT c_custkey, 'no_orders' AS bucket FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    doc="left_semi + left_anti — the exactly-once file-dedup primitive "
+    "(reference streaming_load.rb:294-329 NOT IN rewrite).",
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("has_orders").alias("bucket")
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("bucket")
+    )
+    return semi.unionByName(anti)
+
+
+# --------------------------------------------------------------------------
+# Q10 cross join (bounded) + theta/non-equi join
+# --------------------------------------------------------------------------
+@register(
+    "q10_cross_theta_join",
+    oracle="""
+    SELECT r.r_name, n.n_name, small.n_small_parts
+    FROM region r
+    CROSS JOIN nation n
+    JOIN (
+       SELECT p1.p_size AS sz, CAST(COUNT(*) AS BIGINT) AS n_small_parts
+       FROM part p1 JOIN part p2
+         ON p1.p_size < p2.p_size AND p1.p_partkey <> p2.p_partkey
+       WHERE p1.p_partkey < 10
+       GROUP BY p1.p_size
+    ) small ON n.n_regionkey = r.r_regionkey AND small.sz > r.r_regionkey
+    """,
+    doc="Bounded cross join + theta (range) join; Catalyst uses BNLJ for the "
+    "non-equi condition.",
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+    p1 = p.filter(F.col("p_partkey") < 10).alias("p1")
+    p2 = p.alias("p2")
+    small = (
+        p1.join(
+            p2,
+            (F.col("p1.p_size") < F.col("p2.p_size"))
+            & (F.col("p1.p_partkey") != F.col("p2.p_partkey")),
+        )
+        .groupBy(F.col("p1.p_size").alias("sz"))
+        .agg(F.count(F.lit(1)).alias("n_small_parts"))
+    )
+    return (
+        r.crossJoin(n)
+        .join(small, (n.n_regionkey == r.r_regionkey) & (small.sz > r.r_regionkey))
+        .select("r_name", "n_name", "n_small_parts")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 multi-way join — TPC-H Q3 shipping priority
+# --------------------------------------------------------------------------
+@register(
+    "q11_tpch_q3",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+      AND l.l_shipdate > TIMESTAMP '1999-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q3: 3-way join + agg + top-k with deterministic tiebreak.",
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 rollup / cube / grouping sets
+# --------------------------------------------------------------------------
+@register(
+    "q12_rollup",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(GROUPING(r.r_name) AS BIGINT) AS g_region,
+           CAST(GROUPING(n.n_name) AS BIGINT) AS g_nation,
+           CAST(COUNT(*) AS BIGINT)           AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2)         AS sum_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    doc="ROLLUP hierarchy totals with GROUPING() disambiguation.",
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("bigint").alias("g_region"),
+        F.grouping("n_name").cast("bigint").alias("g_nation"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 window ranking
+# --------------------------------------------------------------------------
+@register(
+    "q13_window_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(RANK()       OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    doc="row_number/rank/dense_rank over partition+order (unique tiebreak).",
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 window analytics: lag/lead/first/last + running sum
+# --------------------------------------------------------------------------
+@register(
+    "q14_window_analytic",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           ROUND(LAG(o_totalprice)  OVER w, 2)                        AS prev_price,
+           ROUND(LEAD(o_totalprice) OVER w, 2)                        AS next_price,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2)                 AS first_price,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="lag/lead/first + running sum with ROWS frame.",
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.sum("o_totalprice").over(wrun), 2).alias("running_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 top-k per group
+# --------------------------------------------------------------------------
+@register(
+    "q15_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="Top-3 orders per customer: window + rank filter (no global sort).",
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 global sort + limit (top-k)
+# --------------------------------------------------------------------------
+@register(
+    "q16_global_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc="orderBy+limit compiles to TakeOrderedAndProject — no full sort at scale.",
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 set operations
+# --------------------------------------------------------------------------
+@register(
+    "q17_set_ops",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk FROM customer),
+         sn AS (SELECT s_nationkey AS nk FROM supplier)
+    SELECT
+      (SELECT COUNT(*) FROM (SELECT nk FROM cn UNION ALL SELECT nk FROM sn))   AS n_union_all,
+      (SELECT COUNT(*) FROM (SELECT nk FROM cn UNION     SELECT nk FROM sn))   AS n_union,
+      (SELECT COUNT(*) FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn))   AS n_intersect,
+      (SELECT COUNT(*) FROM (SELECT nk FROM cn EXCEPT    SELECT nk FROM sn))   AS n_except
+    """,
+    doc="UNION ALL / UNION / INTERSECT / EXCEPT cardinalities.",
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    counts = [
+        cn.unionAll(sn).count(),
+        cn.union(sn).distinct().count(),
+        cn.intersect(sn).count(),  # INTERSECT (distinct semantics)
+        cn.subtract(sn).count(),  # EXCEPT (distinct semantics)
+    ]
+    return spark.createDataFrame(
+        [tuple(counts)], "n_union_all bigint, n_union bigint, n_intersect bigint, n_except bigint"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 subqueries: scalar, IN, correlated EXISTS
+# --------------------------------------------------------------------------
+_Q18_SQL = """
+    SELECT c.c_custkey, c.c_name, ROUND(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+      AND c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+      AND EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+
+@register(
+    "q18_subqueries",
+    oracle=_Q18_SQL,
+    doc="Scalar subquery + IN-subquery + correlated EXISTS (Catalyst decorrelates).",
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bricolage_spark.catalog import load_testdata
+
+    load_testdata(spark, sf_dir)
+    return spark.sql(_Q18_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q19 conditional expressions + casts
+# --------------------------------------------------------------------------
+@register(
+    "q19_case_coalesce_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END                          AS size_class,
+           COALESCE(NULLIF(o_orderstatus, 'F'), 'closed') AS status_or_closed,
+           CAST(FLOOR(o_totalprice) AS BIGINT)            AS price_int,
+           CAST(o_orderkey AS VARCHAR)                    AS key_str
+    FROM orders
+    """,
+    doc="CASE WHEN / COALESCE / NULLIF / CAST. (floor+cast: DuckDB CAST "
+    "rounds doubles while Spark truncates — floor unifies them.)",
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("F")), F.lit("closed")).alias(
+            "status_or_closed"
+        ),
+        F.floor(F.col("o_totalprice")).cast("bigint").alias("price_int"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 string functions
+# --------------------------------------------------------------------------
+@register(
+    "q20_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           CONCAT(p_brand, ':', p_type)                       AS brand_type,
+           SUBSTRING(p_name, 1, 5)                            AS name5,
+           UPPER(p_name)                                      AS name_upper,
+           LOWER(p_brand)                                     AS brand_lower,
+           TRIM(CONCAT(' ', p_name, ' '))                     AS name_trim,
+           REPLACE(p_name, ' ', '_')                          AS name_snake,
+           (p_name LIKE '%widget%')                           AS is_widget,
+           REGEXP_EXTRACT(p_brand, '#(\\d+)', 1)              AS brand_num,
+           REGEXP_REPLACE(p_type, '[AEIOU]', '*', 'g')        AS type_devowel,
+           CAST(LENGTH(p_name) AS BIGINT)                     AS name_len,
+           CAST(LEN(STRING_SPLIT(p_name, ' ')) AS BIGINT)     AS n_words
+    FROM part
+    """,
+    doc="concat/substring/case/trim/replace/like/regexp/split/length parity.",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.col("p_name").like("%widget%").alias("is_widget"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
+        F.regexp_replace("p_type", "[AEIOU]", "*").alias("type_devowel"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.size(F.split("p_name", " ")).cast("bigint").alias("n_words"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 date/time functions
+# --------------------------------------------------------------------------
+@register(
+    "q21_datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           DATE_TRUNC('month', o_orderdate)                        AS order_month,
+           CAST(YEAR(o_orderdate)  AS BIGINT)                      AS yr,
+           CAST(MONTH(o_orderdate) AS BIGINT)                      AS mo,
+           CAST(DAY(o_orderdate)   AS BIGINT)                      AS dy,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR)              AS order_date,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR)         AS due_date,
+           CAST(DATE_DIFF('day', o_orderdate,
+                TIMESTAMP '2002-01-01') AS BIGINT)                 AS days_to_2002,
+           o_orderdate + INTERVAL 1 MONTH                          AS next_month,
+           CAST(EPOCH(o_orderdate) AS BIGINT)                      AS epoch_s
+    FROM orders
+    """,
+    doc="date_trunc/date parts/date_add/datediff/interval/unix_timestamp.",
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dy"),
+        # DATE-typed outputs stringified: pandas date-object vs datetime64
+        # canonicalization differs between engines, strings are stable.
+        F.to_date("o_orderdate").cast("string").alias("order_date"),
+        F.date_add(F.to_date("o_orderdate"), 30).cast("string").alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate"))
+        .cast("bigint")
+        .alias("days_to_2002"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 MONTH")).alias("next_month"),
+        F.unix_timestamp("o_orderdate").cast("bigint").alias("epoch_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 math functions
+# --------------------------------------------------------------------------
+@register(
+    "q22_math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1)                      AS price_r1,
+           CAST(FLOOR(l_extendedprice) AS BIGINT)         AS price_floor,
+           CAST(CEIL(l_extendedprice)  AS BIGINT)         AS price_ceil,
+           ROUND(ABS(l_discount - 0.05), 4)               AS disc_dev,
+           ROUND(POWER(l_quantity, 2), 4)                 AS qty_sq,
+           ROUND(SQRT(l_quantity), 6)                     AS qty_sqrt,
+           ROUND(LN(l_extendedprice), 6)                  AS price_ln,
+           CAST(l_orderkey % 7 AS BIGINT)                 AS key_mod7,
+           CAST(SIGN(l_discount - 0.05) AS BIGINT)        AS disc_sign
+    FROM lineitem
+    """,
+    doc="round/floor/ceil/abs/power/sqrt/ln/mod/sign (DuckDB log()=log10, "
+    "so the oracle uses LN).",
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod7"),
+        F.signum(F.col("l_discount") - 0.05).cast("bigint").alias("disc_sign"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q23 array functions
+# --------------------------------------------------------------------------
+@register(
+    "q23_array_functions",
+    oracle="""
+    WITH words AS (
+        SELECT p_brand, UNNEST(STRING_SPLIT(p_name, ' ')) AS word
+        FROM part
+    )
+    SELECT p_brand,
+           LIST_SORT(LIST(DISTINCT word))            AS vocab,
+           CAST(COUNT(*) AS BIGINT)                  AS n_words,
+           CAST(COUNT(DISTINCT word) AS BIGINT)      AS n_distinct_words
+    FROM words
+    GROUP BY p_brand
+    """,
+    doc="split→explode→collect_set→sort_array round trip (order-canonical).",
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    words = p.select("p_brand", F.explode(F.split("p_name", " ")).alias("word"))
+    return words.groupBy("p_brand").agg(
+        F.sort_array(F.collect_set("word")).alias("vocab"),
+        F.count(F.lit(1)).alias("n_words"),
+        F.countDistinct("word").alias("n_distinct_words"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q24 map functions (emitted as hashable scalars)
+# --------------------------------------------------------------------------
+@register(
+    "q24_map_functions",
+    oracle="""
+    SELECT p_partkey,
+           'brand'   AS k1,
+           p_brand   AS v_brand,
+           p_type    AS v_type,
+           2::BIGINT AS n_keys
+    FROM part
+    """,
+    doc="MapType construction + element_at/map_keys, projected to scalar "
+    "columns so the oracle comparison stays type-stable.",
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return p.select(
+        "p_partkey",
+        F.sort_array(F.map_keys(m))[0].alias("k1"),
+        F.element_at(m, "brand").alias("v_brand"),
+        F.element_at(m, "type").alias("v_type"),
+        F.size(m).cast("bigint").alias("n_keys"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q25 JSON functions (jsonpath parity with reference COPY json 'auto')
+# --------------------------------------------------------------------------
+@register(
+    "q25_json_functions",
+    oracle="""
+    SELECT event_id,
+           JSON_EXTRACT_STRING(props, '$.k')                  AS k_str,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)  AS k_int,
+           TO_JSON({'k': CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)}) AS rebuilt
+    FROM events
+    """,
+    doc="get_json_object / from_json / to_json over the events.props JSON "
+    "column (parity with reference jsonpath COPY, psqldatasource.rb:426-435).",
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k_int = F.get_json_object("props", "$.k").cast("bigint")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        k_int.alias("k_int"),
+        F.to_json(F.struct(k_int.alias("k"))).alias("rebuilt"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q26 distinct + percentiles (exact, oracle-checked)
+# --------------------------------------------------------------------------
+@register(
+    "q26_distinct_percentiles",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT)                        AS nd_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)                        AS nd_supps,
+           ROUND(CAST(QUANTILE_CONT(l_extendedprice, 0.5) AS DOUBLE), 4)    AS p50_price,
+           ROUND(CAST(QUANTILE_CONT(l_extendedprice, 0.95) AS DOUBLE), 4)   AS p95_price
+    FROM lineitem
+    """,
+    doc="Exact count-distinct + interpolated percentiles (both engines use "
+    "linear interpolation).",
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("nd_parts"),
+        F.countDistinct("l_suppkey").alias("nd_supps"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+    )
+
+
+@register(
+    "q26b_approx_aggregates",
+    oracle=None,  # approx results are engine-specific; rows-only check
+    doc="approx_count_distinct (HLL++) + percentile_approx — the 100 TB scale "
+    "path where exact distinct would shuffle every key.",
+)
+def q26b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_nd_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_nd_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q27 DISTINCT projection
+# --------------------------------------------------------------------------
+@register(
+    "q27_distinct",
+    oracle="""
+    SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    """,
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
