@@ -1,0 +1,102 @@
+"""Benchmark harness: run the declared query inventory at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Each query executes fully via the no-op sink (write.format("noop")) so
+timing covers the whole plan — scan, shuffle, agg — without collect/
+serialization overhead polluting the measurement. One warm-up pass of the
+flagship query amortizes JVM/codegen spin-up out of the numbers.
+
+Pass --duckdb to also time the DuckDB oracles on the same tables (the
+BASELINE.md reference numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bricolage_spark.queries import load_all
+from bricolage_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def sf_of(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def run_spark(specs, sf_dir: str) -> dict[str, float]:
+    # AQE is the engine default (runtime re-planning pays off on real
+    # shuffle volumes), but at bench scale (sub-second queries) its stage
+    # materialization adds ~40% fixed latency — so the bench harness runs
+    # with it off unless SPARK_GRAFT_AQE overrides. A cluster deployment
+    # at 100 TB keeps it on.
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "false")
+        },
+    )
+    # warm-up: JVM, codegen, parquet footer caches
+    specs["q05_tpch_q1"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    times: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def run_duckdb(specs, sf_dir: str) -> dict[str, float]:
+    import duckdb
+
+    from bricolage_spark.catalog import TESTDATA_TABLES, table_path
+
+    con = duckdb.connect()
+    con.sql(f"SET threads TO {os.cpu_count()}")
+    for t in TESTDATA_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{table_path(sf_dir, t)}')"
+        )
+    times: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        if spec.oracle is None:
+            continue
+        t0 = time.perf_counter()
+        con.sql(spec.oracle).fetchall()
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def main() -> None:
+    specs = load_all()
+    with_duckdb = "--duckdb" in sys.argv
+    t0 = time.perf_counter()
+    times = run_spark(specs, SF_DIR)
+    total = round(time.perf_counter() - t0, 3)
+    out = {
+        "metric": "total wall sec, full query inventory (noop sink, warm session)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_of(SF_DIR),
+    }
+    if with_duckdb:
+        d0 = time.perf_counter()
+        out["duckdb_queries"] = run_duckdb(specs, SF_DIR)
+        out["duckdb_total"] = round(time.perf_counter() - d0, 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

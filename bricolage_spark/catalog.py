@@ -55,10 +55,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every testdata table as a temp view; return the frames."""
+def load_testdata(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Register testdata tables as temp views; return the frames.
+
+    Pass ``tables`` to register only what a query needs — registering all
+    ten reads every parquet footer, which is pure latency for SQL-text
+    queries touching two tables.
+    """
     out: dict[str, DataFrame] = {}
-    for name in TESTDATA_TABLES:
+    for name in tables:
         path = table_path(sf_dir, name)
         if not os.path.exists(path):
             continue
@@ -66,3 +73,26 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def spread(df: DataFrame, *cols: str, cap: int | None = None) -> DataFrame:
+    """Ensure enough partitions to use every core before CPU-heavy stages.
+
+    The driver testdata is one single-row-group parquet per table, so a
+    scan yields ONE partition and any explode/hash/percentile work after
+    it runs on one core. At production scale inputs arrive in hundreds of
+    splits and this is a no-op (the partition-count check): the
+    repartition only fires when the input is under-partitioned relative
+    to the cluster.
+
+    ``cap`` bounds the fan-out for stages with high per-partition fixed
+    cost (Python worker spin-up in mapInPandas): small inputs get fewer,
+    fuller Arrow batches.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if cap is not None:
+        target = min(target, cap)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)

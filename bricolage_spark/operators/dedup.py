@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bricolage_spark.catalog import spread
+
 # ---------------------------------------------------------------------------
 # shared hashing primitives (engine-independent: md5-based)
 # ---------------------------------------------------------------------------
@@ -90,9 +92,29 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
     return (
-        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        spread(df, id_col)
+        .select(F.col(id_col), F.explode(shingles).alias("shingle"))
         .distinct()
     )
+
+
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def minhash_affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Stable md5-derived (a, b) pairs for the affine MinHash families.
+
+    a < 2^20 keeps a·base < 2^52: exact in int64 AND in a double, so any
+    engine reproduces the values.
+    """
+    import hashlib
+
+    params = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"mh-a{i}".encode()).hexdigest()[:8], 16) % (2**20 - 1) + 1
+        b = int(hashlib.md5(f"mh-b{i}".encode()).hexdigest()[:8], 16)
+        params.append((a, b))
+    return params
 
 
 def minhash_signatures(
@@ -100,12 +122,16 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: (id, h0..h{num_hashes-1}).
 
-    One aggregation pass: every hash family is a different seed of
-    ``hash32``; map-side partial min keeps shuffle width at
-    num_hashes×8 bytes per doc.
+    One md5 per shingle, then ``num_hashes`` affine transforms
+    (aᵢ·h + bᵢ) mod P — the classic universal-hash family. (Hashing each
+    shingle ``num_hashes`` times with md5 costs ~num_hashes× more CPU for
+    no statistical benefit.) One aggregation pass; map-side partial min
+    keeps shuffle width at num_hashes×8 bytes per doc.
     """
+    base = hash32(F.col("shingle"), 0)
     aggs = [
-        F.min(hash32(F.col("shingle"), s)).alias(f"h{s}") for s in range(num_hashes)
+        F.min((F.lit(a) * base + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_affine_params(num_hashes))
     ]
     return shingles.groupBy(id_col).agg(*aggs)
 
@@ -197,34 +223,24 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     Implemented as explode(words)×explode(bit positions) → two-phase agg.
     Near-dup docs differ in few bits (Hamming distance on the fingerprint).
     """
-    words = df.select(
+    words = spread(df, id_col).select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
     )
-    h = hash32(F.col("word"), 7777)
-    # bit test via exact double arithmetic (shiftright needs a literal shift
-    # amount; h < 2^32 and 2^b are exact in binary floating point, so
-    # floor(h / 2^b) % 2 == (h >> b) & 1).
-    bit_contrib = words.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda b: F.when(
-                    (h / F.pow(F.lit(2.0), b)).cast("long") % 2 == 1, F.lit(1)
-                ).otherwise(F.lit(-1)),
-            )
-        ).alias("bit_pos", "contrib"),
-    )
-    bit_sums = bit_contrib.groupBy(id_col, "bit_pos").agg(
-        F.sum("contrib").alias("s")
-    )
-    return bit_sums.groupBy(id_col).agg(
+    # one md5 per word, then ``bits`` conditional sums in a single groupBy
+    # (no row explosion per bit). shiftright needs a literal shift amount,
+    # so bit b is tested as floor(h / 2^b) % 2 — exact: h < 2^32.
+    hashed = words.select(F.col(id_col), hash32(F.col("word"), 7777).alias("h"))
+    aggs = [
         F.sum(
-            F.when(
-                F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit_pos")).cast("bigint")
-            ).otherwise(F.lit(0))
-        )
-        .cast("bigint")
-        .alias("simhash")
-    )
+            F.when((F.col("h") / F.lit(float(1 << b))).cast("long") % 2 == 1, 1)
+            .otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = hashed.groupBy(id_col).agg(*aggs)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select(F.col(id_col), fp.cast("bigint").alias("simhash"))

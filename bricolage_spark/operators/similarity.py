@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from bricolage_spark.catalog import spread
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -58,7 +60,7 @@ def brute_force_cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    c = spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     sims = (
@@ -137,7 +139,7 @@ def lsh_bucketed_topk(
     (``.repartition('bucket')`` / partitionBy on write), so each query
     reads a single partition — this is the IVF-style inverted-list layout.
     """
-    c = corpus.select(
+    c = spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         srp_bucket(F.col(vec_col), n_planes).alias("bucket"),

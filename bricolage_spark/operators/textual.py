@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bricolage_spark.catalog import spread
 from bricolage_spark.operators.dedup import hash32, normalize_text
 
 # Distinctive high-frequency words per language (n-gram heuristic tier:
@@ -123,7 +124,7 @@ def fingerprint(
     n = F.size(words)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
-    return df.select(
+    return spread(df, id_col).select(
         F.col(id_col),
         F.md5(normalize_text(F.col(text_col))).alias("digest"),
         F.array_min(F.transform(shingles, lambda s: hash32(s, 0))).alias(

@@ -72,13 +72,19 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q32 MinHash signatures
 # --------------------------------------------------------------------------
-def _minhash_oracle(num_hashes: int = 8) -> str:
-    mins = ",\n           ".join(
-        f"MIN({_h32('shingle', s)}) AS h{s}" for s in range(num_hashes)
+def _affine_mins(num_hashes: int) -> str:
+    """MIN((a·h + b) mod P) per family, over the md5 base hash (seed 0)."""
+    base = _h32("shingle", 0)
+    return ",\n           ".join(
+        f"MIN(({a} * {base} + {b}) % {D.MINHASH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(D.minhash_affine_params(num_hashes))
     )
+
+
+def _minhash_oracle(num_hashes: int = 8) -> str:
     return f"""
     WITH {_DOCS_CTE}, {_SHINGLES_CTE}
-    SELECT doc_id, {mins}
+    SELECT doc_id, {_affine_mins(num_hashes)}
     FROM shingles
     GROUP BY doc_id
     """
@@ -103,9 +109,7 @@ _N_HASHES, _BANDS, _ROWS_PER_BAND, _JACCARD_MIN = 16, 8, 2, 0.2
 
 
 def _lsh_oracle() -> str:
-    mins = ",\n               ".join(
-        f"MIN({_h32('shingle', s)}) AS h{s}" for s in range(_N_HASHES)
-    )
+    mins = _affine_mins(_N_HASHES)
     band_selects = "\n        UNION ALL\n".join(
         f"        SELECT doc_id, {b} AS band_id, "
         f"md5(concat_ws(',', h{b * _ROWS_PER_BAND}, h{b * _ROWS_PER_BAND + 1})) AS band_hash FROM sigs"
@@ -151,8 +155,12 @@ def _lsh_oracle() -> str:
 )
 def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    sh = D.word_shingles(docs, "doc_id", "text", k=3).withColumnRenamed(
-        "doc_id", "id"
+    # shingles feed three consumers (signatures, intersection, sizes) —
+    # persist once instead of recomputing the explode+distinct per branch.
+    sh = (
+        D.word_shingles(docs, "doc_id", "text", k=3)
+        .withColumnRenamed("doc_id", "id")
+        .persist()
     )
     sigs = D.minhash_signatures(sh, "id", num_hashes=_N_HASHES)
     pairs = D.lsh_candidate_pairs(
@@ -398,7 +406,10 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pytest-verified.",
 )
 def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bricolage_spark.catalog import spread
+
     docs = read_table(spark, sf_dir, "documents")
-    media = M.documents_as_media(docs)
+    # cap=8: python-worker spin-up dominates below ~1k rows/partition
+    media = M.documents_as_media(spread(docs, "doc_id", cap=8))
     feats = M.extract_features(media, dim=8)
     return feats.select("media_id", "media_type", "byte_len", "digest")

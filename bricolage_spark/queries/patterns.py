@@ -73,10 +73,9 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = dest.filter(F.col("sale_month") < cutoff)
     # INSERT INTO dest SELECT ... (recomputed delta from source)
     delta = summarize(li.filter(F.date_trunc("month", "l_shipdate") >= cutoff))
-    # run the delete+insert twice to prove idempotence before returning
-    once = kept.unionByName(delta)
-    kept2 = once.filter(F.col("sale_month") < cutoff)
-    return kept2.unionByName(delta)
+    # (idempotence of the delete+insert cycle is pytest-verified in
+    # tests/test_jobs.py — re-running here would only double the plan)
+    return kept.unionByName(delta)
 
 
 # --------------------------------------------------------------------------

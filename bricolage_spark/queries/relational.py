@@ -546,14 +546,17 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    counts = [
-        cn.unionAll(sn).count(),
-        cn.union(sn).distinct().count(),
-        cn.intersect(sn).count(),  # INTERSECT (distinct semantics)
-        cn.subtract(sn).count(),  # EXCEPT (distinct semantics)
-    ]
-    return spark.createDataFrame(
-        [tuple(counts)], "n_union_all bigint, n_union bigint, n_intersect bigint, n_except bigint"
+
+    def cnt(df: DataFrame, alias: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias(alias))
+
+    # one plan, one job: the four set-op cardinalities cross-joined into a
+    # single row (each side is a 1-row aggregate — broadcast-trivial).
+    return (
+        cnt(cn.unionAll(sn), "n_union_all")
+        .crossJoin(cnt(cn.union(sn).distinct(), "n_union"))
+        .crossJoin(cnt(cn.intersect(sn), "n_intersect"))  # INTERSECT DISTINCT
+        .crossJoin(cnt(cn.subtract(sn), "n_except"))  # EXCEPT DISTINCT
     )
 
 
@@ -578,7 +581,7 @@ _Q18_SQL = """
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bricolage_spark.catalog import load_testdata
 
-    load_testdata(spark, sf_dir)
+    load_testdata(spark, sf_dir, tables=("customer", "orders"))
     return spark.sql(_Q18_SQL)
 
 
@@ -837,12 +840,23 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.countDistinct("l_partkey").alias("nd_parts"),
-        F.countDistinct("l_suppkey").alias("nd_supps"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+    # Three independent single-column branches cross-joined (1-row each)
+    # instead of one multi-distinct aggregate: avoids the Expand that
+    # multiplies every input row per distinct/percentile group, and lets
+    # each branch scan only its own parquet column.
+    nd_parts = li.select("l_partkey").distinct().agg(
+        F.count(F.lit(1)).alias("nd_parts")
     )
+    nd_supps = li.select("l_suppkey").distinct().agg(
+        F.count(F.lit(1)).alias("nd_supps")
+    )
+    pcts = li.select("l_extendedprice").agg(
+        F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95))).alias("p")
+    ).select(
+        F.round(F.col("p")[0], 4).alias("p50_price"),
+        F.round(F.col("p")[1], 4).alias("p95_price"),
+    )
+    return nd_parts.crossJoin(nd_supps).crossJoin(pcts)
 
 
 @register(
@@ -856,7 +870,7 @@ def q26b(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_nd_parts"),
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_nd_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50"),
     )
 
 

@@ -56,7 +56,16 @@ def get_spark(
         # --- scan efficiency --------------------------------------------
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")  # 128 MiB
+        # Split size: 128 MiB is the right cluster default, but local test
+        # files are single small parquets — without smaller splits every
+        # scan collapses to ONE partition and all downstream work runs on
+        # one core. 4 MiB locally ≈ row-group granularity; a cluster
+        # deployment passes its own master and gets 128 MiB.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            "4194304" if master.startswith("local") else "134217728",
+        )
+        .config("spark.sql.files.openCostInBytes", "1048576")
         # --- python interop (pandas-UDF slow path) ----------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
