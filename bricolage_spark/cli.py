@@ -1,0 +1,120 @@
+"""CLI: ``python -m bricolage_spark.cli`` — the two reference entry
+points (bin/bricolage, bin/bricolage-jobnet; SURVEY.md §3.1-3.2).
+
+    # single job (ad-hoc):
+    python -m bricolage_spark.cli job subsys/myjob.sql.job \
+        --home test/home -v data_date=2024-01-01 [--dry-run|--explain]
+
+    # jobnet:
+    python -m bricolage_spark.cli jobnet subsys/net1.jobnet \
+        --home test/home [--dry-run] [--clear-queue]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from bricolage_spark.context import Context
+from bricolage_spark.engine import SparkEngine
+from bricolage_spark.exception import ApplicationError
+from bricolage_spark.jobs import JobResult
+from bricolage_spark.runner import JobNetRunner, run_single_job
+from bricolage_spark.session import get_spark
+
+
+def _parse_vars(pairs: list[str]) -> dict[str, str]:
+    out = {}
+    for pair in pairs or []:
+        if "=" not in pair:
+            raise ApplicationError(f"-v expects name=value, got: {pair}")
+        k, v = pair.split("=", 1)
+        out[k] = v
+    return out
+
+
+def build_context(args) -> Context:
+    spark = get_spark("bricolage_spark.cli")
+    engine = SparkEngine(spark, args.warehouse)
+    engine.register_all()
+    return Context(engine, home=args.home, env=args.env)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="bricolage-spark")
+    p.add_argument("--home", default=os.environ.get("BRICOLAGE_SPARK_HOME", "."))
+    p.add_argument("--env", default=os.environ.get("BRICOLAGE_ENV", "development"))
+    p.add_argument(
+        "--warehouse",
+        default=os.environ.get("BRICOLAGE_SPARK_WAREHOUSE", "./warehouse"),
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pj = sub.add_parser("job", help="run a single job file")
+    pj.add_argument("path")
+    pj.add_argument("-v", "--variable", action="append", default=[])
+    pj.add_argument("--dry-run", action="store_true")
+    pj.add_argument("--explain", action="store_true")
+
+    pn = sub.add_parser("jobnet", help="run a jobnet")
+    pn.add_argument("path")
+    pn.add_argument("-v", "--variable", action="append", default=[])
+    pn.add_argument("--dry-run", action="store_true")
+    pn.add_argument("--clear-queue", action="store_true")
+
+    pl = sub.add_parser("list-declarations", help="list variables a job uses")
+    pl.add_argument("path")
+
+    args = p.parse_args(argv)
+    try:
+        ctx = build_context(args)
+        if args.command == "job":
+            result = run_single_job(
+                ctx,
+                os.path.join(ctx.home, args.path)
+                if not os.path.exists(args.path)
+                else args.path,
+                cmd_variables=_parse_vars(args.variable),
+                dry_run=args.dry_run,
+                explain=args.explain,
+            )
+            if isinstance(result, JobResult):
+                print(f"{result.status}: {result.message}")
+                return 0 if result.success else 3
+            print(result)
+            return 0
+        if args.command == "jobnet":
+            runner = JobNetRunner(ctx)
+            report = runner.run(
+                os.path.join(ctx.home, args.path)
+                if not os.path.exists(args.path)
+                else args.path,
+                cmd_variables=_parse_vars(args.variable),
+                dry_run=args.dry_run,
+                clear_queue=args.clear_queue,
+            )
+            print(
+                f"succeeded={len(report.succeeded)} failed={len(report.failed)} "
+                f"skipped={len(report.skipped)}"
+            )
+            return 0 if report.success else 3
+        if args.command == "list-declarations":
+            from bricolage_spark.sqltext import list_variables, load_job_file
+
+            values, sql = load_job_file(
+                os.path.join(ctx.home, args.path)
+                if not os.path.exists(args.path)
+                else args.path
+            )
+            for name in list_variables(sql or ""):
+                print(name)
+            return 0
+    except ApplicationError as err:
+        print(f"error: {err}", file=sys.stderr)
+        return err.exit_status
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

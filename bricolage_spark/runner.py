@@ -1,0 +1,137 @@
+"""Jobnet runner: the bricolage-jobnet main path (SURVEY.md §3.1).
+
+Flow parity with lib/bricolage/jobnetrunner.rb:25-93:
+1. load jobnet (+ subnets) → DAG → topo order,
+2. pre-compile every job (validation before any execution, :150-154),
+3. restore an unfinished queue if present, else enqueue the topo order,
+4. consume sequentially; each job's result persisted after it runs;
+   a failure stops the net; re-running resumes from the failed job.
+
+The reference forks a child process per job (job.rb:157-196) because psql
+holds global state; a SparkSession is shareable, so jobs run in-process
+under try/except with the same observable contract (status recorded,
+failure stops, resume skips succeeded jobs).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from bricolage_spark.context import Context
+from bricolage_spark.exception import ApplicationError, JobFailure
+from bricolage_spark.jobnet import Ref, RootJobNet
+from bricolage_spark.jobs import Job, JobResult
+from bricolage_spark.taskqueue import FileTaskQueue, MemoryTaskQueue
+
+
+@dataclass
+class RunReport:
+    succeeded: list[str]
+    failed: list[str]
+    skipped: list[str]
+
+    @property
+    def success(self) -> bool:
+        return not self.failed
+
+
+class JobNetRunner:
+    def __init__(self, context: Context, queue_dir: str | None = None):
+        self.ctx = context
+        self.queue_dir = queue_dir or os.path.join(context.home, ".queue")
+
+    def queue_path(self, net_ref: Ref) -> str:
+        return os.path.join(
+            self.queue_dir, f"{net_ref.subsystem}__{net_ref.name}.json"
+        )
+
+    def run(
+        self,
+        jobnet_path: str,
+        cmd_variables: dict | None = None,
+        dry_run: bool = False,
+        clear_queue: bool = False,
+    ) -> RunReport:
+        net = RootJobNet.load(self.ctx.home, jobnet_path)
+        order = net.sequential_jobs()
+        missing = net.check_jobs()
+        if missing:
+            raise ApplicationError(f"undefined jobs in jobnet: {', '.join(missing)}")
+
+        # pre-compile everything (check_jobs parity: fail before running)
+        jobs: dict[str, Job] = {}
+        for ref in order:
+            job = self.ctx.load_job(net.job_path(ref), cmd_variables)
+            job.compile()
+            jobs[str(ref)] = job
+
+        if dry_run:
+            for ref in order:
+                print(f"== {ref}\n{jobs[str(ref)].dry_run()}")
+            return RunReport(succeeded=[], failed=[], skipped=[str(r) for r in order])
+
+        qpath = self.queue_path(net.root.ref)
+        if clear_queue and os.path.exists(qpath):
+            os.remove(qpath)
+        queue = FileTaskQueue.restore_if_exists(qpath)
+        restored = bool(queue.tasks)
+        if not restored:
+            for ref in order:
+                queue.enqueue(str(ref))
+
+        queue.lock()
+        succeeded: list[str] = []
+        failed: list[str] = []
+        skipped = [t.job for t in queue.tasks if t.status == "succeeded"]
+        try:
+            for task in queue.consume_each():
+                job = jobs.get(task.job)
+                if job is None:  # jobnet changed since the queue was saved
+                    job = self.ctx.load_job(
+                        net.job_path(Ref.parse(task.job)), cmd_variables
+                    )
+                    job.compile()
+                self.ctx.hooks.fire("before_job", job=job, ref=task.job)
+                try:
+                    result = job.execute()
+                    task.transition("succeeded", result.message)
+                    succeeded.append(task.job)
+                except (JobFailure, ApplicationError) as err:
+                    task.transition("failed", str(err))
+                    failed.append(task.job)
+                self.ctx.hooks.fire(
+                    "after_job", job=job, ref=task.job, status=task.status
+                )
+        finally:
+            queue.unlock()
+            self.ctx.hooks.fire("after_all", report=None)
+        if not queue.unfinished:
+            queue.unlink()  # complete: next run starts fresh
+        return RunReport(succeeded=succeeded, failed=failed, skipped=skipped)
+
+
+def run_single_job(
+    context: Context,
+    path: str,
+    cmd_variables: dict | None = None,
+    dry_run: bool = False,
+    explain: bool = False,
+) -> JobResult | str:
+    """The ``bricolage`` single-job entry point (application.rb §3.2)."""
+    job = context.load_job(path, cmd_variables)
+    job.compile()
+    if dry_run:
+        return job.dry_run()
+    if explain:
+        if job.sql is None:
+            raise ApplicationError("--explain requires a SQL job")
+        from bricolage_spark.engine import split_statements
+
+        texts = []
+        for stmt in split_statements(job.sql):
+            df = job.engine.sql(stmt) if stmt.lower().startswith("select") else None
+            if df is not None:
+                texts.append(job.engine.explain(df))
+        return "\n".join(texts) or "(no SELECT statements)"
+    return job.execute()

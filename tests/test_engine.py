@@ -1,0 +1,140 @@
+"""Engine/warehouse tests: stage-and-swap writer, task verbs, statement
+executor (SURVEY.md §2.2 parity)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bricolage_spark.ddl import parse_ct
+from bricolage_spark.engine import TableSpec, split_statements
+from bricolage_spark.exception import JobFailure
+
+
+def df_of(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_tablespec_parse():
+    t = TableSpec.parse("sales.daily")
+    assert (t.schema, t.name, t.view_name) == ("sales", "daily", "sales__daily")
+    d = TableSpec.parse("plain")
+    assert (d.schema, d.view_name) == ("default", "plain")
+
+
+def test_save_register_read(engine, spark):
+    df = df_of(spark, [(1, "a"), (2, "b")], "id int, v string")
+    n = engine.save_table(df, "t1")
+    assert n == 2
+    assert engine.table("t1").count() == 2
+    assert spark.sql("select * from t1").count() == 2  # registered view
+
+
+def test_overwrite_is_atomic_swap(engine, spark):
+    engine.save_table(df_of(spark, [(1,)], "id int"), "t")
+    d = engine.table_dir("t")
+    engine.save_table(df_of(spark, [(2,), (3,)], "id int"), "t")
+    assert engine.table("t").count() == 2
+    # no stage/old leftovers
+    parent = os.path.dirname(d)
+    assert [p for p in os.listdir(parent) if "__stage__" in p or "__old__" in p] == []
+
+
+def test_append_mode(engine, spark):
+    engine.save_table(df_of(spark, [(1,)], "id int"), "t")
+    engine.save_table(df_of(spark, [(2,)], "id int"), "t", mode="append")
+    assert engine.table("t").count() == 2
+
+
+def test_truncate_keeps_schema(engine, spark):
+    engine.save_table(df_of(spark, [(1, "x")], "id int, v string"), "t")
+    engine.truncate("t")
+    t = engine.table("t")
+    assert t.count() == 0
+    assert [f.name for f in t.schema.fields] == ["id", "v"]
+
+
+def test_rename_table(engine, spark):
+    engine.save_table(df_of(spark, [(1,)], "id int"), "a")
+    engine.rename_table("a", "b")
+    assert engine.table("b").count() == 1
+    assert not engine.table_exists("a")
+    with pytest.raises(JobFailure, match="no such table"):
+        engine.rename_table("a", "c")
+
+
+def test_drop_force_semantics(engine):
+    engine.drop_table("nope", force=True)  # no error
+    with pytest.raises(JobFailure, match="cannot drop"):
+        engine.drop_table("nope", force=False)
+
+
+def test_split_statements_string_aware():
+    stmts = split_statements("insert into t values ('a;b'); select 1;  ")
+    assert len(stmts) == 2
+    assert "a;b" in stmts[0]
+
+
+def test_execute_insert_select(engine, spark):
+    engine.save_table(df_of(spark, [(1,), (2,)], "x int"), "src")
+    engine.save_table(df_of(spark, [(0,)], "x int"), "dest")
+    engine.execute_statement("insert into dest select x from src where x > 1")
+    assert sorted(r.x for r in engine.table("dest").collect()) == [0, 2]
+
+
+def test_execute_delete_where(engine, spark):
+    engine.save_table(df_of(spark, [(1,), (2,), (3,)], "x int"), "t")
+    engine.execute_statement("delete from t where x >= 2")
+    assert [r.x for r in engine.table("t").collect()] == [1]
+
+
+def test_execute_create_view_and_ctas(engine, spark):
+    engine.save_table(df_of(spark, [(1,), (2,)], "x int"), "t")
+    engine.execute_statement("create or replace view v as select x*2 as y from t")
+    assert sorted(r.y for r in spark.sql("select * from v").collect()) == [2, 4]
+    engine.execute_statement("create table t2 as select x from t where x = 1")
+    assert engine.table("t2").count() == 1
+
+
+def test_execute_script_returns_last_select(engine, spark):
+    engine.save_table(df_of(spark, [(5,)], "x int"), "t")
+    df = engine.execute_script("truncate t; select 42 as answer")
+    assert df.collect()[0].answer == 42
+    assert engine.table("t").count() == 0
+
+
+def test_schema_qualified_tables(engine, spark):
+    engine.save_table(df_of(spark, [(1,)], "x int"), "sales.daily")
+    df = engine.sql("select * from sales.daily")
+    assert df.count() == 1
+
+
+def test_parse_ct_reference_fixture_shape():
+    # mirrors test/home/subsys/users.ct
+    ddl = """
+    create table users
+    ( id int encode delta
+    , user_name varchar(1000)
+    , birthday date
+    , created_at timestamp not null
+    )
+    distkey (id) sortkey (id)
+    ;
+    """
+    tdef = parse_ct(ddl)
+    assert tdef.table == "users"
+    names = [f.name for f in tdef.schema.fields]
+    assert names == ["id", "user_name", "birthday", "created_at"]
+    assert tdef.schema["created_at"].nullable is False
+    assert tdef.distkey == "id" and tdef.sortkeys == ["id"]
+    assert tdef.encodes == {"id": "delta"}
+
+
+def test_vacuum_compacts(engine, spark):
+    df = spark.range(100).repartition(8).selectExpr("id as x")
+    engine.save_table(df, "t")
+    engine.vacuum("t", target_partitions=1)
+    files = [f for f in os.listdir(engine.table_dir("t")) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert engine.table("t").count() == 100

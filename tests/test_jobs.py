@@ -1,0 +1,278 @@
+"""Job class end-to-end tests (SURVEY.md §2.1) driven through job files in
+a fixture home — the reference's test/home shape."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bricolage_spark.context import Context
+from bricolage_spark.exception import JobFailure
+from bricolage_spark.jobs import Job
+from bricolage_spark.runner import JobNetRunner, run_single_job
+
+
+@pytest.fixture()
+def home(tmp_path, engine, spark):
+    """Fixture home with a subsys dir, modeled on reference test/home."""
+    h = tmp_path / "home"
+    (h / "subsys").mkdir(parents=True)
+    (h / "config").mkdir()
+    (h / "config" / "variable.yml").write_text("test_schema: default\n")
+    # a source table in the warehouse
+    engine.save_table(
+        spark.createDataFrame(
+            [(1, "a", "2024-01-01"), (2, "b", "2024-01-01"), (3, "c", "2024-01-02")],
+            "id int, v string, d string",
+        ),
+        "src_events",
+    )
+    return h
+
+
+def write_job(home, name, text):
+    p = home / "subsys" / name
+    p.write_text(text)
+    return str(p)
+
+
+def ctx_for(engine, home):
+    return Context(engine, home=str(home))
+
+
+def run_job(engine, home, name, text, variables=None):
+    path = write_job(home, name, text)
+    c = ctx_for(engine, home)
+    job = c.load_job(path, cmd_variables=variables or {})
+    return job.execute()
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_noop_and_failure(engine, home):
+    assert run_job(engine, home, "ok.job", "class: noop\n").success
+    with pytest.raises(JobFailure):
+        run_job(engine, home, "bad.job", "class: noop\nfailure: true\n")
+
+
+def test_exec_runs_command(engine, home):
+    r = run_job(engine, home, "x.job", "class: exec\nargs: [echo, hello]\n")
+    assert "hello" in r.message
+
+
+def test_exec_failure_raises(engine, home):
+    with pytest.raises(JobFailure, match="command failed"):
+        run_job(engine, home, "x.job", 'class: exec\nargs: [sh, -c, "exit 7"]\n')
+
+
+def test_wait_file_found_and_timeout(engine, home, tmp_path):
+    target = tmp_path / "flag.txt"
+    target.write_text("x")
+    r = run_job(
+        engine, home, "w.job",
+        f"class: wait-file\nsrc-file: {target}\nmax-wait-minutes: 0.05\n",
+    )
+    assert r.success
+    with pytest.raises(JobFailure, match="timed out"):
+        run_job(
+            engine, home, "w2.job",
+            f"class: wait-file\nsrc-file: {tmp_path}/nope.txt\n"
+            "max-wait-minutes: 0.02\npoll-seconds: 0.2\n",
+        )
+
+
+def test_create_from_ct(engine, home):
+    (home / "subsys" / "users.ct").write_text(
+        "create table $dest_table\n( id int\n, name varchar(100)\n)\n"
+        "distkey (id) sortkey (id);\n"
+    )
+    r = run_job(
+        engine, home, "create.job",
+        "class: create\ndest-table: users\ntable-def: users.ct\n",
+    )
+    assert r.success
+    t = engine.table("users")
+    assert t.count() == 0
+    assert [f.name for f in t.schema.fields] == ["id", "name"]
+
+
+def test_sql_job_embedded(engine, home):
+    """.sql.job with embedded YAML header — reference insert.sql.job shape."""
+    r = run_job(
+        engine, home, "ins.sql.job",
+        "/*\nclass: sql\ndest-table: copy1\nsrc-tables: {s: src_events}\n*/\n"
+        "create table $dest_table as select * from $s;\n",
+    )
+    assert r.success
+    assert engine.table("copy1").count() == 3
+
+
+def test_insert_truncate_mode(engine, home):
+    engine.save_table(engine.table("src_events").limit(1), "dest1")
+    r = run_job(
+        engine, home, "ins2.sql.job",
+        "/*\nclass: insert\ndest-table: dest1\nsrc-tables: {s: src_events}\ntruncate: true\n*/\n"
+        "insert into $dest_table select * from $s where id <= 2;\n",
+    )
+    assert r.success
+    assert engine.table("dest1").count() == 2  # truncated, then 2 inserted
+
+
+def test_insert_delta_idempotent(engine, home):
+    """Reference my-import-delta semantics: re-running the same delta load
+    yields the same final state (insert-delta.rb:23-26)."""
+    job_text = (
+        "/*\nclass: insert-delta\ndest-table: acc\n"
+        "src-tables: {s: src_events}\ndelete-cond: \"d = '$data_date'\"\n*/\n"
+        "select * from $s where d = '$data_date';\n"
+    )
+    r1 = run_job(engine, home, "delta.sql.job", job_text, {"data_date": "2024-01-01"})
+    assert r1.rows == 2
+    # seed more data for another date, then re-run same date twice
+    run_job(engine, home, "delta2.sql.job", job_text, {"data_date": "2024-01-02"})
+    before = sorted(r.id for r in engine.table("acc").collect())
+    r2 = run_job(engine, home, "delta.sql.job", job_text, {"data_date": "2024-01-01"})
+    after = sorted(r.id for r in engine.table("acc").collect())
+    assert before == after == [1, 2, 3]
+
+
+def test_rebuild_rename_swaps_and_keeps_old(engine, home):
+    job_text = (
+        "/*\nclass: rebuild-rename\ndest-table: summary\n"
+        "src-tables: {s: src_events}\n*/\n"
+        "select d, count(*) as n from $s group by d;\n"
+    )
+    r1 = run_job(engine, home, "rb.sql.job", job_text)
+    assert r1.success
+    assert engine.table("summary").count() == 2
+    # second rebuild: old version preserved as summary_old
+    r2 = run_job(engine, home, "rb.sql.job", job_text)
+    assert engine.table_exists("summary_old")
+    assert engine.table("summary_old").count() == 2
+    assert not engine.table_exists("summary_wk")
+
+
+def test_load_tsv_with_table_def(engine, home, tmp_path):
+    (home / "subsys" / "t.ct").write_text(
+        "create table x\n( x int\n, y varchar(20)\n, z varchar(20)\n);\n"
+    )
+    data = tmp_path / "in"
+    data.mkdir()
+    (data / "f1.tsv").write_text("1\tfoo\tbar\n2\tbaz\tqux\n")
+    r = run_job(
+        engine, home, "load.job",
+        f"class: load\ndest-table: load_test\nsrc-file: {data}/f1.tsv\n"
+        "table-def: t.ct\nformat: tsv\ndrop: true\n",
+    )
+    assert r.rows == 2
+    rows = {r.x: r.y for r in engine.table("load_test").collect()}
+    assert rows == {1: "foo", 2: "baz"}
+
+
+def test_load_json_append(engine, home, tmp_path):
+    (home / "subsys" / "t.ct").write_text(
+        "create table x\n( x int\n, y varchar(20)\n, z varchar(20)\n);\n"
+    )
+    data = tmp_path / "in"
+    data.mkdir()
+    (data / "a.json").write_text('{"x": 1, "y": "a", "z": "b"}\n')
+    (data / "b.json").write_text('{"x": 2, "y": "c", "z": "d"}\n')
+    r = run_job(
+        engine, home, "loadj.job",
+        f"class: load\ndest-table: jt\nsrc-file: {data}/*.json\n"
+        "table-def: t.ct\nformat: json\n",
+    )
+    assert r.rows == 2
+    r = run_job(
+        engine, home, "loadj2.job",
+        f"class: load\ndest-table: jt\nsrc-file: {data}/a.json\n"
+        "table-def: t.ct\nformat: json\n",
+    )
+    assert r.rows == 3  # append mode
+
+
+def test_unload_roundtrip(engine, home, tmp_path):
+    out = tmp_path / "out"
+    r = run_job(
+        engine, home, "ul.sql.job",
+        f"/*\nclass: unload\ndest-file: {out}\nformat: csv\n"
+        "src-tables: {s: src_events}\noptions: {header: true}\n*/\n"
+        "select id, v from $s where id < 3;\n",
+    )
+    assert r.success
+    import glob
+
+    files = glob.glob(str(out / "*.csv"))
+    assert files
+    content = "".join(open(f).read() for f in files)
+    assert "id,v" in content and "1,a" in content
+
+
+def test_s3_put_glob_and_remove(engine, home, tmp_path):
+    src = tmp_path / "stage"
+    src.mkdir()
+    for i in range(3):
+        (src / f"f{i}.txt").write_text(str(i))
+    dest = tmp_path / "bucket" / "prefix"
+    r = run_job(
+        engine, home, "put.job",
+        f"class: s3-put\nsrc-file: {src}/*.txt\ndest-file: {dest}\nremove: true\n",
+    )
+    assert r.success
+    assert sorted(os.listdir(dest)) == ["f0.txt", "f1.txt", "f2.txt"]
+    assert os.listdir(src) == []
+
+
+def test_createview(engine, home):
+    r = run_job(
+        engine, home, "cv.sql.job",
+        "/*\nclass: createview\ndest-table: v1\nsrc-tables: {s: src_events}\n*/\n"
+        "select id * 10 as id10 from $s;\n",
+    )
+    assert r.success
+    assert sorted(
+        x.id10 for x in engine.spark.sql("select * from v1").collect()
+    ) == [10, 20, 30]
+
+
+def test_dry_run_prints_bound_sql(engine, home):
+    path = write_job(
+        home, "d.sql.job",
+        "/*\nclass: adhoc\nsrc-tables: {s: src_events}\n*/\nselect * from $s where d='$data_date';\n",
+    )
+    c = ctx_for(engine, home)
+    out = run_single_job(c, path, cmd_variables={"data_date": "2024-01-01"}, dry_run=True)
+    assert "from src_events" in out and "2024-01-01" in out
+
+
+def test_jobnet_end_to_end_with_resume(engine, home):
+    """Full runner: DAG order, failure stops net, resume skips done jobs."""
+    write_job(home, "a.sql.job", "/*\nclass: sql\nsrc-tables: {s: src_events}\ndest-table: t_a\n*/\ncreate table t_a as select * from $s;\n")
+    write_job(home, "b.job", "class: noop\nfailure: true\n")
+    write_job(home, "c.job", "class: noop\n")
+    (home / "subsys" / "net.jobnet").write_text("a\n-> b\n-> c\n")
+    c = ctx_for(engine, home)
+    runner = JobNetRunner(c)
+    report = runner.run(str(home / "subsys" / "net.jobnet"))
+    assert report.succeeded == ["subsys/a"]
+    assert report.failed == ["subsys/b"]
+
+    # fix the failing job, re-run: a is skipped, b+c run
+    write_job(home, "b.job", "class: noop\n")
+    report2 = runner.run(str(home / "subsys" / "net.jobnet"))
+    assert report2.skipped == ["subsys/a"]
+    assert report2.succeeded == ["subsys/b", "subsys/c"]
+    assert report2.success
+
+
+def test_jobnet_hooks_fire(engine, home):
+    write_job(home, "a.job", "class: noop\n")
+    (home / "subsys" / "net.jobnet").write_text("a\n")
+    c = ctx_for(engine, home)
+    events = []
+    c.hooks.before_job.append(lambda **kw: events.append(("before", kw["ref"])))
+    c.hooks.after_job.append(lambda **kw: events.append(("after", kw["status"])))
+    JobNetRunner(c).run(str(home / "subsys" / "net.jobnet"))
+    assert events == [("before", "subsys/a"), ("after", "succeeded")]

@@ -1,0 +1,148 @@
+"""streaming_load tests — includes the reference's own pattern-compiler
+test case (test/test_c_streaming_load.rb:6-13) and the exactly-once
+contract."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bricolage_spark.context import Context
+from bricolage_spark.exception import ParameterError
+from bricolage_spark.streaming.streaming_load import (
+    FileQueue,
+    StreamingLoader,
+    compile_name_pattern,
+    format_path,
+)
+
+
+def test_compile_name_pattern_reference_case():
+    """Exact case from the reference unit test."""
+    re_ = compile_name_pattern("%*%Y%m%d-%H%M_%Q.gz")
+    m = re_.match("anything20141002-1355_00.gz")
+    assert m
+    assert m.group("year") == "2014"
+    assert m.group("month") == "10"
+    assert m.group("minute") == "55"
+    assert m.group("seq") == "00"
+    assert not re_.match("2014100x-1355_00.gz")
+    assert not re_.match("prefix/20141002-1355_00.gz")  # %* excludes /
+
+
+def test_compile_name_pattern_nanos_and_escape():
+    re_ = compile_name_pattern("%Y%m%d_%6N.json")
+    m = re_.match("20240101_123456.json")
+    assert m.group("nanosecond") == "123456"
+    assert not re_.match("20240101_123456xjson")  # '.' is literal
+
+
+def test_compile_name_pattern_unknown_op():
+    with pytest.raises(ParameterError, match="unknown time format"):
+        compile_name_pattern("%Z.json")
+
+
+def test_format_path_from_name():
+    pat = compile_name_pattern("%Y%m%d_%H%M_%Q.json")
+    out = format_path("archive/%Y/%m/%d", "20240102_1355_00.json", pat)
+    assert out == "archive/2024/01/02"
+    with pytest.raises(ParameterError, match="does not match"):
+        format_path("x/%Y", "nope.json", pat)
+
+
+@pytest.fixture()
+def queue_dir(tmp_path):
+    q = tmp_path / "queue"
+    q.mkdir()
+    return q
+
+
+def write_files(queue_dir, names_rows):
+    for name, rows in names_rows.items():
+        with open(queue_dir / name, "w") as f:
+            for row in rows:
+                f.write(row + "\n")
+
+
+def make_loader(engine, queue_dir, tmp_path, **kw):
+    queue = FileQueue(
+        queue_path=str(queue_dir),
+        persistent_path=str(tmp_path / "archive" / "%Y" / "%m" / "%d"),
+        file_name="%Y%m%d_%H%M_%Q.json",
+    )
+    return StreamingLoader(
+        engine=engine,
+        queue=queue,
+        dest_table="load_test",
+        log_table="load_test_l",
+        work_table="load_test_wk",
+        fmt="json",
+        **kw,
+    )
+
+
+def test_load_once_and_dedup(engine, tmp_path, queue_dir):
+    write_files(queue_dir, {
+        "20240101_0000_00.json": ['{"x": 1, "y": "a"}', '{"x": 2, "y": "b"}'],
+        "20240101_0100_00.json": ['{"x": 3, "y": "c"}'],
+        "ignored.txt": ["junk"],  # does not match pattern
+    })
+    loader = make_loader(engine, queue_dir, tmp_path)
+    stats = loader.run_once()
+    assert stats["loaded_files"] == 2
+    assert stats["rows"] == 3
+    assert engine.table("load_test").count() == 3
+    # log records both files
+    logged = {r.data_file for r in engine.table("load_test_l").collect()}
+    assert logged == {"20240101_0000_00.json", "20240101_0100_00.json"}
+    # files moved to date-templated archive
+    assert not (queue_dir / "20240101_0000_00.json").exists()
+    assert (tmp_path / "archive" / "2024" / "01" / "01" / "20240101_0000_00.json").exists()
+    # non-matching file untouched
+    assert (queue_dir / "ignored.txt").exists()
+
+
+def test_exactly_once_across_retry(engine, tmp_path, queue_dir):
+    """Crash-after-load simulation: file loaded+logged but NOT dequeued →
+    retry must not double-load (streaming_load.rb:294-330 contract)."""
+    write_files(queue_dir, {"20240101_0000_00.json": ['{"x": 1, "y": "a"}']})
+    loader = make_loader(engine, queue_dir, tmp_path)
+    stats = loader.run_once(load_only=True)  # load, log, do NOT move
+    assert stats["loaded_files"] == 1
+    assert (queue_dir / "20240101_0000_00.json").exists()
+
+    # retry: file still queued, but the log dedups it
+    stats2 = loader.run_once()
+    assert stats2["loaded_files"] == 0
+    assert stats2["skipped_files"] == 1
+    assert engine.table("load_test").count() == 1  # NOT doubled
+
+    # new file arrives → only it loads
+    write_files(queue_dir, {"20240101_0100_00.json": ['{"x": 2, "y": "b"}']})
+    stats3 = loader.run_once()
+    assert stats3["loaded_files"] == 1
+    assert engine.table("load_test").count() == 2
+
+
+def test_streaming_load_jobclass(engine, tmp_path, queue_dir):
+    """Drive through the job-class surface with a .job file."""
+    write_files(queue_dir, {"20240101_0000_00.json": ['{"x": 1, "y": "a"}']})
+    home = tmp_path / "home"
+    (home / "subsys").mkdir(parents=True)
+    job_path = home / "subsys" / "stream.job"
+    job_path.write_text(
+        "class: streaming_load\n"
+        "dest-table: load_test\n"
+        f"queue-path: {queue_dir}\n"
+        f"persistent-path: {tmp_path}/done/%Y/%m/%d\n"
+        "file-name: '%Y%m%d_%H%M_%Q.json'\n"
+        "skip-work: true\n"
+    )
+    ctx = Context(engine, home=str(home))
+    job = ctx.load_job(str(job_path))
+    r = job.execute()
+    assert r.success and r.rows == 1
+    # second run: nothing new
+    r2 = ctx.load_job(str(job_path)).execute()
+    assert "0 file(s)" in r2.message

@@ -1,0 +1,159 @@
+"""Structured Streaming operator tests: batch/stream unification for
+values, plus real stream runs (file source → availableNow → memory sink)
+for the streaming inventory (SURVEY.md §2.3 streaming items)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bricolage_spark.streaming import windows as W
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+ROWS = [
+    (1, "2024-01-01 00:01:00", 1, "click", 1.0),
+    (2, "2024-01-01 00:04:00", 1, "click", 2.0),
+    (3, "2024-01-01 00:12:00", 2, "view", 3.0),
+    (4, "2024-01-01 00:13:00", 2, "view", 4.0),
+    (5, "2024-01-01 00:31:00", 1, "click", 5.0),
+    (5, "2024-01-01 00:31:00", 1, "click", 5.0),  # duplicate event_id
+]
+
+
+@pytest.fixture()
+def events(spark):
+    df = spark.createDataFrame(
+        ROWS, "event_id long, ts string, user_id long, event_type string, value double"
+    )
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_tumbling_counts_batch(events):
+    out = {
+        (str(r.win_start), r.event_type): r.n
+        for r in W.tumbling_counts(events, width="10 minutes").collect()
+    }
+    assert out[("2024-01-01 00:00:00", "click")] == 2
+    assert out[("2024-01-01 00:10:00", "view")] == 2
+    assert out[("2024-01-01 00:30:00", "click")] == 2
+
+
+def test_sliding_counts_batch(events):
+    rows = W.sliding_counts(events, width="10 minutes", slide="5 minutes").collect()
+    # event at 00:01 belongs to windows [23:55,00:05) and [00:00,00:10)
+    starts_for_1 = [str(r.win_start) for r in rows if r.n >= 1]
+    assert "2024-01-01 00:00:00" in starts_for_1
+
+
+def test_session_counts_batch(events):
+    rows = W.session_counts(events, gap="5 minutes").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.n_events)
+    # user 1: events at 00:01+00:04 in one session; 00:31 (x2) another
+    assert sorted(by_user[1]) == [2, 2]
+    assert by_user[2] == [2]
+
+
+def test_dedup_batch(events):
+    out = W.dedup_within_watermark(events, ["event_id"])
+    assert out.count() == 5
+
+
+def test_stream_file_source_end_to_end(spark, tmp_path):
+    """The real thing: file-source stream, watermark, availableNow, memory
+    sink, checkpoint resume on new files."""
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    out_dir = str(tmp_path / "stream_out")
+    write_batch("b1.json", [
+        {"event_id": 1, "ts": "2024-01-01T00:01:00", "user_id": 1, "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T00:12:00", "user_id": 2, "event_type": "view", "value": 2.0},
+    ])
+
+    def run_pass():
+        stream = W.read_event_stream(spark, str(src), SCHEMA)
+        assert stream.isStreaming
+        q = (
+            stream.select("event_id", "ts", "event_type", "value")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run_pass()
+    assert spark.read.parquet(out_dir).count() == 2
+
+    # new file arrives → the checkpoint-resumed query processes ONLY it
+    write_batch("b2.json", [
+        {"event_id": 3, "ts": "2024-01-01T00:13:00", "user_id": 2, "event_type": "view", "value": 3.0},
+    ])
+    run_pass()
+    assert spark.read.parquet(out_dir).count() == 3  # no reprocessing of b1
+
+
+def test_stream_dedup_run(spark, tmp_path):
+    src = tmp_path / "dedup_in"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for eid in (1, 1, 2):
+            f.write(
+                json.dumps(
+                    {"event_id": eid, "ts": "2024-01-01T00:01:00", "user_id": 1,
+                     "event_type": "click", "value": 1.0}
+                ) + "\n"
+            )
+    stream = W.read_event_stream(spark, str(src), SCHEMA)
+    dd = W.dedup_within_watermark(stream, ["event_id"], watermark="10 minutes")
+    q = W.run_to_memory_sink(dd, "dedup_out", str(tmp_path / "ck2"), mode="append")
+    q.awaitTermination(60)
+    assert spark.sql("select * from dedup_out").count() == 2
+
+
+def test_stateful_counts_update_mode(spark, tmp_path):
+    src = tmp_path / "state_in"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for et in ("a", "a", "b"):
+            f.write(
+                json.dumps(
+                    {"event_id": 1, "ts": "2024-01-01T00:01:00", "user_id": 1,
+                     "event_type": et, "value": 1.0}
+                ) + "\n"
+            )
+    stream = W.read_event_stream(spark, str(src), SCHEMA)
+    counts = W.stateful_running_counts(stream)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("state_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = {r.event_type: r.n for r in spark.sql("select * from state_out").collect()}
+    assert out == {"a": 2, "b": 1}
