@@ -52,7 +52,9 @@ class Context:
         self.global_variables.update(self._load_variable_yml())
         if variables:
             self.global_variables.update(variables)
-        self.datasources = self._load_datasource_yml()
+        from bricolage_spark.sources import load_datasources
+
+        self.datasources = load_datasources(self._load_datasource_yml(), engine=engine)
 
     def _load_variable_yml(self) -> dict[str, Any]:
         for candidate in (

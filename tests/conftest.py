@@ -28,6 +28,6 @@ def engine(spark, tmp_path):
     return SparkEngine(spark, str(tmp_path / "warehouse"))
 
 
-@pytest.fixture()
+@pytest.fixture(scope="session")
 def sf_dir():
     return TESTDATA

@@ -1,0 +1,167 @@
+"""Property tests for the LLM-pipeline operators (SURVEY.md §2.7)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bricolage_spark.operators import dedup as D
+from bricolage_spark.operators import multimodal as M
+from bricolage_spark.operators import similarity as S
+from bricolage_spark.operators import textual as T
+
+DOC = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep green forest to hide from the loud hunters"
+)
+NEAR = DOC.replace("green", "dark").replace("loud", "angry")
+OTHER = (
+    "completely different content about spark query engines and shuffle "
+    "partitions with no overlap at all whatsoever in any shingle"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, DOC), (2, NEAR), (3, OTHER), (4, DOC), (5, "  THE  " + DOC[4:])],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_groups_normalized_duplicates(docs):
+    out = {r.keep_id: r.dup_count for r in D.exact_dedup(docs, "doc_id", "text").collect()}
+    # doc 4 is an exact dup of 1; doc 5 is a whitespace/case variant → same hash
+    assert out[1] == 3
+    assert 4 not in out and 5 not in out
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_minhash_similarity_tracks_jaccard(docs, spark):
+    sh = D.word_shingles(docs, "doc_id", "text", k=3)
+    sigs = {r["doc_id"]: [r[f"h{i}"] for i in range(16)]
+            for r in D.minhash_signatures(sh, "doc_id", 16).collect()}
+    agree = lambda a, b: sum(x == y for x, y in zip(sigs[a], sigs[b])) / 16
+    assert agree(1, 4) == 1.0           # identical docs → identical signature
+    assert agree(1, 2) > agree(1, 3)    # near-dup closer than unrelated
+    assert agree(1, 3) < 0.3
+
+
+def test_lsh_finds_near_pair_not_random_pair(docs):
+    sh = D.word_shingles(docs, "doc_id", "text", k=3).withColumnRenamed("doc_id", "id")
+    sigs = D.minhash_signatures(sh, "id", 16)
+    pairs = {(r.id_a, r.id_b) for r in D.lsh_candidate_pairs(sigs, "id", 8, 2).collect()}
+    assert (1, 4) in pairs  # exact dup always collides
+    assert (1, 2) in pairs  # near dup: 8 bands × 2 rows catches j≈0.8
+    assert (1, 3) not in pairs
+
+
+def test_jaccard_exact_values(docs):
+    sh = D.word_shingles(docs, "doc_id", "text", k=3).withColumnRenamed("doc_id", "id")
+    pairs = docs.sparkSession.createDataFrame([(1, 4), (1, 3)], "id_a long, id_b long")
+    j = {(r.id_a, r.id_b): r.jaccard for r in D.ngram_jaccard_pairs(sh, pairs, "id").collect()}
+    assert j[(1, 4)] == 1.0
+    assert (1, 3) not in j or j[(1, 3)] < 0.05  # no shared shingles → no row
+
+
+def test_simhash_hamming_orders_similarity(docs):
+    fp = {r.doc_id: r.simhash for r in D.simhash(docs, "doc_id", "text", 16).collect()}
+    ham = lambda a, b: bin(fp[a] ^ fp[b]).count("1")
+    assert ham(1, 4) == 0
+    assert ham(1, 2) < ham(1, 3)
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(50, 16).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    out = S.brute_force_cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    got = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    v = vecs.astype("float64")
+    sims = (v @ v[0]) / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    sims[0] = -np.inf
+    expect = list(np.argsort(np.round(sims, 4))[::-1][:3])
+    assert got == [int(x) for x in expect]
+
+
+def test_srp_bucket_deterministic_and_local(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0, 3.0]), (3, [1.01, 2.0, 3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = df.select("vec_id", S.srp_bucket(F.col("embedding"), 8).alias("b")).collect()
+    b = {r.vec_id: r.b for r in rows}
+    assert b[1] == b[2]          # identical vectors → same bucket
+    assert b[1] == b[3]          # tiny perturbation → same bucket (locality)
+    assert 0 <= b[1] < 256
+
+
+def test_language_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is big"),
+            (2, "el gato y la casa de los perros que ladran"),
+            (3, "der Hund und die Katze das ist gut"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.pred_lang for r in T.detect_language(df, "doc_id", "text").collect()}
+    assert out == {1: "en", 2: "es", 3: "de"}
+
+
+def test_token_stats_values(spark):
+    df = spark.createDataFrame([(1, "Hello, world! Twelve chars.")], "doc_id long, text string")
+    r = T.token_stats(df, "doc_id", "text").collect()[0]
+    assert r.n_words == 4
+    assert r.n_tokens_regex == 7  # hello , world ! twelve chars .
+    assert r.n_chars == 27
+    assert r.n_tokens_bpe_est == math.ceil(27 / 4)
+
+
+def test_quality_score_orders_garbage_below_prose(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the " * 60 + "sensible text with the usual words and the like"),
+            (2, "!!! ### $$$ %%% ^^^ &&& *** ((( ))) @@@" * 3),
+        ],
+        "doc_id long, text string",
+    )
+    q = {r.doc_id: r.quality for r in T.quality_score(df, "doc_id", "text").collect()}
+    assert q[1] > q[2]
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = spark.createDataFrame(
+        [(1, "Some  Text Here"), (2, "some text   here"), (3, "other words")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: (r.digest, r.min_shingle_hash) for r in T.fingerprint(df, "doc_id", "text").collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+
+def test_multimodal_pipeline_schema_and_determinism(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "world")], "doc_id long, text string")
+    media = M.documents_as_media(df)
+    feats = M.extract_features(media, dim=4).collect()
+    by_id = {r.media_id: r for r in feats}
+    assert by_id[1].byte_len == 5
+    assert len(by_id[1].feature) == 4
+    import hashlib
+
+    assert by_id[1].digest == hashlib.md5(b"hello").hexdigest()
+    # deterministic across runs
+    feats2 = {r.media_id: r.feature for r in M.extract_features(media, dim=4).collect()}
+    assert feats2[1] == by_id[1].feature
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        M.decode_stub()
