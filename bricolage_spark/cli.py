@@ -62,6 +62,10 @@ def main(argv: list[str] | None = None) -> int:
     pn.add_argument("-v", "--variable", action="append", default=[])
     pn.add_argument("--dry-run", action="store_true")
     pn.add_argument("--clear-queue", action="store_true")
+    pn.add_argument(
+        "--queue", choices=["file", "db"], default="file",
+        help="task-queue backend: resumable JSON file or SQLite job-state DB",
+    )
 
     pl = sub.add_parser("list-declarations", help="list variables a job uses")
     pl.add_argument("path")
@@ -85,7 +89,7 @@ def main(argv: list[str] | None = None) -> int:
             print(result)
             return 0
         if args.command == "jobnet":
-            runner = JobNetRunner(ctx)
+            runner = JobNetRunner(ctx, queue_type=args.queue)
             report = runner.run(
                 os.path.join(ctx.home, args.path)
                 if not os.path.exists(args.path)

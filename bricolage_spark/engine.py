@@ -28,11 +28,27 @@ from bricolage_spark.exception import JobFailure, ParameterError
 
 
 def split_statements(sql_text: str) -> list[str]:
-    """Split a SQL script on ``;`` (string-literal aware)."""
+    """Split a SQL script on ``;`` (string-literal aware), dropping
+    ``--`` line comments so statement-kind detection sees the real
+    first keyword (header metadata lines would otherwise mask it)."""
+    # strip -- comments outside string literals, line by line
+    lines = []
+    for line in sql_text.splitlines():
+        out_chars, in_str = [], False
+        i = 0
+        while i < len(line):
+            ch = line[i]
+            if ch == "'":
+                in_str = not in_str
+            if not in_str and ch == "-" and line[i : i + 2] == "--":
+                break
+            out_chars.append(ch)
+            i += 1
+        lines.append("".join(out_chars))
+    text = "\n".join(lines)
+
     out, buf, in_str = [], [], False
-    i = 0
-    while i < len(sql_text):
-        ch = sql_text[i]
+    for ch in text:
         if ch == "'":
             in_str = not in_str
             buf.append(ch)
@@ -43,7 +59,6 @@ def split_statements(sql_text: str) -> list[str]:
             buf = []
         else:
             buf.append(ch)
-        i += 1
     s = "".join(buf).strip()
     if s:
         out.append(s)
@@ -245,6 +260,33 @@ class SparkEngine:
         df = self.table(spec)
         n = target_partitions or max(1, df.rdd.getNumPartitions() // 4)
         self.save_table(df.repartition(n), spec, mode="overwrite")
+
+    def create_dummy_table(self, spec: TableSpec | str) -> None:
+        """``create table if not exists t (x int)`` — the swap trick
+        (psqldatasource.rb:298-302) so a later rename pair never fails."""
+        spec = TableSpec.parse(spec) if isinstance(spec, str) else spec
+        if not self.table_exists(spec):
+            from pyspark.sql import types as T
+
+            empty = self.spark.createDataFrame(
+                [], T.StructType([T.StructField("x", T.IntegerType())])
+            )
+            self.save_table(empty, spec, mode="overwrite")
+
+    def query_batch(self, statement: str, batch_size: int = 5000):
+        """Cursor-style batched fetch (postgresconnection.rb:206-241,
+        default batch 5000). Yields lists of Rows; the driver holds at
+        most one partition at a time (toLocalIterator), never the whole
+        result."""
+        it = self.sql(statement).toLocalIterator()
+        batch: list = []
+        for row in it:
+            batch.append(row)
+            if len(batch) >= batch_size:
+                yield batch
+                batch = []
+        if batch:
+            yield batch
 
     # -- statement executor --------------------------------------------------
 

@@ -209,12 +209,25 @@ class RootJobNet:
         return [r for r in order if not r.is_dummy and not r.is_net]
 
     def job_path(self, ref: Ref) -> str:
-        """Locate the job file for a job ref (any recognized extension)."""
+        """Locate the job file for a job ref (any recognized extension).
+
+        Ambiguous matches (both ``x.job`` and ``x.sql.job``) error rather
+        than silently picking one — debugging the wrong file is worse
+        than renaming one.
+        """
         base = os.path.join(self.home, ref.subsystem, ref.name)
-        for ext in (".job", ".sql.job", ".py.job", ".sh.job"):
-            if os.path.exists(base + ext):
-                return base + ext
-        raise ParameterError(f"job file not found for {ref} (searched {base}.*)")
+        hits = [
+            base + ext
+            for ext in (".job", ".sql.job", ".py.job", ".sh.job")
+            if os.path.exists(base + ext)
+        ]
+        if len(hits) > 1:
+            raise ParameterError(
+                f"ambiguous job files for {ref}: {', '.join(hits)}"
+            )
+        if not hits:
+            raise ParameterError(f"job file not found for {ref} (searched {base}.*)")
+        return hits[0]
 
     def check_jobs(self) -> list[str]:
         """Orphan check (jobnet.rb:157-165): every non-dummy job must have

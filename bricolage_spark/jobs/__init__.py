@@ -106,6 +106,19 @@ class Job:
     # -- compile -----------------------------------------------------------
 
     def compile(self) -> "Job":
+        # external sql-file: load it now so its --key: header metadata
+        # (dest-table/src-tables/params — sqlstatement.rb:242-300) merges
+        # in as the LOWEST-precedence value layer
+        if self.sql_text is None and self.values.get("sql-file"):
+            from bricolage_spark.sqltext import parse_sql_metadata, render_template
+
+            p = self.resolve_path(str(self.values["sql-file"]))
+            with open(p) as f:
+                text = f.read()
+            text = render_template(text, base_dir=os.path.dirname(p))
+            for k, v in parse_sql_metadata(text, p).items():
+                self.values.setdefault(k, v)
+            self.sql_text = text
         sql = self.sql_text or ""
         defaults = auto_declarations(sql, self.values) if sql else {}
         param_vars: dict[str, Any] = {}
@@ -157,13 +170,13 @@ class Job:
         return rel if os.path.isabs(rel) else os.path.join(base, rel)
 
     def read_sql_param(self, name: str = "sql-file") -> str:
-        """SQL text: embedded body, or an external file named by ``name``."""
+        """Bound SQL text (embedded body or external sql-file — both are
+        loaded and variable-expanded by compile())."""
         if self.sql is not None:
             return self.sql
-        rel = self.require(name)
-        with open(self.resolve_path(rel)) as f:
-            text = f.read()
-        return self.variables.expand(text)
+        raise ParameterError(
+            f"job class {self.class_name} requires SQL (embedded or '{name}')"
+        )
 
     # -- run ---------------------------------------------------------------
 

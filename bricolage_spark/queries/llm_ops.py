@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bricolage_spark.catalog import read_table
+from bricolage_spark.catalog import read_table, spread
 from bricolage_spark.operators import dedup as D
 from bricolage_spark.operators import multimodal as M
 from bricolage_spark.operators import similarity as S
@@ -258,6 +258,51 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q42 embedding-cosine near-duplicate pairs
+# --------------------------------------------------------------------------
+_NEARDUP_MIN = 0.4
+
+
+@register(
+    "q42_embedding_neardup",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+             4) AS cos_sim
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+          >= {_NEARDUP_MIN}
+    """,
+    doc="Embedding-cosine near-dup: candidate pairs restricted to the same "
+    "coarse bucket (label = the IVF cell), cosine ≥ 0.4 kept (threshold "
+    "tuned to the synthetic embeddings' similarity range). At 100 TB "
+    "the bucket join replaces the n² self-join; buckets come from SRP-LSH "
+    "or a trained coarse quantizer.",
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read_table(spark, sf_dir, "embeddings"), "vec_id")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    sims = pairs.select(
+        "id_a", "id_b", S.cosine_sim(F.col("ea"), F.col("eb")).alias("raw")
+    )
+    return sims.filter(F.col("raw") >= _NEARDUP_MIN).select(
+        "id_a", "id_b", F.round("raw", 4).alias("cos_sim")
+    )
+
+
+# --------------------------------------------------------------------------
 # q37 language ID (marker-word heuristic)
 # --------------------------------------------------------------------------
 def _langid_oracle() -> str:
@@ -406,8 +451,6 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pytest-verified.",
 )
 def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bricolage_spark.catalog import spread
-
     docs = read_table(spark, sf_dir, "documents")
     # cap=8: python-worker spin-up dominates below ~1k rows/partition
     media = M.documents_as_media(spread(docs, "doc_id", cap=8))

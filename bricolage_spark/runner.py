@@ -37,14 +37,37 @@ class RunReport:
 
 
 class JobNetRunner:
-    def __init__(self, context: Context, queue_dir: str | None = None):
+    def __init__(
+        self,
+        context: Context,
+        queue_dir: str | None = None,
+        queue_type: str = "file",
+    ):
         self.ctx = context
         self.queue_dir = queue_dir or os.path.join(context.home, ".queue")
+        if queue_type not in ("file", "db"):
+            raise ApplicationError(f"unknown queue type: {queue_type}")
+        self.queue_type = queue_type
 
     def queue_path(self, net_ref: Ref) -> str:
         return os.path.join(
             self.queue_dir, f"{net_ref.subsystem}__{net_ref.name}.json"
         )
+
+    def _make_queue(self, net_ref: Ref, clear: bool):
+        if self.queue_type == "db":
+            from bricolage_spark.taskqueue import DatabaseTaskQueue
+
+            db = os.path.join(self.queue_dir, "state.db")
+            if clear and os.path.exists(db):
+                os.remove(db)
+            return DatabaseTaskQueue(
+                db, jobnet_name=f"{net_ref.subsystem}/{net_ref.name}"
+            )
+        qpath = self.queue_path(net_ref)
+        if clear and os.path.exists(qpath):
+            os.remove(qpath)
+        return FileTaskQueue.restore_if_exists(qpath)
 
     def run(
         self,
@@ -71,10 +94,7 @@ class JobNetRunner:
                 print(f"== {ref}\n{jobs[str(ref)].dry_run()}")
             return RunReport(succeeded=[], failed=[], skipped=[str(r) for r in order])
 
-        qpath = self.queue_path(net.root.ref)
-        if clear_queue and os.path.exists(qpath):
-            os.remove(qpath)
-        queue = FileTaskQueue.restore_if_exists(qpath)
+        queue = self._make_queue(net.root.ref, clear_queue)
         restored = bool(queue.tasks)
         if not restored:
             for ref in order:

@@ -271,6 +271,37 @@ def auto_declarations(sql: str, values: Mapping[str, Any]) -> dict[str, str | No
     return decls
 
 
+_META_KEYS = ("dest-table", "src-tables", "params", "attributes")
+_META_KEY_RE = re.compile(rf"\A--(?:{'|'.join(_META_KEYS)}):")
+_ANY_KEY_RE = re.compile(r"\A--([\w\-]+):")
+
+
+def parse_sql_metadata(sql: str, path: str = "<string>") -> dict:
+    """Parse leading ``--dest-table:``/``--src-tables:``/``--params:``/
+    ``--attributes:`` header comments of a plain ``.sql`` file as YAML
+    (SQLMetaDataParser, sqlstatement.rb:242-300).
+
+    Unknown ``--key:`` comments in the header error; plain ``--`` comments
+    are skipped; the header ends at the first non-comment line.
+    """
+    collected: list[str] = []
+    for line in sql.splitlines(keepends=True):
+        if _META_KEY_RE.match(line):
+            collected.append(line[2:])
+        elif m := _ANY_KEY_RE.match(line):
+            raise ParameterError(f"unknown SQL meta data: {path}: {m.group(1)}")
+        elif line.startswith("--"):
+            collected.append("\n")
+        else:
+            break
+    if not collected:
+        return {}
+    try:
+        return yaml.safe_load("".join(collected)) or {}
+    except yaml.YAMLError as err:
+        raise ParameterError(f"SQL meta data syntax error: {path}: {err}")
+
+
 def load_job_file(path: str) -> tuple[dict, str | None]:
     """Load any job file → (values, sql_or_None).
 

@@ -1,0 +1,233 @@
+"""Parity extras: SQL header metadata, DB task queue, vacuum lock,
+query_batch, custom job classes, stateful sessionization."""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+
+import pytest
+
+from bricolage_spark.context import Context
+from bricolage_spark.exception import ParameterError
+from bricolage_spark.jobs import Job, JobResult, jobclass
+from bricolage_spark.locks import LockTimeout, serialized
+from bricolage_spark.sqltext import parse_sql_metadata
+from bricolage_spark.taskqueue import DatabaseTaskQueue
+
+
+# -- SQL header metadata (sqlstatement.rb:242-300) --------------------------
+
+
+def test_parse_sql_metadata_keys():
+    sql = (
+        "--dest-table: d\n"
+        "--src-tables: [a, b]\n"
+        "-- a plain comment\n"
+        "--params: {x: 1}\n"
+        "select * from a;\n"
+        "--dest-table: ignored_after_body\n"
+    )
+    meta = parse_sql_metadata(sql)
+    assert meta == {"dest-table": "d", "src-tables": ["a", "b"], "params": {"x": 1}}
+
+
+def test_parse_sql_metadata_unknown_key_raises():
+    with pytest.raises(ParameterError, match="unknown SQL meta data"):
+        parse_sql_metadata("--bogus-key: 1\nselect 1;\n")
+
+
+def test_external_sql_file_with_header(engine, spark, tmp_path):
+    """A plain .sql file referenced by sql-file: its --header metadata
+    feeds declarations (dest-table/src-tables) at lowest precedence."""
+    engine.save_table(spark.createDataFrame([(1,), (2,)], "x int"), "src_t")
+    (tmp_path / "q.sql").write_text(
+        "--dest-table: built\n--src-tables: {s: src_t}\n"
+        "create table $dest_table as select * from $s;\n"
+    )
+    (tmp_path / "j.job").write_text(f"class: sql\nsql-file: {tmp_path}/q.sql\n")
+    job = Job.load(engine, str(tmp_path / "j.job"))
+    r = job.execute()
+    assert r.success
+    assert engine.table("built").count() == 2
+
+
+# -- DatabaseTaskQueue (taskqueue.rb:175-310 / dao) -------------------------
+
+
+def test_db_queue_persist_resume_and_audit(tmp_path):
+    db = str(tmp_path / "state.db")
+    q = DatabaseTaskQueue(db, jobnet_name="net1")
+    for j in ("s/a", "s/b"):
+        q.enqueue(j)
+    for task in q.consume_each():
+        task.transition("succeeded" if task.job == "s/a" else "failed", "boom")
+    q.close()
+
+    q2 = DatabaseTaskQueue(db, jobnet_name="net1")
+    assert [(t.job, t.status) for t in q2.tasks] == [
+        ("s/a", "succeeded"),
+        ("s/b", "failed"),
+    ]
+    ran = []
+    for task in q2.consume_each():
+        ran.append(task.job)
+        task.transition("succeeded")
+    assert ran == ["s/b"]
+    hist = [s for s, _ in q2.state_history("s/b")]
+    # full audit: submitted(waiting) → running → failed → running → succeeded
+    assert hist[0] == "waiting" and hist[-1] == "succeeded"
+    assert "failed" in hist and "running" in hist
+    q2.close()
+
+    # completed run → next restore starts fresh
+    q3 = DatabaseTaskQueue(db, jobnet_name="net1")
+    assert q3.tasks == []
+    q3.close()
+
+
+def test_db_queue_isolates_jobnets(tmp_path):
+    db = str(tmp_path / "state.db")
+    q = DatabaseTaskQueue(db, jobnet_name="net1")
+    q.enqueue("s/a")
+    q.save()
+    q.close()
+    other = DatabaseTaskQueue(db, jobnet_name="net2")
+    assert other.tasks == []
+    other.close()
+
+
+# -- serialization lock (vacuumlock.rb) -------------------------------------
+
+
+def test_serialized_lock_mutual_exclusion(tmp_path):
+    lock = str(tmp_path / "vacuum.LOCK")
+    order = []
+
+    def worker(tag):
+        with serialized(lock, timeout=10, poll=0.05):
+            order.append(f"{tag}-in")
+            time.sleep(0.2)
+            order.append(f"{tag}-out")
+
+    t1 = threading.Thread(target=worker, args=("a",))
+    t2 = threading.Thread(target=worker, args=("b",))
+    t1.start(); time.sleep(0.05); t2.start()
+    t1.join(); t2.join()
+    assert order[0].endswith("-in") and order[1] == order[0].replace("-in", "-out")
+
+
+def test_serialized_lock_timeout(tmp_path):
+    lock = str(tmp_path / "x.LOCK")
+    with serialized(lock, timeout=10):
+        with pytest.raises(LockTimeout):
+            with serialized(lock, timeout=0.3, poll=0.05):
+                pass
+
+
+def test_serialized_lock_breaks_stale(tmp_path):
+    lock = str(tmp_path / "stale.LOCK")
+    with open(lock, "w") as f:
+        f.write("999999999")  # dead pid
+    with serialized(lock, timeout=2, poll=0.05):
+        pass  # acquired by breaking the stale lock
+
+
+# -- engine extras ----------------------------------------------------------
+
+
+def test_query_batch_pages(engine, spark):
+    engine.save_table(spark.range(25).selectExpr("id as x"), "t")
+    batches = list(engine.query_batch("select x from t order by x", batch_size=10))
+    assert [len(b) for b in batches] == [10, 10, 5]
+    assert batches[0][0].x == 0
+
+
+def test_create_dummy_table(engine):
+    engine.create_dummy_table("swapme")
+    assert engine.table_exists("swapme")
+    engine.create_dummy_table("swapme")  # idempotent
+    assert [f.name for f in engine.table("swapme").schema.fields] == ["x"]
+
+
+# -- custom (user) job classes — RubyJobClass parity ------------------------
+
+
+def test_custom_python_jobclass(engine, tmp_path):
+    @jobclass("my-custom-op")
+    def my_custom_op(job):
+        out = tmp_path / "touched.json"
+        out.write_text(json.dumps({"param": job.param("my-param")}))
+        return JobResult(message="custom ran")
+
+    (tmp_path / "c.job").write_text("class: my-custom-op\nmy-param: hello\n")
+    job = Job.load(engine, str(tmp_path / "c.job"))
+    r = job.execute()
+    assert r.message == "custom ran"
+    assert json.loads((tmp_path / "touched.json").read_text()) == {"param": "hello"}
+
+
+# -- stateful sessionization ------------------------------------------------
+
+
+@pytest.fixture()
+def session_events(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:05:00", 2.0),   # same session (gap 5m < 10m)
+        (1, "2024-01-01 00:30:00", 3.0),   # new session (gap 25m)
+        (2, "2024-01-01 00:00:00", 4.0),
+    ]
+    return (
+        spark.createDataFrame(rows, "user_id long, ts string, value double")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def test_sessionize_batch_values(session_events):
+    from bricolage_spark.streaming.stateful import sessionize
+
+    out = sessionize(session_events, gap_minutes=10).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append((r.n_events, r.total_value))
+    assert sorted(by_user[1]) == [(1, 3.0), (2, 3.0)]
+    assert by_user[2] == [(1, 4.0)]
+
+
+def test_sessionize_stream_emits_on_timeout(spark, tmp_path):
+    import json as _json
+
+    from bricolage_spark.streaming.stateful import sessionize
+    from bricolage_spark.streaming.windows import read_event_stream
+    from tests.test_streaming_windows import SCHEMA
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for i, (ts, v) in enumerate(
+            [("2024-01-01T00:00:00", 1.0), ("2024-01-01T00:05:00", 2.0)]
+        ):
+            f.write(_json.dumps({"event_id": i, "ts": ts, "user_id": 1,
+                                 "event_type": "click", "value": v}) + "\n")
+        # a much later event advances the watermark past user 1's timeout
+        f.write(_json.dumps({"event_id": 9, "ts": "2024-01-01T01:00:00",
+                             "user_id": 2, "event_type": "click", "value": 9.0}) + "\n")
+    stream = read_event_stream(spark, str(src), SCHEMA).select("user_id", "ts", "value")
+    q = (
+        sessionize(stream, gap_minutes=10)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sessions_out").collect()
+    closed = {r.user_id: (r.n_events, r.total_value, r.closed_reason) for r in rows}
+    # user 1's session closed by event-time timeout once the watermark passed
+    assert closed.get(1) == (2, 3.0, "timeout")
