@@ -6,6 +6,7 @@ key spaces are broadcast, and hash functions are engine-independent
 (md5-derived) so results are reproducible across engines and runs.
 """
 
+from bricolage_spark.operators.asof import asof_join  # noqa: F401
 from bricolage_spark.operators.dedup import (  # noqa: F401
     content_hash,
     exact_dedup,

@@ -433,6 +433,55 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q43 as-of join (point-in-time): latest signup before each purchase
+# --------------------------------------------------------------------------
+@register(
+    "q43_asof_join",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+        SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+        FROM events WHERE event_type = 'signup'
+    )
+    SELECT p.event_id,
+           p.user_id,
+           CAST(epoch_us(p.ts) AS BIGINT)   AS ts_us,
+           ROUND(p.value, 2)                AS value,
+           s.event_id                       AS prior_signup_id,
+           CAST(epoch_us(s.ts) AS BIGINT)   AS signup_ts_us
+    FROM p ASOF LEFT JOIN s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    doc="Backward as-of join via union+running-last window (one shuffle, "
+    "no range-join blowup); oracle uses DuckDB's native ASOF JOIN. "
+    "Timestamps emitted as epoch micros (events parquet is nanos; Spark "
+    "reads micros).",
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bricolage_spark.operators.asof import asof_join
+
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(purchases, signups, on="ts", by="user_id", suffix="_s")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 2).alias("value"),
+        F.col("event_id_s").alias("prior_signup_id"),
+        F.unix_micros("ts_s").alias("signup_ts_us"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q41 multimodal binary-column pipeline (Arrow-batched mapInPandas)
 # --------------------------------------------------------------------------
 @register(

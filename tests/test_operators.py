@@ -165,3 +165,33 @@ def test_multimodal_pipeline_schema_and_determinism(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         M.decode_stub()
+
+
+def test_asof_join_backward_semantics(spark):
+    from bricolage_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "t1"), (1, 20, "t2"), (1, 5, "t0"), (2, 10, "u1")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, 200.0), (2, 99, 300.0)],
+        "k long, ts long, px double",
+    )
+    out = {
+        (r.k, r.ts): (r.px_right, r.ts_right)
+        for r in asof_join(left, right, on="ts", by="k").collect()
+    }
+    assert out[(1, 10)] == (100.0, 8)    # latest right ts <= 10 is 8
+    assert out[(1, 20)] == (200.0, 15)
+    assert out[(1, 5)] == (None, None)   # nothing at or before 5
+    assert out[(2, 10)] == (None, None)  # right row is in the future
+
+
+def test_asof_join_inclusive_at_equal_ts(spark):
+    from bricolage_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame([(1, 10, 7.0)], "k long, ts long, px double")
+    r = asof_join(left, right, on="ts", by="k").collect()[0]
+    assert r.px_right == 7.0  # right.ts == left.ts matches (inclusive)
