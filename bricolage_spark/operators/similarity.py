@@ -45,6 +45,14 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot(ad, bd) / (norm(ad) * norm(bd))
 
 
+def unit_vector(col: Column) -> Column:
+    """v / ‖v‖ (double) — normalize ONCE per row so the pairwise stage is
+    a bare dot product (cosine recomputing ‖·‖ per pair does k× the work)."""
+    vd = _as_double(col)
+    n = norm(vd)
+    return F.transform(vd, lambda x: x / n)
+
+
 def brute_force_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -54,14 +62,16 @@ def brute_force_cosine_topk(
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rank).
 
-    Ranking uses the rounded similarity (+ id tiebreak) so results are
-    reproducible across engines despite last-ulp float differences.
+    Both sides are unit-normalized up front (one pass each), so the
+    O(|corpus|·|queries|) stage computes only dot products. Ranking uses
+    the rounded similarity (+ id tiebreak) so results are reproducible
+    across engines despite last-ulp float differences.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"), unit_vector(F.col(vec_col)).alias("q_vec")
     )
     c = spread(corpus, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"), unit_vector(F.col(vec_col)).alias("c_vec")
     )
     sims = (
         c.crossJoin(F.broadcast(q))
@@ -69,7 +79,7 @@ def brute_force_cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 4).alias("cos_sim"),
+            F.round(dot(F.col("q_vec"), F.col("c_vec")), 4).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -141,12 +151,12 @@ def lsh_bucketed_topk(
     """
     c = spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
+        unit_vector(F.col(vec_col)).alias("c_vec"),
         srp_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+        unit_vector(F.col(vec_col)).alias("q_vec"),
         srp_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
     sims = (
@@ -155,7 +165,7 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 4).alias("cos_sim"),
+            F.round(dot(F.col("q_vec"), F.col("c_vec")), 4).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
