@@ -33,11 +33,14 @@ from bricolage_spark.sqltext import (
 )
 
 JOB_CLASSES: dict[str, Callable[["Job"], "JobResult"]] = {}
+PARAM_SCHEMAS: dict[str, "object"] = {}  # class name -> ParamSchema
 
 
-def jobclass(name: str) -> Callable:
+def jobclass(name: str, schema: "object | None" = None) -> Callable:
     def wrap(fn: Callable[["Job"], "JobResult"]) -> Callable:
         JOB_CLASSES[name] = fn
+        if schema is not None:
+            PARAM_SCHEMAS[name] = schema
         return fn
 
     return wrap
@@ -80,6 +83,7 @@ class Job:
     # filled by compile():
     variables: Any = None
     sql: str | None = None
+    typed: dict[str, Any] | None = None
 
     @classmethod
     def load(
@@ -140,6 +144,16 @@ class Job:
         )
         self.variables = layers.resolve()
         self.sql = self.variables.expand(sql) if sql else None
+        # typed validation at compile time (parameters.rb parity): jobs
+        # with a declared schema fail BEFORE the jobnet starts running
+        schema = PARAM_SCHEMAS.get(self.class_name)
+        if schema is None:
+            get_jobclass(self.class_name)  # importing builtins registers schemas
+            schema = PARAM_SCHEMAS.get(self.class_name)
+        if schema is not None:
+            self.typed = schema.parse(
+                {p.name: self.param(p.name) for p in schema.params}, ctx=self
+            )
         return self
 
     # -- param access ------------------------------------------------------

@@ -18,6 +18,15 @@ from bricolage_spark.ddl import parse_ct
 from bricolage_spark.engine import TableSpec
 from bricolage_spark.exception import JobFailure, ParameterError
 from bricolage_spark.jobs import Job, JobResult, expand_glob, jobclass
+from bricolage_spark.parameters import (
+    BoolParam,
+    EnumParam,
+    ParamSchema,
+    StringParam,
+    TableParam,
+)
+
+_FORMATS = ("tsv", "csv", "json", "parquet")
 
 # ---------------------------------------------------------------------------
 # trivial classes
@@ -147,7 +156,17 @@ def insert(job: Job) -> JobResult:
     return JobResult(message=f"insert into {dest}", rows=rows)
 
 
-@jobclass("insert-delta")
+@jobclass(
+    "insert-delta",
+    schema=ParamSchema(
+        [
+            TableParam("dest-table"),
+            StringParam("delete-cond"),
+            BoolParam("analyze", optional=True, default=False),
+            BoolParam("vacuum", optional=True, default=False),
+        ]
+    ),
+)
 def insert_delta(job: Job) -> JobResult:
     """jobclass/insert-delta.rb:1-31 — idempotent partition upsert.
 
@@ -218,7 +237,18 @@ def rebuild_rename(job: Job) -> JobResult:
 _FORMAT_ALIASES = {"tsv": "csv", "csv": "csv", "json": "json", "parquet": "parquet"}
 
 
-@jobclass("load")
+@jobclass(
+    "load",
+    schema=ParamSchema(
+        [
+            TableParam("dest-table"),
+            StringParam("src-file"),
+            EnumParam("format", values=_FORMATS, optional=True, default="tsv"),
+            BoolParam("drop", optional=True, default=False),
+            BoolParam("truncate", optional=True, default=False),
+        ]
+    ),
+)
 def load(job: Job) -> JobResult:
     """jobclass/load.rb:1-72 — COPY parity.
 
@@ -284,7 +314,15 @@ def load(job: Job) -> JobResult:
     return JobResult(message=f"loaded {len(paths)} file(s) into {dest}", rows=n)
 
 
-@jobclass("unload")
+@jobclass(
+    "unload",
+    schema=ParamSchema(
+        [
+            StringParam("dest-file"),
+            EnumParam("format", values=_FORMATS, optional=True, default="tsv"),
+        ]
+    ),
+)
 def unload(job: Job) -> JobResult:
     """jobclass/unload.rb:1-30 — UNLOAD parity: SELECT → files."""
     dest_file = job.require("dest-file")

@@ -24,6 +24,82 @@ from bricolage_spark.queries import register
 
 
 # --------------------------------------------------------------------------
+# Q44 tumbling-window aggregation (batch twin of the streaming operator)
+# --------------------------------------------------------------------------
+@register(
+    "q44_tumbling_window",
+    oracle="""
+    SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS win_start_us,
+           event_type,
+           COUNT(*)                    AS n,
+           ROUND(SUM(value), 2)        AS sum_value
+    FROM events
+    GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type
+    """,
+    doc="Tumbling event-time window aggregation — the batch execution of "
+    "streaming/windows.tumbling_counts (batch/stream unification); oracle "
+    "via DuckDB time_bucket. Window start emitted as epoch micros.",
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("win_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q45 sliding-window aggregation
+# --------------------------------------------------------------------------
+@register(
+    "q45_sliding_window",
+    oracle="""
+    WITH slides AS (
+        SELECT CAST(epoch_us(time_bucket(INTERVAL 30 MINUTE, ts)) AS BIGINT) AS b_us,
+               value
+        FROM events
+    ),
+    -- each event belongs to 2 overlapping 1h windows at 30min slide:
+    -- the one starting at its 30-min bucket and the one 30min earlier
+    expanded AS (
+        SELECT b_us AS win_start_us, value FROM slides
+        UNION ALL
+        SELECT b_us - 1800000000, value FROM slides
+    )
+    SELECT win_start_us, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM expanded
+    GROUP BY win_start_us
+    """,
+    doc="Sliding window (1 h width, 30 min slide): Spark's window() "
+    "replicates each row into width/slide windows; oracle expands "
+    "explicitly.",
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("win_start_us"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Q28 insert-delta: idempotent partition upsert
 # --------------------------------------------------------------------------
 # dest = daily sales summary built from lineitem; the delta re-loads

@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) for the pure-python subsystems:
+variable expansion, statement splitting, name patterns, DDL types."""
+
+from __future__ import annotations
+
+import re
+import string
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bricolage_spark.engine import split_statements
+from bricolage_spark.exception import ParameterError
+from bricolage_spark.sqltext import Variables, expand_string, list_variables
+from bricolage_spark.streaming.streaming_load import compile_name_pattern, format_path
+
+names = st.text(
+    alphabet=string.ascii_lowercase + string.digits + "_", min_size=1, max_size=8
+).filter(lambda s: not s[0].isdigit())
+plain_values = st.text(
+    alphabet=string.ascii_letters + string.digits + " .,-", max_size=20
+)
+
+
+@given(st.dictionaries(names, plain_values, min_size=0, max_size=5))
+@settings(max_examples=100)
+def test_resolve_of_plain_values_is_identity(mapping):
+    """Values without $refs resolve to themselves."""
+    resolved = Variables(mapping).resolve()
+    for k, v in mapping.items():
+        assert resolved[k] == str(v)
+
+
+@given(st.dictionaries(names, plain_values, min_size=1, max_size=5), names)
+@settings(max_examples=100)
+def test_expand_uses_bound_value_or_raises(mapping, extra):
+    v = Variables(mapping).resolve()
+    text = " ".join(f"${k}" for k in mapping)
+    out = v.expand(text)
+    for k in mapping:
+        assert str(mapping[k]) in out or mapping[k] == ""
+    if extra not in mapping:
+        with pytest.raises(ParameterError):
+            v.expand(f"${extra}")
+
+
+@given(names, names)
+@settings(max_examples=50)
+def test_both_var_syntaxes_equivalent(a, b):
+    lookup = {a: "X", b: "Y"}.__getitem__
+    assert expand_string(f"${{{a}}}", lookup) == expand_string(f"${a}", lookup)
+
+
+@given(st.lists(names, min_size=1, max_size=6, unique=True))
+@settings(max_examples=50)
+def test_self_referential_chain_resolves(chain):
+    """a -> b -> c -> ... -> literal resolves; closing the loop raises."""
+    mapping = {chain[i]: f"${chain[i+1]}" for i in range(len(chain) - 1)}
+    mapping[chain[-1]] = "END"
+    assert Variables(mapping).resolve()[chain[0]] == "END"
+    if len(chain) > 1:
+        mapping[chain[-1]] = f"${chain[0]}"  # close the cycle
+        with pytest.raises(ParameterError, match="recursive"):
+            Variables(mapping).resolve()
+
+
+@given(st.text(alphabet=string.printable, max_size=100))
+@settings(max_examples=100)
+def test_list_variables_subset_of_expansion_targets(text):
+    """Every listed variable is expandable; expansion never raises when
+    every listed name is bound."""
+    vars_ = list_variables(text)
+    lookup = {v: "_" for v in vars_}
+    expand_string(text, lookup.__getitem__)  # must not raise
+
+
+@given(st.lists(st.text(alphabet=string.ascii_letters + " ='\";", min_size=1, max_size=30), min_size=1, max_size=5))
+@settings(max_examples=100)
+def test_split_statements_preserves_nonempty_content(parts):
+    """Joining with ';' then splitting yields only non-empty statements and
+    never produces a statement containing an unquoted ';'."""
+    joined = ";".join(parts)
+    stmts = split_statements(joined)
+    for s in stmts:
+        assert s.strip()
+        # no unquoted semicolons survive
+        depth = 0
+        for ch in s:
+            if ch == "'":
+                depth ^= 1
+            assert not (ch == ";" and depth == 0)
+
+
+@given(st.datetimes(min_value=__import__("datetime").datetime(1990, 1, 1),
+                    max_value=__import__("datetime").datetime(2099, 12, 31)),
+       st.integers(min_value=0, max_value=99))
+@settings(max_examples=100)
+def test_name_pattern_roundtrip(dt, seq):
+    """Any strftime-built file name matches its compiled pattern, and the
+    persistent path re-formats from the captured fields."""
+    pat = compile_name_pattern("%Y%m%d-%H%M_%Q.json")
+    name = f"{dt:%Y%m%d-%H%M}_{seq:02d}.json"
+    m = pat.match(name)
+    assert m and m.group("year") == f"{dt:%Y}"
+    out = format_path("arch/%Y/%m/%d", name, pat)
+    assert out == f"arch/{dt:%Y}/{dt:%m}/{dt:%d}"
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=100)
+def test_name_pattern_never_matches_with_slash(junk):
+    pat = compile_name_pattern("%*_%Q.log")
+    if "/" in junk:
+        assert not pat.match(junk + "_01.log") or "/" not in junk
