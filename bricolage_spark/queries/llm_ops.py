@@ -244,11 +244,49 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_cosine_topk(emb, queries, k=_K)
 
 
+def _srp_oracle(n_planes: int = 6, dims: int = 64) -> str:
+    plane = (
+        lambda p: f"list_transform(range(0, {dims}), i -> 2.0 * "
+        f"(CAST(CAST(('0x' || substr(md5('p{p}|' || i), 1, 8)) AS UBIGINT) AS DOUBLE)"
+        f" / 4294967296.0) - 1.0)"
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {plane(p)}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    u AS (
+        SELECT vec_id,
+               CAST({bucket} AS BIGINT) AS bucket,
+               list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS ue
+        FROM v
+    ),
+    q AS (SELECT vec_id AS query_id, bucket, ue AS qe FROM u WHERE vec_id < {_NQ}),
+    c AS (SELECT vec_id AS neighbor_id, bucket, ue AS ce FROM u),
+    sims AS (
+        SELECT query_id, neighbor_id,
+               ROUND(list_dot_product(qe, ce), 4) AS cos_sim
+        FROM c JOIN q USING (bucket)
+        WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+        FROM sims
+    ) WHERE rank <= {_K}
+    """
+
+
 @register(
     "q36_ann_lsh_bucketed",
-    oracle=None,  # approximate by design; driver records rows-only check
-    doc="Scale-path ANN: sign-random-projection LSH buckets (md5-derived "
-    "hyperplanes); search touches ~1/2^planes of the corpus per query. "
+    oracle=_srp_oracle(),
+    doc="Scale-path ANN: sign-random-projection LSH buckets. Hyperplanes "
+    "are md5-derived, so even this *approximate* index is reproduced "
+    "bit-for-bit by the oracle (bucket parity verified across engines). "
     "At 100 TB the corpus is written partitioned by bucket (IVF layout).",
 )
 def q36(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -123,6 +123,46 @@ class FileQueue:
         return dest
 
 
+class HadoopFileQueue:
+    """FileQueue over the Hadoop FileSystem API: works for ANY URI the
+    Spark runtime can reach — ``file://`` locally, ``s3a://``/``hdfs://``
+    on a cluster. This is the production queue (the reference's S3Queue);
+    the plain :class:`FileQueue` is the zero-dependency local variant.
+    Listing and renames run driver-side (control plane only — the data
+    itself is read by executors via ``spark.read``).
+    """
+
+    def __init__(self, spark, queue_path: str, persistent_path: str, file_name: str):
+        self.spark = spark
+        self.queue_path = queue_path
+        self.persistent_path = persistent_path
+        self.pattern = compile_name_pattern(file_name)
+        jvm = spark._jvm  # noqa: SLF001
+        self._jpath = jvm.org.apache.hadoop.fs.Path
+        hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        self._fs = self._jpath(queue_path).getFileSystem(hconf)
+
+    def queued_files(self) -> list[str]:
+        p = self._jpath(self.queue_path)
+        if not self._fs.exists(p):
+            return []
+        out = []
+        for st in self._fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isFile() and self.pattern.match(name):
+                out.append(st.getPath().toString())
+        return sorted(out)
+
+    def dequeue(self, path: str) -> str:
+        base = path.rsplit("/", 1)[-1]
+        dest_dir = format_path(self.persistent_path, base, self.pattern)
+        self._fs.mkdirs(self._jpath(dest_dir))
+        dest = f"{dest_dir}/{base}"
+        if not self._fs.rename(self._jpath(path), self._jpath(dest)):
+            raise ParameterError(f"dequeue rename failed: {path} -> {dest}")
+        return dest
+
+
 class StreamingLoader:
     """The load algorithm, reusable outside the job class."""
 
@@ -235,11 +275,13 @@ class StreamingLoader:
 @jobclass("streaming_load")
 def streaming_load(job: Job) -> JobResult:
     """jobclass/streaming_load.rb — micro-batch exactly-once loader."""
-    queue = FileQueue(
-        queue_path=job.require("queue-path"),
-        persistent_path=job.param("persistent-path", job.require("queue-path") + "/done/%Y/%m/%d"),
-        file_name=job.require("file-name"),
-    )
+    qpath = job.require("queue-path")
+    ppath = job.param("persistent-path", job.require("queue-path") + "/done/%Y/%m/%d")
+    fname = job.require("file-name")
+    if "://" in qpath:  # any Hadoop URI (s3a://, hdfs://, file://)
+        queue = HadoopFileQueue(job.engine.spark, qpath, ppath, fname)
+    else:
+        queue = FileQueue(queue_path=qpath, persistent_path=ppath, file_name=fname)
     dest = job.require("dest-table")
     loader = StreamingLoader(
         engine=job.engine,

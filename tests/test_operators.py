@@ -167,6 +167,50 @@ def test_decode_stub_raises():
         M.decode_stub()
 
 
+def test_salted_join_matches_plain_join(spark):
+    from bricolage_spark.operators.skew import salted_join
+
+    # one hot key (0) with many rows, plus normal keys
+    facts = spark.createDataFrame(
+        [(i % 3, i, float(i)) for i in range(300)], "k long, rid long, v double"
+    )
+    dim = spark.createDataFrame([(0, "hot"), (1, "a"), (2, "b")], "k long, name string")
+    plain = {(r.rid, r.name) for r in facts.join(dim, "k").collect()}
+    salted = {
+        (r.rid, r.name)
+        for r in salted_join(facts, dim, key="k", salt_from="rid", n_salts=8).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_aggregate_matches_plain(spark):
+    from bricolage_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(
+        [(i % 2, i, float(i)) for i in range(1000)], "k long, rid long, v double"
+    )
+    plain = {
+        (r.k): (r.s, r.n)
+        for r in df.groupBy("k")
+        .agg(__import__("pyspark.sql.functions", fromlist=["sum"]).sum("v").alias("s"),
+             __import__("pyspark.sql.functions", fromlist=["count"]).count("rid").alias("n"))
+        .collect()
+    }
+    out = salted_aggregate(
+        df, ["k"], {"v": "sum", "rid": "count"}, salt_from="rid", n_salts=8
+    )
+    got = {r.k: (r.sum_v, r.count_rid) for r in out.collect()}
+    assert got == plain
+
+
+def test_salted_aggregate_rejects_nonmergeable(spark):
+    from bricolage_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    with pytest.raises(ValueError, match="non-mergeable"):
+        salted_aggregate(df, ["k"], {"v": "avg"}, salt_from="v")
+
+
 def test_asof_join_backward_semantics(spark):
     from bricolage_spark.operators.asof import asof_join
 

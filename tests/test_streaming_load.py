@@ -125,6 +125,54 @@ def test_exactly_once_across_retry(engine, tmp_path, queue_dir):
     assert engine.table("load_test").count() == 2
 
 
+def test_hadoop_queue_over_file_uri(spark, tmp_path):
+    """HadoopFileQueue drives the same contract through the Hadoop FS API
+    (file:// here; s3a:// on a cluster with the same code path)."""
+    from bricolage_spark.streaming.streaming_load import HadoopFileQueue
+
+    qdir = tmp_path / "hq"
+    qdir.mkdir()
+    (qdir / "20240102_0000_00.json").write_text('{"x": 1}\n')
+    (qdir / "junk.txt").write_text("no")
+    q = HadoopFileQueue(
+        spark,
+        f"file://{qdir}",
+        f"file://{tmp_path}/arch/%Y/%m/%d",
+        "%Y%m%d_%H%M_%Q.json",
+    )
+    files = q.queued_files()
+    assert len(files) == 1 and files[0].endswith("20240102_0000_00.json")
+    dest = q.dequeue(files[0])
+    assert dest.endswith("arch/2024/01/02/20240102_0000_00.json")
+    assert (tmp_path / "arch" / "2024" / "01" / "02" / "20240102_0000_00.json").exists()
+    assert not (qdir / "20240102_0000_00.json").exists()
+    assert q.queued_files() == []
+
+
+def test_streaming_load_jobclass_hadoop_uri(engine, tmp_path):
+    """streaming_load job with a file:// queue-path selects the Hadoop
+    queue automatically."""
+    from bricolage_spark.context import Context
+
+    qdir = tmp_path / "uriq"
+    qdir.mkdir()
+    (qdir / "20240101_0000_00.json").write_text('{"x": 5, "y": "z"}\n')
+    home = tmp_path / "home"
+    (home / "subsys").mkdir(parents=True)
+    (home / "subsys" / "s.job").write_text(
+        "class: streaming_load\n"
+        "dest-table: uri_load\n"
+        f"queue-path: file://{qdir}\n"
+        f"persistent-path: file://{tmp_path}/uridone/%Y/%m/%d\n"
+        "file-name: '%Y%m%d_%H%M_%Q.json'\n"
+        "skip-work: true\n"
+    )
+    ctx = Context(engine, home=str(home))
+    r = ctx.load_job(str(home / "subsys" / "s.job")).execute()
+    assert r.success and r.rows == 1
+    assert engine.table("uri_load").count() == 1
+
+
 def test_streaming_load_jobclass(engine, tmp_path, queue_dir):
     """Drive through the job-class surface with a .job file."""
     write_files(queue_dir, {"20240101_0000_00.json": ['{"x": 1, "y": "a"}']})
