@@ -117,6 +117,11 @@ def main(argv: list[str] | None = None) -> int:
     except ApplicationError as err:
         print(f"error: {err}", file=sys.stderr)
         return err.exit_status
+    except Exception as err:  # Spark/Py4J errors: concise line, no JVM dump
+        from bricolage_spark.exception import concise_error
+
+        print(f"error: {concise_error(err)}", file=sys.stderr)
+        return 1
     return 0
 
 

@@ -31,3 +31,14 @@ class JobError(ApplicationError):
     """Unexpected error inside a job (a bug)."""
 
     exit_status = 4
+
+
+def concise_error(err: BaseException, limit: int = 300) -> str:
+    """First line of an exception message, trimmed.
+
+    Spark analysis errors embed the whole logical plan + JVM stack in
+    ``str(err)`` — users need the first line ('TABLE_OR_VIEW_NOT_FOUND
+    ...'), not 5 KB of tree dump.
+    """
+    first = str(err).strip().splitlines()[0] if str(err).strip() else repr(err)
+    return first[:limit]

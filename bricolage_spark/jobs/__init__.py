@@ -204,7 +204,11 @@ class Job:
         except (JobFailure, ParameterError):
             raise
         except Exception as err:  # unexpected → JobError (job.rb taxonomy)
-            raise JobError(f"job {self.path or self.class_name} crashed: {err}")
+            from bricolage_spark.exception import concise_error
+
+            raise JobError(
+                f"job {self.path or self.class_name} failed: {concise_error(err)}"
+            )
 
     def dry_run(self) -> str:
         """--dry-run: the fully bound SQL / action description."""
