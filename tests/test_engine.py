@@ -131,6 +131,30 @@ def test_parse_ct_reference_fixture_shape():
     assert tdef.encodes == {"id": "delta"}
 
 
+def test_bucketed_join_has_no_shuffle(engine, spark):
+    """distkey parity: two co-bucketed tables join without an Exchange."""
+    from bricolage_spark.plans import formatted_plan
+
+    a = spark.range(1000).selectExpr("id as k", "id * 2 as va")
+    b = spark.range(1000).selectExpr("id as k", "id * 3 as vb")
+    engine.save_table_bucketed(a, "bk_a", "k", n_buckets=4)
+    engine.save_table_bucketed(b, "bk_b", "k", n_buckets=4)
+    # force a merge join: at real scale these sides exceed the broadcast
+    # threshold; locally Catalyst would broadcast and skip bucketing
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bk_a").join(spark.table("bk_b"), "k")
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located buckets: no shuffle
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
 def test_vacuum_compacts(engine, spark):
     df = spark.range(100).repartition(8).selectExpr("id as x")
     engine.save_table(df, "t")
