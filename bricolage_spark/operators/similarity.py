@@ -45,12 +45,11 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot(ad, bd) / (norm(ad) * norm(bd))
 
 
-def unit_vector(col: Column) -> Column:
-    """v / ‖v‖ (double) — normalize ONCE per row so the pairwise stage is
-    a bare dot product (cosine recomputing ‖·‖ per pair does k× the work)."""
-    vd = _as_double(col)
-    n = norm(vd)
-    return F.transform(vd, lambda x: x / n)
+# NOTE: never express normalization as a unit-vector transform — a lambda
+# like ``transform(v, x -> x / norm(v))`` re-evaluates the captured norm
+# subexpression per ELEMENT (no loop-invariant hoisting in Catalyst
+# higher-order functions): dims× the work per row. Scalar norm columns
+# keep the pairwise stage at one dot + one divide.
 
 
 def brute_force_cosine_topk(
@@ -62,16 +61,27 @@ def brute_force_cosine_topk(
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rank).
 
-    Both sides are unit-normalized up front (one pass each), so the
-    O(|corpus|·|queries|) stage computes only dot products. Ranking uses
-    the rounded similarity (+ id tiebreak) so results are reproducible
-    across engines despite last-ulp float differences.
+    Norms are computed once per row BELOW the repartition barrier (the
+    exchange stops Catalyst's project-collapse from re-inlining them into
+    the pairwise stage), so the O(|corpus|·|queries|) stage is one dot
+    product + one divide per pair. Ranking uses the rounded similarity
+    (+ id tiebreak) so results are reproducible across engines despite
+    last-ulp float differences.
     """
+    qd = _as_double(F.col(vec_col))
     q = queries.select(
-        F.col(id_col).alias("query_id"), unit_vector(F.col(vec_col)).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        qd.alias("q_vec"),
+        norm(qd).alias("q_n"),
     )
-    c = spread(corpus, id_col).select(
-        F.col(id_col).alias("neighbor_id"), unit_vector(F.col(vec_col)).alias("c_vec")
+    cd = _as_double(F.col(vec_col))
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            cd.alias("c_vec"),
+            norm(cd).alias("c_n"),
+        ),
+        "neighbor_id",
     )
     sims = (
         c.crossJoin(F.broadcast(q))
@@ -79,7 +89,10 @@ def brute_force_cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(dot(F.col("q_vec"), F.col("c_vec")), 4).alias("cos_sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -96,38 +109,31 @@ def brute_force_cosine_topk(
 # ---------------------------------------------------------------------------
 
 
-def _plane_component(plane: int, dim_idx: Column) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-1, 1).
+def plane_components(plane: int, dims: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane in [-1, 1)^dims.
 
     md5-derived (engine-independent): u = int(md5("p<plane>|<i>")[:8hex]) /
-    2^32 → 2u−1.
+    2^32 → 2u−1. Computed once in Python and embedded as literals — the
+    planes are constants, so hashing them per ROW (as a column expression
+    would) wastes both runtime and a huge codegen tree.
     """
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.lit(f"p{plane}"), dim_idx.cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(float(2**32))
-    )
-    return u * 2.0 - 1.0
+    import hashlib
+
+    out = []
+    for i in range(dims):
+        u = int(hashlib.md5(f"p{plane}|{i}".encode()).hexdigest()[:8], 16) / 2**32
+        out.append(u * 2.0 - 1.0)
+    return out
 
 
-def srp_bucket(vec_col: Column, n_planes: int = 8) -> Column:
+def srp_bucket(vec_col: Column, n_planes: int = 8, dims: int = 64) -> Column:
     """Sign-random-projection bucket id in [0, 2^n_planes)."""
     vd = _as_double(vec_col)
     bucket = F.lit(0)
     for p in range(n_planes):
+        plane = F.array(*[F.lit(c) for c in plane_components(p, dims)])
         proj = F.aggregate(
-            F.zip_with(
-                vd,
-                F.sequence(F.lit(0), F.size(vd) - 1),
-                lambda x, i: x * _plane_component(p, i),
-            ),
+            F.zip_with(vd, plane, lambda x, c: x * c),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -149,14 +155,21 @@ def lsh_bucketed_topk(
     (``.repartition('bucket')`` / partitionBy on write), so each query
     reads a single partition — this is the IVF-style inverted-list layout.
     """
-    c = spread(corpus, id_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        unit_vector(F.col(vec_col)).alias("c_vec"),
-        srp_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    cd = _as_double(F.col(vec_col))
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            cd.alias("c_vec"),
+            norm(cd).alias("c_n"),
+            srp_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        ),
+        "neighbor_id",
     )
+    qd = _as_double(F.col(vec_col))
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        unit_vector(F.col(vec_col)).alias("q_vec"),
+        qd.alias("q_vec"),
+        norm(qd).alias("q_n"),
         srp_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
     sims = (
@@ -165,7 +178,10 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(dot(F.col("q_vec"), F.col("c_vec")), 4).alias("cos_sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

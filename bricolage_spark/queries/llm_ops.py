@@ -245,10 +245,10 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _srp_oracle(n_planes: int = 6, dims: int = 64) -> str:
-    plane = (
-        lambda p: f"list_transform(range(0, {dims}), i -> 2.0 * "
-        f"(CAST(CAST(('0x' || substr(md5('p{p}|' || i), 1, 8)) AS UBIGINT) AS DOUBLE)"
-        f" / 4294967296.0) - 1.0)"
+    # identical constants to operators.similarity.plane_components:
+    # repr(float) round-trips exactly, so both engines use the same doubles
+    plane = lambda p: (
+        "[" + ", ".join(repr(c) for c in S.plane_components(p, dims)) + "]"
     )
     bucket = " + ".join(
         f"(CASE WHEN list_dot_product(e, {plane(p)}) >= 0 THEN {1 << p} ELSE 0 END)"

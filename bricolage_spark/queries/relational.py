@@ -426,6 +426,100 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q12b cube + explicit grouping sets
+# --------------------------------------------------------------------------
+@register(
+    "q12b_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus)   AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+           COUNT(*)                                  AS n,
+           ROUND(SUM(o_totalprice), 2)               AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE: all 4 grouping-set combinations (Q12 capability, cube "
+    "variant).",
+)
+def q12b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12c pivot (long → wide)
+# --------------------------------------------------------------------------
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+@register(
+    "q12c_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (o_orderpriority = '1-URGENT')        AS p1,
+           COUNT(*) FILTER (o_orderpriority = '2-HIGH')          AS p2,
+           COUNT(*) FILTER (o_orderpriority = '3-MEDIUM')        AS p3,
+           COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+           COUNT(*) FILTER (o_orderpriority = '5-LOW')           AS p5
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Pivot long→wide (status × priority counts); with explicit pivot "
+    "values the plan is a single pass, no extra distinct scan.",
+)
+def q12c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(_PRIORITIES))
+        .count()
+    )
+    cols = [
+        F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"p{i+1}")
+        for i, p in enumerate(_PRIORITIES)
+    ]
+    return wide.select("o_orderstatus", *cols)
+
+
+# --------------------------------------------------------------------------
+# Q12d unpivot (wide → long)
+# --------------------------------------------------------------------------
+@register(
+    "q12d_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'price' AS measure, l_extendedprice AS value
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+    doc="Unpivot wide→long via melt/stack (one scan, no self-union).",
+)
+def q12d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.melt(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).withColumn(
+        "measure",
+        F.when(F.col("measure") == "l_extendedprice", "price")
+        .when(F.col("measure") == "l_discount", "discount")
+        .otherwise("tax"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Q13 window ranking
 # --------------------------------------------------------------------------
 @register(
@@ -908,11 +1002,18 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q26b(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_nd_parts"),
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_nd_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50"),
+    # independent column-pruned branches (same shape as q26): sketches are
+    # mergeable, so each branch is a clean partial+final aggregation
+    a = li.select("l_partkey").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_nd_parts")
     )
+    b = li.select("l_orderkey").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_nd_orders")
+    )
+    p = li.select("l_extendedprice").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50")
+    )
+    return a.crossJoin(b).crossJoin(p)
 
 
 # --------------------------------------------------------------------------
