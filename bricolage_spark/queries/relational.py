@@ -857,19 +857,21 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM part
     )
     SELECT p_brand,
-           LIST_SORT(LIST(DISTINCT word))            AS vocab,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT word)), ',') AS vocab,
            CAST(COUNT(*) AS BIGINT)                  AS n_words,
            CAST(COUNT(DISTINCT word) AS BIGINT)      AS n_distinct_words
     FROM words
     GROUP BY p_brand
     """,
-    doc="split→explode→collect_set→sort_array round trip (order-canonical).",
+    doc="split→explode→collect_set→sort_array round trip; the sorted array "
+    "is serialized to a string so the comparison is type-stable across "
+    "harnesses (array columns hash differently in numpy vs list form).",
 )
 def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     words = p.select("p_brand", F.explode(F.split("p_name", " ")).alias("word"))
     return words.groupBy("p_brand").agg(
-        F.sort_array(F.collect_set("word")).alias("vocab"),
+        F.concat_ws(",", F.sort_array(F.collect_set("word"))).alias("vocab"),
         F.count(F.lit(1)).alias("n_words"),
         F.countDistinct("word").alias("n_distinct_words"),
     )
