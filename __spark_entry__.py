@@ -9,11 +9,19 @@ driver's rows-only check).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bricolage_spark.queries import load_all
+# make the repo importable even when this module is loaded by path from
+# a different working directory
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from bricolage_spark.queries import load_all  # noqa: E402
 
 _SPECS = load_all()
 
