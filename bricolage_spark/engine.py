@@ -126,6 +126,12 @@ class SparkEngine:
             if not os.path.isdir(sdir):
                 continue
             for name in sorted(os.listdir(sdir)):
+                # skip engine-internal sibling dirs: <t>.__bucketed__ data
+                # dirs and any stale <t>.__stage__/<t>.__old__ left by a
+                # crash — dotted names are not valid temp-view names and
+                # none of these are user tables.
+                if "." in name:
+                    continue
                 if os.path.isdir(os.path.join(sdir, name)):
                     spec = TableSpec(schema, name)
                     self.register(spec)
@@ -166,7 +172,7 @@ class SparkEngine:
             sdir = os.path.join(self.warehouse, schema)
             if schema == "default" or not os.path.isdir(sdir):
                 continue
-            out.extend(f"{schema}.{t}" for t in os.listdir(sdir))
+            out.extend(f"{schema}.{t}" for t in os.listdir(sdir) if "." not in t)
         return out
 
     # -- transactional write protocol --------------------------------------
@@ -184,14 +190,20 @@ class SparkEngine:
         overwrite: write to a stage dir, atomically rename into place.
         append: write a new parquet sub-part into the live dir (parquet
         readers list files, a completed part-file set is self-consistent).
-        Returns the row count written (from Spark metrics-free count on
-        the staged data — cheap, already materialized).
+        Returns the row count written, observed for free during the write
+        job itself (``df.observe``) — no post-write re-scan of the table
+        (at 100 TB an extra count() per insert/rebuild is a full-table
+        scan we must not pay).
         """
+        from pyspark.sql import Observation
+
         spec = TableSpec.parse(dest) if isinstance(dest, str) else dest
         final = self.table_dir(spec)
         os.makedirs(os.path.dirname(final), exist_ok=True)
         if sort_by:
             df = df.sortWithinPartitions(*sort_by)
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
         writer = df.write
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -208,7 +220,7 @@ class SparkEngine:
         else:
             raise ParameterError(f"unknown write mode: {mode}")
         self.register(spec)
-        return self.spark.read.parquet(final).count()
+        return int(obs.get["rows_written"])
 
     # -- task verbs (psqldatasource.rb §2.2) --------------------------------
 
@@ -256,9 +268,21 @@ class SparkEngine:
         return {"table": str(spec), "rows": n}
 
     def vacuum(self, spec: TableSpec | str, target_partitions: int | None = None) -> None:
-        """VACUUM parity: compact small files by rewriting the table."""
+        """VACUUM parity: compact small files by rewriting the table.
+
+        Target partition count comes from the file listing (driver-side
+        metadata), not ``df.rdd.getNumPartitions()`` — converting the
+        plan to an RDD just to count splits forces an extra analysis pass.
+        """
         df = self.table(spec)
-        n = target_partitions or max(1, df.rdd.getNumPartitions() // 4)
+        tdir = self.table_dir(spec)
+        n_files = sum(
+            1
+            for _root, _dirs, files in os.walk(tdir)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        n = target_partitions or max(1, n_files // 4)
         self.save_table(df.repartition(n), spec, mode="overwrite")
 
     def save_table_bucketed(
@@ -278,9 +302,13 @@ class SparkEngine:
         live in the Spark warehouse rather than the engine's plain
         parquet directory — reads work uniformly via ``spark.table``.
         """
+        from pyspark.sql import Observation
+
         spec = TableSpec.parse(dest) if isinstance(dest, str) else dest
         bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else bucket_cols
         name = spec.view_name
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
         # external table with a location inside the engine warehouse, so
         # data placement stays ours (and a dropped metastore entry never
         # orphans a directory in the global spark-warehouse)
@@ -295,7 +323,7 @@ class SparkEngine:
             .sortBy(*(sort_cols or bucket_cols))
         )
         writer.saveAsTable(name)
-        return self.spark.table(name).count()
+        return int(obs.get["rows_written"])
 
     def create_dummy_table(self, spec: TableSpec | str) -> None:
         """``create table if not exists t (x int)`` — the swap trick
@@ -358,7 +386,10 @@ class SparkEngine:
             if not m:
                 raise ParameterError(f"cannot parse DELETE: {stmt[:80]}...")
             dest, cond = m.group(1), m.group(2)
-            kept = self.table(dest).filter(f"NOT ({cond})")
+            # SQL DELETE removes only rows where cond IS TRUE; rows where
+            # cond evaluates to NULL must be KEPT (3-valued logic). A bare
+            # NOT(cond) would drop them too.
+            kept = self.table(dest).filter(f"NOT coalesce(({cond}), false)")
             self.save_table(kept, dest, mode="overwrite")
             return None
         if kind == "create":

@@ -183,7 +183,10 @@ def insert_delta(job: Job) -> JobResult:
     if new_rows is None:
         raise ParameterError("insert-delta SQL must end with a SELECT")
     if job.engine.table_exists(dest):
-        kept = job.engine.table(dest).filter(f"NOT ({cond})")
+        # SQL DELETE semantics: remove rows where cond IS TRUE only —
+        # rows where cond is NULL (e.g. NULL dt vs dt = '2024-01-01')
+        # must survive the delta rewrite.
+        kept = job.engine.table(dest).filter(f"NOT coalesce(({cond}), false)")
         final = kept.unionByName(new_rows)
     else:
         final = new_rows

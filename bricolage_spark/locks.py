@@ -29,8 +29,13 @@ def _pid_alive(pid: int) -> bool:
     try:
         os.kill(pid, 0)
         return True
-    except (ProcessLookupError, PermissionError):
+    except ProcessLookupError:
         return False
+    except PermissionError:
+        # EPERM: the process EXISTS but belongs to another user — exactly
+        # the cross-user case a host-global lock serializes (Ruby's
+        # Errno::EPERM handling in the reference vacuumlock).
+        return True
     except Exception:
         return True
 
@@ -54,11 +59,30 @@ def serialized(lock_path: str, timeout: float = DEFAULT_TIMEOUT, poll: float = D
             except (OSError, ValueError):
                 owner = 0
             if owner and not _pid_alive(owner):
+                # Break the stale lock via atomic rename-claim: only ONE
+                # waiter wins the rename, so two waiters can't both
+                # "remove and recreate" (the naive unlink race would let
+                # waiter B delete waiter A's brand-new lock).
+                claim = f"{lock_path}.break.{os.getpid()}"
                 try:
-                    os.remove(lock_path)  # stale: owner died
-                    continue
-                except FileNotFoundError:
-                    continue
+                    os.rename(lock_path, claim)
+                except OSError:
+                    continue  # another waiter already broke it
+                try:
+                    with open(claim) as f:
+                        claimed_pid = int(f.read().strip() or 0)
+                except (OSError, ValueError):
+                    claimed_pid = 0
+                if claimed_pid and _pid_alive(claimed_pid):
+                    # raced with a fresh acquisition between read and
+                    # rename — give the live owner its lock back
+                    try:
+                        os.rename(claim, lock_path)
+                    except OSError:
+                        os.remove(claim)
+                else:
+                    os.remove(claim)
+                continue
             if time.monotonic() >= deadline:
                 raise LockTimeout(
                     f"could not acquire lock within {timeout}s: {lock_path}"

@@ -12,9 +12,12 @@ blowup — the standard distributed as-of algorithm (kdb/Flink style):
 1. tag both sides, union by name (missing columns null),
 2. window per key ordered by (ts, side) — right rows sort before left
    rows at equal timestamps so the match is inclusive,
-3. ``last(right_cols, ignorenulls=True)`` over the unbounded-preceding
-   frame carries the latest right values forward,
-4. keep left rows.
+3. pack ALL carried right columns into ONE struct and apply a single
+   ``last(struct, ignorenulls=True)`` over the unbounded-preceding
+   frame — carrying columns independently would mix values from
+   different right rows whenever a right column is legitimately NULL
+   (the stale non-NULL value would be carried for that column only),
+4. unpack the struct, keep left rows.
 
 Cost: shuffle(left+right) + per-partition sort — linear, skew handled by
 AQE; this is what a 100 TB backfill needs (a broadcast range join would
@@ -68,15 +71,21 @@ def asof_join(
         .orderBy(F.col(on), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"__carry_{c}")
-            for c in carry_cols
-        ],
+    # One struct per RIGHT row (NULL struct on left rows), one
+    # last(ignorenulls) — the whole right row is carried atomically,
+    # so per-column NULLs inside a right row are preserved as-is.
+    packed = unioned.withColumn(
+        "__rrow",
+        F.when(
+            F.col("__side") == 0,
+            F.struct(*[F.col(f"{c}{suffix}") for c in carry_cols]),
+        ),
+    )
+    carried = packed.select(
+        "*", F.last("__rrow", ignorenulls=True).over(w).alias("__carry")
     )
     out = carried.filter(F.col("__side") == 1).select(
         *[c for c in left.columns],
-        *[F.col(f"__carry_{c}").alias(f"{c}{suffix}") for c in carry_cols],
+        *[F.col(f"__carry.{c}{suffix}").alias(f"{c}{suffix}") for c in carry_cols],
     )
     return out

@@ -22,12 +22,15 @@ operational modes.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
+import uuid
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
+from bricolage_spark.engine import TableSpec, split_statements
 from bricolage_spark.exception import ParameterError
 from bricolage_spark.jobs import Job, JobResult, jobclass
 
@@ -211,8 +214,114 @@ class StreamingLoader:
             cand = cand.join(log, "data_file", "left_anti")
         return [r.path for r in cand.select("path").collect()]
 
+    # -- joint dest+log commit (streaming_load.rb:166-195 parity) -----------
+    #
+    # The reference appends dest AND the load log in ONE Redshift
+    # transaction. Two independent parquet appends can't be joint-atomic,
+    # so the commit protocol is write-ahead-manifest:
+    #
+    #   1. stage the dest delta and the log delta into hidden sibling
+    #      dirs (``<table>.__delta__<txid>``) — invisible to readers;
+    #   2. COMMIT POINT: atomically rename a manifest JSON into
+    #      ``<warehouse>/.streaming_load_tx/`` naming both staged dirs;
+    #   3. move the staged part-files into the live table dirs;
+    #   4. delete the manifest.
+    #
+    # A crash before (2) leaves only invisible garbage (cleaned by
+    # recover(); the batch reloads — nothing was published). A crash
+    # after (2) is rolled FORWARD by recover() on the next invocation:
+    # both appends complete together, so dest and log can never disagree
+    # and the anti-join stays exactly-once.
+
+    @property
+    def _tx_dir(self) -> str:
+        return os.path.join(self.engine.warehouse, ".streaming_load_tx")
+
+    def _stage_delta(self, df: DataFrame, table: str, txid: str) -> tuple[str, int]:
+        """Write ``df`` as parquet into a hidden staging dir; returns
+        (stage_dir, row_count) — rows observed during the write itself."""
+        stage = self.engine.table_dir(table) + f".__delta__{txid}"
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
+        df.write.mode("overwrite").parquet(stage)
+        return stage, int(obs.get["rows_written"])
+
+    def _apply_moves(self, moves: list[dict]) -> None:
+        for mv in moves:
+            src, dest = mv["src"], mv["dest"]
+            if os.path.isdir(src):
+                os.makedirs(dest, exist_ok=True)
+                for f in os.listdir(src):
+                    if f.startswith(("_", ".")):
+                        continue  # _SUCCESS / .crc markers stay behind
+                    os.rename(os.path.join(src, f), os.path.join(dest, f))
+                shutil.rmtree(src, ignore_errors=True)
+            if os.path.isdir(dest):
+                self.engine.register(mv["table"])
+
+    def recover(self) -> int:
+        """Roll forward any committed-but-unapplied manifests, then drop
+        pre-commit staging garbage. Idempotent; call before each batch.
+        (Single concurrent loader per dest table, as in the reference —
+        the job-level lock serializes invocations.)"""
+        applied = 0
+        if os.path.isdir(self._tx_dir):
+            for mf in sorted(os.listdir(self._tx_dir)):
+                if not mf.endswith(".json"):
+                    continue
+                path = os.path.join(self._tx_dir, mf)
+                with open(path) as f:
+                    manifest = json.load(f)
+                self._apply_moves(manifest["moves"])
+                os.remove(path)
+                applied += 1
+        # staging dirs with no manifest = crash before the commit point
+        for table in (self.dest_table, self.log_table):
+            tdir = self.engine.table_dir(table)
+            parent = os.path.dirname(tdir)
+            base = os.path.basename(tdir)
+            if not os.path.isdir(parent):
+                continue
+            for name in os.listdir(parent):
+                if name.startswith(base + ".__delta__"):
+                    shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+        return applied
+
+    def _select_df(self) -> DataFrame:
+        """Resolve the custom SQL body to the SELECT that produces the
+        insert rows — validated BEFORE anything is published.
+
+        The reference's documented body is ``INSERT INTO $dest_table
+        SELECT ... FROM work;`` (streaming_load.rb:203). The loader owns
+        the dest append (joint-atomic commit), so that wrapper is
+        converted to its inner SELECT; executing it as-is would append
+        dest outside the transaction (and double-append).
+        """
+        stmts = split_statements(self.sql)
+        if not stmts:
+            raise ParameterError("streaming_load: empty sql body")
+        *setup, last = stmts
+        m = re.match(r"insert\s+into\s+([\w.]+)\s+(.*)\Z", last, re.S | re.I)
+        if m:
+            if TableSpec.parse(m.group(1)) != TableSpec.parse(self.dest_table):
+                raise ParameterError(
+                    f"streaming_load sql inserts into {m.group(1)!r}, "
+                    f"but dest-table is {self.dest_table!r}"
+                )
+            last = m.group(2)
+        kind = last.split(None, 1)[0].lower() if last.split() else ""
+        if kind not in ("select", "with", "("):
+            raise ParameterError(
+                "streaming_load sql must end with a SELECT "
+                "(or 'INSERT INTO <dest-table> SELECT ...')"
+            )
+        for s in setup:
+            self.engine.execute_statement(s)
+        return self.engine.sql(last)
+
     def run_once(self, load_only: bool = False) -> dict:
         """One micro-batch. Returns counters."""
+        self.recover()
         candidates = self.queue.queued_files()
         new = self.new_files(candidates)
         skipped = len(candidates) - len(new)
@@ -229,21 +338,14 @@ class StreamingLoader:
         if self.work_table:
             self.engine.save_table(df, self.work_table, mode="overwrite")
             work_df = self.engine.table(self.work_table)
-            insert_df = (
-                self.engine.execute_script(self.sql) if self.sql else work_df
-            )
+            insert_df = self._select_df() if self.sql else work_df
+        elif self.sql:
+            insert_df = self._select_df()
         else:
             insert_df = df
 
-        rows = insert_df.count()
-        # Commit order: dest-append first, then log-append, then file
-        # moves. The reference does dest+log in ONE Redshift transaction
-        # (:166-195); two parquet appends can't be joint-atomic, so a
-        # crash in the μs window between them re-loads those files on
-        # retry (at-least-once for that window only). Crash anywhere
-        # else is healed by the log anti-join (files not logged → reload;
-        # logged-but-not-moved → dequeue-only pass moves them).
-        self.engine.save_table(insert_df, self.dest_table, mode="append")
+        txid = uuid.uuid4().hex[:12]
+        dest_stage, rows = self._stage_delta(insert_df, self.dest_table, txid)
         now = F.current_timestamp()
         log_rows = (
             spark.createDataFrame(
@@ -257,7 +359,25 @@ class StreamingLoader:
                 F.col("data_file"),
             )
         )
-        self.engine.save_table(log_rows, self.log_table, mode="append")
+        log_stage, _ = self._stage_delta(log_rows, self.log_table, txid)
+
+        manifest = {
+            "txid": txid,
+            "moves": [
+                {"src": dest_stage, "dest": self.engine.table_dir(self.dest_table),
+                 "table": self.dest_table},
+                {"src": log_stage, "dest": self.engine.table_dir(self.log_table),
+                 "table": self.log_table},
+            ],
+        }
+        os.makedirs(self._tx_dir, exist_ok=True)
+        mpath = os.path.join(self._tx_dir, f"{txid}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, mpath)  # ← the commit point
+        self._apply_moves(manifest["moves"])
+        os.remove(mpath)
 
         moved = 0
         if not load_only:

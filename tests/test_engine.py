@@ -162,3 +162,36 @@ def test_vacuum_compacts(engine, spark):
     files = [f for f in os.listdir(engine.table_dir("t")) if f.endswith(".parquet")]
     assert len(files) == 1
     assert engine.table("t").count() == 100
+
+
+def test_delete_keeps_null_condition_rows(engine):
+    """DELETE removes rows where cond IS TRUE only; rows where the
+    condition evaluates to NULL (3-valued logic) must survive —
+    e.g. NULL dt vs dt = '2024-01-01' (ADVICE r1, Redshift parity)."""
+    df = engine.spark.createDataFrame(
+        [(1, "2024-01-01"), (2, None), (3, "2024-01-02")], "id long, dt string"
+    )
+    engine.save_table(df, "delnull", mode="overwrite")
+    engine.execute_statement("DELETE FROM delnull WHERE dt = '2024-01-01'")
+    ids = sorted(r.id for r in engine.table("delnull").collect())
+    assert ids == [2, 3]  # NULL-dt row kept
+
+
+def test_save_table_returns_written_rowcount_without_rescan(engine):
+    df = engine.spark.createDataFrame([(i,) for i in range(7)], "x long")
+    assert engine.save_table(df, "obs7", mode="overwrite") == 7
+    assert engine.save_table(df.limit(2), "obs7", mode="append") == 2
+    assert engine.table("obs7").count() == 9
+
+
+def test_register_all_skips_internal_dirs(engine, tmp_path):
+    import os
+    df = engine.spark.createDataFrame([(1,)], "x long")
+    engine.save_table(df, "realtab", mode="overwrite")
+    # simulate crash leftovers + bucketed sibling data dirs
+    base = engine.table_dir("realtab")
+    for suffix in (".__stage__dead", ".__old__dead", ".__bucketed__"):
+        os.makedirs(base + suffix, exist_ok=True)
+    names = engine.register_all()
+    assert "realtab" in names
+    assert all("__" not in n for n in names)

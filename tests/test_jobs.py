@@ -138,6 +138,23 @@ def test_insert_delta_idempotent(engine, home):
     assert before == after == [1, 2, 3]
 
 
+def test_insert_delta_keeps_null_cond_rows(engine, home, spark):
+    """delete-cond with NULL evaluation must KEEP those rows (SQL DELETE
+    3-valued logic) — a NULL dt row survives `d = '2024-01-01'`."""
+    engine.save_table(
+        spark.createDataFrame([(9, "x", None)], "id int, v string, d string"),
+        "accn",
+    )
+    job_text = (
+        "/*\nclass: insert-delta\ndest-table: accn\n"
+        "src-tables: {s: src_events}\ndelete-cond: \"d = '2024-01-01'\"\n*/\n"
+        "select * from $s where d = '2024-01-01';\n"
+    )
+    run_job(engine, home, "deltan.sql.job", job_text)
+    ids = sorted(r.id for r in engine.table("accn").collect())
+    assert ids == [1, 2, 9]  # NULL-d row 9 kept
+
+
 def test_rebuild_rename_swaps_and_keeps_old(engine, home):
     job_text = (
         "/*\nclass: rebuild-rename\ndest-table: summary\n"
@@ -190,7 +207,10 @@ def test_load_json_append(engine, home, tmp_path):
         f"class: load\ndest-table: jt\nsrc-file: {data}/a.json\n"
         "table-def: t.ct\nformat: json\n",
     )
-    assert r.rows == 3  # append mode
+    # COPY semantics: rows = rows loaded by THIS job (observed during the
+    # write — no post-append full-table re-scan), not the running total.
+    assert r.rows == 1
+    assert engine.table("jt").count() == 3  # append mode: total grew
 
 
 def test_unload_roundtrip(engine, home, tmp_path):

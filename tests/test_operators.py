@@ -239,3 +239,22 @@ def test_asof_join_inclusive_at_equal_ts(spark):
     right = spark.createDataFrame([(1, 10, 7.0)], "k long, ts long, px double")
     r = asof_join(left, right, on="ts", by="k").collect()[0]
     assert r.px_right == 7.0  # right.ts == left.ts matches (inclusive)
+
+
+def test_asof_join_carries_right_rows_atomically(spark):
+    """A legitimate NULL inside a right row must be carried AS NULL —
+    per-column carry would resurrect the previous row's value for just
+    that column, fabricating a right row that never existed."""
+    from bricolage_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10), (1, 20)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 5, 100.0, "full"), (1, 15, None, "px-is-null")],
+        "k long, ts long, px double, note string",
+    )
+    out = {r.ts: (r.px_right, r.note_right)
+           for r in asof_join(left, right, on="ts", by="k").collect()}
+    assert out[10] == (100.0, "full")
+    # at ts=20 the match is the ts=15 row: px NULL, note fresh — NOT
+    # the stale 100.0 mixed with the fresh note
+    assert out[20] == (None, "px-is-null")

@@ -4,6 +4,7 @@ query_batch, custom job classes, stateful sessionization."""
 from __future__ import annotations
 
 import json
+import os
 import threading
 import time
 
@@ -231,3 +232,33 @@ def test_sessionize_stream_emits_on_timeout(spark, tmp_path):
     closed = {r.user_id: (r.n_events, r.total_value, r.closed_reason) for r in rows}
     # user 1's session closed by event-time timeout once the watermark passed
     assert closed.get(1) == (2, 3.0, "timeout")
+
+
+def test_pid_alive_eperm_means_alive(monkeypatch):
+    """EPERM from kill(pid, 0) = process exists under another uid — the
+    exact cross-user case the host-global lock serializes (reference
+    vacuumlock rescues Errno::EPERM as 'running')."""
+    import bricolage_spark.locks as L
+
+    def eperm(pid, sig):
+        raise PermissionError("op not permitted")
+
+    monkeypatch.setattr(L.os, "kill", eperm)
+    assert L._pid_alive(12345) is True
+
+
+def test_serialized_lock_does_not_break_other_users_live_lock(tmp_path, monkeypatch):
+    import bricolage_spark.locks as L
+
+    lock = str(tmp_path / "v.lock")
+    with open(lock, "w") as f:
+        f.write("99999")  # pretend-owner
+
+    def eperm(pid, sig):
+        raise PermissionError
+
+    monkeypatch.setattr(L.os, "kill", eperm)
+    with pytest.raises(LockTimeout):
+        with L.serialized(lock, timeout=0.3, poll=0.05):
+            pass
+    assert os.path.exists(lock)  # live foreign lock left intact

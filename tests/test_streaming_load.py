@@ -194,3 +194,107 @@ def test_streaming_load_jobclass(engine, tmp_path, queue_dir):
     # second run: nothing new
     r2 = ctx.load_job(str(job_path)).execute()
     assert "0 file(s)" in r2.message
+
+def test_crash_between_appends_rolls_forward(engine, tmp_path, queue_dir):
+    """Kill the loader AT the commit point (manifest written, moves not
+    applied): recovery must publish dest AND log together — no
+    double-load on retry (streaming_load.rb:166-195 joint transaction)."""
+    write_files(queue_dir, {"20240101_0000_00.json": ['{"x": 1, "y": "a"}']})
+    loader = make_loader(engine, queue_dir, tmp_path)
+
+    boom = RuntimeError("killed between appends")
+
+    def crash(_moves):
+        raise boom
+
+    orig = loader._apply_moves
+    loader._apply_moves = crash
+    with pytest.raises(RuntimeError):
+        loader.run_once()
+    loader._apply_moves = orig
+    # manifest exists; neither table is published yet
+    assert not engine.table_exists("load_test")
+    txs = os.listdir(loader._tx_dir)
+    assert any(t.endswith(".json") for t in txs)
+
+    # retry: recover() rolls the manifest forward, then the anti-join
+    # sees the file as loaded — exactly once
+    stats = loader.run_once()
+    assert stats["loaded_files"] == 0
+    assert stats["skipped_files"] == 1
+    assert engine.table("load_test").count() == 1
+    logged = {r.data_file for r in engine.table("load_test_l").collect()}
+    assert logged == {"20240101_0000_00.json"}
+    assert os.listdir(loader._tx_dir) == []
+
+
+def test_crash_before_commit_reloads_cleanly(engine, tmp_path, queue_dir):
+    """Crash BEFORE the manifest rename (dest delta staged only): nothing
+    was published, staging garbage is swept, the batch reloads once."""
+    write_files(queue_dir, {"20240101_0000_00.json": ['{"x": 1, "y": "a"}']})
+    loader = make_loader(engine, queue_dir, tmp_path)
+
+    orig_stage = loader._stage_delta
+    calls = {"n": 0}
+
+    def stage_then_crash(df, table, txid):
+        out = orig_stage(df, table, txid)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("killed after first staged write")
+        return out
+
+    loader._stage_delta = stage_then_crash
+    with pytest.raises(RuntimeError):
+        loader.run_once()
+    loader._stage_delta = orig_stage
+    assert not engine.table_exists("load_test")
+    assert not engine.table_exists("load_test_l")
+
+    stats = loader.run_once()
+    assert stats["loaded_files"] == 1
+    assert engine.table("load_test").count() == 1  # exactly once
+    # pre-commit staging dirs were swept
+    parent = os.path.dirname(engine.table_dir("load_test"))
+    assert not [d for d in os.listdir(parent) if ".__delta__" in d]
+
+
+def test_custom_sql_insert_into_dest_style(engine, tmp_path, queue_dir):
+    """Reference-style body `INSERT INTO $dest_table SELECT ... FROM work`
+    (streaming_load.rb:203) is converted to its SELECT and committed
+    jointly — not executed as a second out-of-transaction append."""
+    write_files(queue_dir, {
+        "20240101_0000_00.json": ['{"x": 1, "y": "a"}', '{"x": 2, "y": "b"}'],
+    })
+    loader = make_loader(
+        engine, queue_dir, tmp_path,
+        sql="INSERT INTO load_test SELECT x, upper(y) AS y FROM load_test_wk WHERE x > 1;",
+    )
+    stats = loader.run_once()
+    assert stats["rows"] == 1
+    rows = [(r.x, r.y) for r in engine.table("load_test").collect()]
+    assert rows == [(2, "B")]
+
+
+def test_custom_sql_wrong_dest_rejected_before_publish(engine, tmp_path, queue_dir):
+    write_files(queue_dir, {"20240101_0000_00.json": ['{"x": 1, "y": "a"}']})
+    loader = make_loader(
+        engine, queue_dir, tmp_path,
+        sql="INSERT INTO other_table SELECT * FROM load_test_wk;",
+    )
+    with pytest.raises(ParameterError, match="dest-table"):
+        loader.run_once()
+    # nothing published, file still queued for a corrected retry
+    assert not engine.table_exists("load_test")
+    assert (queue_dir / "20240101_0000_00.json").exists()
+
+
+def test_custom_sql_non_select_rejected(engine, tmp_path, queue_dir):
+    write_files(queue_dir, {"20240101_0000_00.json": ['{"x": 1, "y": "a"}']})
+    loader = make_loader(
+        engine, queue_dir, tmp_path,
+        sql="DROP TABLE IF EXISTS load_test;",
+    )
+    with pytest.raises(ParameterError, match="must end with a SELECT"):
+        loader.run_once()
+    assert engine.table_exists("load_test") is False
