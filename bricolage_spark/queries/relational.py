@@ -960,40 +960,25 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd_supps = li.select("l_suppkey").distinct().agg(
         F.count(F.lit(1)).alias("nd_supps")
     )
-    # Exact percentiles via sort-rank: count n (parquet metadata only),
-    # rank the sorted column, keep the 4 bracketing rows, interpolate.
-    # 2.5× faster than the builtin `percentile` (which materializes a
-    # value→count map). The global-order window is the honest cost of an
-    # EXACT percentile; at 100 TB the answer is q26b's approx sketch.
-    import math
+    # Exact percentiles WITHOUT a single-partition global sort: approx
+    # value bracket (pushed-down range filter) + exact rank-offset
+    # arithmetic over width_bucket sub-buckets — every job stays
+    # partition-parallel, every collect is metadata-scale.  See
+    # operators/percentiles.py for the scale argument.
+    from bricolage_spark.operators.percentiles import exact_percentiles
 
-    n = li.select("l_extendedprice").count()
-
-    def bracket(q: float) -> tuple[int, float]:
-        p = q * (n - 1)
-        return int(math.floor(p)), p - math.floor(p)
-
-    i50, f50 = bracket(0.5)
-    i95, f95 = bracket(0.95)
-    w = Window.orderBy("l_extendedprice")
-    ranked = li.select("l_extendedprice").withColumn(
-        "rn", F.row_number().over(w) - 1
-    )
-    x = F.col("l_extendedprice")
-
-    def interp(i: int, f: float):
-        return F.sum(
-            F.when(F.col("rn") == i, x * (1.0 - f)).when(F.col("rn") == i + 1, x * f)
-        )
-
-    pcts = (
-        ranked.filter(F.col("rn").isin(i50, i50 + 1, i95, i95 + 1))
-        .agg(
-            F.round(interp(i50, f50), 4).alias("p50_price"),
-            F.round(interp(i95, f95), 4).alias("p95_price"),
+    pcts = exact_percentiles(li, "l_extendedprice", [0.5, 0.95])
+    return (
+        nd_parts.crossJoin(nd_supps)
+        # F.round on the literal keeps Spark HALF_UP semantics, matching
+        # the previous in-plan rounding and DuckDB's ROUND.
+        .select(
+            "nd_parts",
+            "nd_supps",
+            F.round(F.lit(pcts[0.5]), 4).alias("p50_price"),
+            F.round(F.lit(pcts[0.95]), 4).alias("p95_price"),
         )
     )
-    return nd_parts.crossJoin(nd_supps).crossJoin(pcts)
 
 
 @register(
