@@ -8,18 +8,23 @@ Design (the part that must be right at 100 TB):
   ``mapInPandas`` stages — Python touches each batch once, schema is
   declared up front, partitioning is preserved, nothing collects.
 
-The actual codec calls (PIL/ffmpeg/torchaudio) are NOT available in this
-container, so ``decode_stub`` is a clearly-marked deterministic fake:
-it derives "features" from the payload bytes (md5-based) with the same
-shape/schema a real decoder would produce. The Spark-side plumbing —
-schemas, batch iteration, UDF signatures — is real and tested.
+Decoding: two REAL pure-python decoders are included — uncompressed BMP
+(24/32-bit, numpy per-channel pixel means) and PCM WAV (8/16-bit,
+RMS/peak/zero-crossing stats) — dispatched by payload magic bytes.
+Payloads that are neither (e.g. the utf-8 text adapters used with the
+container's test data, which has no media assets) fall back to a
+clearly-marked deterministic digest-based stand-in with the same
+shape/schema; heavier codecs (JPEG/MP4 via PIL/ffmpeg) are not in this
+container and would slot into the same dispatch table.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -68,16 +73,91 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in for a decoded-media feature vector.
+def decode_bmp(payload: bytes) -> list[float]:
+    """Real decoder: uncompressed 24/32-bit BMP → geometry + channel means.
 
-    REAL DECODERS GO HERE: e.g. PIL.Image.open(BytesIO(payload)) →
-    resize → channel means; librosa.load → MFCC; cv2 frame-sample.
-    None of those libs exist in this container, so features are derived
-    from the payload digest — stable, shape-correct, schema-correct.
+    Pure stdlib+numpy parse of BITMAPFILEHEADER/BITMAPINFOHEADER; rows are
+    4-byte aligned, pixels little-endian BGR(A).  Returns the 8-dim
+    feature [kind=1, width, height, n_pixels, mean_b, mean_g, mean_r,
+    mean_a] (mean_a = 0 for 24-bit).
     """
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    n_rows = abs(height)  # negative height = top-down row order
+    ch = bpp // 8
+    stride = (width * ch + 3) & ~3
+    body = np.frombuffer(payload, np.uint8, count=stride * n_rows, offset=pix_off)
+    px = body.reshape(n_rows, stride)[:, : width * ch].reshape(n_rows, width, ch)
+    means = px.astype(np.float64).mean(axis=(0, 1))
+    b, g, r = float(means[0]), float(means[1]), float(means[2])
+    a = float(means[3]) if ch == 4 else 0.0
+    return [1.0, float(width), float(n_rows), float(width * n_rows), b, g, r, a]
+
+
+def decode_wav(payload: bytes) -> list[float]:
+    """Real decoder: PCM WAV (8-bit unsigned / 16-bit signed) → audio stats.
+
+    Walks RIFF chunks for ``fmt `` and ``data``.  Returns the 8-dim
+    feature [kind=2, n_channels, sample_rate, n_samples, rms, peak,
+    mean, zero_crossing_rate] over samples normalized to [-1, 1].
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    fmt = data = None
+    off = 12
+    while off + 8 <= len(payload):
+        cid, size = payload[off : off + 4], struct.unpack_from("<I", payload, off + 4)[0]
+        chunk = payload[off + 8 : off + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+        elif cid == b"data":
+            data = chunk
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _brate, _align, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+    if bits == 16:
+        x = np.frombuffer(data, "<i2").astype(np.float64) / 32768.0
+    else:
+        x = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+    n_samples = len(x) // max(n_ch, 1)
+    if len(x) == 0:
+        rms = peak = mean = zcr = 0.0
+    else:
+        rms = float(np.sqrt(np.mean(x * x)))
+        peak = float(np.max(np.abs(x)))
+        mean = float(np.mean(x))
+        zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+    return [2.0, float(n_ch), float(rate), float(n_samples), rms, peak, mean, zcr]
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic digest-derived stand-in for formats with no decoder
+    in this container (JPEG/PNG/MP4 would need PIL/ffmpeg) — stable,
+    shape-correct, schema-correct, and impossible to confuse with real
+    features (see ``decode_stub``)."""
     d = hashlib.md5(payload).digest()
     return [float(b) for b in d[:dim]]
+
+
+def decode_media(payload: bytes, dim: int = 8) -> list[float]:
+    """Dispatch on magic bytes: real BMP/WAV decode, digest fallback."""
+    try:
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return decode_wav(payload)
+    except ValueError:
+        pass  # malformed/unsupported variant of a known magic → fallback
+    return _fake_feature(payload, dim)
 
 
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
@@ -91,7 +171,7 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "byte_len": pdf["byte_len"],
-                    "feature": [_fake_feature(bytes(p), dim) for p in payloads],
+                    "feature": [decode_media(bytes(p), dim) for p in payloads],
                     "digest": [hashlib.md5(bytes(p)).hexdigest() for p in payloads],
                 }
             )
@@ -100,11 +180,13 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
 
 
 def decode_stub(*_args, **_kwargs):  # pragma: no cover - documented stub
-    """Placeholder for true image/audio/video decoding.
+    """Placeholder for codec-backed decoding (JPEG/PNG/MP4/…).
 
-    Raises so nobody mistakes the fake features for real ones.
+    Raises so nobody mistakes the digest fallback for real features;
+    BMP and WAV payloads DO get real decodes via ``decode_media``.
     """
     raise NotImplementedError(
         "media codecs (PIL/ffmpeg) are not installed in this environment; "
-        "extract_features uses a deterministic digest-based stand-in"
+        "only BMP/WAV decode natively — other formats use the "
+        "deterministic digest-based stand-in"
     )
