@@ -41,6 +41,46 @@ def build_context(args) -> Context:
     return Context(engine, home=args.home, env=args.env)
 
 
+def _job_path(home: str, path: str) -> str:
+    return path if os.path.exists(path) else os.path.join(home, path)
+
+
+def _run_list_mode(args) -> int:
+    """The reference's --list-declarations / --list-variables /
+    --list-global-variables modes (application.rb:51-66, 139-152) as
+    subcommands; output formats mirror the Ruby ones (`name` or
+    `name\\t= default` for declarations, `name=value` repr otherwise)."""
+    ctx = Context(None, home=args.home, env=args.env)
+    if args.command == "list-global-variables":
+        from bricolage_spark.sqltext import Variables
+
+        for name, value in Variables(ctx.global_variables).resolve().items():
+            print(f"{name}={value!r}")
+        return 0
+    if args.command == "list-declarations":
+        from bricolage_spark.sqltext import auto_declarations, load_job_file
+
+        values, sql = load_job_file(_job_path(ctx.home, args.path))
+        for name, default in auto_declarations(sql or "", values).items():
+            if default is not None:
+                print(f"{name}\t= {default!r}")
+            else:
+                print(name)
+        return 0
+    # list-variables: compile (not run) the job, print every resolved var.
+    from bricolage_spark.jobs import Job
+
+    job = Job.load(
+        None,
+        _job_path(ctx.home, args.path),
+        global_variables=ctx.global_variables,
+        cmd_variables=_parse_vars(args.variable),
+    ).compile()
+    for name, value in job.variables.items():
+        print(f"{name}={value!r}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="bricolage-spark")
     p.add_argument("--home", default=os.environ.get("BRICOLAGE_SPARK_HOME", "."))
@@ -70,8 +110,22 @@ def main(argv: list[str] | None = None) -> int:
     pl = sub.add_parser("list-declarations", help="list variables a job uses")
     pl.add_argument("path")
 
+    plv = sub.add_parser(
+        "list-variables", help="list a compiled job's resolved variables"
+    )
+    plv.add_argument("path")
+    plv.add_argument("-v", "--variable", action="append", default=[])
+
+    sub.add_parser(
+        "list-global-variables", help="list resolved global variables"
+    )
+
     args = p.parse_args(argv)
     try:
+        # list-* modes are metadata-only (application.rb:311-369): no Spark
+        # session, no warehouse registration.
+        if args.command in ("list-declarations", "list-variables", "list-global-variables"):
+            return _run_list_mode(args)
         ctx = build_context(args)
         if args.command == "job":
             result = run_single_job(
@@ -103,17 +157,6 @@ def main(argv: list[str] | None = None) -> int:
                 f"skipped={len(report.skipped)}"
             )
             return 0 if report.success else 3
-        if args.command == "list-declarations":
-            from bricolage_spark.sqltext import list_variables, load_job_file
-
-            values, sql = load_job_file(
-                os.path.join(ctx.home, args.path)
-                if not os.path.exists(args.path)
-                else args.path
-            )
-            for name in list_variables(sql or ""):
-                print(name)
-            return 0
     except ApplicationError as err:
         print(f"error: {err}", file=sys.stderr)
         return err.exit_status

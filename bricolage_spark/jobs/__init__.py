@@ -119,7 +119,10 @@ class Job:
             p = self.resolve_path(str(self.values["sql-file"]))
             with open(p) as f:
                 text = f.read()
-            text = render_template(text, base_dir=os.path.dirname(p))
+            base = os.path.dirname(os.path.abspath(p))
+            text = render_template(
+                text, base_dir=base, app_home=os.path.dirname(base)
+            )
             for k, v in parse_sql_metadata(text, p).items():
                 self.values.setdefault(k, v)
             self.sql_text = text

@@ -155,7 +155,37 @@ class ResolvedVariables:
 ERB_RE = re.compile(r"<%=\s*(.*?)\s*%>", re.S)
 
 
-def _helper_api(base_dir: str | None) -> dict[str, Any]:
+class TableFile:
+    """A ``.ct`` table declaration as seen by the embedded-code API
+    (the reference wraps each as a SQLStatement — sqlstatement.rb:93-95
+    exposes ``attributes`` from the ``--attributes:`` header)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path) as f:
+            self.text = f.read()
+        meta = parse_sql_metadata(self.text, path)
+        attrs = meta.get("attributes") or []
+        if isinstance(attrs, Mapping):
+            attrs = list(attrs)
+        elif isinstance(attrs, str):
+            attrs = [attrs]
+        self.attributes: list[str] = [str(a) for a in attrs]
+        stem = os.path.basename(path)[: -len(".ct")]
+        self.subsystem = os.path.basename(os.path.dirname(path))
+        self.table = str(meta.get("dest-table") or stem)
+        self.name = (
+            self.table if "." in self.table else f"{self.subsystem}.{self.table}"
+        )
+
+    def __str__(self) -> str:
+        return self.name
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"TableFile({self.name!r}, attributes={self.attributes!r})"
+
+
+def _helper_api(base_dir: str | None, app_home: str | None = None) -> dict[str, Any]:
     """The embedded-code helper API (embeddedcodeapi.rb:5-48)."""
 
     def date(s: str) -> _dt.date:
@@ -173,24 +203,76 @@ def _helper_api(base_dir: str | None) -> dict[str, Any]:
         with open(p) as f:
             return f.read()
 
+    user_home = os.path.expanduser("~")
+
+    def user_home_relative_path(rel: str) -> str:
+        return os.path.join(user_home, rel)
+
+    def _need_app_home() -> str:
+        if not app_home:
+            raise ParameterError("app_home is not set for this template")
+        return app_home
+
+    def app_home_relative_path(rel: str) -> str:
+        return os.path.join(_need_app_home(), rel)
+
+    def relative_path(rel: str) -> str:
+        return os.path.join(base_dir or ".", rel)
+
+    def all_tables() -> list[TableFile]:
+        """Every ``<app_home>/*/*.ct`` declaration (embeddedcodeapi.rb:41-45),
+        sorted by path for deterministic template output."""
+        import glob as _glob
+
+        return [
+            TableFile(p)
+            for p in sorted(_glob.glob(os.path.join(_need_app_home(), "*", "*.ct")))
+        ]
+
+    def attribute_tables(attr: str) -> list[TableFile]:
+        return [t for t in all_tables() if attr in t.attributes]
+
     return {
         "date": date,
         "ymd": ymd,
         "read_file_if_exist": read_file_if_exist,
         "today": _dt.date.today,
+        "user_home": user_home,
+        "user_home_relative_path": user_home_relative_path,
+        "app_home_relative_path": app_home_relative_path,
+        "relative_path": relative_path,
+        "all_tables": all_tables,
+        "attribute_tables": attribute_tables,
     }
 
 
-def render_template(text: str, base_dir: str | None = None, extra: dict | None = None) -> str:
+def render_template(
+    text: str,
+    base_dir: str | None = None,
+    extra: dict | None = None,
+    app_home: str | None = None,
+) -> str:
     """Evaluate ``<%= expr %>`` spans (job files are trusted user code,
     exactly as the reference treats ERB)."""
-    ns = _helper_api(base_dir)
+    ns = _helper_api(base_dir, app_home)
     if extra:
         ns.update(extra)
 
+    # job files are trusted user code (the reference gives ERB full Ruby);
+    # common builtins are available for expressions like
+    # ``','.join(str(t) for t in attribute_tables('daily'))``
+    safe_builtins = {
+        b.__name__ if callable(b) else b: b
+        for b in (
+            str, int, float, bool, len, list, dict, set, tuple, sorted,
+            reversed, enumerate, zip, map, filter, min, max, sum, abs,
+            round, range, repr, any, all,
+        )
+    }
+
     def repl(m: re.Match) -> str:
         try:
-            return str(eval(m.group(1), {"__builtins__": {}}, ns))  # noqa: S307
+            return str(eval(m.group(1), {"__builtins__": safe_builtins}, ns))  # noqa: S307
         except Exception as err:
             raise ParameterError(f"template expression error: {m.group(1)!r}: {err}")
 
@@ -302,15 +384,20 @@ def parse_sql_metadata(sql: str, path: str = "<string>") -> dict:
         raise ParameterError(f"SQL meta data syntax error: {path}: {err}")
 
 
-def load_job_file(path: str) -> tuple[dict, str | None]:
+def load_job_file(path: str, app_home: str | None = None) -> tuple[dict, str | None]:
     """Load any job file → (values, sql_or_None).
 
     ``.sql.job`` → embedded header + SQL; ``.py.job``/``.sh.job`` →
-    ``#`` header; anything else → plain YAML.
+    ``#`` header; anything else → plain YAML.  ``app_home`` (for the
+    all_tables/attribute_tables helpers) defaults to the job's
+    grandparent dir, matching the reference's ``home/subsys/job`` layout.
     """
     with open(path) as f:
         text = f.read()
-    text = render_template(text, base_dir=os.path.dirname(path))
+    base_dir = os.path.dirname(os.path.abspath(path))
+    if app_home is None:
+        app_home = os.path.dirname(base_dir)
+    text = render_template(text, base_dir=base_dir, app_home=app_home)
     if path.endswith(".sql.job"):
         values, sql = parse_sql_job(text, path)
         return values, sql

@@ -96,3 +96,75 @@ def test_render_template_helpers(tmp_path):
 def test_render_template_bad_expr():
     with pytest.raises(ParameterError, match="template expression error"):
         render_template("<%= nope() %>")
+
+
+# ---------------------------------------------------------------------------
+# embedded-code helper API parity (embeddedcodeapi.rb:8-48)
+# ---------------------------------------------------------------------------
+
+
+def _make_app_home(tmp_path):
+    sub = tmp_path / "subsys"
+    sub.mkdir()
+    (sub / "users.ct").write_text(
+        "--dest-table: users\n--attributes: [daily, pii]\n\ncreate table $dest_table (id int);\n"
+    )
+    (sub / "events.ct").write_text(
+        "--dest-table: events\n--attributes: daily\n\ncreate table $dest_table (x int);\n"
+    )
+    (sub / "misc.ct").write_text("create table misc (y int);\n")
+    return tmp_path
+
+
+def test_all_tables_and_attribute_tables(tmp_path):
+    home = _make_app_home(tmp_path)
+    out = render_template(
+        "<%= ','.join(str(t) for t in all_tables()) %>", app_home=str(home)
+    )
+    assert out == "subsys.events,subsys.misc,subsys.users"
+    daily = render_template(
+        "<%= ' '.join(str(t) for t in attribute_tables('daily')) %>",
+        app_home=str(home),
+    )
+    assert daily == "subsys.events subsys.users"
+    assert render_template(
+        "<%= len(attribute_tables('pii')) %>", app_home=str(home)
+    ) == "1"
+
+
+def test_path_helpers(tmp_path):
+    import os
+
+    assert render_template("<%= user_home %>") == os.path.expanduser("~")
+    assert render_template(
+        "<%= user_home_relative_path('.bricolage/pw') %>"
+    ) == os.path.join(os.path.expanduser("~"), ".bricolage/pw")
+    assert render_template(
+        "<%= app_home_relative_path('config/x.yml') %>", app_home=str(tmp_path)
+    ) == str(tmp_path / "config/x.yml")
+    assert render_template(
+        "<%= relative_path('frag.sql') %>", base_dir=str(tmp_path)
+    ) == str(tmp_path / "frag.sql")
+
+
+def test_app_home_helpers_require_app_home():
+    import pytest as _pytest
+
+    from bricolage_spark.exception import ParameterError
+
+    with _pytest.raises(ParameterError):
+        render_template("<%= all_tables() %>")
+
+
+def test_load_job_file_defaults_app_home_to_grandparent(tmp_path):
+    home = _make_app_home(tmp_path)
+    job = home / "subsys" / "report.sql.job"
+    job.write_text(
+        "/*\nclass: sql\ndest-table: r\n*/\n"
+        "-- tables: <%= ','.join(str(t) for t in attribute_tables('daily')) %>\n"
+        "SELECT 1;\n"
+    )
+    from bricolage_spark.sqltext import load_job_file
+
+    values, sql = load_job_file(str(job))
+    assert "subsys.events,subsys.users" in sql
