@@ -167,7 +167,13 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs, "id", bands=_BANDS, rows_per_band=_ROWS_PER_BAND
     )
     jac = D.ngram_jaccard_pairs(sh, pairs, id_col="id")
-    return jac.filter(F.col("jaccard") >= _JACCARD_MIN)
+    out = jac.filter(F.col("jaccard") >= _JACCARD_MIN)
+    # The caller owns the final action, so materialize the (tiny: verified
+    # near-dup pairs only) result eagerly and release the shingle cache —
+    # a long-lived engine must not accumulate per-query cached RDDs.
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist(blocking=False)
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -235,3 +235,71 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q46/Q47 skew toolkit, oracle-checked (operators/skew.py)
+# --------------------------------------------------------------------------
+@register(
+    "q46_salted_aggregate",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,
+           CAST(COUNT(l_orderkey) AS BIGINT)         AS n_items,
+           CAST(MAX(l_extendedprice) AS DOUBLE)      AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Aggregation-skew recipe: only ~6 (returnflag, linestatus) groups "
+    "exist, so a plain groupBy pins all of lineitem on ~6 reduce tasks. "
+    "salted_aggregate (operators/skew.py) splits each hot group across 16 "
+    "content-derived salts (phase 1), then merges partials (phase 2) — "
+    "identical answer, 16× the reduce parallelism.",
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bricolage_spark.operators.skew import salted_aggregate
+
+    li = read_table(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {"l_quantity": "sum", "l_orderkey": "count", "l_extendedprice": "max"},
+        salt_from="l_orderkey",
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("sum_l_quantity", 2).alias("sum_qty"),
+        F.col("count_l_orderkey").alias("n_items"),
+        F.col("max_l_extendedprice").alias("max_price"),
+    )
+
+
+@register(
+    "q47_salted_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT)                   AS n_orders,
+           ROUND(CAST(SUM(o.o_totalprice) AS DOUBLE), 2) AS sum_price
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Join-skew recipe: salted_join (operators/skew.py) spreads hot "
+    "join keys on the fact side across 16 salts and replicates the dim "
+    "side per salt — a rewrite identity, so the oracle is the plain join. "
+    "(AQE skew-split handles this dynamically; the static recipe is for "
+    "layout-pinned shuffles.)",
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bricolage_spark.operators.skew import salted_join
+
+    o = read_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(o, c, key="c_custkey", salt_from="o_orderkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )

@@ -106,12 +106,58 @@ class S3DataSource(DataSource):
 
 
 class SNSDataSource(DataSource):
-    """SNS topic → log-only stub (snsdatasource.rb:45-51; no AWS here)."""
+    """SNS topic (snsdatasource.rb:10-40): a real boto3 publish when boto3
+    and a ``topic_arn`` are available (cluster deployment), otherwise a
+    log-only fallback (this container has no AWS SDK).  ``write`` aliases
+    ``publish`` so the source doubles as a logger device, as in the
+    reference (snsdatasource.rb:33)."""
 
     type_name = "sns"
 
+    def _client(self):
+        """A boto3 SNS client, or None when boto3 or credentials are
+        unavailable (then publish degrades to log-only — deterministic,
+        not error-swallowing: with credentials present, delivery failures
+        propagate as JobError like the reference's wrap)."""
+        try:
+            import boto3  # noqa: PLC0415 - optional dependency
+        except ImportError:
+            return None
+        kw = {"region_name": self.config.get("region")}
+        if self.config.get("access_key_id"):
+            kw["aws_access_key_id"] = self.config["access_key_id"]
+            kw["aws_secret_access_key"] = self.config.get("secret_access_key")
+        session = boto3.session.Session(
+            **{k: v for k, v in kw.items() if v}
+        )
+        if session.get_credentials() is None:
+            return None
+        return session.client("sns")
+
     def publish(self, message: str) -> None:
-        logger.info("SNS[%s] publish: %s", self.config.get("topic", "?"), message)
+        client = self._client()
+        arn = self.config.get("topic_arn")
+        if client is not None and arn:
+            try:
+                client.publish(TopicArn=arn, Message=message)
+            except Exception as err:  # snsdatasource.rb:25-29 wraps errors
+                from bricolage_spark.exception import JobError
+
+                raise JobError(
+                    f"SNS publish failed (topic_arn={arn!r}): {err}"
+                )
+            return
+        logger.info(
+            "SNS[%s] publish (no credentials/topic_arn, log only): %s",
+            arn or self.config.get("topic", "?"),
+            message,
+        )
+
+    # IO-compatible logger-device methods (snsdatasource.rb:31-37)
+    write = publish
+
+    def close(self) -> None:
+        pass
 
 
 class GenericDataSource(DataSource):

@@ -262,3 +262,31 @@ def test_serialized_lock_does_not_break_other_users_live_lock(tmp_path, monkeypa
         with L.serialized(lock, timeout=0.3, poll=0.05):
             pass
     assert os.path.exists(lock)  # live foreign lock left intact
+
+
+def test_q33_releases_shingle_cache(spark, sf_dir):
+    """q33 persists its shingle set for reuse across three consumers; a
+    long-lived engine must get that cache back after the query is built."""
+    from bricolage_spark.queries import load_all
+
+    df = load_all()["q33_minhash_lsh_pairs"].fn(spark, sf_dir)
+    assert df.count() >= 0
+    jsc = spark.sparkContext._jsc.sc()
+    cached = [
+        r for r in jsc.getRDDStorageInfo() if r.memSize() > 0 or r.diskSize() > 0
+    ]
+    # only the tiny localCheckpoint of the result may remain cached
+    for r in cached:
+        assert "checkpoint" in r.name().lower() or r.memSize() < 1 << 20, r.name()
+
+
+def test_sns_datasource_log_fallback_and_logger_device():
+    """Without boto3 (this container) publish logs instead of raising;
+    write/close keep the reference's logger-device IO surface
+    (snsdatasource.rb:31-37)."""
+    from bricolage_spark.sources import SNSDataSource
+
+    ds = SNSDataSource("sns1", {"topic_arn": "arn:aws:sns:us-east-1:1:t", "region": "us-east-1"})
+    ds.publish("job finished")
+    ds.write("as a logger device")
+    ds.close()
