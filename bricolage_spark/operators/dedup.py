@@ -210,6 +210,47 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_neardup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup, no MinHash: inverted-index candidates.
+
+    The classic sketch-free path: docs become candidate pairs iff they
+    share at least one *rare* shingle (document frequency <= ``max_df``),
+    then exact Jaccard over the FULL shingle sets keeps pairs >= threshold.
+
+    Scale design: the all-pairs n² problem is bounded by the inverted
+    index — pair generation is a self-join on ``shingle`` whose blowup per
+    shingle is df², and the df cutoff caps that at max_df² (boilerplate
+    shingles — the ones that would explode — are exactly the ones pruned;
+    they carry no near-dup signal). Recall is exact for any pair whose
+    similarity is carried by at least one sub-max_df shingle. Jaccard is
+    integer arithmetic (|A∩B|, |A|, |B|) so every engine agrees bit-for-bit.
+    Returns (id_a, id_b, jaccard >= threshold).
+    """
+    sh = word_shingles(df, id_col, text_col, k=k)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfc"))
+    rare = sh.join(freq.filter(F.col("dfc") <= max_df), "shingle").select(
+        id_col, "shingle"
+    )
+    a = rare.select(F.col(id_col).alias("id_a"), "shingle")
+    b = rare.select(F.col(id_col).alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return ngram_jaccard_pairs(sh, cand, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

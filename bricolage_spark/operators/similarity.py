@@ -16,6 +16,8 @@ Two tiers, mirroring how a 100 TB corpus is actually searched:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -139,6 +141,167 @@ def srp_bucket(vec_col: Column, n_planes: int = 8, dims: int = 64) -> Column:
         )
         bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket.cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — trained coarse quantizer, the FAISS-style layout
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_cells: int = 8,
+    seed: int = 4242,
+) -> list:
+    """Train an IVF coarse quantizer: ``k_cells`` centroids as plain lists.
+
+    Deterministic and engine-reproducible (the DuckDB oracle re-derives the
+    exact same centroids):
+
+    1. **Seeding** — the ``k_cells`` vectors whose md5-derived
+       ``hash32(id)`` is smallest (a deterministic uniform sample; no RNG,
+       no stored model).
+    2. **One spherical Lloyd step** — every vector is assigned to its
+       max-cosine seed (row-local arithmetic), then each cell's centroid is
+       the element-wise mean, rounded to 6 dp so cross-engine summation
+       order can never flip a downstream comparison.
+
+    Scale design: both collects are METADATA scale (k_cells rows / k·dims
+    numbers), never data scale. The assignment pass is shuffle-free
+    (centroids ride along as codegen literals); the mean is one
+    posexplode→groupBy over (cell, dim) — k·dims groups. At 100 TB you'd
+    run the same two jobs on a 1% sample; the contract (tiny centroid
+    table out, full scan stays distributed) is unchanged.
+    """
+    from bricolage_spark.operators.dedup import hash32
+
+    vd = _as_double(F.col(vec_col))
+    seeds = (
+        corpus.select(F.col(id_col), vd.alias("v"))
+        .withColumn("h", hash32(F.col(id_col), seed))
+        .orderBy("h", id_col)
+        .limit(k_cells)
+        .select("v")
+        .collect()
+    )
+    seed_cents = [(i, list(r["v"])) for i, r in enumerate(seeds)]
+
+    # two selects: a generator (posexplode) in the same projection as the
+    # struct-array argmin trips Spark's Generate rewrite (field names
+    # degrade to col1/col2 and getField("cell") fails analysis)
+    labeled = corpus.select(
+        ivf_cell(F.col(vec_col), seed_cents).alias("cell"), vd.alias("v")
+    )
+    assigned = labeled.select("cell", F.posexplode("v").alias("pos", "val"))
+    rows = (
+        assigned.groupBy("cell", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("cv"))
+        .groupBy("cell")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pv")
+        )
+        .select("cell", F.col("pv.cv").alias("centroid"))
+        .collect()
+    )
+    return sorted((int(r["cell"]), list(r["centroid"])) for r in rows)
+
+
+def ivf_cell(vec_col: Column, centroids: list) -> Column:
+    """Row-local cell assignment: argmax cosine over the centroid literals.
+
+    Pure codegen arithmetic — an array of (−rounded_sim, cell) structs and
+    one ``array_min`` (lexicographic, so ties break to the lowest cell id).
+    NO shuffle, NO join: at 100 TB the whole corpus is labeled in the scan
+    stage. Sims are rounded to 6 dp before comparison so both engines sort
+    identical keys.
+    """
+    vd = _as_double(vec_col)
+    vn = norm(vd)
+    entries = []
+    for cell, comps in centroids:
+        c = F.array(*[F.lit(float(x)) for x in comps])
+        cn = math.sqrt(sum(x * x for x in comps))
+        sim = F.round(dot(vd, c) / (vn * F.lit(cn)), 6)
+        entries.append(F.struct((-sim).alias("ns"), F.lit(cell).alias("cell")))
+    return F.array_min(F.array(*entries)).getField("cell").cast("int")
+
+
+def ivf_probe_cells(vec_col: Column, centroids: list, nprobe: int) -> Column:
+    """The ``nprobe`` nearest cells for a query vector, as an array<int>.
+
+    Same struct trick as :func:`ivf_cell`; ``array_sort`` + ``slice`` keeps
+    it row-local.
+    """
+    vd = _as_double(vec_col)
+    vn = norm(vd)
+    entries = []
+    for cell, comps in centroids:
+        c = F.array(*[F.lit(float(x)) for x in comps])
+        cn = math.sqrt(sum(x * x for x in comps))
+        sim = F.round(dot(vd, c) / (vn * F.lit(cn)), 6)
+        entries.append(F.struct((-sim).alias("ns"), F.lit(cell).alias("cell")))
+    ordered = F.array_sort(F.array(*entries))
+    return F.slice(ordered, 1, nprobe).getField("cell")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN search: scan only the ``nprobe`` probed cells per query.
+
+    The corpus is labeled row-locally with its cell (no shuffle); queries
+    explode into (query, probe_cell) rows and broadcast; the candidate join
+    is an equality hash join on ``cell`` — the scanned fraction is
+    ~nprobe/k_cells of the corpus. At 100 TB the labeled corpus is written
+    ``partitionBy("cell")`` (the inverted-list layout), so each probe reads
+    only its cell's files — partition pruning does the list lookup.
+    """
+    cd = _as_double(F.col(vec_col))
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            cd.alias("c_vec"),
+            norm(cd).alias("c_n"),
+            ivf_cell(F.col(vec_col), centroids).alias("cell"),
+        ),
+        "neighbor_id",
+    )
+    qd = _as_double(F.col(vec_col))
+    # explode in a separate projection (same Generate-rewrite hazard as in
+    # ivf_centroids: generator + struct-array argmin in one select)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        qd.alias("q_vec"),
+        norm(qd).alias("q_n"),
+        ivf_probe_cells(F.col(vec_col), centroids, nprobe).alias("cells"),
+    ).select("query_id", "q_vec", "q_n", F.explode("cells").alias("cell"))
+    sims = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def lsh_bucketed_topk(

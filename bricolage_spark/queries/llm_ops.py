@@ -549,3 +549,157 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.documents_as_media(spread(docs, "doc_id", cap=8))
     feats = M.extract_features(media, dim=8)
     return feats.select("media_id", "media_type", "byte_len", "digest")
+
+
+# --------------------------------------------------------------------------
+# q48 n-gram Jaccard near-dup (exact, sketch-free inverted-index path)
+# --------------------------------------------------------------------------
+_NJ_MAX_DF, _NJ_MIN = 5, 0.5
+
+
+@register(
+    "q48_ngram_jaccard_neardup",
+    oracle=f"""
+    WITH {_DOCS_CTE}, {_SHINGLES_CTE},
+    freq AS (SELECT shingle, COUNT(*) AS dfc FROM shingles GROUP BY shingle),
+    rare AS (
+        SELECT s.doc_id, s.shingle
+        FROM shingles s JOIN freq USING (shingle)
+        WHERE dfc <= {_NJ_MAX_DF}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM rare a JOIN rare b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN shingles sa ON sa.doc_id = c.id_a
+        JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT i.id_a, i.id_b,
+               ROUND(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 4)
+                   AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.id_a
+        JOIN sizes zb ON zb.doc_id = i.id_b
+    ) WHERE jaccard >= {_NJ_MIN}
+    """,
+    doc="Sketch-free exact near-dedup: inverted-index candidates (pairs "
+    "sharing a rare shingle, document frequency <= 5 — the df cutoff caps "
+    "the per-shingle join blowup at df², and the pruned boilerplate "
+    "shingles carry no near-dup signal), exact Jaccard >= 0.5 over full "
+    "shingle sets. Complements q33's MinHash-LSH: same contract, exact "
+    "recall for rare-shingle overlap, integer-arithmetic similarity.",
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_neardup(
+        docs, "doc_id", "text", k=3, threshold=_NJ_MIN, max_df=_NJ_MAX_DF
+    )
+
+
+# --------------------------------------------------------------------------
+# q49 IVF ANN (trained coarse quantizer — the FAISS-style scale path)
+# --------------------------------------------------------------------------
+_IVF_CELLS, _IVF_NPROBE, _IVF_SEED = 8, 2, 4242
+
+
+def _ivf_oracle(dims: int = 64) -> str:
+    h = _h32("CAST(vec_id AS VARCHAR)", _IVF_SEED)
+    cos6 = (
+        "ROUND(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    seeds AS (
+        SELECT cell, e FROM (
+            SELECT e, ROW_NUMBER() OVER (ORDER BY {h}, vec_id) - 1 AS cell
+            FROM v
+        ) WHERE cell < {_IVF_CELLS}
+    ),
+    a0 AS (
+        SELECT v.vec_id, v.e, s.cell,
+               {cos6.format(a='v.e', b='s.e')} AS sim
+        FROM v CROSS JOIN seeds s
+    ),
+    cell0 AS (
+        SELECT vec_id, e, cell FROM (
+            SELECT vec_id, e, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY sim DESC, cell) AS rn
+            FROM a0
+        ) WHERE rn = 1
+    ),
+    expl AS (
+        SELECT cell, i AS pos, e[i + 1] AS val
+        FROM cell0, UNNEST(range(0, {dims})) AS t(i)
+    ),
+    centd AS (
+        SELECT cell, pos, ROUND(AVG(val), 6) AS cv
+        FROM expl GROUP BY cell, pos
+    ),
+    cent AS (SELECT cell, list(cv ORDER BY pos) AS ce FROM centd GROUP BY cell),
+    a1 AS (
+        SELECT v.vec_id, v.e, c.cell,
+               {cos6.format(a='v.e', b='c.ce')} AS sim
+        FROM v CROSS JOIN cent c
+    ),
+    cell1 AS (
+        SELECT vec_id, e, cell FROM (
+            SELECT vec_id, e, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY sim DESC, cell) AS rn
+            FROM a1
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, e AS qe, cell FROM (
+            SELECT vec_id, e, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY sim DESC, cell) AS rn
+            FROM a1 WHERE vec_id < {_NQ}
+        ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    sims AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               ROUND(list_dot_product(p.qe, c.e)
+                     / (sqrt(list_dot_product(p.qe, p.qe))
+                        * sqrt(list_dot_product(c.e, c.e))), 4) AS cos_sim
+        FROM probes p
+        JOIN cell1 c ON c.cell = p.cell AND c.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+        FROM sims
+    ) WHERE rank <= {_K}
+    """
+
+
+@register(
+    "q49_ann_ivf",
+    oracle=_ivf_oracle(),
+    doc="IVF ANN with a TRAINED coarse quantizer (vs q36's data-independent "
+    "SRP planes): md5-seeded deterministic sample + one spherical Lloyd "
+    "step -> 8 centroids (metadata scale, embedded as codegen literals); "
+    "corpus labeled row-locally with its argmax-cosine cell (NO shuffle); "
+    "queries probe their 2 nearest cells via a broadcast hash join. Even "
+    "the training loop is reproduced bit-for-bit by the DuckDB oracle "
+    "(6-dp rounded sims/centroids make cross-engine float order moot). "
+    "At 100 TB: train on a sample, write corpus partitionBy(cell) — the "
+    "inverted-list layout; each probe prunes to its cell's files.",
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = S.ivf_centroids(emb, k_cells=_IVF_CELLS, seed=_IVF_SEED)
+    queries = emb.filter(F.col("vec_id") < _NQ)
+    return S.ivf_topk(emb, queries, cents, k=_K, nprobe=_IVF_NPROBE)

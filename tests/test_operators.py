@@ -258,3 +258,68 @@ def test_asof_join_carries_right_rows_atomically(spark):
     # at ts=20 the match is the ts=15 row: px NULL, note fresh — NOT
     # the stale 100.0 mixed with the fresh note
     assert out[20] == (None, "px-is-null")
+
+
+def test_ngram_jaccard_neardup_finds_near_pair_only(docs):
+    out = D.ngram_jaccard_neardup(
+        docs, "doc_id", "text", k=3, threshold=0.3, max_df=10
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out}
+    # near-dup cluster {1, 4, 5} (exact/whitespace dups) and the edited
+    # variant 2 — all pairwise; doc 3 shares no shingle with anything
+    assert (1, 2) in pairs and (1, 4) in pairs and (1, 5) in pairs
+    assert pairs[(1, 4)] == 1.0 and pairs[(1, 5)] == 1.0
+    assert 0.3 <= pairs[(1, 2)] < 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_ngram_jaccard_max_df_prunes_boilerplate(spark):
+    # every doc shares the same boilerplate shingles; with max_df below the
+    # corpus size no shingle is rare, so no candidate pairs survive
+    boiler = "this exact same boilerplate sentence repeated everywhere"
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(6)], "doc_id long, text string"
+    )
+    out = D.ngram_jaccard_neardup(df, "doc_id", "text", threshold=0.1, max_df=5)
+    assert out.count() == 0
+
+
+def test_ivf_centroids_deterministic_and_assignment_local(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)], 0) for i in range(64)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    c1 = S.ivf_centroids(df, k_cells=4, seed=99)
+    c2 = S.ivf_centroids(df, k_cells=4, seed=99)
+    assert c1 == c2  # fully deterministic training
+    assert len(c1) == 4 and all(len(c) == 8 for _, c in c1)
+    # assignment expression is row-local: the labeled plan has no Exchange
+    labeled = df.select(S.ivf_cell(F.col("embedding"), c1).alias("cell"))
+    assert "Exchange" not in labeled._jdf.queryExecution().executedPlan().toString()
+    cells = {r.cell for r in labeled.collect()}
+    assert cells <= {0, 1, 2, 3}
+
+
+def test_ivf_topk_matches_brute_force_within_probed_cells(spark):
+    import random
+
+    rnd = random.Random(3)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)], 0) for i in range(64)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    cents = S.ivf_centroids(df, k_cells=4, seed=99)
+    queries = df.filter(F.col("vec_id") < 2)
+    out = S.ivf_topk(df, queries, cents, k=3, nprobe=4)  # nprobe=all cells
+    exact = S.brute_force_cosine_topk(df, queries, k=3)
+    # probing every cell must reproduce the exact brute-force result
+    got = {(r.query_id, r.rank): r.neighbor_id for r in out.collect()}
+    want = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+    assert got == want
