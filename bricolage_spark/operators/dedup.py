@@ -233,7 +233,10 @@ def ngram_jaccard_neardup(
     integer arithmetic (|A∩B|, |A|, |B|) so every engine agrees bit-for-bit.
     Returns (id_a, id_b, jaccard >= threshold).
     """
-    sh = word_shingles(df, id_col, text_col, k=k)
+    # shingles feed four consumers (df counts, inverted index, sizes,
+    # intersection) — persist once; the explode+distinct is the expensive
+    # part and would otherwise run four times.
+    sh = word_shingles(df, id_col, text_col, k=k).persist()
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfc"))
     rare = sh.join(freq.filter(F.col("dfc") <= max_df), "shingle").select(
         id_col, "shingle"
@@ -246,9 +249,15 @@ def ngram_jaccard_neardup(
         .select("id_a", "id_b")
         .distinct()
     )
-    return ngram_jaccard_pairs(sh, cand, id_col).filter(
+    out = ngram_jaccard_pairs(sh, cand, id_col).filter(
         F.col("jaccard") >= threshold
     )
+    # materialize the (tiny: verified near-dup pairs only) result eagerly
+    # and release the cache — a long-lived engine must not accumulate
+    # per-query cached RDDs.
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist(blocking=False)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -26,7 +26,18 @@ from bricolage_spark.catalog import spread
 
 
 def _as_double(col: Column) -> Column:
-    return F.transform(col, lambda x: x.cast("double"))
+    # native array cast, not transform(x -> cast(x)): same per-element
+    # float→double result, but the cast is a single codegen'd expression
+    # instead of a higher-order-function closure invoked per element.
+    #
+    # NOTE (measured, sf0.001–0.01): do NOT "optimize" dot()/srp_bucket()/
+    # ivf_cell() into unrolled getItem multiply-add chains. 64-dim × 8-plane/
+    # 8-centroid chains build enormous expression trees: q49 9.2s→28.6s,
+    # q36 1.4→6.0s, q35 0.7→1.9s — planning cost + 8 MiB task binaries, and
+    # the IVF chains overflow janino's 64 KB method limit ("Code grows
+    # beyond 64 KB") so they fall back to interpreted evaluation anyway.
+    # The aggregate(zip_with(...)) fold keeps the tree O(1) in dims.
+    return col.cast("array<double>")
 
 
 def dot(a: Column, b: Column) -> Column:
