@@ -257,26 +257,24 @@ def ivf_probe_cells(vec_col: Column, centroids: list, nprobe: int) -> Column:
     return F.slice(ordered, 1, nprobe).getField("cell")
 
 
-def ivf_topk(
+def ivf_index(
     corpus: DataFrame,
-    queries: DataFrame,
     centroids: list,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 5,
-    nprobe: int = 2,
 ) -> DataFrame:
-    """IVF ANN search: scan only the ``nprobe`` probed cells per query.
+    """Materializable inverted-list layout: (neighbor_id, c_vec, c_n, cell).
 
-    The corpus is labeled row-locally with its cell (no shuffle); queries
-    explode into (query, probe_cell) rows and broadcast; the candidate join
-    is an equality hash join on ``cell`` — the scanned fraction is
-    ~nprobe/k_cells of the corpus. At 100 TB the labeled corpus is written
-    ``partitionBy("cell")`` (the inverted-list layout), so each probe reads
-    only its cell's files — partition pruning does the list lookup.
+    The corpus is labeled row-locally with its argmax-cosine cell (no
+    shuffle) and the norm is precomputed. This is the INDEX-BUILD stage of
+    IVF — at 100 TB you run it once and write the result
+    ``partitionBy("cell")`` so each probe's file scan prunes to its cell;
+    locally, callers persist the returned frame across queries. Labeling
+    the corpus per query (as a naive formulation would) re-pays the
+    8-centroid × dims argmax on every search.
     """
     cd = _as_double(F.col(vec_col))
-    c = spread(
+    return spread(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             cd.alias("c_vec"),
@@ -285,6 +283,28 @@ def ivf_topk(
         ),
         "neighbor_id",
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """IVF ANN search: scan only the ``nprobe`` probed cells per query.
+
+    The corpus is labeled row-locally with its cell (no shuffle); queries
+    explode into (query, probe_cell) rows and broadcast; the candidate join
+    is an equality hash join on ``cell`` — the scanned fraction is
+    ~nprobe/k_cells of the corpus. Pass a prebuilt (persisted or
+    partitionBy-written) ``ivf_index`` frame via ``index`` to serve many
+    queries against one labeling pass — the 100 TB deployment shape.
+    """
+    c = index if index is not None else ivf_index(corpus, centroids, id_col, vec_col)
     qd = _as_double(F.col(vec_col))
     # explode in a separate projection (same Generate-rewrite hazard as in
     # ivf_centroids: generator + struct-array argmin in one select)
