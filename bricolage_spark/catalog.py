@@ -47,11 +47,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # (microsecond) timestamp; set defensively here because the driver may
     # hand us a session built without this legacy conf.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Likewise no-timezone parquet timestamps must surface as TIMESTAMP
+    # (session-UTC), not TIMESTAMP_NTZ — unix_micros()/window() reject NTZ
+    # and the session timezone is pinned to UTC so values are identical.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer div, not /: double division of ~1.7e18 nanos loses the
-        # low microsecond bits (53-bit mantissa) → off-by-one timestamps
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer div, not /: double division of ~1.7e18 nanos loses the
+            # low microsecond bits (53-bit mantissa) → off-by-one timestamps
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Belt-and-suspenders: a frame scanned before the conf applied.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

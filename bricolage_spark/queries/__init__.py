@@ -47,7 +47,13 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 
 
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query module (side effect: fills QUERIES)."""
-    from bricolage_spark.queries import llm_ops, patterns, relational  # noqa: F401
+    """Import every query module (side effect: fills QUERIES).
+
+    Core relational SQL registers FIRST so a time-truncated driver run
+    clips the exotic tail (LLM ops), never q01–q30.
+    """
+    from bricolage_spark.queries import relational  # noqa: F401  (q01–q30)
+    from bricolage_spark.queries import patterns  # noqa: F401  (q43–q47)
+    from bricolage_spark.queries import llm_ops  # noqa: F401  (q31–q42, q48–q49)
 
     return QUERIES

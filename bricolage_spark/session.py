@@ -71,6 +71,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- deterministic comparisons ----------------------------------
         .config("spark.sql.session.timeZone", "UTC")
+        # Parquet timestamps with no timezone annotation must read as
+        # TIMESTAMP (session-UTC), not TIMESTAMP_NTZ: time functions such
+        # as unix_micros()/window() reject NTZ inputs, and with the session
+        # timezone pinned to UTC the two types have identical values.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # broadcast threshold: dims (region/nation/supplier/part) stay
         # broadcastable even at large SF; 64 MiB is safe for 128 GiB heap.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
