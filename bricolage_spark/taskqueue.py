@@ -166,52 +166,92 @@ class FileTaskQueue(MemoryTaskQueue):
 
 class DatabaseTaskQueue(MemoryTaskQueue):
     """DB-backed queue + job-execution audit (taskqueue.rb:175-310,
-    dao/jobexecution.rb, schema/Schemafile:1-57) on SQLite.
+    dao/jobexecution.rb, schema/Schemafile:1-57).
 
     Tables mirror the reference Schemafile: ``jobs`` (identity),
     ``job_executions`` (latest state per job) and
     ``job_execution_states`` (append-only transition audit).
+
+    ``dsn`` selects the backend: a ``postgresql://`` / ``postgres://`` URL
+    connects via psycopg (v3 or v2, whichever is installed) and gives the
+    reference's multi-host semantics — shared state, cross-host resume,
+    and a server-side advisory lock per jobnet; anything else is a SQLite
+    file path (zero-dependency default, single-writer). The SQL below is
+    written once in the common subset (``?`` placeholders, ``RETURNING``,
+    ``ON CONFLICT DO NOTHING``) and rewritten per paramstyle.
     """
 
     _SCHEMA = """
     CREATE TABLE IF NOT EXISTS jobs (
-        job_id INTEGER PRIMARY KEY AUTOINCREMENT,
+        job_id {pk},
         subsystem TEXT NOT NULL,
         job_name TEXT NOT NULL,
         jobnet_name TEXT NOT NULL,
         UNIQUE (subsystem, job_name, jobnet_name)
     );
     CREATE TABLE IF NOT EXISTS job_executions (
-        job_execution_id INTEGER PRIMARY KEY AUTOINCREMENT,
-        job_id INTEGER NOT NULL REFERENCES jobs (job_id),
+        job_execution_id {pk},
+        job_id BIGINT NOT NULL REFERENCES jobs (job_id),
         status TEXT NOT NULL,
         message TEXT,
-        execution_sequence INTEGER NOT NULL DEFAULT 0,
+        execution_sequence BIGINT NOT NULL DEFAULT 0,
         submitted_at TEXT, started_at TEXT, finished_at TEXT
     );
     CREATE TABLE IF NOT EXISTS job_execution_states (
-        id INTEGER PRIMARY KEY AUTOINCREMENT,
-        job_execution_id INTEGER NOT NULL REFERENCES job_executions (job_execution_id),
-        job_id INTEGER NOT NULL,
+        id {pk},
+        job_execution_id BIGINT NOT NULL REFERENCES job_executions (job_execution_id),
+        job_id BIGINT NOT NULL,
         status TEXT NOT NULL,
         message TEXT,
         created_at TEXT NOT NULL
     );
     """
 
-    def __init__(self, db_path: str, jobnet_name: str = "net"):
-        super().__init__()
-        import sqlite3
+    _PK = {
+        "sqlite": "INTEGER PRIMARY KEY AUTOINCREMENT",
+        "postgres": "BIGINT GENERATED BY DEFAULT AS IDENTITY PRIMARY KEY",
+    }
 
-        self.db_path = db_path
+    def __init__(self, dsn: str, jobnet_name: str = "net"):
+        super().__init__()
+        self.db_path = dsn  # retained name: lock_path/tests use it
         self.jobnet_name = jobnet_name
-        os.makedirs(os.path.dirname(db_path) or ".", exist_ok=True)
-        self._conn = sqlite3.connect(db_path)
-        self._conn.executescript(self._SCHEMA)
+        self._conn, self._dialect = self._connect(dsn)
+        for stmt in self._SCHEMA.format(pk=self._PK[self._dialect]).split(";"):
+            if stmt.strip():
+                self._exec(stmt)
+        self._conn.commit()
         self._restore()
 
+    @staticmethod
+    def _connect(dsn: str):
+        if dsn.startswith(("postgresql://", "postgres://")):
+            try:
+                import psycopg  # psycopg 3
+            except ImportError:
+                try:
+                    import psycopg2 as psycopg
+                except ImportError:
+                    raise ParameterError(
+                        "PostgreSQL task queue requires psycopg (v3) or "
+                        "psycopg2; pass a SQLite path instead, or install one"
+                    )
+            return psycopg.connect(dsn), "postgres"
+        import sqlite3
+
+        os.makedirs(os.path.dirname(dsn) or ".", exist_ok=True)
+        return sqlite3.connect(dsn), "sqlite"
+
+    def _exec(self, sql: str, params: tuple = ()):
+        """Run one statement, rewriting ``?`` to the driver's paramstyle."""
+        if self._dialect == "postgres":
+            sql = sql.replace("?", "%s")
+        cur = self._conn.cursor()
+        cur.execute(sql, params)
+        return cur
+
     def _restore(self) -> None:
-        rows = self._conn.execute(
+        rows = self._exec(
             """SELECT j.subsystem || '/' || j.job_name, e.status, e.message
                FROM job_executions e JOIN jobs j USING (job_id)
                WHERE j.jobnet_name = ?
@@ -231,11 +271,12 @@ class DatabaseTaskQueue(MemoryTaskQueue):
 
     def _job_id(self, job: str) -> int:
         subsys, _, name = job.partition("/")
-        self._conn.execute(
-            "INSERT OR IGNORE INTO jobs (subsystem, job_name, jobnet_name) VALUES (?,?,?)",
+        self._exec(
+            "INSERT INTO jobs (subsystem, job_name, jobnet_name) VALUES (?,?,?) "
+            "ON CONFLICT DO NOTHING",
             (subsys, name or subsys, self.jobnet_name),
         )
-        (jid,) = self._conn.execute(
+        (jid,) = self._exec(
             "SELECT job_id FROM jobs WHERE subsystem=? AND job_name=? AND jobnet_name=?",
             (subsys, name or subsys, self.jobnet_name),
         ).fetchone()
@@ -243,10 +284,10 @@ class DatabaseTaskQueue(MemoryTaskQueue):
 
     def save(self) -> None:
         now = _dt.datetime.now(_dt.timezone.utc).isoformat()
-        with self._conn:
+        try:
             for seq, t in enumerate(self.tasks):
                 jid = self._job_id(t.job)
-                row = self._conn.execute(
+                row = self._exec(
                     "SELECT job_execution_id, status FROM job_executions "
                     "WHERE job_id=? ORDER BY job_execution_id DESC LIMIT 1",
                     (jid,),
@@ -254,32 +295,49 @@ class DatabaseTaskQueue(MemoryTaskQueue):
                 if row and row[1] == t.status:
                     continue
                 if row:
-                    self._conn.execute(
+                    self._exec(
                         "UPDATE job_executions SET status=?, message=?, "
                         "execution_sequence=?, finished_at=? WHERE job_execution_id=?",
                         (t.status, t.message, seq, now, row[0]),
                     )
                     eid = row[0]
                 else:
-                    cur = self._conn.execute(
+                    (eid,) = self._exec(
                         "INSERT INTO job_executions (job_id, status, message, "
-                        "execution_sequence, submitted_at) VALUES (?,?,?,?,?)",
+                        "execution_sequence, submitted_at) VALUES (?,?,?,?,?) "
+                        "RETURNING job_execution_id",
                         (jid, t.status, t.message, seq, now),
-                    )
-                    eid = cur.lastrowid
-                self._conn.execute(
+                    ).fetchone()
+                self._exec(
                     "INSERT INTO job_execution_states "
                     "(job_execution_id, job_id, status, message, created_at) "
                     "VALUES (?,?,?,?,?)",
                     (eid, jid, t.status, t.message, now),
                 )
+            self._conn.commit()
+        except Exception:
+            self._conn.rollback()
+            raise
 
-    # lock: same exclusive-file contract as FileTaskQueue, keyed per jobnet
+    # lock: SQLite keeps the exclusive-file contract (single host by
+    # definition); PostgreSQL takes a server-side advisory lock so the
+    # mutual exclusion spans every host sharing the queue database.
     @property
     def lock_path(self) -> str:
         return f"{self.db_path}.{self.jobnet_name.replace('/', '__')}.LOCK"
 
     def lock(self) -> None:
+        if self._dialect == "postgres":
+            (got,) = self._exec(
+                "SELECT pg_try_advisory_lock(hashtext(?))", (self.jobnet_name,)
+            ).fetchone()
+            self._conn.commit()
+            if not got:
+                raise ParameterError(
+                    f"another jobnet is already running (advisory lock held: "
+                    f"{self.jobnet_name})"
+                )
+            return
         os.makedirs(os.path.dirname(self.lock_path) or ".", exist_ok=True)
         try:
             fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -291,6 +349,12 @@ class DatabaseTaskQueue(MemoryTaskQueue):
             f.write(str(os.getpid()))
 
     def unlock(self) -> None:
+        if self._dialect == "postgres":
+            self._exec(
+                "SELECT pg_advisory_unlock(hashtext(?))", (self.jobnet_name,)
+            )
+            self._conn.commit()
+            return
         if os.path.exists(self.lock_path):
             os.remove(self.lock_path)
 
@@ -299,7 +363,7 @@ class DatabaseTaskQueue(MemoryTaskQueue):
 
     def state_history(self, job: str) -> list[tuple[str, str]]:
         subsys, _, name = job.partition("/")
-        return self._conn.execute(
+        return self._exec(
             """SELECT s.status, s.created_at FROM job_execution_states s
                JOIN jobs j ON j.job_id = s.job_id
                WHERE j.subsystem=? AND j.job_name=? AND j.jobnet_name=?

@@ -99,6 +99,79 @@ def test_db_queue_isolates_jobnets(tmp_path):
     other.close()
 
 
+def test_db_queue_pg_dsn_requires_driver(monkeypatch):
+    """A postgresql:// DSN without psycopg installed fails with a clear
+    ParameterError, never an ImportError traceback."""
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_psycopg(name, *a, **kw):
+        if name.startswith("psycopg"):
+            raise ImportError(name)
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_psycopg)
+    with pytest.raises(ParameterError, match="psycopg"):
+        DatabaseTaskQueue("postgresql://h/db", jobnet_name="net1")
+
+
+def test_db_queue_pg_dialect_sql():
+    """The postgres dialect rewrites placeholders and uses IDENTITY keys;
+    statements are captured by a stub connection (no server needed)."""
+    ran: list[tuple[str, tuple]] = []
+
+    class StubCursor:
+        sql = ""
+
+        def execute(self, sql, params=()):
+            self.sql = sql
+            ran.append((sql, tuple(params)))
+
+        def fetchone(self):
+            if "job_execution_id, status" in self.sql:
+                return None  # no prior execution row → INSERT..RETURNING path
+            return (1,)  # job_id / RETURNING id / advisory-lock true
+
+        def fetchall(self):
+            return []
+
+    class StubConn:
+        def cursor(self):
+            return StubCursor()
+
+        def commit(self):
+            pass
+
+        def rollback(self):
+            pass
+
+    q = DatabaseTaskQueue.__new__(DatabaseTaskQueue)
+    q.tasks = []
+    q.db_path = "postgresql://h/db"
+    q.jobnet_name = "net1"
+    q._conn, q._dialect = StubConn(), "postgres"
+    for stmt in q._SCHEMA.format(pk=q._PK["postgres"]).split(";"):
+        if stmt.strip():
+            q._exec(stmt)
+    assert all("AUTOINCREMENT" not in sql for sql, _ in ran)
+    assert any("GENERATED BY DEFAULT AS IDENTITY" in sql for sql, _ in ran)
+
+    ran.clear()
+    q.enqueue("s/a")
+    q.save()
+    joined = "\n".join(sql for sql, _ in ran)
+    assert "?" not in joined and "%s" in joined
+    assert "ON CONFLICT DO NOTHING" in joined
+    assert "RETURNING job_execution_id" in joined
+
+    ran.clear()
+    q.lock()
+    q.unlock()
+    assert "pg_try_advisory_lock" in ran[0][0]
+    assert "pg_advisory_unlock" in ran[1][0]
+
+
 # -- serialization lock (vacuumlock.rb) -------------------------------------
 
 
