@@ -139,19 +139,48 @@ def plane_components(plane: int, dims: int) -> list[float]:
     return out
 
 
-def srp_bucket(vec_col: Column, n_planes: int = 8, dims: int = 64) -> Column:
-    """Sign-random-projection bucket id in [0, 2^n_planes)."""
-    vd = _as_double(vec_col)
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(c) for c in plane_components(p, dims)])
-        proj = F.aggregate(
-            F.zip_with(vd, plane, lambda x, c: x * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket.cast("bigint")
+# Parsed-Column memo for the generated-SQL builders below: a pyspark
+# Column is an immutable expression handle, so the (one-off ~0.1 s) JVM
+# parse of each ~20 KB literal-heavy string is paid once per process,
+# not once per query. Keyed by the full generating arguments.
+_EXPR_CACHE: dict = {}
+
+
+def _dbl_sql(x: float) -> str:
+    """A double literal for Spark SQL text (full repr precision)."""
+    return f"CAST('{x!r}' AS DOUBLE)" if "e" in repr(x) else f"{x!r}D"
+
+
+def _arr_sql(comps) -> str:
+    return "array(" + ", ".join(_dbl_sql(float(c)) for c in comps) + ")"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Same fold as :func:`dot`, as SQL text."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def srp_bucket(vec: str, n_planes: int = 8, dims: int = 64) -> Column:
+    """Sign-random-projection bucket id in [0, 2^n_planes).
+
+    ``vec`` is a column name (or SQL snippet). The whole bucket expression
+    is generated as ONE SQL string and parsed JVM-side in a single call:
+    building it Column-by-Column costs ~512 Py4J round-trips (8 planes ×
+    64 literals) ≈ 1 s of driver-side plan construction per query.
+    """
+    key = ("srp", vec, n_planes, dims)
+    col = _EXPR_CACHE.get(key)
+    if col is None:
+        vd = f"CAST({vec} AS ARRAY<DOUBLE>)"
+        terms = []
+        for p in range(n_planes):
+            proj = _dot_sql(vd, _arr_sql(plane_components(p, dims)))
+            terms.append(f"IF({proj} >= 0.0D, {1 << p}, 0)")
+        col = _EXPR_CACHE[key] = F.expr(f"CAST({' + '.join(terms)} AS BIGINT)")
+    return col
 
 
 # ---------------------------------------------------------------------------
@@ -203,7 +232,7 @@ def ivf_centroids(
     # struct-array argmin trips Spark's Generate rewrite (field names
     # degrade to col1/col2 and getField("cell") fails analysis)
     labeled = corpus.select(
-        ivf_cell(F.col(vec_col), seed_cents).alias("cell"), vd.alias("v")
+        ivf_cell(vec_col, seed_cents).alias("cell"), vd.alias("v")
     )
     assigned = labeled.select("cell", F.posexplode("v").alias("pos", "val"))
     rows = (
@@ -219,42 +248,58 @@ def ivf_centroids(
     return sorted((int(r["cell"]), list(r["centroid"])) for r in rows)
 
 
-def ivf_cell(vec_col: Column, centroids: list) -> Column:
+def _cent_key(centroids: list) -> tuple:
+    return tuple((c, tuple(float(x) for x in comps)) for c, comps in centroids)
+
+
+def _ivf_sim_structs_sql(vec: str, centroids: list) -> str:
+    """array of (−rounded_cosine, cell) structs vs every centroid, as SQL.
+
+    One generated SQL string (vs ~1000 Py4J calls for 8 centroids × 64
+    literal components when built Column-by-Column — measured ~1 s of
+    driver-side construction per query).
+    """
+    vd = f"CAST({vec} AS ARRAY<DOUBLE>)"
+    vn = f"sqrt({_dot_sql(vd, vd)})"
+    entries = []
+    for cell, comps in centroids:
+        cn = math.sqrt(sum(float(x) * float(x) for x in comps))
+        sim = f"round({_dot_sql(vd, _arr_sql(comps))} / ({vn} * {_dbl_sql(cn)}), 6)"
+        entries.append(f"named_struct('ns', -{sim}, 'cell', {int(cell)})")
+    return f"array({', '.join(entries)})"
+
+
+def ivf_cell(vec: str, centroids: list) -> Column:
     """Row-local cell assignment: argmax cosine over the centroid literals.
 
     Pure codegen arithmetic — an array of (−rounded_sim, cell) structs and
     one ``array_min`` (lexicographic, so ties break to the lowest cell id).
     NO shuffle, NO join: at 100 TB the whole corpus is labeled in the scan
     stage. Sims are rounded to 6 dp before comparison so both engines sort
-    identical keys.
+    identical keys. ``vec`` is a column name (or SQL snippet).
     """
-    vd = _as_double(vec_col)
-    vn = norm(vd)
-    entries = []
-    for cell, comps in centroids:
-        c = F.array(*[F.lit(float(x)) for x in comps])
-        cn = math.sqrt(sum(x * x for x in comps))
-        sim = F.round(dot(vd, c) / (vn * F.lit(cn)), 6)
-        entries.append(F.struct((-sim).alias("ns"), F.lit(cell).alias("cell")))
-    return F.array_min(F.array(*entries)).getField("cell").cast("int")
+    key = ("ivf_cell", vec, _cent_key(centroids))
+    col = _EXPR_CACHE.get(key)
+    if col is None:
+        structs = _ivf_sim_structs_sql(vec, centroids)
+        col = _EXPR_CACHE[key] = F.expr(f"CAST(array_min({structs}).cell AS INT)")
+    return col
 
 
-def ivf_probe_cells(vec_col: Column, centroids: list, nprobe: int) -> Column:
+def ivf_probe_cells(vec: str, centroids: list, nprobe: int) -> Column:
     """The ``nprobe`` nearest cells for a query vector, as an array<int>.
 
     Same struct trick as :func:`ivf_cell`; ``array_sort`` + ``slice`` keeps
     it row-local.
     """
-    vd = _as_double(vec_col)
-    vn = norm(vd)
-    entries = []
-    for cell, comps in centroids:
-        c = F.array(*[F.lit(float(x)) for x in comps])
-        cn = math.sqrt(sum(x * x for x in comps))
-        sim = F.round(dot(vd, c) / (vn * F.lit(cn)), 6)
-        entries.append(F.struct((-sim).alias("ns"), F.lit(cell).alias("cell")))
-    ordered = F.array_sort(F.array(*entries))
-    return F.slice(ordered, 1, nprobe).getField("cell")
+    key = ("ivf_probe", vec, _cent_key(centroids), nprobe)
+    col = _EXPR_CACHE.get(key)
+    if col is None:
+        structs = _ivf_sim_structs_sql(vec, centroids)
+        col = _EXPR_CACHE[key] = F.expr(
+            f"slice(array_sort({structs}), 1, {int(nprobe)}).cell"
+        )
+    return col
 
 
 def ivf_index(
@@ -279,7 +324,7 @@ def ivf_index(
             F.col(id_col).alias("neighbor_id"),
             cd.alias("c_vec"),
             norm(cd).alias("c_n"),
-            ivf_cell(F.col(vec_col), centroids).alias("cell"),
+            ivf_cell(vec_col, centroids).alias("cell"),
         ),
         "neighbor_id",
     )
@@ -312,7 +357,7 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         qd.alias("q_vec"),
         norm(qd).alias("q_n"),
-        ivf_probe_cells(F.col(vec_col), centroids, nprobe).alias("cells"),
+        ivf_probe_cells(vec_col, centroids, nprobe).alias("cells"),
     ).select("query_id", "q_vec", "q_n", F.explode("cells").alias("cell"))
     sims = (
         c.join(F.broadcast(q), "cell")
@@ -355,7 +400,7 @@ def lsh_bucketed_topk(
             F.col(id_col).alias("neighbor_id"),
             cd.alias("c_vec"),
             norm(cd).alias("c_n"),
-            srp_bucket(F.col(vec_col), n_planes).alias("bucket"),
+            srp_bucket(vec_col, n_planes).alias("bucket"),
         ),
         "neighbor_id",
     )
@@ -364,7 +409,7 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("query_id"),
         qd.alias("q_vec"),
         norm(qd).alias("q_n"),
-        srp_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        srp_bucket(vec_col, n_planes).alias("bucket"),
     )
     sims = (
         c.join(F.broadcast(q), "bucket")

@@ -7,8 +7,12 @@ runtime; these helpers are the static recipes for the cases AQE can't
 see — aggregation skew, and joins where the skewed side must stay on a
 deterministic layout.
 
-All salting is deterministic (md5-derived from row content), so retries
-and engine comparisons reproduce.
+All salting is deterministic (fixed-seed hash of row content), so
+retries land rows on the same salt. The salt never reaches the result —
+it exists only between the two shuffle phases — so the engine-native
+hash is the right primitive: a codegen'd murmur3 per row, not an md5
+(which costs a MessageDigest call per row and buys nothing here; md5 is
+reserved for values an external oracle must reproduce).
 """
 
 from __future__ import annotations
@@ -16,12 +20,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from bricolage_spark.operators.dedup import hash32
-
 
 def _salt_of(col: Column, n: int) -> Column:
     """Deterministic salt in [0, n) from a column's content."""
-    return F.pmod(hash32(col.cast("string"), 424242), F.lit(n))
+    return F.pmod(F.hash(col), F.lit(n))
 
 
 def salted_join(

@@ -1021,11 +1021,17 @@ def q26b(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact and approx stay in SEPARATE branches: mixing a distinct and a
     # non-distinct aggregate in one agg() forces an Expand (row duplication
     # + two-level shuffle) that measured ~8× slower than two clean plans.
-    nd_a = (
-        li.select("l_partkey").distinct().agg(F.count(F.lit(1)).alias("nd_parts"))
-    )
-    nd_b = (
-        li.select("l_orderkey").distinct().agg(F.count(F.lit(1)).alias("nd_orders"))
+    # Both exact distinct counts in ONE scan: Catalyst's multi-distinct
+    # rewrite Expands each row into 2 (one per distinct family) but
+    # map-side partial-distinct dedups before the shuffle, so shuffle
+    # volume ≈ Σ per-family distincts — the same bytes the two separate
+    # branches would shuffle, for half the scans (measured faster at
+    # sf0.1 too). The approx sketches stay OUT of this agg: mixing
+    # distinct + non-distinct families widens Expand to 3× with the
+    # sketch evaluated on every replicated row (~8× slower, r1 note).
+    nds = li.agg(
+        F.countDistinct("l_partkey").alias("nd_parts"),
+        F.countDistinct("l_orderkey").alias("nd_orders"),
     )
     # all three sketches are non-distinct mergeable aggregates, so ONE scan
     # computes them in a single partial+final pass (no Expand involved).
@@ -1039,8 +1045,7 @@ def q26b(spark: SparkSession, sf_dir: str) -> DataFrame:
     p50_exact = _lineitem_price_pcts(li, sf_dir)[0.5]
 
     return (
-        nd_a.crossJoin(nd_b)
-        .crossJoin(apx)
+        nds.crossJoin(apx)
         .select(
             F.col("nd_parts").cast("bigint").alias("nd_parts"),
             F.col("nd_orders").cast("bigint").alias("nd_orders"),

@@ -96,7 +96,7 @@ def test_srp_bucket_deterministic_and_local(spark):
         [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0, 3.0]), (3, [1.01, 2.0, 3.0])],
         "vec_id long, embedding array<float>",
     )
-    rows = df.select("vec_id", S.srp_bucket(F.col("embedding"), 8).alias("b")).collect()
+    rows = df.select("vec_id", S.srp_bucket("embedding", 8).alias("b")).collect()
     b = {r.vec_id: r.b for r in rows}
     assert b[1] == b[2]          # identical vectors → same bucket
     assert b[1] == b[3]          # tiny perturbation → same bucket (locality)
@@ -299,7 +299,7 @@ def test_ivf_centroids_deterministic_and_assignment_local(spark):
     assert c1 == c2  # fully deterministic training
     assert len(c1) == 4 and all(len(c) == 8 for _, c in c1)
     # assignment expression is row-local: the labeled plan has no Exchange
-    labeled = df.select(S.ivf_cell(F.col("embedding"), c1).alias("cell"))
+    labeled = df.select(S.ivf_cell("embedding", c1).alias("cell"))
     assert "Exchange" not in labeled._jdf.queryExecution().executedPlan().toString()
     cells = {r.cell for r in labeled.collect()}
     assert cells <= {0, 1, 2, 3}
