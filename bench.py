@@ -57,12 +57,12 @@ def run_spark(specs, sf_dir: str) -> dict[str, float]:
     )
     # warm-up: JVM, codegen, parquet footer caches
     specs["q05_tpch_q1"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    # Per-query: best of N runs (default 2). Run 1 pays whole-stage-codegen
+    # Per-query: best of N runs (default 3). Run 1 pays whole-stage-codegen
     # compilation (~1-3 s of Janino per distinct query shape) — a fixed
     # cost that amortizes to nothing at production scale, so steady-state
     # throughput is what the number should mean (BASELINE.md methodology:
     # warm session). SPARK_GRAFT_BENCH_RUNS=1 gives cold timings.
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     times: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         best = float("inf")
@@ -85,7 +85,7 @@ def run_duckdb(specs, sf_dir: str) -> dict[str, float]:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{table_path(sf_dir, t)}')"
         )
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     times: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         if spec.oracle is None:
@@ -104,7 +104,7 @@ def main() -> None:
     with_duckdb = "--duckdb" in sys.argv
     times = run_spark(specs, SF_DIR)
     total = round(sum(times.values()), 3)
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     out = {
         "metric": f"sum of per-query best-of-{n_runs} wall sec, full query "
         "inventory (noop sink, warm session)",
