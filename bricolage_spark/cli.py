@@ -106,6 +106,11 @@ def main(argv: list[str] | None = None) -> int:
         "--queue", choices=["file", "db"], default="file",
         help="task-queue backend: resumable JSON file or SQLite job-state DB",
     )
+    pn.add_argument(
+        "--isolate", action="store_true",
+        help="fork isolate-safe (non-Spark) jobs so a crashing job is "
+        "recorded as failed instead of killing the runner",
+    )
 
     pl = sub.add_parser("list-declarations", help="list variables a job uses")
     pl.add_argument("path")
@@ -143,7 +148,7 @@ def main(argv: list[str] | None = None) -> int:
             print(result)
             return 0
         if args.command == "jobnet":
-            runner = JobNetRunner(ctx, queue_type=args.queue)
+            runner = JobNetRunner(ctx, queue_type=args.queue, isolate=args.isolate)
             report = runner.run(
                 os.path.join(ctx.home, args.path)
                 if not os.path.exists(args.path)

@@ -34,13 +34,22 @@ from bricolage_spark.sqltext import (
 
 JOB_CLASSES: dict[str, Callable[["Job"], "JobResult"]] = {}
 PARAM_SCHEMAS: dict[str, "object"] = {}  # class name -> ParamSchema
+# Classes that never touch the shared SparkSession/JVM and may therefore
+# run in a forked child under the runner's --isolate flag (job.rb:157-196
+# forks EVERY job; we can only fork the non-Spark ones — a fork must not
+# inherit live Py4J/JVM state it could corrupt on exit).
+ISOLATE_SAFE: set[str] = set()
 
 
-def jobclass(name: str, schema: "object | None" = None) -> Callable:
+def jobclass(
+    name: str, schema: "object | None" = None, isolate_safe: bool = False
+) -> Callable:
     def wrap(fn: Callable[["Job"], "JobResult"]) -> Callable:
         JOB_CLASSES[name] = fn
         if schema is not None:
             PARAM_SCHEMAS[name] = schema
+        if isolate_safe:
+            ISOLATE_SAFE.add(name)
         return fn
 
     return wrap

@@ -33,7 +33,7 @@ _FORMATS = ("tsv", "csv", "json", "parquet")
 # ---------------------------------------------------------------------------
 
 
-@jobclass("noop")
+@jobclass("noop", isolate_safe=True)
 def noop(job: Job) -> JobResult:
     """jobclass/noop.rb:1-13 — success/failure for DAG testing."""
     if job.bool_param("failure"):
@@ -41,7 +41,7 @@ def noop(job: Job) -> JobResult:
     return JobResult(message="noop")
 
 
-@jobclass("exec")
+@jobclass("exec", isolate_safe=True)
 def exec_(job: Job) -> JobResult:
     """jobclass/exec.rb:1-20 — run an OS command with env."""
     args = job.require("args")
@@ -59,7 +59,7 @@ def exec_(job: Job) -> JobResult:
     return JobResult(message=proc.stdout[-500:])
 
 
-@jobclass("wait-file")
+@jobclass("wait-file", isolate_safe=True)
 def wait_file(job: Job) -> JobResult:
     """jobclass/wait-file.rb:1-48 — poll until a file exists, with timeout."""
     target = job.param("dest-file") or job.require("src-file")
@@ -348,7 +348,7 @@ def unload(job: Job) -> JobResult:
     return JobResult(message=f"unloaded to {dest_file}")
 
 
-@jobclass("s3-put")
+@jobclass("s3-put", isolate_safe=True)
 def s3_put(job: Job) -> JobResult:
     """jobclass/s3-put.rb + s3datasource.rb:143-193 — upload glob to a
     bucket prefix. Without AWS creds in this environment the "bucket" is

@@ -11,18 +11,63 @@ The reference forks a child process per job (job.rb:157-196) because psql
 holds global state; a SparkSession is shareable, so jobs run in-process
 under try/except with the same observable contract (status recorded,
 failure stops, resume skips succeeded jobs).
+
+``isolate=True`` restores the reference's fork-per-job crash containment
+for the job classes that can take it: classes registered
+``isolate_safe=True`` (exec, wait-file, noop, s3-put, custom Python that
+never touches the engine) run in a forked child, so a segfaulting or
+hard-exiting job is recorded as failed instead of killing the runner.
+Spark-touching classes always stay in-process — a fork must not inherit
+live Py4J/JVM sockets it could corrupt.
 """
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass
 
 from bricolage_spark.context import Context
 from bricolage_spark.exception import ApplicationError, JobFailure
 from bricolage_spark.jobnet import Ref, RootJobNet
-from bricolage_spark.jobs import Job, JobResult
+from bricolage_spark.jobs import ISOLATE_SAFE, Job, JobResult
 from bricolage_spark.taskqueue import FileTaskQueue, MemoryTaskQueue
+
+
+def execute_isolated(job: Job) -> tuple[bool, str]:
+    """Run ``job.execute()`` in a forked child (job.rb:157-196 parity).
+
+    Returns (success, message). The child reports through a pipe and
+    leaves via ``os._exit`` (never the interpreter's normal teardown —
+    inherited descriptors/atexit hooks must stay untouched). A child that
+    dies without reporting (segfault, ``os._exit`` inside the job, OOM
+    kill) becomes a recorded failure, not a dead runner.
+    """
+    r, w = os.pipe()
+    pid = os.fork()
+    if pid == 0:  # child
+        ok, msg = True, ""
+        try:
+            os.close(r)
+            result = job.execute()
+            ok, msg = result.success, result.message
+        except BaseException as err:  # noqa: BLE001 — report, then _exit
+            ok, msg = False, f"{type(err).__name__}: {err}"
+        try:
+            with os.fdopen(w, "w") as f:
+                json.dump({"ok": ok, "message": msg}, f)
+        finally:
+            os._exit(0)
+    os.close(w)
+    with os.fdopen(r) as f:
+        data = f.read()
+    _, wstatus = os.waitpid(pid, 0)
+    if data:
+        d = json.loads(data)
+        return d["ok"], d["message"]
+    if os.WIFSIGNALED(wstatus):
+        return False, f"job child killed by signal {os.WTERMSIG(wstatus)}"
+    return False, f"job child exited rc={os.WEXITSTATUS(wstatus)} without result"
 
 
 @dataclass
@@ -42,12 +87,14 @@ class JobNetRunner:
         context: Context,
         queue_dir: str | None = None,
         queue_type: str = "file",
+        isolate: bool = False,
     ):
         self.ctx = context
         self.queue_dir = queue_dir or os.path.join(context.home, ".queue")
         if queue_type not in ("file", "db"):
             raise ApplicationError(f"unknown queue type: {queue_type}")
         self.queue_type = queue_type
+        self.isolate = isolate
 
     def queue_path(self, net_ref: Ref) -> str:
         return os.path.join(
@@ -113,13 +160,18 @@ class JobNetRunner:
                     )
                     job.compile()
                 self.ctx.hooks.fire("before_job", job=job, ref=task.job)
-                try:
-                    result = job.execute()
-                    task.transition("succeeded", result.message)
-                    succeeded.append(task.job)
-                except (JobFailure, ApplicationError) as err:
-                    task.transition("failed", str(err))
-                    failed.append(task.job)
+                if self.isolate and job.class_name in ISOLATE_SAFE:
+                    ok, message = execute_isolated(job)
+                    task.transition("succeeded" if ok else "failed", message)
+                    (succeeded if ok else failed).append(task.job)
+                else:
+                    try:
+                        result = job.execute()
+                        task.transition("succeeded", result.message)
+                        succeeded.append(task.job)
+                    except (JobFailure, ApplicationError) as err:
+                        task.transition("failed", str(err))
+                        failed.append(task.job)
                 self.ctx.hooks.fire(
                     "after_job", job=job, ref=task.job, status=task.status
                 )

@@ -296,3 +296,45 @@ def test_jobnet_hooks_fire(engine, home):
     c.hooks.after_job.append(lambda **kw: events.append(("after", kw["status"])))
     JobNetRunner(c).run(str(home / "subsys" / "net.jobnet"))
     assert events == [("before", "subsys/a"), ("after", "succeeded")]
+
+def test_isolate_contains_hard_crash(engine, home):
+    """--isolate parity with job.rb:157-196: an isolate-safe job that
+    kills its own process (segfault stand-in: os._exit) is recorded as a
+    failure; the runner survives and the net stops at the crashed job."""
+    from bricolage_spark.jobs import jobclass, JobResult, ISOLATE_SAFE
+
+    @jobclass("crashy", isolate_safe=True)
+    def crashy(job):
+        os._exit(42)  # hard process death: no exception to catch
+
+    try:
+        write_job(home, "a.job", "class: noop\n")
+        write_job(home, "b.job", "class: crashy\n")
+        write_job(home, "c.job", "class: noop\n")
+        (home / "subsys" / "net.jobnet").write_text("a\n-> b\n-> c\n")
+        c = ctx_for(engine, home)
+        report = JobNetRunner(c, isolate=True).run(str(home / "subsys" / "net.jobnet"))
+        assert report.succeeded == ["subsys/a"]
+        assert report.failed == ["subsys/b"]
+        # queue records the crash message for resume/audit
+        q = JobNetRunner(c, isolate=True)._make_queue(
+            __import__("bricolage_spark.jobnet", fromlist=["Ref"]).Ref("subsys", "net"),
+            clear=False,
+        )
+        crashed = [t for t in q.tasks if t.job == "subsys/b"]
+        assert crashed and "rc=42" in crashed[0].message
+    finally:
+        from bricolage_spark.jobs import JOB_CLASSES
+        JOB_CLASSES.pop("crashy", None)
+        ISOLATE_SAFE.discard("crashy")
+
+
+def test_isolate_passes_normal_results_through(engine, home):
+    """Isolated success and JobFailure behave exactly like in-process."""
+    write_job(home, "a.job", "class: noop\n")
+    write_job(home, "b.job", "class: noop\nfailure: true\n")
+    (home / "subsys" / "net.jobnet").write_text("a\n-> b\n")
+    c = ctx_for(engine, home)
+    report = JobNetRunner(c, isolate=True).run(str(home / "subsys" / "net.jobnet"))
+    assert report.succeeded == ["subsys/a"]
+    assert report.failed == ["subsys/b"]
