@@ -26,7 +26,7 @@ from bricolage_spark.parameters import (
     TableParam,
 )
 
-_FORMATS = ("tsv", "csv", "json", "parquet")
+_FORMATS = ("tsv", "csv", "json", "parquet", "orc")
 
 # ---------------------------------------------------------------------------
 # trivial classes
@@ -237,7 +237,13 @@ def rebuild_rename(job: Job) -> JobResult:
 # load / unload (COPY / UNLOAD parity)
 # ---------------------------------------------------------------------------
 
-_FORMAT_ALIASES = {"tsv": "csv", "csv": "csv", "json": "json", "parquet": "parquet"}
+_FORMAT_ALIASES = {
+    "tsv": "csv",
+    "csv": "csv",
+    "json": "json",
+    "parquet": "parquet",
+    "orc": "orc",
+}
 
 
 @jobclass(

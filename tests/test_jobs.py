@@ -338,3 +338,25 @@ def test_isolate_passes_normal_results_through(engine, home):
     report = JobNetRunner(c, isolate=True).run(str(home / "subsys" / "net.jobnet"))
     assert report.succeeded == ["subsys/a"]
     assert report.failed == ["subsys/b"]
+
+
+def test_unload_load_orc_roundtrip(engine, home, tmp_path):
+    """ORC out and back in — the columnar interchange path beyond parquet."""
+    out = tmp_path / "orc_out"
+    r = run_job(
+        engine, home, "ulo.sql.job",
+        f"/*\nclass: unload\ndest-file: {out}\nformat: orc\n"
+        "src-tables: {s: src_events}\n*/\n"
+        "select id, v from $s where id < 3;\n",
+    )
+    assert r.success
+    (home / "subsys" / "o.ct").write_text(
+        "create table x\n( id int\n, v varchar(20)\n);\n"
+    )
+    r2 = run_job(
+        engine, home, "lo.job",
+        f"class: load\ndest-table: orc_rt\nsrc-file: {out}/*.orc\n"
+        "table-def: o.ct\nformat: orc\ndrop: true\n",
+    )
+    assert r2.rows == 2
+    assert {x.id: x.v for x in engine.table("orc_rt").collect()} == {1: "a", 2: "b"}
