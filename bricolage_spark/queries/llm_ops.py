@@ -943,3 +943,98 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.round(F.lit(1.0) / rate, 4).alias("weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# q53 boilerplate n-gram detection (heavy hitters over the shingle corpus)
+# --------------------------------------------------------------------------
+_BP_MIN_DF, _BP_TOP = 3, 50
+
+
+@register(
+    "q53_boilerplate_ngrams",
+    oracle=f"""
+    WITH {_DOCS_CTE}, {_SHINGLES_CTE},
+    freq AS (
+        SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM docs)
+    SELECT shingle, CAST(df AS BIGINT) AS df,
+           ROUND(CAST(df AS DOUBLE) / n_docs, 4) AS doc_pct
+    FROM freq, n
+    WHERE df >= {_BP_MIN_DF}
+    ORDER BY df DESC, shingle
+    LIMIT {_BP_TOP}
+    """,
+    doc="Boilerplate detection: the highest-document-frequency word "
+    "3-shingles (headers, footers, license blurbs — exactly what a "
+    "curation pipeline strips before dedup). Shuffle carries (shingle, "
+    "partial count) after map-side combine; top-k is TakeOrdered (no "
+    "global sort shuffle), total order (df DESC, shingle) so the cut is "
+    "deterministic.",
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    freq = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= _BP_MIN_DF)
+    )
+    return (
+        freq.crossJoin(n_docs)
+        .select(
+            "shingle",
+            F.col("df").cast("bigint").alias("df"),
+            F.round(F.col("df") / F.col("n_docs"), 4).alias("doc_pct"),
+        )
+        .orderBy(F.col("df").desc(), "shingle")
+        .limit(_BP_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
+# q54 sequence packing (token-budget binning for pretraining batches)
+# --------------------------------------------------------------------------
+_PACK_BUDGET = 2048
+
+
+@register(
+    "q54_sequence_packing",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST(CEIL(n_chars / 4.0) AS BIGINT) AS n_tokens,
+           CAST(FLOOR(
+               (SUM(CAST(CEIL(n_chars / 4.0) AS BIGINT))
+                    OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING)
+                - CAST(CEIL(n_chars / 4.0) AS BIGINT))
+               / {_PACK_BUDGET}) AS BIGINT) AS bin_id
+    FROM documents
+    """,
+    doc="Sequence packing: assign documents to fixed token-budget bins "
+    f"({_PACK_BUDGET} est. tokens, ceil(chars/4)) in deterministic doc_id "
+    "order — the batch-construction step of a pretraining data loader. "
+    "The running sum is windowed PER LANGUAGE (a natural partition key), "
+    "never a global ORDER BY window, which would serialize the whole "
+    "corpus through one task; each language packs independently and in "
+    "parallel, exactly how a per-shard packer runs at scale.",
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = F.ceil(F.col("n_chars") / 4.0).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tok).over(w)
+    return docs.select(
+        "doc_id",
+        "lang",
+        tok.alias("n_tokens"),
+        F.floor((cum - tok) / _PACK_BUDGET).cast("bigint").alias("bin_id"),
+    )
