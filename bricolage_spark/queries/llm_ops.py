@@ -1038,3 +1038,15 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.alias("n_tokens"),
         F.floor((cum - tok) / _PACK_BUDGET).cast("bigint").alias("bin_id"),
     )
+
+
+def release_caches() -> None:
+    """Engine hygiene for long-lived processes: drop every named corpus
+    cache (shingles, staged pairs, IVF indexes). Percentile memos are
+    plain floats and are cleared too."""
+    from bricolage_spark.queries import relational
+
+    release_shingles()
+    release_pairs()
+    release_ivf_index()
+    relational._PCT_CACHE.clear()

@@ -303,3 +303,72 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q55 batch sessionization (gap-based sessions — batch twin of
+# streaming/stateful.py's applyInPandasWithState sessionizer)
+# --------------------------------------------------------------------------
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+@register(
+    "q55_sessionization",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts)
+                         - LAG(epoch_us(ts)) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id)
+                         > {_SESSION_GAP_US}
+                    OR LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, event_id, value, ts_us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT)          AS session_id,
+           CAST(COUNT(*) AS BIGINT)            AS n_events,
+           CAST(MIN(ts_us) AS BIGINT)          AS sess_start_us,
+           CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us,
+           ROUND(SUM(value), 2)                AS sum_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization in batch: a session breaks after 30 min "
+    "of user inactivity. lag-diff marks session starts, a running sum "
+    "numbers them, one aggregation summarizes — all windows partitioned "
+    "by user_id (the natural key; never a global-order window), ties "
+    "broken by event_id for cross-engine determinism. The streaming twin "
+    "(streaming/stateful.py) holds the same session state in "
+    "applyInPandasWithState.",
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    new_s = (
+        prev.isNull() | ((F.col("ts_us") - prev) > _SESSION_GAP_US)
+    ).cast("long")
+    sess = e.withColumn(
+        "session_id",
+        F.sum(new_s).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("sess_start_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
