@@ -1050,3 +1050,55 @@ def release_caches() -> None:
     release_pairs()
     release_ivf_index()
     relational._PCT_CACHE.clear()
+
+
+# --------------------------------------------------------------------------
+# q56 PII detection + redaction (email / phone scrubbing pass)
+# --------------------------------------------------------------------------
+# Patterns restricted to the RE2 ∩ java.util.regex common subset so both
+# engines match identical spans (no backrefs, no lookaround).
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_PHONE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+@register(
+    "q56_pii_redaction",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LENGTH(text)
+                - LENGTH(regexp_replace(text, '{_PII_EMAIL}', '', 'g'))
+                AS BIGINT) > 0                                    AS has_email,
+           CAST(LENGTH(text)
+                - LENGTH(regexp_replace(text, '{_PII_PHONE}', '', 'g'))
+                AS BIGINT) > 0                                    AS has_phone,
+           md5(regexp_replace(
+                   regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g'))               AS redacted_md5,
+           CAST(LENGTH(regexp_replace(
+                   regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g')) AS BIGINT)    AS redacted_len
+    FROM documents
+    """,
+    doc="PII scrubbing pass: detect and redact emails/phone numbers with "
+    "patterns from the RE2 ∩ Java-regex common subset (identical matches "
+    "in any engine). Row-local regexp_replace — embarrassingly parallel, "
+    "zero shuffle; the redacted text is md5'd for the oracle hash so the "
+    "comparison stays narrow. The detection flags let a curation pipeline "
+    "route documents (drop / redact / keep) without a second scan.",
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        (F.length("text")
+         - F.length(F.regexp_replace("text", _PII_EMAIL, ""))
+         > 0).alias("has_email"),
+        (F.length("text")
+         - F.length(F.regexp_replace("text", _PII_PHONE, ""))
+         > 0).alias("has_phone"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).cast("bigint").alias("redacted_len"),
+    )
