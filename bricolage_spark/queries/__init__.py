@@ -46,14 +46,40 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
     return wrap
 
 
+# The external correctness driver checks the FIRST 50 registered queries
+# (insertion order of this dict).  Order therefore encodes evidence need,
+# not theme: core relational + patterns stay first (always checked), then
+# queries that have never / only stale-ly received a driver row, and the
+# clip falls on queries already driver-green in rounds 1+2+3.
+_EVIDENCE_FIRST = [
+    "q50_dedup_clusters",
+    "q51_contamination",
+    "q52_stratified_sample",
+    "q53_boilerplate_ngrams",
+    "q54_sequence_packing",
+    "q56_pii_redaction",
+    "q43_asof_join",
+    "q41_multimodal_features",
+    "q48_ngram_jaccard_neardup",
+    "q49_ann_ivf",
+]
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query module (side effect: fills QUERIES).
-
-    Core relational SQL registers FIRST so a time-truncated driver run
-    clips the exotic tail (LLM ops), never q01–q30.
-    """
+    """Import every query module (side effect: fills QUERIES), then order
+    the inventory by evidence need (see ``_EVIDENCE_FIRST``)."""
     from bricolage_spark.queries import relational  # noqa: F401  (q01–q30)
-    from bricolage_spark.queries import patterns  # noqa: F401  (q43–q47)
-    from bricolage_spark.queries import llm_ops  # noqa: F401  (q31–q42, q48–q49)
+    from bricolage_spark.queries import patterns  # noqa: F401  (q44–q47, q55)
+    from bricolage_spark.queries import llm_ops  # noqa: F401  (q31–q43, q48–q54, q56)
 
+    llm_mod = llm_ops.__name__
+    head = {n: s for n, s in QUERIES.items() if s.fn.__module__ != llm_mod}
+    ordered = dict(head)
+    for name in _EVIDENCE_FIRST:
+        if name in QUERIES:
+            ordered[name] = QUERIES[name]
+    for name, spec in QUERIES.items():
+        ordered.setdefault(name, spec)
+    QUERIES.clear()
+    QUERIES.update(ordered)
     return QUERIES
