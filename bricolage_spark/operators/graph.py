@@ -65,6 +65,7 @@ def connected_components(
     # sum over the checkpointed frame) instead of three (no join-compare
     # against the previous labels).
     prev_sum = labels.agg(F.sum("component")).first()[0]
+    converged = False
     for _ in range(max_iter):
         nb_min = (
             sym.join(
@@ -88,6 +89,16 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("component")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # An unconverged label frame is a PLAUSIBLE WRONG ANSWER (clusters
+        # split along long chains) — fail loudly rather than return it.
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} rounds; "
+            "graph diameter exceeds max_iter (near-dup graphs converge in "
+            "3-5 rounds — for long-chain graphs raise max_iter or switch "
+            "to the large-star/small-star algorithm)"
+        )
     return labels

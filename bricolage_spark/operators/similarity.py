@@ -141,9 +141,21 @@ def plane_components(plane: int, dims: int) -> list[float]:
 
 # Parsed-Column memo for the generated-SQL builders below: a pyspark
 # Column is an immutable expression handle, so the (one-off ~0.1 s) JVM
-# parse of each ~20 KB literal-heavy string is paid once per process,
-# not once per query. Keyed by the full generating arguments.
+# parse of each ~20 KB literal-heavy string is paid once per session,
+# not once per query. Keyed by the full generating arguments PLUS the
+# session token — a Column is a live Py4J handle, and a restarted session
+# must re-parse rather than inherit a dead reference.
 _EXPR_CACHE: dict = {}
+
+
+def _memo_expr(key: tuple, sql: str) -> Column:
+    from bricolage_spark.session import session_token
+
+    k = (session_token(),) + key
+    col = _EXPR_CACHE.get(k)
+    if col is None:
+        col = _EXPR_CACHE[k] = F.expr(sql)
+    return col
 
 
 def _dbl_sql(x: float) -> str:
@@ -171,16 +183,15 @@ def srp_bucket(vec: str, n_planes: int = 8, dims: int = 64) -> Column:
     building it Column-by-Column costs ~512 Py4J round-trips (8 planes ×
     64 literals) ≈ 1 s of driver-side plan construction per query.
     """
-    key = ("srp", vec, n_planes, dims)
-    col = _EXPR_CACHE.get(key)
-    if col is None:
-        vd = f"CAST({vec} AS ARRAY<DOUBLE>)"
-        terms = []
-        for p in range(n_planes):
-            proj = _dot_sql(vd, _arr_sql(plane_components(p, dims)))
-            terms.append(f"IF({proj} >= 0.0D, {1 << p}, 0)")
-        col = _EXPR_CACHE[key] = F.expr(f"CAST({' + '.join(terms)} AS BIGINT)")
-    return col
+    vd = f"CAST({vec} AS ARRAY<DOUBLE>)"
+    terms = []
+    for p in range(n_planes):
+        proj = _dot_sql(vd, _arr_sql(plane_components(p, dims)))
+        terms.append(f"IF({proj} >= 0.0D, {1 << p}, 0)")
+    return _memo_expr(
+        ("srp", vec, n_planes, dims),
+        f"CAST({' + '.join(terms)} AS BIGINT)",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -278,12 +289,11 @@ def ivf_cell(vec: str, centroids: list) -> Column:
     stage. Sims are rounded to 6 dp before comparison so both engines sort
     identical keys. ``vec`` is a column name (or SQL snippet).
     """
-    key = ("ivf_cell", vec, _cent_key(centroids))
-    col = _EXPR_CACHE.get(key)
-    if col is None:
-        structs = _ivf_sim_structs_sql(vec, centroids)
-        col = _EXPR_CACHE[key] = F.expr(f"CAST(array_min({structs}).cell AS INT)")
-    return col
+    structs = _ivf_sim_structs_sql(vec, centroids)
+    return _memo_expr(
+        ("ivf_cell", vec, _cent_key(centroids)),
+        f"CAST(array_min({structs}).cell AS INT)",
+    )
 
 
 def ivf_probe_cells(vec: str, centroids: list, nprobe: int) -> Column:
@@ -292,14 +302,11 @@ def ivf_probe_cells(vec: str, centroids: list, nprobe: int) -> Column:
     Same struct trick as :func:`ivf_cell`; ``array_sort`` + ``slice`` keeps
     it row-local.
     """
-    key = ("ivf_probe", vec, _cent_key(centroids), nprobe)
-    col = _EXPR_CACHE.get(key)
-    if col is None:
-        structs = _ivf_sim_structs_sql(vec, centroids)
-        col = _EXPR_CACHE[key] = F.expr(
-            f"slice(array_sort({structs}), 1, {int(nprobe)}).cell"
-        )
-    return col
+    structs = _ivf_sim_structs_sql(vec, centroids)
+    return _memo_expr(
+        ("ivf_probe", vec, _cent_key(centroids), nprobe),
+        f"slice(array_sort({structs}), 1, {int(nprobe)}).cell",
+    )
 
 
 def ivf_index(

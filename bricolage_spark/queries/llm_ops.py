@@ -19,6 +19,7 @@ from bricolage_spark.operators import multimodal as M
 from bricolage_spark.operators import similarity as S
 from bricolage_spark.operators import textual as T
 from bricolage_spark.queries import register
+from bricolage_spark.session import session_token
 
 # Shared oracle CTE: normalized documents + word arrays (mirrors
 # operators.dedup.normalize_text exactly, incl. the 'g' flag).
@@ -58,7 +59,12 @@ _SHINGLE_CACHE: dict = {}
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
-    key = (sf_dir, k)
+    # session_token in the key: a persisted DataFrame is a live handle into
+    # one JVM session — after stop/restart the new session must miss and
+    # rebuild, never receive a dead reference. Stale-data caveat: keys are
+    # per-path, so regenerating parquet under the SAME sf_dir requires an
+    # explicit release_shingles(sf_dir) (documented on release_caches()).
+    key = (session_token(spark), sf_dir, k)
     sh = _SHINGLE_CACHE.get(key)
     if sh is None:
         docs = read_table(spark, sf_dir, "documents")
@@ -69,7 +75,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
 
 def release_shingles(sf_dir: str | None = None) -> None:
     """Drop cached shingle frames (all, or one corpus')."""
-    for key in [k for k in _SHINGLE_CACHE if sf_dir is None or k[0] == sf_dir]:
+    for key in [k for k in _SHINGLE_CACHE if sf_dir is None or k[1] == sf_dir]:
         _SHINGLE_CACHE.pop(key).unpersist(blocking=False)
 
 
@@ -741,7 +747,7 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitionBy(cell) corpus layout on storage. Release with
     # ``release_ivf_index()`` (a long-lived engine must not accumulate
     # anonymous caches; this one is named, keyed, and droppable).
-    key = (sf_dir, _IVF_CELLS, _IVF_SEED)
+    key = (session_token(spark), sf_dir, _IVF_CELLS, _IVF_SEED)
     entry = _IVF_MODEL_CACHE.get(key)
     if entry is None:
         cents = S.ivf_centroids(emb, k_cells=_IVF_CELLS, seed=_IVF_SEED)
@@ -757,7 +763,7 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def release_ivf_index(sf_dir: str | None = None) -> None:
     """Drop cached IVF models (all, or one corpus') and unpersist indexes."""
-    for key in [k for k in _IVF_MODEL_CACHE if sf_dir is None or k[0] == sf_dir]:
+    for key in [k for k in _IVF_MODEL_CACHE if sf_dir is None or k[1] == sf_dir]:
         _cents, index = _IVF_MODEL_CACHE.pop(key)
         index.unpersist(blocking=False)
 
@@ -809,7 +815,13 @@ _PAIR_CACHE: dict = {}
 
 
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _PAIR_CACHE.get(sf_dir)
+    # localCheckpoint caveat: checkpoint blocks live on executors, so on a
+    # real cluster this cached frame does NOT survive executor loss — the
+    # production shape of this stage is a reliable materialization (write
+    # the pair table to storage, read it back), which is exactly what the
+    # cache stands in for at test scale. Session-keyed like the others.
+    key = (session_token(spark), sf_dir)
+    pairs = _PAIR_CACHE.get(key)
     if pairs is None:
         sh = _doc_shingles(spark, sf_dir).withColumnRenamed("doc_id", "id")
         sigs = D.minhash_signatures(sh, "id", num_hashes=_N_HASHES)
@@ -819,13 +831,13 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         jac = D.ngram_jaccard_pairs(sh, cand, id_col="id").filter(
             F.col("jaccard") >= _JACCARD_MIN
         )
-        pairs = _PAIR_CACHE[sf_dir] = jac.localCheckpoint(eager=True)
+        pairs = _PAIR_CACHE[key] = jac.localCheckpoint(eager=True)
     return pairs
 
 
 def release_pairs(sf_dir: str | None = None) -> None:
     """Drop cached verified-pair frames (all, or one corpus')."""
-    for key in [k for k in _PAIR_CACHE if sf_dir is None or k == sf_dir]:
+    for key in [k for k in _PAIR_CACHE if sf_dir is None or k[1] == sf_dir]:
         _PAIR_CACHE.pop(key)
 
 
@@ -937,11 +949,15 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = F.lit(0.0)
     for lang, r in _SAMPLE_RATES.items():
         rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    # weight only where the rate is positive: languages outside
+    # _SAMPLE_RATES have rate 0.0 — the filter already drops them, but a
+    # reordered/relaxed select must yield NULL, never Infinity.
+    weight = F.when(rate > 0, F.round(F.lit(1.0) / rate, 4))
     return docs.filter(bucket < rate * 10000).select(
         "doc_id",
         "lang",
         "source",
-        F.round(F.lit(1.0) / rate, 4).alias("weight"),
+        weight.alias("weight"),
     )
 
 

@@ -941,7 +941,11 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q26 and q26b both need exact l_extendedprice percentiles of the same
 # input; memoize per sf_dir (same pattern as q49's trained-IVF cache) so a
-# bench/correctness sweep pays the 3-job bracket computation once.
+# bench/correctness sweep pays the 3-job bracket computation once. The
+# cached values are plain Python floats (collected), so unlike the
+# DataFrame caches they survive a session restart safely; like every
+# sf_dir-keyed cache they go stale if the parquet under the same path is
+# regenerated — release_caches() clears them.
 _PCT_CACHE: dict = {}
 
 

@@ -87,6 +87,21 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def session_token(spark: SparkSession | None = None) -> str:
+    """A key component that changes whenever the underlying JVM session
+    does. Module-level caches that hold live handles (persisted
+    DataFrames, parsed Columns) include this in their keys so a stopped/
+    restarted session can never be handed a dead Py4J reference — the new
+    session simply misses and rebuilds.
+    """
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        return "<no-session>"
+    sc = spark.sparkContext
+    return f"{sc.applicationId}/{sc.startTime}"
+
+
 def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:

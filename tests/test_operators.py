@@ -350,3 +350,29 @@ def test_connected_components_long_chain_converges(spark):
     )
     cc = connected_components(edges, "id_a", "id_b")
     assert {r.component for r in cc.collect()} == {0}
+
+
+def test_connected_components_raises_on_max_iter_exhaustion(spark):
+    """Diameter > max_iter must fail loudly, never return split clusters."""
+    import pytest
+
+    from bricolage_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(edges, "id_a", "id_b", max_iter=2)
+
+
+def test_stratified_sample_weight_never_infinite(spark, sf_dir):
+    """q52: languages outside the rate table (rate 0.0) must never produce
+    an Infinity weight — the guard yields NULL, and the filter drops them."""
+    import math
+
+    from bricolage_spark.queries import load_all
+
+    q52 = load_all()["q52_stratified_sample"].fn
+    rows = q52(spark, sf_dir).collect()
+    assert rows, "sample should be non-empty"
+    assert all(r.weight is not None and math.isfinite(r.weight) for r in rows)
