@@ -242,13 +242,47 @@ class DatabaseTaskQueue(MemoryTaskQueue):
         os.makedirs(os.path.dirname(dsn) or ".", exist_ok=True)
         return sqlite3.connect(dsn), "sqlite"
 
+    @staticmethod
+    def _to_pg_paramstyle(sql: str) -> str:
+        """Rewrite ``?`` placeholders to ``%s``, skipping single-quoted SQL
+        string literals (and doubling any literal ``%`` so psycopg's
+        pyformat layer never misreads it). A blanket ``str.replace`` would
+        corrupt a statement whose literal text contains ``?``."""
+        out: list[str] = []
+        in_str = False
+        for ch in sql:
+            if ch == "'":
+                in_str = not in_str
+                out.append(ch)
+            elif in_str:
+                out.append("%%" if ch == "%" else ch)
+            elif ch == "?":
+                out.append("%s")
+            else:
+                out.append(ch)
+        return "".join(out)
+
     def _exec(self, sql: str, params: tuple = ()):
         """Run one statement, rewriting ``?`` to the driver's paramstyle."""
         if self._dialect == "postgres":
-            sql = sql.replace("?", "%s")
+            sql = self._to_pg_paramstyle(sql)
         cur = self._conn.cursor()
         cur.execute(sql, params)
         return cur
+
+    def _insert_returning_id(self, sql: str, params: tuple) -> int:
+        """INSERT .. RETURNING <id>; on SQLite older than 3.35 (no
+        RETURNING support) fall back to ``cursor.lastrowid``."""
+        if self._dialect == "sqlite" and not self._sqlite_has_returning():
+            cur = self._exec(sql[: sql.rindex(" RETURNING ")], params)
+            return cur.lastrowid
+        return self._exec(sql, params).fetchone()[0]
+
+    @staticmethod
+    def _sqlite_has_returning() -> bool:
+        import sqlite3
+
+        return sqlite3.sqlite_version_info >= (3, 35, 0)
 
     def _restore(self) -> None:
         rows = self._exec(
@@ -302,12 +336,12 @@ class DatabaseTaskQueue(MemoryTaskQueue):
                     )
                     eid = row[0]
                 else:
-                    (eid,) = self._exec(
+                    eid = self._insert_returning_id(
                         "INSERT INTO job_executions (job_id, status, message, "
                         "execution_sequence, submitted_at) VALUES (?,?,?,?,?) "
                         "RETURNING job_execution_id",
                         (jid, t.status, t.message, seq, now),
-                    ).fetchone()
+                    )
                 self._exec(
                     "INSERT INTO job_execution_states "
                     "(job_execution_id, job_id, status, message, created_at) "

@@ -172,6 +172,38 @@ def test_db_queue_pg_dialect_sql():
     assert "pg_advisory_unlock" in ran[1][0]
 
 
+def test_pg_paramstyle_rewrite_skips_string_literals():
+    """'?' inside a quoted SQL literal must survive the %s rewrite, and a
+    literal '%' must be doubled so psycopg never misparses it."""
+    f = DatabaseTaskQueue._to_pg_paramstyle
+    assert f("SELECT * FROM t WHERE a=? AND b=?") == (
+        "SELECT * FROM t WHERE a=%s AND b=%s"
+    )
+    assert f("INSERT INTO t (msg) VALUES ('why?') ON CONFLICT DO NOTHING") == (
+        "INSERT INTO t (msg) VALUES ('why?') ON CONFLICT DO NOTHING"
+    )
+    assert f("SELECT '100% done?' , ?") == "SELECT '100%% done?' , %s"
+    # doubled '' quote inside a literal toggles out/in — net effect: still
+    # treated as literal text either way, placeholder after it rewrites
+    assert f("SELECT 'it''s ?', ?").endswith("%s")
+
+
+def test_db_queue_insert_id_without_returning(tmp_path, monkeypatch):
+    """Forcing the pre-3.35 path: INSERT id comes from cursor.lastrowid and
+    the audit trail still links states to the execution row."""
+    db = str(tmp_path / "old.sqlite")
+    monkeypatch.setattr(
+        DatabaseTaskQueue, "_sqlite_has_returning", staticmethod(lambda: False)
+    )
+    q = DatabaseTaskQueue(db, jobnet_name="net1")
+    q.enqueue("s/a")
+    q.save()
+    q.tasks[0].transition("succeeded")
+    q.save()
+    assert [s for s, _ in q.state_history("s/a")] == ["waiting", "succeeded"]
+    q.close()
+
+
 # -- serialization lock (vacuumlock.rb) -------------------------------------
 
 
