@@ -26,6 +26,40 @@ def _salt_of(col: Column, n: int) -> Column:
     return F.pmod(F.hash(col), F.lit(n))
 
 
+def detect_hot_keys(
+    df: DataFrame,
+    key: str,
+    sample_frac: float = 0.02,
+    threshold: float = 0.02,
+    max_keys: int = 64,
+    min_count: int = 8,
+    seed: int = 4242,
+) -> list:
+    """Heavy-hitter probe: key values holding > ``threshold`` share of a
+    sampled scan of ``df``. Two metadata-scale jobs over a column-pruned
+    sample (the parquet scan reads only ``key``); at most ``max_keys``
+    values come back to the driver. ``min_count`` filters sampling noise:
+    in a small sample every singleton exceeds a share threshold, so a key
+    must also appear ``min_count`` times before it counts as hot (a real
+    task-pinning key at any scale clears this trivially). A production
+    deployment with table statistics (NDV / histograms from ANALYZE)
+    reads them instead of sampling — this probe is the statistics-free
+    fallback.
+    """
+    counts = (
+        df.select(key).sample(fraction=sample_frac, seed=seed).groupBy(key).count()
+    )
+    total = counts.agg(F.sum("count")).first()[0] or 0
+    if total == 0:
+        return []
+    top = counts.orderBy(F.desc("count")).limit(max_keys).collect()
+    return [
+        r[key]
+        for r in top
+        if r["count"] >= min_count and r["count"] / total > threshold
+    ]
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
@@ -33,15 +67,41 @@ def salted_join(
     salt_from: str,
     n_salts: int = 16,
     how: str = "inner",
+    hot: list | None = None,
 ) -> DataFrame:
-    """Join where ``skewed``'s hot keys must spread across tasks.
+    """Join that pays for skew mitigation only where skew exists.
 
-    The skewed side gets a content-derived salt (from ``salt_from``, any
-    well-distributed column); ``other`` is replicated n_salts× with every
-    salt value. Join key becomes (key, salt) — a hot key now lands on
-    n_salts tasks instead of one. Replication cost: |other|×n_salts rows,
-    so ``other`` should be the smaller side.
+    ``hot`` is the list of skewed key values (pass ``[]`` to force a plain
+    join, a list to pin them, or leave None to probe with
+    :func:`detect_hot_keys`). Three plans, picked by what the data needs:
+
+    - no hot keys → the plain join; Catalyst/AQE choose broadcast vs
+      shuffle. Paying n_salts× dim replication on uniform data is pure
+      waste — this is the common case and it costs one sampled probe.
+    - hot keys, inner/left join → SPLIT join: only rows with hot keys get
+      a content-derived salt (from ``salt_from``) and join a dim
+      replicated n_salts× *restricted to the hot keys* (≤ |hot|·n_salts
+      rows, trivial at any scale); the cold rest takes the plain join;
+      union. A hot key now lands on n_salts tasks instead of one.
+    - hot keys, other join types → full-replication salting (the split
+      rewrite is not an identity for right/full joins: ``other`` rows
+      must not be dropped/duplicated across the branches).
     """
+    if hot is None:
+        hot = detect_hot_keys(skewed, key)
+    if not hot:
+        return skewed.join(other, key, how)
+    if how in ("inner", "left", "leftouter", "left_outer"):
+        is_hot = F.col(key).isin(hot)
+        s_hot = skewed.filter(is_hot).withColumn(
+            "__salt", _salt_of(F.col(salt_from), n_salts)
+        )
+        o_hot = other.filter(F.col(key).isin(hot)).withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+        )
+        hot_part = s_hot.join(o_hot, [key, "__salt"], how).drop("__salt")
+        cold_part = skewed.filter(~is_hot).join(other, key, how)
+        return cold_part.unionByName(hot_part)
     s = skewed.withColumn("__salt", _salt_of(F.col(salt_from), n_salts))
     o = other.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

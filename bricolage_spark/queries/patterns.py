@@ -285,11 +285,14 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c ON c.c_custkey = o.o_custkey
     GROUP BY c.c_mktsegment
     """,
-    doc="Join-skew recipe: salted_join (operators/skew.py) spreads hot "
-    "join keys on the fact side across 16 salts and replicates the dim "
-    "side per salt — a rewrite identity, so the oracle is the plain join. "
-    "(AQE skew-split handles this dynamically; the static recipe is for "
-    "layout-pinned shuffles.)",
+    doc="Join-skew recipe: salted_join (operators/skew.py) probes the "
+    "fact side for heavy hitters (sampled key histogram) and only pays "
+    "mitigation where skew exists — hot keys are salted across 16 tasks "
+    "against a dim replicated FOR THOSE KEYS ONLY, the uniform rest takes "
+    "the plain (broadcast-able) join. A rewrite identity either way, so "
+    "the oracle is the plain join. On this uniform testdata the probe "
+    "finds no hot keys and the plan IS the plain join — the mitigation "
+    "machinery is exercised by the skewed-fixture pytest cases.",
 )
 def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bricolage_spark.operators.skew import salted_join

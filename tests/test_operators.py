@@ -183,6 +183,49 @@ def test_salted_join_matches_plain_join(spark):
     assert salted == plain
 
 
+def test_salted_join_skips_replication_on_uniform_keys(spark):
+    """No heavy hitter → detect_hot_keys is empty and salted_join emits the
+    PLAIN join plan (no explode/union replication tax on uniform data)."""
+    from bricolage_spark.operators.skew import detect_hot_keys, salted_join
+
+    facts = spark.createDataFrame(
+        [(i, i, float(i)) for i in range(2000)], "k long, rid long, v double"
+    )
+    dim = spark.createDataFrame([(i, f"n{i}") for i in range(2000)], "k long, name string")
+    assert detect_hot_keys(facts, "k", sample_frac=1.0) == []
+    out = salted_join(facts, dim, key="k", salt_from="rid")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate explode" not in plan and "Union" not in plan
+    assert out.count() == 2000
+
+
+def test_salted_join_split_replicates_only_hot_keys(spark):
+    """One hot key → split join: salted branch for the hot key, plain
+    branch for the rest; result identical to the plain join (inner+left)."""
+    from bricolage_spark.operators.skew import detect_hot_keys, salted_join
+
+    rows = [(0, i, float(i)) for i in range(500)] + [
+        (k, 1000 + k, 0.0) for k in range(1, 50)
+    ]
+    facts = spark.createDataFrame(rows, "k long, rid long, v double")
+    dim = spark.createDataFrame(
+        [(k, f"n{k}") for k in range(0, 40)], "k long, name string"
+    )
+    hot = detect_hot_keys(facts, "k", sample_frac=1.0)
+    assert hot == [0]
+    for how in ("inner", "left"):
+        plain = {
+            (r.rid, r.name) for r in facts.join(dim, "k", how).collect()
+        }
+        split = {
+            (r.rid, r.name)
+            for r in salted_join(
+                facts, dim, key="k", salt_from="rid", how=how
+            ).collect()
+        }
+        assert split == plain, how
+
+
 def test_salted_aggregate_matches_plain(spark):
     from bricolage_spark.operators.skew import salted_aggregate
 
