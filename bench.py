@@ -3,15 +3,38 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+     "queries": {"q01_...": sec, ...}, "sf": 0.1, "tuned": {...}, ...}
+
+Two config blocks run back-to-back, each in a fresh SparkSession:
+
+- DEFAULT (the headline ``value``): the engine's own session defaults —
+  AQE on, shuffle.partitions as get_spark() sets them. The published
+  number is reproducible by anyone running the engine as shipped.
+- TUNED (the secondary ``tuned`` object): AQE off / 8 shuffle
+  partitions. At bench scale (sub-second queries) AQE's stage
+  materialization is fixed latency and 32+ reduce tasks are pure
+  scheduling overhead; at 100 TB AQE re-enables and picks partition
+  counts at runtime. The tuned block quantifies that harness floor —
+  it is NOT an engine default and is labeled accordingly.
 
 Each query executes fully via the no-op sink (write.format("noop")) so
 timing covers the whole plan — scan, shuffle, agg — without collect/
 serialization overhead polluting the measurement. One warm-up pass of the
 flagship query amortizes JVM/codegen spin-up out of the numbers.
 
-Pass --duckdb to also time the DuckDB oracles on the same tables (the
-BASELINE.md reference numbers).
+Honesty notes encoded in the output:
+- ``queries`` is best-of-N (default 3): steady-state throughput, run 1's
+  whole-stage-codegen compilation amortized out (BASELINE.md methodology).
+- ``staged_artifact_queries`` lists queries that amortize a named corpus
+  artifact (shingle table, verified-pair table, IVF index, percentile
+  brackets) across runs AND across queries — exactly what a production
+  pipeline materializes to storage between stages. Every cache is
+  released at the start of each block, so ``cold_queries`` records each
+  such query's run-1 time (artifact build included for the first query
+  that touches it).
+
+Pass --duckdb to also time the DuckDB oracles on the same tables in the
+same invocation (the BASELINE.md same-run comparison).
 """
 
 from __future__ import annotations
@@ -25,9 +48,29 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from bricolage_spark.queries import load_all
-from bricolage_spark.session import get_spark
+from bricolage_spark.session import get_spark, stop_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Queries whose best-of-N is a SERVE-stage time over a staged artifact
+# (built once per block, shared across runs and sibling queries):
+#   shingle table      -> q32, q33, q48, q51, q53  (+ q50 via pairs)
+#   verified pairs     -> q50
+#   trained IVF index  -> q49
+#   percentile brackets-> q26, q26b
+#   hot-key statistics -> q47 (sampled probe, the ANALYZE-stats stand-in)
+STAGED = (
+    "q26_distinct_percentiles",
+    "q26b_approx_aggregates",
+    "q32_minhash_signatures",
+    "q33_minhash_lsh_pairs",
+    "q47_salted_join",
+    "q48_ngram_jaccard_neardup",
+    "q49_ann_ivf",
+    "q50_dedup_clusters",
+    "q51_contamination",
+    "q53_boilerplate_ngrams",
+)
 
 
 def sf_of(path: str) -> float:
@@ -35,46 +78,37 @@ def sf_of(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def run_spark(specs, sf_dir: str) -> dict[str, float]:
-    # AQE is the engine default (runtime re-planning pays off on real
-    # shuffle volumes), but at bench scale (sub-second queries) its stage
-    # materialization adds ~40% fixed latency — so the bench harness runs
-    # with it off unless SPARK_GRAFT_AQE overrides. A cluster deployment
-    # at 100 TB keeps it on.
-    # Post-shuffle data at bench SF is a few MB, so 32 reduce tasks are
-    # pure scheduling overhead; 8 measured fastest (sp=4/8/16 within
-    # noise, sp=32 ~15% slower). At real scale AQE coalescing picks the
-    # partition count at runtime — this knob is the static equivalent for
-    # the AQE-off bench, not an engine default (which stays 32/AQE-on).
-    spark = get_spark(
-        "bench",
-        extra_conf={
-            "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "false"),
-            "spark.sql.shuffle.partitions": os.environ.get(
-                "SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"
-            ),
-        },
-    )
+def _release_all_caches() -> None:
+    from bricolage_spark.queries import llm_ops
+
+    llm_ops.release_caches()
+
+
+def bench_block(
+    specs, sf_dir: str, extra_conf: dict | None, n_runs: int
+) -> tuple[dict[str, float], dict[str, float]]:
+    """One config block in a fresh session; returns (best_times, cold_times)."""
+    stop_spark()
+    spark = get_spark("bench", extra_conf=extra_conf)
+    _release_all_caches()
     # warm-up: JVM, codegen, parquet footer caches
     specs["q05_tpch_q1"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    # Per-query: best of N runs (default 3). Run 1 pays whole-stage-codegen
-    # compilation (~1-3 s of Janino per distinct query shape) — a fixed
-    # cost that amortizes to nothing at production scale, so steady-state
-    # throughput is what the number should mean (BASELINE.md methodology:
-    # warm session). SPARK_GRAFT_BENCH_RUNS=1 gives cold timings.
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         best = float("inf")
-        for _ in range(n_runs):
+        for i in range(n_runs):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if i == 0 and name in STAGED:
+                cold[name] = round(dt, 3)
+            best = min(best, dt)
         times[name] = round(best, 3)
-    return times
+    return times, cold
 
 
-def run_duckdb(specs, sf_dir: str) -> dict[str, float]:
+def run_duckdb(specs, sf_dir: str, n_runs: int) -> dict[str, float]:
     import duckdb
 
     from bricolage_spark.catalog import TESTDATA_TABLES, table_path
@@ -85,7 +119,6 @@ def run_duckdb(specs, sf_dir: str) -> dict[str, float]:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{table_path(sf_dir, t)}')"
         )
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     times: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         if spec.oracle is None:
@@ -102,22 +135,51 @@ def run_duckdb(specs, sf_dir: str) -> dict[str, float]:
 def main() -> None:
     specs = load_all()
     with_duckdb = "--duckdb" in sys.argv
-    times = run_spark(specs, SF_DIR)
-    total = round(sum(times.values()), 3)
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    out = {
-        "metric": f"sum of per-query best-of-{n_runs} wall sec, full query "
-        "inventory (noop sink, warm session)",
-        "value": total,
-        "unit": "sec",
-        "queries": times,
-        "sf": sf_of(SF_DIR),
-    }
+    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "both")  # default|tuned|both
+
+    out: dict = {"unit": "sec", "sf": sf_of(SF_DIR)}
+    if mode in ("default", "both"):
+        times, cold = bench_block(specs, SF_DIR, None, n_runs)
+        out["metric"] = (
+            f"sum of per-query best-of-{n_runs} wall sec, full query "
+            "inventory (noop sink, warm session, ENGINE-DEFAULT conf: "
+            "AQE on)"
+        )
+        out["value"] = round(sum(times.values()), 3)
+        out["queries"] = times
+        out["cold_queries"] = cold
+    if mode in ("tuned", "both"):
+        tuned_conf = {
+            "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "false"),
+            "spark.sql.shuffle.partitions": os.environ.get(
+                "SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"
+            ),
+        }
+        t_times, t_cold = bench_block(specs, SF_DIR, tuned_conf, n_runs)
+        tuned = {
+            "conf": "AQE off, shuffle.partitions=8 (bench harness tuning, "
+            "NOT an engine default; at scale AQE re-enables and picks "
+            "partition counts at runtime)",
+            "total": round(sum(t_times.values()), 3),
+            "queries": t_times,
+            "cold_queries": t_cold,
+        }
+        if mode == "tuned":
+            out["metric"] = (
+                f"sum of per-query best-of-{n_runs} wall sec, full query "
+                "inventory (noop sink, warm session, TUNED conf)"
+            )
+            out["value"] = tuned["total"]
+            out["queries"] = t_times
+            out["cold_queries"] = t_cold
+        else:
+            out["tuned"] = tuned
+    out["staged_artifact_queries"] = list(STAGED)
     if with_duckdb:
-        out["duckdb_queries"] = run_duckdb(specs, SF_DIR)
-        # sum of per-query bests — the SAME statistic as the Spark total,
-        # so the ratio compares like with like (the old wall-clock-of-loop
-        # total double-counted every extra run).
+        out["duckdb_queries"] = run_duckdb(specs, SF_DIR, n_runs)
+        # sum of per-query bests — the SAME statistic as the Spark totals,
+        # so the ratio compares like with like.
         out["duckdb_total"] = round(sum(out["duckdb_queries"].values()), 3)
     print(json.dumps(out))
 

@@ -1062,10 +1062,13 @@ def release_caches() -> None:
     plain floats and are cleared too."""
     from bricolage_spark.queries import relational
 
+    from bricolage_spark.queries import patterns
+
     release_shingles()
     release_pairs()
     release_ivf_index()
     relational._PCT_CACHE.clear()
+    patterns._HOT_KEY_CACHE.clear()
 
 
 # --------------------------------------------------------------------------

