@@ -8,20 +8,22 @@ Design (the part that must be right at 100 TB):
   ``mapInPandas`` stages — Python touches each batch once, schema is
   declared up front, partitioning is preserved, nothing collects.
 
-Decoding: two REAL pure-python decoders are included — uncompressed BMP
-(24/32-bit, numpy per-channel pixel means) and PCM WAV (8/16-bit,
-RMS/peak/zero-crossing stats) — dispatched by payload magic bytes.
-Payloads that are neither (e.g. the utf-8 text adapters used with the
-container's test data, which has no media assets) fall back to a
-clearly-marked deterministic digest-based stand-in with the same
-shape/schema; heavier codecs (JPEG/MP4 via PIL/ffmpeg) are not in this
-container and would slot into the same dispatch table.
+Decoding: three REAL pure-python decoders are included — uncompressed BMP
+(24/32-bit, numpy per-channel pixel means), PNG (stdlib zlib inflate +
+full filter reconstruction, 8-bit gray/RGB/palette/alpha) and PCM WAV
+(8/16-bit, RMS/peak/zero-crossing stats) — dispatched by payload magic
+bytes.  Payloads that are none of these (e.g. the utf-8 text adapters
+used with the container's test data, which has no media assets) fall
+back to a clearly-marked deterministic digest-based stand-in with the
+same shape/schema; heavier codecs (JPEG/MP4 via PIL/ffmpeg) are not in
+this container and would slot into the same dispatch table.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -100,6 +102,116 @@ def decode_bmp(payload: bytes) -> list[float]:
     return [1.0, float(width), float(n_rows), float(width * n_rows), b, g, r, a]
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type: 0=gray, 2=RGB, 3=palette(→RGB), 4=gray+A, 6=RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/Paeth).
+
+    ``raw`` is the inflated IDAT stream: height rows of (1 filter byte +
+    stride pixel bytes).  Returns the reconstructed (height, stride)
+    uint8 image.  Sub rows vectorize as a per-residue-class cumsum;
+    Average/Paeth carry a sequential dependency along x, so those rows
+    fall back to a per-byte loop (decode runs inside mapInPandas worker
+    batches, never on the driver).
+    """
+    rows = raw.reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        ftype = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int64)
+        if ftype == 0:  # None
+            recon = line
+        elif ftype == 1:  # Sub: cumsum within each byte-position class
+            recon = line.copy()
+            if stride % bpp == 0:
+                recon = recon.reshape(-1, bpp).cumsum(axis=0).reshape(-1) & 0xFF
+            else:  # defensive: stride is always a multiple of bpp for 8-bit
+                for x in range(bpp, stride):
+                    recon[x] = (recon[x] + recon[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            recon = (line + prior) & 0xFF
+        elif ftype == 3:  # Average
+            recon = line
+            for x in range(stride):
+                left = recon[x - bpp] if x >= bpp else 0
+                recon[x] = (recon[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            recon = line
+            for x in range(stride):
+                a = recon[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                recon[x] = (recon[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = recon
+        prior = out[y].astype(np.int64)
+    return out
+
+
+def decode_png(payload: bytes) -> list[float]:
+    """Real decoder: PNG → geometry + channel means (stdlib zlib + numpy).
+
+    Full filter reconstruction (None/Sub/Up/Average/Paeth) for 8-bit
+    non-interlaced images, color types 0/2/3/4/6 (palette resolved via
+    PLTE).  Returns the 8-dim feature [kind=3, width, height, n_pixels,
+    mean_r, mean_g, mean_b, mean_a] (gray replicated to RGB; mean_a = 0
+    when there is no alpha channel).
+    """
+    if not payload.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    off, ihdr, plte, idat = len(_PNG_MAGIC), None, None, []
+    while off + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, off)
+        ctype = payload[off + 4 : off + 8]
+        chunk = payload[off + 8 : off + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+        off += 12 + size  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[color]
+    stride = width * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    img = _png_unfilter(raw, height, stride, ch).reshape(height, width, ch)
+    if color == 3:  # palette indices → RGB
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        img = plte[img[:, :, 0]]
+        ch = 3
+    means = img.astype(np.float64).mean(axis=(0, 1))
+    if ch == 1:  # gray
+        r = g = b = float(means[0])
+        a = 0.0
+    elif ch == 2:  # gray + alpha
+        r = g = b = float(means[0])
+        a = float(means[1])
+    else:
+        r, g, b = float(means[0]), float(means[1]), float(means[2])
+        a = float(means[3]) if ch == 4 else 0.0
+    return [3.0, float(width), float(height), float(width * height), r, g, b, a]
+
+
 def decode_wav(payload: bytes) -> list[float]:
     """Real decoder: PCM WAV (8-bit unsigned / 16-bit signed) → audio stats.
 
@@ -141,7 +253,7 @@ def decode_wav(payload: bytes) -> list[float]:
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic digest-derived stand-in for formats with no decoder
-    in this container (JPEG/PNG/MP4 would need PIL/ffmpeg) — stable,
+    in this container (JPEG/MP4 would need PIL/ffmpeg) — stable,
     shape-correct, schema-correct, and impossible to confuse with real
     features (see ``decode_stub``)."""
     d = hashlib.md5(payload).digest()
@@ -149,13 +261,15 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def decode_media(payload: bytes, dim: int = 8) -> list[float]:
-    """Dispatch on magic bytes: real BMP/WAV decode, digest fallback."""
+    """Dispatch on magic bytes: real BMP/PNG/WAV decode, digest fallback."""
     try:
         if payload[:2] == b"BM":
             return decode_bmp(payload)
+        if payload.startswith(_PNG_MAGIC):
+            return decode_png(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return decode_wav(payload)
-    except ValueError:
+    except (ValueError, zlib.error):
         pass  # malformed/unsupported variant of a known magic → fallback
     return _fake_feature(payload, dim)
 
@@ -180,13 +294,13 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
 
 
 def decode_stub(*_args, **_kwargs):  # pragma: no cover - documented stub
-    """Placeholder for codec-backed decoding (JPEG/PNG/MP4/…).
+    """Placeholder for codec-backed decoding (JPEG/MP4/…).
 
     Raises so nobody mistakes the digest fallback for real features;
-    BMP and WAV payloads DO get real decodes via ``decode_media``.
+    BMP, PNG and WAV payloads DO get real decodes via ``decode_media``.
     """
     raise NotImplementedError(
         "media codecs (PIL/ffmpeg) are not installed in this environment; "
-        "only BMP/WAV decode natively — other formats use the "
+        "only BMP/PNG/WAV decode natively — other formats use the "
         "deterministic digest-based stand-in"
     )

@@ -9,6 +9,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 import pytest
@@ -27,6 +28,53 @@ def make_bmp(pixels: np.ndarray) -> bytes:
     header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
     dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
     return header + dib + bytes(body)
+
+
+def make_png(
+    pixels: np.ndarray, color_type: int, filters: list[int] | None = None,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Independent PNG encoder (forward filtering + zlib), so the decoder
+    is verified against the spec rather than against itself.  ``pixels``
+    is (h, w, ch) uint8 — for palette images (color_type 3) ch=1 holds
+    palette indices and ``palette`` is the (n, 3) RGB table."""
+    h, w, ch = pixels.shape
+    filters = filters if filters is not None else [0] * h
+    flat = pixels.reshape(h, w * ch).astype(np.int64)
+    stride, bpp = w * ch, ch
+    out = bytearray()
+    prior = np.zeros(stride, dtype=np.int64)
+    for y, f in zip(range(h), filters):
+        raw = flat[y]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), raw[:-bpp]]) if stride > bpp else np.zeros(stride, dtype=np.int64)
+        ul = np.concatenate([np.zeros(bpp, dtype=np.int64), prior[:-bpp]]) if stride > bpp else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            filt = raw
+        elif f == 1:
+            filt = raw - left
+        elif f == 2:
+            filt = raw - prior
+        elif f == 3:
+            filt = raw - ((left + prior) >> 1)
+        else:  # Paeth
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul))
+            filt = raw - pred
+        out += bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes()
+        prior = raw
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    body = chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    body += chunk(b"IDAT", zlib.compress(bytes(out)))
+    body += chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + body
 
 
 def make_wav(samples: np.ndarray, rate: int = 8000, n_ch: int = 1) -> bytes:
@@ -61,6 +109,55 @@ def test_decode_bmp_respects_row_padding():
     assert feat[4:7] == [255.0, 255.0, 255.0]
 
 
+def test_decode_png_all_filter_types():
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    # one row per filter type: None, Sub, Up, Average, Paeth
+    payload = make_png(px, color_type=2, filters=[0, 1, 2, 3, 4])
+    kind, w, h, npix, r, g, b, a = M.decode_png(payload)
+    assert (kind, w, h, npix, a) == (3.0, 4.0, 5.0, 20.0, 0.0)
+    means = px.astype(np.float64).mean(axis=(0, 1))
+    assert (r, g, b) == (
+        pytest.approx(means[0]), pytest.approx(means[1]), pytest.approx(means[2])
+    )
+
+
+def test_decode_png_rgba_gray_palette():
+    rng = np.random.default_rng(11)
+    # RGBA with mixed filters
+    px = rng.integers(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    feat = M.decode_png(make_png(px, color_type=6, filters=[4, 3, 1]))
+    means = px.astype(np.float64).mean(axis=(0, 1))
+    assert feat[4:8] == [pytest.approx(m) for m in means]
+    # grayscale: r=g=b=mean, alpha 0
+    gray = rng.integers(0, 256, size=(4, 2, 1), dtype=np.uint8)
+    feat = M.decode_png(make_png(gray, color_type=0, filters=[0, 2, 1, 4]))
+    gm = float(gray.astype(np.float64).mean())
+    assert feat[4:8] == [pytest.approx(gm)] * 3 + [0.0]
+    # palette: indices resolve through PLTE to RGB means
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[[0], [1]], [[2], [0]]], dtype=np.uint8)  # 2x2
+    feat = M.decode_png(make_png(idx, color_type=3, palette=palette))
+    assert feat[4:7] == [
+        pytest.approx(255 * 2 / 4), pytest.approx(255 / 4), pytest.approx(255 / 4)
+    ]
+
+
+def test_decode_png_unsupported_falls_back():
+    # interlaced flag set → ValueError from decode_png, digest fallback in dispatch
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    payload = bytearray(make_png(px, color_type=2))
+    ihdr_off = 8 + 8  # magic + len/type
+    payload[ihdr_off + 12] = 1  # interlace byte inside IHDR
+    payload = bytes(payload)
+    with pytest.raises(ValueError):
+        M.decode_png(payload)
+    assert M.decode_media(payload) == M._fake_feature(payload)
+    # corrupt IDAT (zlib error) must also fall back, not crash
+    garbage = make_png(px, color_type=2)[:41] + b"\x00" * 20
+    assert M.decode_media(garbage) == M._fake_feature(garbage)
+
+
 def test_decode_wav_stats():
     t = np.arange(1600)
     samples = (10000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int64)
@@ -88,13 +185,16 @@ def test_decode_media_dispatch_and_fallback():
 def test_real_decode_through_spark_pipeline(spark):
     bmp = make_bmp(np.full((2, 2, 3), 100, dtype=np.uint8))
     wav = make_wav((np.ones(8) * 3276).astype(np.int64), rate=16000)
+    png = make_png(np.full((2, 2, 3), 50, dtype=np.uint8), color_type=2)
     rows = [
         (1, bytearray(bmp), "image/bmp", len(bmp)),
         (2, bytearray(wav), "audio/wav", len(wav)),
         (3, bytearray(b"plain text"), "text/plain", 10),
+        (4, bytearray(png), "image/png", len(png)),
     ]
     media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
     feats = {r.media_id: r.feature for r in M.extract_features(media).collect()}
     assert feats[1][0] == 1.0 and feats[1][4] == pytest.approx(100.0)
     assert feats[2][0] == 2.0 and feats[2][2] == 16000.0
     assert feats[3] == M._fake_feature(b"plain text")
+    assert feats[4][0] == 3.0 and feats[4][4] == pytest.approx(50.0)
