@@ -74,9 +74,19 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
 
 
 def release_shingles(sf_dir: str | None = None) -> None:
-    """Drop cached shingle frames (all, or one corpus')."""
+    """Drop cached shingle frames (all, or one corpus').
+
+    Unpersist only handles belonging to the LIVE session: entries keyed
+    by a stopped session's token are dead Py4J references — their JVM-side
+    storage died with the session, so dropping the dict entry is the whole
+    cleanup (calling unpersist on them raises an NPE from the driver
+    endpoint, observed when bench blocks restart the session).
+    """
+    live = session_token()
     for key in [k for k in _SHINGLE_CACHE if sf_dir is None or k[1] == sf_dir]:
-        _SHINGLE_CACHE.pop(key).unpersist(blocking=False)
+        df = _SHINGLE_CACHE.pop(key)
+        if key[0] == live:
+            df.unpersist(blocking=False)
 
 
 # --------------------------------------------------------------------------
@@ -762,10 +772,16 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def release_ivf_index(sf_dir: str | None = None) -> None:
-    """Drop cached IVF models (all, or one corpus') and unpersist indexes."""
+    """Drop cached IVF models (all, or one corpus') and unpersist indexes.
+
+    Same live-session guard as ``release_shingles``: a dead session's
+    index handle is dropped, not unpersisted.
+    """
+    live = session_token()
     for key in [k for k in _IVF_MODEL_CACHE if sf_dir is None or k[1] == sf_dir]:
         _cents, index = _IVF_MODEL_CACHE.pop(key)
-        index.unpersist(blocking=False)
+        if key[0] == live:
+            index.unpersist(blocking=False)
 
 
 # --------------------------------------------------------------------------

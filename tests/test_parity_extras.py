@@ -395,3 +395,34 @@ def test_sns_datasource_log_fallback_and_logger_device():
     ds.publish("job finished")
     ds.write("as a logger device")
     ds.close()
+
+
+def test_release_caches_skips_dead_session_handles(spark):
+    """release_caches() after a session restart must drop stale entries
+    without calling unpersist on them — a dead Py4J handle raises an NPE
+    from the driver endpoint (observed when bench blocks restart the
+    session between config blocks)."""
+    from bricolage_spark.queries import llm_ops
+    from bricolage_spark.session import session_token
+
+    class DeadHandle:
+        def unpersist(self, blocking=False):
+            raise RuntimeError("unpersist called on a dead-session handle")
+
+    calls = []
+
+    class LiveHandle:
+        def unpersist(self, blocking=False):
+            calls.append(blocking)
+
+    llm_ops._SHINGLE_CACHE[("stopped-app/0", "/tmp/x", 3)] = DeadHandle()
+    llm_ops._SHINGLE_CACHE[(session_token(spark), "/tmp/x", 3)] = LiveHandle()
+    llm_ops._IVF_MODEL_CACHE[("stopped-app/0", "/tmp/x", 8, 1)] = ([], DeadHandle())
+    try:
+        llm_ops.release_shingles()
+        llm_ops.release_ivf_index()
+    finally:
+        # never leak fakes into other tests even on assertion failure
+        llm_ops._SHINGLE_CACHE.clear()
+        llm_ops._IVF_MODEL_CACHE.clear()
+    assert calls == [False]  # live handle unpersisted, dead ones skipped
