@@ -261,12 +261,17 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def decode_media(payload: bytes, dim: int = 8) -> list[float]:
-    """Dispatch on magic bytes: real BMP/PNG/WAV decode, digest fallback."""
+    """Dispatch on magic bytes: real BMP/PNG/JPEG/WAV decode, digest
+    fallback for everything else."""
     try:
         if payload[:2] == b"BM":
             return decode_bmp(payload)
         if payload.startswith(_PNG_MAGIC):
             return decode_png(payload)
+        if payload[:2] == b"\xff\xd8":
+            from bricolage_spark.operators.jpeg import decode_jpeg
+
+            return decode_jpeg(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return decode_wav(payload)
     except (ValueError, zlib.error):
