@@ -91,11 +91,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     sub = p.add_subparsers(dest="command", required=True)
 
+    p.add_argument(
+        "--version", action="version",
+        version=f"%(prog)s {__import__('bricolage_spark').__version__}",
+    )
+
     pj = sub.add_parser("job", help="run a single job file")
     pj.add_argument("path")
     pj.add_argument("-v", "--variable", action="append", default=[])
     pj.add_argument("--dry-run", action="store_true")
     pj.add_argument("--explain", action="store_true")
+    pj.add_argument(
+        "-c", "--check-only", action="store_true",
+        help="check job parameters and quit without executing "
+        "(application.rb -c)",
+    )
 
     pn = sub.add_parser("jobnet", help="run a jobnet")
     pn.add_argument("path")
@@ -103,13 +113,40 @@ def main(argv: list[str] | None = None) -> int:
     pn.add_argument("--dry-run", action="store_true")
     pn.add_argument("--clear-queue", action="store_true")
     pn.add_argument(
+        "-c", "--check-only", action="store_true",
+        help="load + pre-compile every job in the net and quit "
+        "(jobnetrunner.rb -c)",
+    )
+    pn.add_argument(
+        "-l", "--list-jobs", action="store_true",
+        help="list target jobs in execution order without running "
+        "(jobnetrunner.rb -l)",
+    )
+    pn.add_argument(
         "--queue", choices=["file", "db"], default="file",
-        help="task-queue backend: resumable JSON file or SQLite job-state DB",
+        help="task-queue backend: resumable JSON file or job-state DB",
+    )
+    pn.add_argument(
+        "--queue-path", default=None,
+        help="explicit file-queue path (implies --queue file)",
+    )
+    pn.add_argument(
+        "--db-name", default=None, metavar="DSN",
+        help="job-state DB: SQLite path or postgresql:// DSN "
+        "(implies --queue db; shared-state multi-host parity)",
+    )
+    pn.add_argument(
+        "--local-state-dir", default=None,
+        help="directory for queue/state files (default: <home>/.queue)",
     )
     pn.add_argument(
         "--isolate", action="store_true",
         help="fork isolate-safe (non-Spark) jobs so a crashing job is "
         "recorded as failed instead of killing the runner",
+    )
+
+    sub.add_parser(
+        "list-job-class", help="list registered job class names"
     )
 
     pl = sub.add_parser("list-declarations", help="list variables a job uses")
@@ -131,6 +168,43 @@ def main(argv: list[str] | None = None) -> int:
         # session, no warehouse registration.
         if args.command in ("list-declarations", "list-variables", "list-global-variables"):
             return _run_list_mode(args)
+        if args.command == "list-job-class":
+            # registry-only (application.rb:336-341): no Spark session
+            from bricolage_spark.jobs import JOB_CLASSES, builtin  # noqa: F401
+            from bricolage_spark.streaming import streaming_load  # noqa: F401
+
+            for name in sorted(JOB_CLASSES):
+                print(name)
+            return 0
+        if args.command == "job" and args.check_only:
+            # compile-only: no Spark session (application.rb -c)
+            from bricolage_spark.jobs import Job
+
+            ctx = Context(None, home=args.home, env=args.env)
+            Job.load(
+                None,
+                _job_path(ctx.home, args.path),
+                global_variables=ctx.global_variables,
+                cmd_variables=_parse_vars(args.variable),
+            ).compile()
+            print("OK")
+            return 0
+        if args.command == "jobnet" and (args.check_only or args.list_jobs):
+            # compile-only modes: no Spark session, no warehouse
+            ctx = Context(None, home=args.home, env=args.env)
+            runner = JobNetRunner(ctx, queue_type=args.queue)
+            _net, order, jobs = runner.compile_net(
+                os.path.join(ctx.home, args.path)
+                if not os.path.exists(args.path)
+                else args.path,
+                cmd_variables=_parse_vars(args.variable),
+            )
+            if args.list_jobs:
+                for ref in order:
+                    print(ref)
+            else:
+                print(f"OK: {len(jobs)} jobs compiled")
+            return 0
         ctx = build_context(args)
         if args.command == "job":
             result = run_single_job(
@@ -148,7 +222,14 @@ def main(argv: list[str] | None = None) -> int:
             print(result)
             return 0
         if args.command == "jobnet":
-            runner = JobNetRunner(ctx, queue_type=args.queue, isolate=args.isolate)
+            runner = JobNetRunner(
+                ctx,
+                queue_dir=args.local_state_dir,
+                queue_type=args.queue,
+                isolate=args.isolate,
+                queue_path=args.queue_path,
+                db_dsn=args.db_name,
+            )
             report = runner.run(
                 os.path.join(ctx.home, args.path)
                 if not os.path.exists(args.path)

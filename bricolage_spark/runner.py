@@ -88,15 +88,31 @@ class JobNetRunner:
         queue_dir: str | None = None,
         queue_type: str = "file",
         isolate: bool = False,
+        queue_path: str | None = None,
+        db_dsn: str | None = None,
     ):
+        """``queue_path`` pins the file queue to an explicit path
+        (--queue-path, jobnetrunner.rb:289-291); ``db_dsn`` enables the
+        DB queue on an explicit SQLite path or postgresql:// DSN
+        (--db-name, jobnetrunner.rb:292-294 — the reference names a
+        datasource, we take the DSN directly). Either implies its queue
+        type."""
         self.ctx = context
         self.queue_dir = queue_dir or os.path.join(context.home, ".queue")
+        if db_dsn is not None:
+            queue_type = "db"
+        elif queue_path is not None:
+            queue_type = "file"
         if queue_type not in ("file", "db"):
             raise ApplicationError(f"unknown queue type: {queue_type}")
         self.queue_type = queue_type
         self.isolate = isolate
+        self._queue_path_override = queue_path
+        self._db_dsn = db_dsn
 
     def queue_path(self, net_ref: Ref) -> str:
+        if self._queue_path_override:
+            return self._queue_path_override
         return os.path.join(
             self.queue_dir, f"{net_ref.subsystem}__{net_ref.name}.json"
         )
@@ -105,16 +121,38 @@ class JobNetRunner:
         if self.queue_type == "db":
             from bricolage_spark.taskqueue import DatabaseTaskQueue
 
-            db = os.path.join(self.queue_dir, "state.db")
-            if clear and os.path.exists(db):
-                os.remove(db)
-            return DatabaseTaskQueue(
+            db = self._db_dsn or os.path.join(self.queue_dir, "state.db")
+            if clear and not db.startswith(("postgresql://", "postgres://")):
+                if os.path.exists(db):
+                    os.remove(db)
+            queue = DatabaseTaskQueue(
                 db, jobnet_name=f"{net_ref.subsystem}/{net_ref.name}"
             )
+            if clear and db.startswith(("postgresql://", "postgres://")):
+                queue.unlink()  # clear rows, keep the shared database
+            return queue
         qpath = self.queue_path(net_ref)
         if clear and os.path.exists(qpath):
             os.remove(qpath)
         return FileTaskQueue.restore_if_exists(qpath)
+
+    def compile_net(
+        self, jobnet_path: str, cmd_variables: dict | None = None
+    ) -> tuple[RootJobNet, list[Ref], dict[str, Job]]:
+        """Load, validate, and pre-compile a whole net without running it —
+        the shared front half of run()/--check-only/--list-jobs
+        (jobnetrunner.rb:150-154, 299-304)."""
+        net = RootJobNet.load(self.ctx.home, jobnet_path)
+        order = net.sequential_jobs()
+        missing = net.check_jobs()
+        if missing:
+            raise ApplicationError(f"undefined jobs in jobnet: {', '.join(missing)}")
+        jobs: dict[str, Job] = {}
+        for ref in order:
+            job = self.ctx.load_job(net.job_path(ref), cmd_variables)
+            job.compile()
+            jobs[str(ref)] = job
+        return net, order, jobs
 
     def run(
         self,
@@ -123,18 +161,8 @@ class JobNetRunner:
         dry_run: bool = False,
         clear_queue: bool = False,
     ) -> RunReport:
-        net = RootJobNet.load(self.ctx.home, jobnet_path)
-        order = net.sequential_jobs()
-        missing = net.check_jobs()
-        if missing:
-            raise ApplicationError(f"undefined jobs in jobnet: {', '.join(missing)}")
-
         # pre-compile everything (check_jobs parity: fail before running)
-        jobs: dict[str, Job] = {}
-        for ref in order:
-            job = self.ctx.load_job(net.job_path(ref), cmd_variables)
-            job.compile()
-            jobs[str(ref)] = job
+        net, order, jobs = self.compile_net(jobnet_path, cmd_variables)
 
         if dry_run:
             for ref in order:

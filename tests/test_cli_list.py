@@ -68,3 +68,54 @@ def test_list_global_variables(home, capsys):
     assert kv["report_table"] == "'prod.report'"  # $schema resolved
     assert kv["bricolage_env"] == "'development'"
     assert kv["bricolage_home"] == repr(str(home))
+
+
+@pytest.fixture()
+def nethome(tmp_path):
+    sub = tmp_path / "subsys"
+    sub.mkdir()
+    (sub / "net1.jobnet").write_text("job1\n-> job2\n")
+    for j in ("job1", "job2"):
+        (sub / f"{j}.job").write_text(f"class: noop\nmessage: {j}\n")
+    return tmp_path
+
+
+def test_jobnet_list_jobs(nethome, capsys):
+    lines = _run(
+        capsys,
+        ["--home", str(nethome), "jobnet", "subsys/net1.jobnet", "--list-jobs"],
+    )
+    assert lines == ["subsys/job1", "subsys/job2"]
+
+
+def test_jobnet_check_only(nethome, capsys):
+    lines = _run(
+        capsys, ["--home", str(nethome), "jobnet", "subsys/net1.jobnet", "-c"]
+    )
+    assert lines == ["OK: 2 jobs compiled"]
+
+
+def test_jobnet_check_only_reports_bad_job(nethome, capsys):
+    (nethome / "subsys" / "job2.job").write_text("class: no-such-class\n")
+    rc = main(["--home", str(nethome), "jobnet", "subsys/net1.jobnet", "-c"])
+    assert rc != 0
+    assert "no such job class" in capsys.readouterr().err
+
+
+def test_job_check_only(nethome, capsys):
+    lines = _run(capsys, ["--home", str(nethome), "job", "subsys/job1.job", "-c"])
+    assert lines == ["OK"]
+
+
+def test_list_job_class(capsys):
+    lines = _run(capsys, ["list-job-class"])
+    for expected in ("sql", "load", "unload", "insert", "rebuild-rename",
+                     "streaming_load", "noop", "exec"):
+        assert expected in lines, expected
+
+
+def test_version(capsys):
+    with pytest.raises(SystemExit) as exc:
+        main(["--version"])
+    assert exc.value.code == 0
+    assert "0.1.0" in capsys.readouterr().out

@@ -360,3 +360,25 @@ def test_unload_load_orc_roundtrip(engine, home, tmp_path):
     )
     assert r2.rows == 2
     assert {x.id: x.v for x in engine.table("orc_rt").collect()} == {1: "a", 2: "b"}
+
+
+def test_runner_queue_path_and_db_dsn_selection(engine, home, tmp_path):
+    """--queue-path pins the file queue; --db-name implies the DB queue
+    (jobnetrunner.rb:289-294 parity)."""
+    write_job(home, "a.job", "class: noop\n")
+    (home / "subsys" / "net.jobnet").write_text("a\n")
+    c = ctx_for(engine, home)
+
+    qfile = tmp_path / "pinned.queue.json"
+    r = JobNetRunner(c, queue_path=str(qfile), queue_type="db")
+    assert r.queue_type == "file"  # explicit path overrides type
+    report = r.run(str(home / "subsys" / "net.jobnet"))
+    assert report.success
+
+    dsn = str(tmp_path / "state.sqlite")
+    r2 = JobNetRunner(c, db_dsn=dsn)
+    assert r2.queue_type == "db"
+    report2 = r2.run(str(home / "subsys" / "net.jobnet"))
+    assert report2.success
+    import os
+    assert os.path.exists(dsn)  # DB created at the explicit DSN
