@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -75,14 +76,9 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def decode_bmp(payload: bytes) -> list[float]:
-    """Real decoder: uncompressed 24/32-bit BMP → geometry + channel means.
-
-    Pure stdlib+numpy parse of BITMAPFILEHEADER/BITMAPINFOHEADER; rows are
-    4-byte aligned, pixels little-endian BGR(A).  Returns the 8-dim
-    feature [kind=1, width, height, n_pixels, mean_b, mean_g, mean_r,
-    mean_a] (mean_a = 0 for 24-bit).
-    """
+def decode_bmp_pixels(payload: bytes) -> np.ndarray:
+    """Parse an uncompressed 24/32-bit BMP to an (h, w, ch) uint8 array in
+    the file's native BGR(A) channel order, rows top-down."""
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (pix_off,) = struct.unpack_from("<I", payload, 10)
@@ -91,15 +87,45 @@ def decode_bmp(payload: bytes) -> list[float]:
     (compression,) = struct.unpack_from("<I", payload, 30)
     if compression != 0 or bpp not in (24, 32):
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
-    n_rows = abs(height)  # negative height = top-down row order
+    n_rows = abs(height)
     ch = bpp // 8
     stride = (width * ch + 3) & ~3
     body = np.frombuffer(payload, np.uint8, count=stride * n_rows, offset=pix_off)
     px = body.reshape(n_rows, stride)[:, : width * ch].reshape(n_rows, width, ch)
+    if height > 0:  # positive height = bottom-up row order
+        px = px[::-1]
+    return px
+
+
+def decode_bmp(payload: bytes) -> list[float]:
+    """Real decoder: uncompressed 24/32-bit BMP → geometry + channel means.
+
+    Pure stdlib+numpy parse of BITMAPFILEHEADER/BITMAPINFOHEADER; rows are
+    4-byte aligned, pixels little-endian BGR(A).  Returns the 8-dim
+    feature [kind=1, width, height, n_pixels, mean_b, mean_g, mean_r,
+    mean_a] (mean_a = 0 for 24-bit).
+    """
+    px = decode_bmp_pixels(payload)
+    n_rows, width, ch = px.shape
     means = px.astype(np.float64).mean(axis=(0, 1))
     b, g, r = float(means[0]), float(means[1]), float(means[2])
     a = float(means[3]) if ch == 4 else 0.0
     return [1.0, float(width), float(n_rows), float(width * n_rows), b, g, r, a]
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit BMP
+    (bottom-up rows, 4-byte alignment) — the re-encode half of the resize
+    stage; round-trips exactly through ``decode_bmp_pixels``."""
+    h, w, _ = rgb.shape
+    stride = (w * 3 + 3) & ~3
+    bgr = rgb[..., ::-1]  # RGB → file-order BGR
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    body = rows[::-1].tobytes()  # bottom-up
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + dib + body
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -156,15 +182,36 @@ def _png_unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.nda
     return out
 
 
-def decode_png(payload: bytes) -> list[float]:
-    """Real decoder: PNG → geometry + channel means (stdlib zlib + numpy).
+def _png_decode_body(
+    idat: bytes, width: int, height: int, depth: int, color: int,
+    interlace: int, plte,
+) -> np.ndarray:
+    """Inflate + unfilter one PNG image body to (h, w, 3|4) uint8 RGB(A)
+    (gray replicated, palette resolved). Shared by still-PNG decode and
+    APNG frame extraction (``sample_frames``)."""
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[color]
+    stride = width * ch
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    img = _png_unfilter(raw, height, stride, ch).reshape(height, width, ch)
+    if color == 3:  # palette indices -> RGB
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        img = plte[img[:, :, 0]]
+    elif color == 0:  # gray -> RGB
+        img = np.repeat(img, 3, axis=2)
+    elif color == 4:  # gray+alpha -> RGBA
+        img = np.dstack([img[:, :, 0]] * 3 + [img[:, :, 1]])
+    return img
 
-    Full filter reconstruction (None/Sub/Up/Average/Paeth) for 8-bit
-    non-interlaced images, color types 0/2/3/4/6 (palette resolved via
-    PLTE).  Returns the 8-dim feature [kind=3, width, height, n_pixels,
-    mean_r, mean_g, mean_b, mean_a] (gray replicated to RGB; mean_a = 0
-    when there is no alpha channel).
-    """
+
+def decode_png_pixels(payload: bytes) -> np.ndarray:
+    """Decode a still PNG to (h, w, 3|4) uint8 RGB(A)."""
     if not payload.startswith(_PNG_MAGIC):
         raise ValueError("not a PNG payload")
     off, ihdr, plte, idat = len(_PNG_MAGIC), None, None, []
@@ -184,31 +231,25 @@ def decode_png(payload: bytes) -> list[float]:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     width, height, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
-        raise ValueError(
-            f"unsupported PNG (depth={depth}, color={color}, interlace={interlace})"
-        )
-    ch = _PNG_CHANNELS[color]
-    stride = width * ch
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG IDAT length mismatch")
-    img = _png_unfilter(raw, height, stride, ch).reshape(height, width, ch)
-    if color == 3:  # palette indices → RGB
-        if plte is None:
-            raise ValueError("palette PNG missing PLTE")
-        img = plte[img[:, :, 0]]
-        ch = 3
+    return _png_decode_body(
+        b"".join(idat), width, height, depth, color, interlace, plte
+    )
+
+
+def decode_png(payload: bytes) -> list[float]:
+    """Real decoder: PNG -> geometry + channel means (stdlib zlib + numpy).
+
+    Full filter reconstruction (None/Sub/Up/Average/Paeth) for 8-bit
+    non-interlaced images, color types 0/2/3/4/6 (palette resolved via
+    PLTE).  Returns the 8-dim feature [kind=3, width, height, n_pixels,
+    mean_r, mean_g, mean_b, mean_a] (gray replicated to RGB; mean_a = 0
+    when there is no alpha channel).
+    """
+    img = decode_png_pixels(payload)
+    height, width, ch = img.shape
     means = img.astype(np.float64).mean(axis=(0, 1))
-    if ch == 1:  # gray
-        r = g = b = float(means[0])
-        a = 0.0
-    elif ch == 2:  # gray + alpha
-        r = g = b = float(means[0])
-        a = float(means[1])
-    else:
-        r, g, b = float(means[0]), float(means[1]), float(means[2])
-        a = float(means[3]) if ch == 4 else 0.0
+    r, g, b = float(means[0]), float(means[1]), float(means[2])
+    a = float(means[3]) if ch == 4 else 0.0
     return [3.0, float(width), float(height), float(width * height), r, g, b, a]
 
 
@@ -296,6 +337,221 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def decode_pixels(payload: bytes) -> np.ndarray:
+    """Dispatch a BMP/PNG/JPEG payload to an (h, w, 3) uint8 RGB array.
+
+    Raises ValueError for non-image / unsupported payloads (callers
+    decide their own fallback; the Spark stages below pass the original
+    payload through with a flag instead of failing the batch).
+    """
+    if payload[:2] == b"BM":
+        px = decode_bmp_pixels(payload)  # file order BGR(A), top-down
+        return np.ascontiguousarray(px[..., 2::-1])
+    if payload.startswith(_PNG_MAGIC):
+        return np.ascontiguousarray(decode_png_pixels(payload)[..., :3])
+    if payload[:2] == b"\xff\xd8":
+        from bricolage_spark.operators.jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(payload)
+    raise ValueError("not a decodable image payload")
+
+
+def _nn_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample (pure index arithmetic, deterministic)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return img[ys][:, xs]
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("resized", BooleanType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Arrow-batched resize stage: decode (BMP/PNG/JPEG) → nearest-neighbor
+    resample → re-encode as 24-bit BMP.
+
+    Non-image payloads pass through untouched with ``resized = false`` —
+    a mixed-modality table never fails the stage.  Same scale contract as
+    ``extract_features``: schema declared up front, partitioning
+    preserved, Python touches each Arrow batch once, nothing collects.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, types, ok = [], [], []
+            for p, mt in zip(pdf["payload"], pdf["media_type"]):
+                raw = bytes(p)
+                try:
+                    out = encode_bmp(_nn_resize(decode_pixels(raw), width, height))
+                    payloads.append(out)
+                    types.append("image/bmp")
+                    ok.append(True)
+                except (ValueError, zlib.error):
+                    payloads.append(raw)
+                    types.append(mt)
+                    ok.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": types,
+                    "byte_len": [len(p) for p in payloads],
+                    "resized": ok,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("decoded", BooleanType()),
+    ]
+)
+
+
+def split_apng_frames(payload: bytes) -> list[bytes]:
+    """Split an animated PNG into standalone single-frame PNGs.
+
+    Real APNG chunk walk: ``acTL`` declares the animation, ``fcTL``
+    opens each frame (with its own width/height), ``fdAT`` carries frame
+    data as IDAT-with-sequence-prefix.  Each frame is re-emitted as an
+    independent PNG (frame-sized IHDR + shared PLTE + frame data), so
+    every existing still-PNG consumer (decode, features, resize) works
+    per frame.  Frames are decoded standalone — fcTL dispose/blend
+    composition over a canvas is not applied (features/sampling want raw
+    frame content, not a player's composited state).  A still PNG (no
+    acTL) returns itself as the single frame.
+    """
+    if not payload.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    off = len(_PNG_MAGIC)
+    ihdr_raw = None
+    plte_raw = None
+    animated = False
+    default_idat: list[bytes] = []
+    default_is_frame = False  # IDAT belongs to the animation iff fcTL precedes it
+    frames: list[dict] = []  # {"fctl": bytes, "data": [bytes]}
+    while off + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, off)
+        ctype = payload[off + 4 : off + 8]
+        chunk = payload[off + 8 : off + 8 + size]
+        if ctype == b"IHDR":
+            ihdr_raw = chunk
+        elif ctype == b"PLTE":
+            plte_raw = chunk
+        elif ctype == b"acTL":
+            animated = True
+        elif ctype == b"fcTL":
+            frames.append({"fctl": chunk, "data": []})
+            if not default_idat:
+                default_is_frame = True
+        elif ctype == b"IDAT":
+            default_idat.append(chunk)
+            if default_is_frame and frames:
+                frames[-1]["data"].append(chunk)
+        elif ctype == b"fdAT":
+            if frames:
+                frames[-1]["data"].append(chunk[4:])  # strip sequence number
+        elif ctype == b"IEND":
+            break
+        off += 12 + size
+    if ihdr_raw is None:
+        raise ValueError("PNG missing IHDR")
+
+    def chunk_bytes(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    def build(ihdr: bytes, data: list[bytes]) -> bytes:
+        out = bytearray(_PNG_MAGIC)
+        out += chunk_bytes(b"IHDR", ihdr)
+        if plte_raw is not None:
+            out += chunk_bytes(b"PLTE", plte_raw)
+        out += chunk_bytes(b"IDAT", b"".join(data))
+        out += chunk_bytes(b"IEND", b"")
+        return bytes(out)
+
+    if not animated or not frames:
+        return [payload]
+    out_frames = []
+    for fr in frames:
+        if not fr["data"]:
+            continue
+        fw, fh = struct.unpack_from(">II", fr["fctl"], 4)
+        # frame-sized IHDR, all other IHDR fields inherited
+        ihdr = struct.pack(">II", fw, fh) + ihdr_raw[8:]
+        out_frames.append(build(ihdr, fr["data"]))
+    return out_frames or [payload]
+
+
+def sample_frames(media: DataFrame, every_n: int = 1, max_frames: int = 0) -> DataFrame:
+    """Arrow-batched frame-sampling stage: one output row per sampled frame.
+
+    Real for APNG (``split_apng_frames``); a still image is its own
+    single frame.  Container video (MP4/WebM — no codec libs here) and
+    non-media payloads emit ONE row with the original payload and
+    ``decoded = false``, so downstream stages can route them without the
+    batch failing.  ``every_n`` keeps every n-th frame; ``max_frames``
+    caps the per-payload fan-out (0 = no cap) — the fan-out bound that
+    keeps a pathological million-frame payload from skewing a partition.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, totals, payloads, decoded = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(p)
+                try:
+                    if raw.startswith(_PNG_MAGIC):
+                        frames = split_apng_frames(raw)
+                    elif raw[:2] in (b"BM", b"\xff\xd8"):
+                        frames = [raw]  # still image: its own single frame
+                    else:
+                        raise ValueError("not a frame-decodable payload")
+                    keep = frames[::every_n]
+                    if max_frames:
+                        keep = keep[:max_frames]
+                    for i, fp in enumerate(keep):
+                        ids.append(mid)
+                        idxs.append(i * every_n)
+                        totals.append(len(frames))
+                        payloads.append(fp)
+                        decoded.append(True)
+                except (ValueError, zlib.error):
+                    ids.append(mid)
+                    idxs.append(0)
+                    totals.append(1)
+                    payloads.append(raw)
+                    decoded.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_index": idxs,
+                    "n_frames": totals,
+                    "payload": payloads,
+                    "decoded": decoded,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
 def decode_stub(*_args, **_kwargs):  # pragma: no cover - documented stub

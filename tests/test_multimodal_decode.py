@@ -198,3 +198,106 @@ def test_real_decode_through_spark_pipeline(spark):
     assert feats[2][0] == 2.0 and feats[2][2] == 16000.0
     assert feats[3] == M._fake_feature(b"plain text")
     assert feats[4][0] == 3.0 and feats[4][4] == pytest.approx(50.0)
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def make_apng(frames: list[np.ndarray]) -> bytes:
+    """Independent APNG encoder: acTL + per-frame fcTL, first frame as
+    IDAT, the rest as sequence-numbered fdAT (all frames full-size,
+    filter 0)."""
+    h, w, ch = frames[0].shape
+    assert ch == 3
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for i, fr in enumerate(frames):
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, 1, 10, 0, 0
+        )  # seq, w, h, x, y, delay 1/10s, dispose none, blend source
+        out += _chunk(b"fcTL", fctl)
+        seq += 1
+        raw = b"".join(b"\x00" + fr[y].tobytes() for y in range(h))
+        data = zlib.compress(raw)
+        if i == 0:
+            out += _chunk(b"IDAT", data)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + data)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def test_resize_bmp_nearest_neighbor():
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[:2, :2] = (255, 0, 0)   # BGR quadrants in file order
+    px[:2, 2:] = (0, 255, 0)
+    px[2:, :2] = (0, 0, 255)
+    px[2:, 2:] = (255, 255, 255)
+    small = M._nn_resize(M.decode_pixels(make_bmp(px)), 2, 2)
+    # decode_pixels returns RGB; BMP file stored BGR, so channels flip
+    assert small.shape == (2, 2, 3)
+    assert tuple(small[0, 0]) == (0, 0, 255)      # was BGR (255,0,0)
+    assert tuple(small[1, 1]) == (255, 255, 255)
+    # re-encode and decode round-trips exactly
+    again = M.decode_pixels(M.encode_bmp(small))
+    assert np.array_equal(small, again)
+
+
+def test_split_apng_frames_and_still_png():
+    f0 = np.full((3, 4, 3), 10, dtype=np.uint8)
+    f1 = np.full((3, 4, 3), 100, dtype=np.uint8)
+    f2 = np.full((3, 4, 3), 200, dtype=np.uint8)
+    apng = make_apng([f0, f1, f2])
+    frames = M.split_apng_frames(apng)
+    assert len(frames) == 3
+    for fp, val in zip(frames, (10.0, 100.0, 200.0)):
+        feat = M.decode_png(fp)
+        assert feat[:4] == [3.0, 4.0, 3.0, 12.0]
+        assert feat[4] == pytest.approx(val)
+    # a still PNG is its own single frame
+    still = make_png(f0, color_type=2)
+    assert M.split_apng_frames(still) == [still]
+
+
+def test_resize_and_sample_stages_through_spark(spark):
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[..., 0] = 200  # B plane in BMP file order
+    bmp = make_bmp(img)
+    png = make_png(np.full((6, 6, 3), 77, dtype=np.uint8), color_type=2)
+    apng = make_apng([
+        np.full((2, 2, 3), v, dtype=np.uint8) for v in (0, 60, 120, 180)
+    ])
+    rows = [
+        (1, bytearray(bmp), "image/bmp", len(bmp)),
+        (2, bytearray(png), "image/png", len(png)),
+        (3, bytearray(b"not media"), "text/plain", 9),
+        (4, bytearray(apng), "image/apng", len(apng)),
+    ]
+    media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+
+    resized = {r.media_id: r for r in M.resize_images(media, 2, 2).collect()}
+    assert resized[1].resized and resized[1].media_type == "image/bmp"
+    out_px = M.decode_pixels(bytes(resized[1].payload))
+    assert out_px.shape == (2, 2, 3) and tuple(out_px[0, 0]) == (0, 0, 200)
+    assert resized[2].resized  # png decoded, re-encoded as bmp
+    assert M.decode_pixels(bytes(resized[2].payload)).mean() == pytest.approx(77)
+    assert not resized[3].resized and bytes(resized[3].payload) == b"not media"
+
+    frames = M.sample_frames(media, every_n=2).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id[1]) == 1 and by_id[1][0].decoded  # still bmp
+    assert len(by_id[3]) == 1 and not by_id[3][0].decoded  # text fallback
+    ap = sorted(by_id[4], key=lambda r: r.frame_index)
+    assert [r.frame_index for r in ap] == [0, 2]
+    assert all(r.n_frames == 4 for r in ap)
+    means = [M.decode_png(bytes(r.payload))[4] for r in ap]
+    assert means == [pytest.approx(0.0), pytest.approx(120.0)]
