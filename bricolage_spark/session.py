@@ -52,6 +52,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE coalesce the output partitioning of persisted frames
+        # (off by default). The engine's staged artifacts (shingle table,
+        # IVF index) are .persist()ed and re-read by several queries; with
+        # the default, the cache freezes the pre-AQE partition count and
+        # every consumer stage re-schedules those micro-partitions. The
+        # trade (a possible extra shuffle if a consumer needed the
+        # original partitioning) is AQE-arbitrated per plan. Measured
+        # −10–40% on the shingle-cache consumers at sf0.1.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.shuffle.partitions", shuffle_parts)
         # --- scan efficiency --------------------------------------------
         .config("spark.sql.parquet.filterPushdown", "true")
