@@ -111,6 +111,153 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality filters, entirely row-local.
+
+    (id, n_words, dup_word_frac, dup_bigram_frac, dup_trigram_frac,
+    mean_word_len, keep): the duplicate-n-gram fractions are the standard
+    "repetitious document" signals (Rae et al., Gopher §A.1.1 shape) —
+    1 − distinct/total over word n-grams, n ∈ {1,2,3}.
+
+    Scale design: every column is a Catalyst array expression over the
+    in-row token array (split → zip_with → array_distinct → size) — zero
+    shuffle, zero Python, embarrassingly partition-parallel; the classic
+    first-pass filter a 100 TB curation pipeline runs during the initial
+    scan, before anything is shuffled.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    stage = df.select(F.col(id_col), words.alias("_w"))
+    w = F.col("_w")
+    n = F.size(w)
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    trigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(n - 2, F.lit(0))),
+        F.zip_with(
+            F.slice(w, 2, F.greatest(n - 2, F.lit(0))),
+            F.slice(w, 3, F.greatest(n - 2, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+    def dup_frac(arr: Column) -> Column:
+        return F.when(
+            F.size(arr) > 0,
+            F.round(1.0 - F.size(F.array_distinct(arr)) / F.size(arr), 4),
+        ).otherwise(F.lit(0.0))
+
+    total_len = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    dup_w = dup_frac(w)
+    dup_b = dup_frac(bigrams)
+    dup_t = dup_frac(trigrams)
+    return stage.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_words"),
+        dup_w.alias("dup_word_frac"),
+        dup_b.alias("dup_bigram_frac"),
+        dup_t.alias("dup_trigram_frac"),
+        F.round(total_len / F.greatest(n, F.lit(1)), 4).alias("mean_word_len"),
+        (
+            (dup_w <= 0.55) & (dup_b <= 0.05) & (dup_t <= 0.02) & (n >= 15)
+        ).alias("keep"),
+    )
+
+
+def top_word(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mode word and its share of the token count.
+
+    (id, top_word, top_cnt, n_words, top_share). Ties break to the
+    lexicographically LARGEST word via a composite string key
+    (zero-padded count ++ word), so every engine picks the same winner.
+
+    Scale design: two hash aggregations with map-side combine —
+    explode → groupBy(id, word) → groupBy(id) with max_by — and no window
+    over the corpus; per-document cardinality bounds the second stage.
+    The single-document token multiset never materializes off-row except
+    as (id, word, count) partials.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
+    )
+    counts = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("cnt"))
+    key = F.concat(
+        F.lpad(F.col("cnt").cast("string"), 10, "0"), F.lit("|"), F.col("word")
+    )
+    agg = counts.groupBy(id_col).agg(
+        F.max_by("word", key).alias("top_word"),
+        F.max("cnt").cast("bigint").alias("top_cnt"),
+        F.sum("cnt").cast("bigint").alias("n_words"),
+    )
+    return agg.select(
+        F.col(id_col),
+        "top_word",
+        "top_cnt",
+        "n_words",
+        F.round(F.col("top_cnt") / F.col("n_words"), 4).alias("top_share"),
+    )
+
+
+def group_vocab_overlap(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Vocabulary overlap between every pair of groups (sources/snapshots).
+
+    (grp_a, grp_b, n_inter, jaccard, containment) for grp_a < grp_b:
+    Jaccard and containment (|A∩B| / min(|A|,|B|)) over the groups'
+    DISTINCT word vocabularies — the corpus-overlap measure used to
+    decide whether two crawl snapshots / source feeds are worth
+    cross-deduplicating before the expensive pairwise passes run.
+
+    Scale design: one explode → distinct (group, word) pass (shuffle key
+    is the word, values are group ids), then an inverted-index self-join
+    on word whose per-word blowup is bounded by |groups|² — independent
+    of corpus size — and a count aggregation per group pair (≤ |groups|²
+    rows). Vocabulary sizes are |groups| rows → broadcast to the pair
+    frame. No step scales worse than the distinct vocabulary itself.
+    """
+    vocab = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
+    ).distinct()
+    sizes = vocab.groupBy("grp").agg(F.count(F.lit(1)).alias("sz"))
+    a = vocab.select(F.col("grp").alias("grp_a"), "word")
+    b = vocab.select(F.col("grp").alias("grp_b"), "word")
+    inter = (
+        a.join(b, "word")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = F.broadcast(
+        sizes.select(F.col("grp").alias("grp_a"), F.col("sz").alias("sz_a"))
+    )
+    zb = F.broadcast(
+        sizes.select(F.col("grp").alias("grp_b"), F.col("sz").alias("sz_b"))
+    )
+    return (
+        inter.join(za, "grp_a")
+        .join(zb, "grp_b")
+        .select(
+            "grp_a",
+            "grp_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_inter") / F.least(F.col("sz_a"), F.col("sz_b")), 4
+            ).alias("containment"),
+        )
+    )
+
+
 def fingerprint(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:

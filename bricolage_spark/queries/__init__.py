@@ -62,6 +62,9 @@ _EVIDENCE_FIRST = [
     "q41_multimodal_features",
     "q48_ngram_jaccard_neardup",
     "q49_ann_ivf",
+    # round 4: new operator takes the 50th (last driver-checked) slot;
+    # q31–q40/q42 (driver-green in rounds 1+2+3) absorb the clip.
+    "q57_quality_repetition",
 ]
 
 

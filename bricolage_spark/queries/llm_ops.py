@@ -1137,3 +1137,117 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(redacted).alias("redacted_md5"),
         F.length(redacted).cast("bigint").alias("redacted_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# q57 repetition quality filters (Gopher §A.1.1 duplicate-n-gram shape)
+# --------------------------------------------------------------------------
+@register(
+    "q57_quality_repetition",
+    oracle=f"""
+    WITH {_DOCS_CTE},
+    s AS (
+        SELECT doc_id, words AS l, len(words) AS n,
+               list_transform(words[1:len(words)-1],
+                              (x, i) -> x || ' ' || words[i+1])      AS bg,
+               list_transform(words[1:len(words)-2],
+                              (x, i) -> x || ' ' || words[i+1]
+                                          || ' ' || words[i+2])      AS tg
+        FROM docs
+    ),
+    r AS (
+        SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+            CASE WHEN n > 0 THEN
+              ROUND(1.0 - CAST(len(list_distinct(l)) AS DOUBLE)/n, 4)
+            ELSE 0.0 END AS dup_word_frac,
+            CASE WHEN len(bg) > 0 THEN
+              ROUND(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)/len(bg), 4)
+            ELSE 0.0 END AS dup_bigram_frac,
+            CASE WHEN len(tg) > 0 THEN
+              ROUND(1.0 - CAST(len(list_distinct(tg)) AS DOUBLE)/len(tg), 4)
+            ELSE 0.0 END AS dup_trigram_frac,
+            ROUND(CAST(list_sum(list_transform(l, x -> length(x)))
+                       AS DOUBLE) / greatest(n, 1), 4) AS mean_word_len
+        FROM s
+    )
+    SELECT doc_id, n_words, dup_word_frac, dup_bigram_frac,
+           dup_trigram_frac, mean_word_len,
+           (dup_word_frac <= 0.55 AND dup_bigram_frac <= 0.05
+            AND dup_trigram_frac <= 0.02 AND n_words >= 15) AS keep
+    FROM r
+    """,
+    doc="Repetition-based quality filtering (the Gopher duplicate-n-gram "
+    "signals): per-document 1 − distinct/total over word uni/bi/trigrams, "
+    "mean word length, and a keep/drop verdict. Pure row-local Catalyst "
+    "array expressions — zero shuffle, zero Python; the first-pass scan "
+    "filter of a curation pipeline.",
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.repetition_stats(docs, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# q58 per-document top word (mode) — two-stage agg, no corpus window
+# --------------------------------------------------------------------------
+@register(
+    "q58_doc_top_word",
+    oracle=f"""
+    WITH {_DOCS_CTE},
+    w AS (SELECT doc_id, unnest(words) AS word FROM docs),
+    c AS (SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY doc_id, word)
+    SELECT doc_id,
+           arg_max(word, lpad(CAST(cnt AS VARCHAR), 10, '0') || '|' || word)
+               AS top_word,
+           CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+           CAST(SUM(cnt) AS BIGINT) AS n_words,
+           ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS top_share
+    FROM c GROUP BY doc_id
+    """,
+    doc="Per-document mode word and its token share (excessive top-word "
+    "share flags keyword-stuffed/spam documents). Two hash aggregations "
+    "with map-side combine (explode → (doc,word) counts → max_by per doc); "
+    "deterministic tie-break via a zero-padded count++word key; no window "
+    "function touches the corpus.",
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.top_word(docs, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# q59 source-pair vocabulary overlap (cross-snapshot dedup planning)
+# --------------------------------------------------------------------------
+@register(
+    "q59_source_overlap",
+    oracle="""
+    WITH v AS (
+        SELECT DISTINCT source AS grp, unnest(
+            string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                         ' ')) AS word
+        FROM documents
+    ),
+    sizes AS (SELECT grp, COUNT(*) AS sz FROM v GROUP BY grp),
+    inter AS (
+        SELECT a.grp AS grp_a, b.grp AS grp_b, COUNT(*) AS n_inter
+        FROM v a JOIN v b ON a.word = b.word AND a.grp < b.grp
+        GROUP BY a.grp, b.grp
+    )
+    SELECT grp_a, grp_b, n_inter,
+           ROUND(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 4)
+               AS jaccard,
+           ROUND(CAST(n_inter AS DOUBLE) / least(za.sz, zb.sz), 4)
+               AS containment
+    FROM inter
+    JOIN sizes za ON za.grp = grp_a
+    JOIN sizes zb ON zb.grp = grp_b
+    """,
+    doc="Pairwise vocabulary Jaccard/containment between sources — the "
+    "corpus-overlap measure that decides which snapshot/feed pairs are "
+    "worth cross-deduplicating. Inverted-index self-join on word whose "
+    "per-word blowup is bounded by |sources|² (corpus-size independent); "
+    "vocabulary sizes broadcast to the ≤|sources|² pair frame.",
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.group_vocab_overlap(docs, "source", "text")

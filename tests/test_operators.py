@@ -419,3 +419,65 @@ def test_stratified_sample_weight_never_infinite(spark, sf_dir):
     rows = q52(spark, sf_dir).collect()
     assert rows, "sample should be non-empty"
     assert all(r.weight is not None and math.isfinite(r.weight) for r in rows)
+
+
+def test_repetition_stats_flags_repetitious_doc(spark):
+    """q57: a doc that repeats one phrase has high dup-n-gram fractions and
+    is dropped; varied text with enough words is kept."""
+    varied = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    spam = "buy cheap pills now " * 10
+    out = {
+        r.doc_id: r
+        for r in T.repetition_stats(
+            spark.createDataFrame(
+                [(1, varied), (2, spam.strip()), (3, "one")],
+                "doc_id long, text string",
+            ),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert out[1].keep and out[1].dup_word_frac == 0.0
+    assert not out[2].keep and out[2].dup_trigram_frac > 0.8
+    # single-word doc: empty n-gram arrays must yield 0.0, not null/NaN
+    assert out[3].dup_bigram_frac == 0.0 and out[3].dup_trigram_frac == 0.0
+    assert not out[3].keep  # too short
+
+
+def test_top_word_deterministic_tiebreak(spark):
+    """q58: equal counts break to the lexicographically largest word."""
+    out = T.top_word(
+        spark.createDataFrame(
+            [(1, "zz aa zz aa bb"), (2, "x x x y")], "doc_id long, text string"
+        ),
+        "doc_id",
+        "text",
+    ).collect()
+    rows = {r.doc_id: r for r in out}
+    assert rows[1].top_word == "zz" and rows[1].top_cnt == 2
+    assert rows[1].n_words == 5 and rows[1].top_share == 0.4
+    assert rows[2].top_word == "x" and rows[2].top_share == 0.75
+
+
+def test_group_vocab_overlap_jaccard_and_containment(spark):
+    """q59: identical vocab pair → jaccard 1.0; subset → containment 1.0."""
+    df = spark.createDataFrame(
+        [
+            ("s1", "a b c"),
+            ("s2", "a b c"),
+            ("s3", "a b c d e f"),
+            ("s4", "q r s"),
+        ],
+        "source string, text string",
+    )
+    out = {
+        (r.grp_a, r.grp_b): r
+        for r in T.group_vocab_overlap(df, "source", "text").collect()
+    }
+    assert out[("s1", "s2")].jaccard == 1.0
+    assert out[("s1", "s3")].containment == 1.0  # s1 vocab ⊂ s3 vocab
+    assert out[("s1", "s3")].jaccard == 0.5
+    assert ("s1", "s4") not in out  # disjoint vocab pairs produce no row
