@@ -305,7 +305,9 @@ def load(job: Job) -> JobResult:
     paths = expand_glob(src) if any(c in src for c in "*?[") else [src]
     if not paths:
         raise JobFailure(f"no input files match: {src}")
-    df = getattr(reader, fmt)(paths)
+    # DataFrameReader.parquet is varargs-only; csv/json/orc accept a list
+    # (their second positional is schema, so never splat those).
+    df = reader.parquet(*paths) if fmt == "parquet" else getattr(reader, fmt)(paths)
     if schema is not None:
         df = df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
 

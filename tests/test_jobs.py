@@ -382,3 +382,25 @@ def test_runner_queue_path_and_db_dsn_selection(engine, home, tmp_path):
     assert report2.success
     import os
     assert os.path.exists(dsn)  # DB created at the explicit DSN
+
+
+def test_example_curation_home_runs_end_to_end(engine, tmp_path):
+    """The shipped examples/curation_home jobnet (load → quality filter →
+    dedup → stats) runs green against the sf0.001 testdata."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ex_home = os.path.join(repo_root, "examples", "curation_home")
+    c = Context(engine, home=ex_home)
+    runner = JobNetRunner(c, queue_dir=str(tmp_path / "queue"))
+    report = runner.run(os.path.join(ex_home, "curation", "curation.jobnet"))
+    assert report.success, (report.failed, report.succeeded)
+    raw = engine.table("raw_documents").count()
+    clean = engine.table("clean_documents").count()
+    ded = engine.table("dedup_documents").count()
+    assert raw == 500
+    assert 0 < clean <= raw          # the repetition filter drops some docs
+    assert 0 < ded <= clean          # dedup never grows the corpus
+    stats = {
+        (r.lang, r.source): r.n_docs
+        for r in engine.table("corpus_stats").collect()
+    }
+    assert sum(stats.values()) == ded
