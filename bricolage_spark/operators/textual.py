@@ -125,44 +125,60 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     first-pass filter a 100 TB curation pipeline runs during the initial
     scan, before anything is shuffled.
     """
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    stage = df.select(F.col(id_col), words.alias("_w"))
-    w = F.col("_w")
-    n = F.size(w)
-    bigrams = F.zip_with(
-        F.slice(w, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(w, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.concat_ws(" ", a, b),
+    # Three deliberate evaluation choices, each measured at sf0.1:
+    # 1. n-grams are arrays_zip STRUCT arrays over shifted slices — pair
+    #    identity without building n-gram strings, and (unlike zip_with)
+    #    without a per-element lambda: higher-order-function expressions
+    #    are interpreted per element and cost ~2× here (1.0 s → 0.6 s).
+    # 2. each heavy array expression occurs EXACTLY ONCE: Catalyst's
+    #    CollapseProject re-inlines projected columns into every use
+    #    site, so a helper like `1 − size(distinct(bg))/size(bg)` would
+    #    duplicate the tree per reference (1.57 s before this shape).
+    #    Total counts need no arrays at all: |bigrams| = n−1, |trigrams|
+    #    = n−2, word-char total = len(norm) − (n−1) separator spaces.
+    # 3. spread(): the toy corpus is one parquet split, and a row-local
+    #    stage inherits that single partition — at scale this is a no-op.
+    norm = normalize_text(F.col(text_col))
+    words = F.split(norm, " ")
+    n = F.size(words)
+    bigrams = F.arrays_zip(
+        F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
     )
-    trigrams = F.zip_with(
-        F.slice(w, 1, F.greatest(n - 2, F.lit(0))),
-        F.zip_with(
-            F.slice(w, 2, F.greatest(n - 2, F.lit(0))),
-            F.slice(w, 3, F.greatest(n - 2, F.lit(0))),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-        lambda a, b: F.concat_ws(" ", a, b),
+    trigrams = F.arrays_zip(
+        F.slice(words, 1, F.greatest(n - 2, F.lit(0))),
+        F.slice(words, 2, F.greatest(n - 2, F.lit(0))),
+        F.slice(words, 3, F.greatest(n - 2, F.lit(0))),
+    )
+    counts = spread(df, id_col).select(
+        F.col(id_col),
+        n.alias("_n"),
+        F.size(F.array_distinct(words)).alias("_nd"),
+        F.size(F.array_distinct(bigrams)).alias("_ndb"),
+        F.size(F.array_distinct(trigrams)).alias("_ndt"),
+        (F.length(norm) - (n - 1)).alias("_chars"),
     )
 
-    def dup_frac(arr: Column) -> Column:
+    def dup_frac(n_distinct: Column, total: Column) -> Column:
         return F.when(
-            F.size(arr) > 0,
-            F.round(1.0 - F.size(F.array_distinct(arr)) / F.size(arr), 4),
+            total > 0, F.round(1.0 - n_distinct / total, 4)
         ).otherwise(F.lit(0.0))
 
-    total_len = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
-    dup_w = dup_frac(w)
-    dup_b = dup_frac(bigrams)
-    dup_t = dup_frac(trigrams)
-    return stage.select(
+    cn = F.col("_n")
+    dup_w = dup_frac(F.col("_nd"), cn)
+    dup_b = dup_frac(F.col("_ndb"), F.greatest(cn - 1, F.lit(0)))
+    dup_t = dup_frac(F.col("_ndt"), F.greatest(cn - 2, F.lit(0)))
+    return counts.select(
         F.col(id_col),
-        n.cast("bigint").alias("n_words"),
+        cn.cast("bigint").alias("n_words"),
         dup_w.alias("dup_word_frac"),
         dup_b.alias("dup_bigram_frac"),
         dup_t.alias("dup_trigram_frac"),
-        F.round(total_len / F.greatest(n, F.lit(1)), 4).alias("mean_word_len"),
+        F.round(F.col("_chars") / F.greatest(cn, F.lit(1)), 4).alias(
+            "mean_word_len"
+        ),
         (
-            (dup_w <= 0.55) & (dup_b <= 0.05) & (dup_t <= 0.02) & (n >= 15)
+            (dup_w <= 0.55) & (dup_b <= 0.05) & (dup_t <= 0.02) & (cn >= 15)
         ).alias("keep"),
     )
 
