@@ -196,7 +196,7 @@ def top_word(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     The single-document token multiset never materializes off-row except
     as (id, word, count) partials.
     """
-    words = df.select(
+    words = spread(df, id_col).select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
     )
@@ -236,7 +236,7 @@ def group_vocab_overlap(
     rows). Vocabulary sizes are |groups| rows → broadcast to the pair
     frame. No step scales worse than the distinct vocabulary itself.
     """
-    vocab = df.select(
+    vocab = spread(df, group_col).select(
         F.col(group_col).alias("grp"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
     ).distinct()
