@@ -252,8 +252,31 @@ def ngram_jaccard_neardup(
         .select("id_a", "id_b")
         .distinct()
     )
-    out = ngram_jaccard_pairs(sh, cand, id_col).filter(
-        F.col("jaccard") >= threshold
+    # Verify via per-doc shingle SETS + row-local array_intersect, not by
+    # re-joining the exploded shingle frame: one collect_set aggregation
+    # replaces two shuffle-joins + a pair groupBy + two size-joins (the
+    # sizes are size(set), free). Shuffle bytes at scale are unchanged —
+    # either path moves each doc's shingles once — but this is 3 fewer
+    # stages, and the doc-sets frame (one row per doc) broadcasts when
+    # small. Intersection stays integer arithmetic: bit-identical Jaccard
+    # in any engine.
+    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
+    pa = sets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a"))
+    pb = sets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("set_b"))
+    n_inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    out = (
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                n_inter
+                / (F.size("set_a") + F.size("set_b") - n_inter),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
     if owns:
         # materialize the (tiny: verified near-dup pairs only) result
