@@ -138,6 +138,29 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     #    = n−2, word-char total = len(norm) − (n−1) separator spaces.
     # 3. spread(): the toy corpus is one parquet split, and a row-local
     #    stage inherits that single partition — at scale this is a no-op.
+    counts = spread(df, id_col).select(
+        F.col(id_col), *_repetition_count_cols(text_col)
+    )
+    return counts.select(
+        F.col(id_col),
+        F.col("_n").cast("bigint").alias("n_words"),
+        *_repetition_stat_cols(),
+    )
+
+
+def _repetition_count_cols(text_col: str) -> list[Column]:
+    """The single-occurrence count projection (`_n/_nd/_ndb/_ndt/_chars`).
+
+    Two measured evaluation choices (sf0.1): n-grams are arrays_zip STRUCT
+    arrays over shifted slices — pair identity without building n-gram
+    strings and without per-element lambdas (higher-order-function
+    expressions are interpreted per element; ~2× slower). Each heavy array
+    expression occurs EXACTLY ONCE: CollapseProject re-inlines projected
+    columns into every use site, so a `1 − size(distinct(bg))/size(bg)`
+    helper would duplicate the tree per reference (1.57 s → 0.58 s).
+    Total counts need no arrays: |bigrams| = n−1, |trigrams| = n−2,
+    word-char total = len(norm) − (n−1) separator spaces.
+    """
     norm = normalize_text(F.col(text_col))
     words = F.split(norm, " ")
     n = F.size(words)
@@ -150,37 +173,58 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.slice(words, 2, F.greatest(n - 2, F.lit(0))),
         F.slice(words, 3, F.greatest(n - 2, F.lit(0))),
     )
-    counts = spread(df, id_col).select(
-        F.col(id_col),
+    return [
         n.alias("_n"),
         F.size(F.array_distinct(words)).alias("_nd"),
         F.size(F.array_distinct(bigrams)).alias("_ndb"),
         F.size(F.array_distinct(trigrams)).alias("_ndt"),
         (F.length(norm) - (n - 1)).alias("_chars"),
+    ]
+
+
+def _dup_frac(n_distinct: Column, total: Column) -> Column:
+    return F.when(total > 0, F.round(1.0 - n_distinct / total, 4)).otherwise(
+        F.lit(0.0)
     )
 
-    def dup_frac(n_distinct: Column, total: Column) -> Column:
-        return F.when(
-            total > 0, F.round(1.0 - n_distinct / total, 4)
-        ).otherwise(F.lit(0.0))
 
+def _repetition_keep() -> Column:
     cn = F.col("_n")
-    dup_w = dup_frac(F.col("_nd"), cn)
-    dup_b = dup_frac(F.col("_ndb"), F.greatest(cn - 1, F.lit(0)))
-    dup_t = dup_frac(F.col("_ndt"), F.greatest(cn - 2, F.lit(0)))
-    return counts.select(
-        F.col(id_col),
-        cn.cast("bigint").alias("n_words"),
-        dup_w.alias("dup_word_frac"),
-        dup_b.alias("dup_bigram_frac"),
-        dup_t.alias("dup_trigram_frac"),
+    return (
+        (_dup_frac(F.col("_nd"), cn) <= 0.55)
+        & (_dup_frac(F.col("_ndb"), F.greatest(cn - 1, F.lit(0))) <= 0.05)
+        & (_dup_frac(F.col("_ndt"), F.greatest(cn - 2, F.lit(0))) <= 0.02)
+        & (cn >= 15)
+    )
+
+
+def _repetition_stat_cols() -> list[Column]:
+    cn = F.col("_n")
+    return [
+        _dup_frac(F.col("_nd"), cn).alias("dup_word_frac"),
+        _dup_frac(F.col("_ndb"), F.greatest(cn - 1, F.lit(0))).alias(
+            "dup_bigram_frac"
+        ),
+        _dup_frac(F.col("_ndt"), F.greatest(cn - 2, F.lit(0))).alias(
+            "dup_trigram_frac"
+        ),
         F.round(F.col("_chars") / F.greatest(cn, F.lit(1)), 4).alias(
             "mean_word_len"
         ),
-        (
-            (dup_w <= 0.55) & (dup_b <= 0.05) & (dup_t <= 0.02) & (cn >= 15)
-        ).alias("keep"),
-    )
+        _repetition_keep().alias("keep"),
+    ]
+
+
+def repetition_filter(df: DataFrame, text_col: str) -> DataFrame:
+    """Drop repetitious documents, keeping every original column.
+
+    The streaming-safe sibling of ``repetition_stats``: the same keep
+    verdict applied as a row-local filter over the unchanged input frame —
+    works identically on batch and Structured Streaming DataFrames (no
+    repartition probe, no aggregation, no state).
+    """
+    counts = df.select("*", *_repetition_count_cols(text_col))
+    return counts.filter(_repetition_keep()).select(*df.columns)
 
 
 def top_word(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -271,6 +315,19 @@ def group_vocab_overlap(
                 F.col("n_inter") / F.least(F.col("sz_a"), F.col("sz_b")), 4
             ).alias("containment"),
         )
+    )
+
+
+# PII patterns restricted to the RE2 ∩ java.util.regex common subset so
+# every engine matches identical spans (no backrefs, no lookaround).
+PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_PHONE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails/phone numbers with typed placeholders (row-local)."""
+    return F.regexp_replace(
+        F.regexp_replace(col, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
     )
 
 

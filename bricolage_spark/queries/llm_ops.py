@@ -1090,10 +1090,10 @@ def release_caches() -> None:
 # --------------------------------------------------------------------------
 # q56 PII detection + redaction (email / phone scrubbing pass)
 # --------------------------------------------------------------------------
-# Patterns restricted to the RE2 ∩ java.util.regex common subset so both
-# engines match identical spans (no backrefs, no lookaround).
-_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
-_PII_PHONE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+# Patterns live in operators.textual (RE2 ∩ java.util.regex common subset
+# so both engines match identical spans); the oracle interpolates them.
+_PII_EMAIL = T.PII_EMAIL
+_PII_PHONE = T.PII_PHONE
 
 
 @register(
@@ -1123,9 +1123,7 @@ _PII_PHONE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
 )
 def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    redacted = F.regexp_replace(
-        F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
-    )
+    redacted = T.redact_pii("text")
     return docs.select(
         "doc_id",
         (F.length("text")

@@ -157,3 +157,62 @@ def test_stateful_counts_update_mode(spark, tmp_path):
     q.awaitTermination(60)
     out = {r.event_type: r.n for r in spark.sql("select * from state_out").collect()}
     assert out == {"a": 2, "b": 1}
+
+
+GOOD = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+    "kilo lima mike november oscar papa quebec romeo sierra tango"
+)
+
+
+def test_curate_stream_filters_redacts_and_dedups(spark, tmp_path):
+    """Streaming ingest curation: repetition filter + PII redaction +
+    watermark-bounded digest dedup over a real file-source stream."""
+    from bricolage_spark.streaming.curation import curate_stream
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    spam = ("buy cheap pills now " * 10).strip()
+    rows = [
+        {"doc_id": 1, "ts": "2024-01-01T00:00:00", "text": GOOD + " contact a@b.com"},
+        {"doc_id": 2, "ts": "2024-01-01T00:01:00", "text": spam},
+        # same content as doc 1 behind a different email → same digest
+        {"doc_id": 3, "ts": "2024-01-01T00:02:00", "text": GOOD + " contact z@y.org"},
+    ]
+    with open(src / "b1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = spark.readStream.schema(doc_schema).json(str(src))
+    curated = curate_stream(stream, watermark="1 hour")
+    assert curated.isStreaming
+    q = (
+        curated.writeStream.format("memory")
+        .queryName("curated_docs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("select * from curated_docs").collect()
+    # spam dropped; docs 1 and 3 collapse post-redaction to one kept row
+    assert len(out) == 1
+    kept = out[0]
+    assert kept.doc_id in (1, 3)
+    assert "<EMAIL>" in kept.text and "@" not in kept.text.replace("<EMAIL>", "")
+
+    # batch parity: the same pipeline on a batch frame keeps the same set
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["ts"].replace("T", " "), r["text"]) for r in rows],
+        "doc_id long, ts string, text string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    bout = curate_stream(batch, watermark="1 hour").collect()
+    assert len(bout) == 1 and bout[0].content_digest == kept.content_digest
