@@ -113,3 +113,71 @@ def test_name_pattern_never_matches_with_slash(junk):
     pat = compile_name_pattern("%*_%Q.log")
     if "/" in junk:
         assert not pat.match(junk + "_01.log") or "/" not in junk
+
+
+# ---------------------------------------------------------------------------
+# Textual operator semantics vs a pure-Python mirror (SURVEY §2.7 q57/q58)
+# ---------------------------------------------------------------------------
+
+words_st = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=3), min_size=1, max_size=40
+)
+
+
+@pytest.mark.spark
+@given(st.lists(words_st, min_size=1, max_size=8))
+@settings(max_examples=8, deadline=None)
+def test_repetition_stats_matches_python_mirror(spark, docs_words):
+    from bricolage_spark.operators.textual import repetition_stats
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    out = {
+        r.doc_id: r
+        for r in repetition_stats(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    for i, ws in enumerate(docs_words):
+        n = len(ws)
+        bi = list(zip(ws, ws[1:]))
+        tri = list(zip(ws, ws[1:], ws[2:]))
+        r = out[i]
+        assert r.n_words == n
+        assert r.dup_word_frac == round(1.0 - len(set(ws)) / n, 4)
+        assert r.dup_bigram_frac == (
+            round(1.0 - len(set(bi)) / len(bi), 4) if bi else 0.0
+        )
+        assert r.dup_trigram_frac == (
+            round(1.0 - len(set(tri)) / len(tri), 4) if tri else 0.0
+        )
+        assert r.mean_word_len == round(sum(map(len, ws)) / n, 4)
+        assert 0.0 <= r.dup_word_frac <= 1.0
+
+
+@pytest.mark.spark
+@given(st.lists(words_st, min_size=1, max_size=6))
+@settings(max_examples=8, deadline=None)
+def test_top_word_matches_python_mirror(spark, docs_words):
+    from collections import Counter
+
+    from bricolage_spark.operators.textual import top_word
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    out = {
+        r.doc_id: r
+        for r in top_word(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    for i, ws in enumerate(docs_words):
+        c = Counter(ws)
+        best_cnt = max(c.values())
+        # tie-break: lexicographically largest among max-count words
+        best_word = max(w for w, k in c.items() if k == best_cnt)
+        r = out[i]
+        assert (r.top_word, r.top_cnt, r.n_words) == (best_word, best_cnt, len(ws))
+        assert r.top_share == round(best_cnt / len(ws), 4)
