@@ -76,6 +76,46 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def incremental_dedup(
+    df: DataFrame,
+    registry: DataFrame | None,
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against the accumulated corpus digest registry.
+
+    The production shape of exact dedup: the historical corpus is
+    represented only by its digest registry (a parquet table with one
+    16-byte ``content_hash`` per ever-seen document), never rescanned.
+    Returns ``(novel, new_digests)``:
+
+    - ``novel`` — the input rows that survive BOTH in-batch first-seen
+      dedup (min-``id_col`` representative per digest) and the anti-join
+      against the registry;
+    - ``new_digests`` — the digests to append to the registry (exactly
+      the digests of ``novel``), which the caller persists, e.g.
+      ``engine.save_table(new_digests, "dedup_registry", mode="append")``.
+
+    Scale design: the anti-join shuffles 16-byte digests on both sides
+    (at 100 TB the registry is ~1.6 TB per 10¹¹ docs — joinable, never
+    broadcast); in-batch dedup is a digest groupBy with map-side combine;
+    document bodies move only for the novel survivors. The same
+    registry-anti-join contract as streaming_load's exactly-once file
+    ledger, applied to content identity.
+    """
+    digested = df.withColumn("content_hash", content_hash(F.col(text_col)))
+    first_seen = digested.groupBy("content_hash").agg(
+        F.min(id_col).alias(id_col)
+    )
+    batch_novel = digested.join(first_seen, ["content_hash", id_col])
+    if registry is not None:
+        batch_novel = batch_novel.join(
+            registry.select("content_hash"), "content_hash", "left_anti"
+        )
+    novel = batch_novel.select(*df.columns, "content_hash")
+    return novel, novel.select("content_hash")
+
+
 # ---------------------------------------------------------------------------
 # shingling + MinHash + LSH
 # ---------------------------------------------------------------------------

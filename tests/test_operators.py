@@ -481,3 +481,26 @@ def test_group_vocab_overlap_jaccard_and_containment(spark):
     assert out[("s1", "s3")].containment == 1.0  # s1 vocab ⊂ s3 vocab
     assert out[("s1", "s3")].jaccard == 0.5
     assert ("s1", "s4") not in out  # disjoint vocab pairs produce no row
+
+
+def test_incremental_dedup_across_batches(spark, engine):
+    """Registry-based dedup: batch 2 drops docs already seen in batch 1
+    (by content) and in-batch duplicates, without rescanning batch 1."""
+    b1 = spark.createDataFrame(
+        [(1, DOC), (2, OTHER), (3, DOC)], "doc_id long, text string"
+    )
+    novel1, dig1 = D.incremental_dedup(b1, None, "doc_id", "text")
+    assert {r.doc_id for r in novel1.collect()} == {1, 2}
+    engine.save_table(dig1, "dedup_registry", mode="overwrite")
+
+    b2 = spark.createDataFrame(
+        [(4, DOC), (5, NEAR), (6, NEAR), (7, "  THE  " + DOC[4:])],
+        "doc_id long, text string",
+    )
+    reg = engine.table("dedup_registry")
+    novel2, dig2 = D.incremental_dedup(b2, reg, "doc_id", "text")
+    rows2 = {r.doc_id for r in novel2.collect()}
+    # 4 and 7 normalize to DOC (already registered); 5 wins NEAR in-batch
+    assert rows2 == {5}
+    engine.save_table(dig2, "dedup_registry", mode="append")
+    assert engine.table("dedup_registry").count() == 3
