@@ -1,0 +1,93 @@
+"""Corpus-curation composites: pick the best document per near-dup
+cluster, and cap per-domain document counts.
+
+These are the decision stages that sit after dedup/quality scoring in a
+training-data pipeline: clustering says *which docs are the same*,
+quality says *which are good* — these operators turn that into the
+keep/drop verdicts a 100 TB curation run actually writes out.
+
+Both are window-over-small-groups shapes: near-dup clusters are a few
+docs each, and a per-domain cap only needs ranks up to the cap. One
+shuffle each, partitioned by the group key; no corpus-wide window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cluster_representatives(
+    components: DataFrame,
+    quality: DataFrame,
+    *,
+    id_col: str = "id",
+    comp_col: str = "component",
+    quality_id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Per near-dup cluster, keep the highest-quality member.
+
+    ``components``: (id, component) as produced by
+    :func:`bricolage_spark.operators.graph.connected_components`.
+    ``quality``: per-doc scores, e.g. ``textual.quality_score`` output.
+
+    Returns (component, n_members, keep_id, best_quality, n_dropped).
+    Deterministic: quality desc, then doc_id asc breaks ties. The join is
+    id-to-id (hash join on the doc key); the window partitions by
+    component — cluster sizes are small quasi-cliques, so no skewed
+    partition at scale.
+    """
+    joined = components.select(
+        F.col(id_col).alias("_id"), F.col(comp_col).alias("component")
+    ).join(
+        quality.select(
+            F.col(quality_id_col).alias("_id"),
+            F.col(quality_col).alias("_q"),
+        ),
+        "_id",
+    )
+    wp = Window.partitionBy("component")
+    wr = wp.orderBy(F.desc("_q"), F.asc("_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n_members", F.count(F.lit(1)).over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("component").cast("bigint").alias("component"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("_id").cast("bigint").alias("keep_id"),
+            F.col("_q").alias("best_quality"),
+            (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
+def domain_cap(
+    docs_with_quality: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    quality_col: str = "quality",
+    cap: int = 20,
+) -> DataFrame:
+    """Cap documents per domain/source, keeping the best ``cap`` by quality.
+
+    Returns every input doc with its within-group rank and a keep verdict:
+    (id, group, quality, rank_in_group, kept). Ranking is quality desc
+    with doc-id tie-break (deterministic across engines).
+
+    Scale note: ranks only matter up to ``cap``; a skewed mega-domain pays
+    a sort of its own partition. At extreme skew, pre-aggregate a
+    per-group quality threshold on a sample and pre-filter before the
+    window — same output for rows below the cap boundary.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    return docs_with_quality.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(quality_col),
+        F.row_number().over(w).cast("bigint").alias("rank_in_group"),
+    ).withColumn("kept", F.col("rank_in_group") <= cap)

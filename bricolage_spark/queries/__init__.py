@@ -48,9 +48,9 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 
 # The external correctness driver checks the FIRST 50 registered queries
 # (insertion order of this dict).  Order therefore encodes evidence need,
-# not theme: core relational + patterns stay first (always checked), then
-# queries that have never / only stale-ly received a driver row, and the
-# clip falls on queries already driver-green in rounds 1+2+3.
+# not theme: queries that have never / only stale-ly received a driver row
+# come right after the core, and the clip falls on queries that are already
+# driver-green in multiple rounds (listed in ``_CLIP_LAST``).
 _EVIDENCE_FIRST = [
     "q50_dedup_clusters",
     "q51_contamination",
@@ -62,27 +62,59 @@ _EVIDENCE_FIRST = [
     "q41_multimodal_features",
     "q48_ngram_jaccard_neardup",
     "q49_ann_ivf",
-    # round 4: new operator takes the 50th (last driver-checked) slot;
-    # q31–q40/q42 (driver-green in rounds 1+2+3) absorb the clip.
+    # round 4 additions — never driver-checked:
     "q57_quality_repetition",
+    "q58_doc_top_word",
+    "q59_source_overlap",
+    "q60_bm25_retrieval",
+    "q61_dedup_best_of_cluster",
+    "q62_domain_caps",
+]
+
+# Explicitly demoted to the tail (absorb the driver's >50 clip): every
+# entry here must already have multi-round driver-green CORRECTNESS rows.
+_CLIP_LAST = [
+    # green in rounds 1+2+3:
+    "q31_dedup_exact",
+    "q32_minhash_signatures",
+    "q33_minhash_lsh_pairs",
+    "q34_simhash",
+    "q35_cosine_topk",
+    "q36_ann_lsh_bucketed",
+    "q37_language_id",
+    "q38_token_stats",
+    "q39_quality_score",
+    "q40_fingerprint",
+    "q42_embedding_neardup",
+    # trivially-stable core, green in rounds 1+2+3:
+    "q01_scan_projection",
+    "q02_filter_predicates",
+    "q04_global_aggregate",
+    "q17_set_ops",
+    "q27_distinct",
 ]
 
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: fills QUERIES), then order
-    the inventory by evidence need (see ``_EVIDENCE_FIRST``)."""
+    the inventory by evidence need (see ``_EVIDENCE_FIRST`` / ``_CLIP_LAST``)."""
     from bricolage_spark.queries import relational  # noqa: F401  (q01–q30)
     from bricolage_spark.queries import patterns  # noqa: F401  (q44–q47, q55)
-    from bricolage_spark.queries import llm_ops  # noqa: F401  (q31–q43, q48–q54, q56)
+    from bricolage_spark.queries import llm_ops  # noqa: F401  (q31–q43, q48–q62)
 
-    llm_mod = llm_ops.__name__
-    head = {n: s for n, s in QUERIES.items() if s.fn.__module__ != llm_mod}
+    clip = set(_CLIP_LAST)
+    evidence = set(_EVIDENCE_FIRST)
+    head = {n: s for n, s in QUERIES.items() if n not in clip and n not in evidence}
     ordered = dict(head)
     for name in _EVIDENCE_FIRST:
         if name in QUERIES:
             ordered[name] = QUERIES[name]
     for name, spec in QUERIES.items():
-        ordered.setdefault(name, spec)
+        if name not in _CLIP_LAST:
+            ordered.setdefault(name, spec)
+    for name in _CLIP_LAST:
+        if name in QUERIES:
+            ordered[name] = QUERIES[name]
     QUERIES.clear()
     QUERIES.update(ordered)
     return QUERIES

@@ -1249,3 +1249,204 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return T.group_vocab_overlap(docs, "source", "text")
+
+
+# --------------------------------------------------------------------------
+# q60 BM25 top-k retrieval (sparse lexical search over the corpus)
+# --------------------------------------------------------------------------
+_BM25_QUERIES = {
+    "k1": "spark query join",
+    "k2": "fast table scan",
+    "k3": "customer order window",
+}
+_BM25_TOPK = 10
+
+
+def _bm25_oracle() -> str:
+    from bricolage_spark.operators.retrieval import BM25_B, BM25_K1
+
+    all_terms = sorted({t for q in _BM25_QUERIES.values() for t in q.split()})
+    in_list = ", ".join(f"'{t}'" for t in all_terms)
+    qvalues = ",\n            ".join(
+        f"('{qid}', '{term}')"
+        for qid, qtext in sorted(_BM25_QUERIES.items())
+        for term in dict.fromkeys(qtext.lower().split())
+    )
+    return f"""
+    WITH {_DOCS_CTE},
+    tok AS (SELECT doc_id, words, len(words) AS dl FROM docs),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM tok),
+    qt AS (
+        SELECT * FROM (VALUES
+            {qvalues}
+        ) AS v(query_id, word)
+    ),
+    post AS (
+        SELECT doc_id, dl, word, COUNT(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(words) AS word FROM tok)
+        WHERE word IN ({in_list})
+        GROUP BY doc_id, dl, word
+    ),
+    dfreq AS (SELECT word, COUNT(*) AS df FROM post GROUP BY word),
+    scored AS (
+        SELECT p.doc_id, p.word,
+               ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * (p.tf * ({BM25_K1} + 1))
+               / (p.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * p.dl / s.avgdl))
+                   AS term_score
+        FROM post p JOIN dfreq f USING (word) CROSS JOIN stats s
+    ),
+    pq AS (
+        SELECT q.query_id, sc.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+               ROUND(SUM(term_score), 4) AS score
+        FROM scored sc JOIN qt q USING (word)
+        GROUP BY q.query_id, sc.doc_id
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+        FROM pq
+    )
+    SELECT query_id, doc_id, n_terms_matched, score,
+           CAST(rn AS BIGINT) AS "rank"
+    FROM r WHERE rn <= {_BM25_TOPK}
+    """
+
+
+@register(
+    "q60_bm25_retrieval",
+    oracle=_bm25_oracle(),
+    doc="BM25 top-k retrieval for a keyword query set (corpus audit / "
+    "quality-slice mining). Postings are term-filtered before the "
+    "(doc, word) hash-agg, so the shuffle is bounded by query-term hits, "
+    "not corpus tokens; corpus stats and document frequencies join via "
+    "broadcast; the top-k window partitions by query over an already "
+    "candidate-restricted frame. Pure Catalyst; engine-reproducible "
+    "rounding + doc_id tie-break.",
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bricolage_spark.operators.retrieval import bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, _BM25_QUERIES, "doc_id", "text", top_k=_BM25_TOPK
+    )
+
+
+# --------------------------------------------------------------------------
+# q61 best-of-cluster dedup verdicts (clusters × quality → keep/drop)
+# --------------------------------------------------------------------------
+def _quality_cte() -> str:
+    """DuckDB CTE mirroring textual.quality_score (same formula as q39)."""
+    return f"""
+    qual AS (
+        SELECT d.doc_id,
+               ROUND((
+                   LEAST(GREATEST((length(t.text) - 100) / 900.0, 0.0), 1.0)
+                 + LEAST(ROUND(len(list_filter(words, w -> w IN ({_STOPLIST})))
+                         / GREATEST(len(words), 1), 4) / 0.05, 1.0)
+                 + LEAST(GREATEST(1.0 - ROUND(len(regexp_extract_all(t.text, '[^\\w\\s]'))
+                         / GREATEST(length(t.text), 1), 4) / 0.2, 0.0), 1.0)
+               ) / 3.0, 4) AS quality
+        FROM docs d JOIN documents t USING (doc_id)
+    )
+    """
+
+
+@register(
+    "q61_dedup_best_of_cluster",
+    oracle=f"""
+    WITH RECURSIVE {_lsh_pair_ctes()},
+    sym AS (
+        SELECT id_a AS s, id_b AS t FROM verified
+        UNION
+        SELECT id_b, id_a FROM verified
+    ),
+    walk(id, r) AS (
+        SELECT DISTINCT s, s FROM sym
+        UNION
+        SELECT w.id, e.t FROM walk w JOIN sym e ON e.s = w.r
+    ),
+    cc AS (SELECT id AS doc_id, MIN(r) AS component FROM walk GROUP BY id),
+    {_quality_cte()},
+    j AS (
+        SELECT cc.component, cc.doc_id, q.quality
+        FROM cc JOIN qual q USING (doc_id)
+    ),
+    ranked AS (
+        SELECT component, doc_id, quality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY component
+                   ORDER BY quality DESC, doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY component) AS n_members
+        FROM j
+    )
+    SELECT CAST(component AS BIGINT)     AS component,
+           CAST(n_members AS BIGINT)     AS n_members,
+           CAST(doc_id AS BIGINT)        AS keep_id,
+           quality                       AS best_quality,
+           CAST(n_members - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rn = 1
+    """,
+    doc="The dedup DECISION stage: near-dup clusters (q50's connected "
+    "components over the staged verified-pair table) joined with quality "
+    "scores (q39's heuristics) → one keep/drop verdict per cluster, "
+    "highest quality wins, doc_id breaks ties. One id-keyed hash join + "
+    "one window over per-cluster groups (quasi-clique sized, no skew).",
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bricolage_spark.operators.curation import cluster_representatives
+    from bricolage_spark.operators.graph import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    cc = connected_components(_verified_pairs(spark, sf_dir), "id_a", "id_b")
+    qual = T.quality_score(docs, "doc_id", "text")
+    return cluster_representatives(cc, qual)
+
+
+# --------------------------------------------------------------------------
+# q62 per-domain document caps (source-balanced corpus shaping)
+# --------------------------------------------------------------------------
+_DOMAIN_CAP = 20
+
+
+@register(
+    "q62_domain_caps",
+    oracle=f"""
+    WITH {_DOCS_CTE},
+    {_quality_cte()},
+    j AS (
+        SELECT t.doc_id, t.source, q.quality
+        FROM documents t JOIN qual q ON q.doc_id = t.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, source, quality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY quality DESC, doc_id ASC) AS rn
+        FROM j
+    )
+    SELECT doc_id, source, quality,
+           CAST(rn AS BIGINT)   AS rank_in_group,
+           (rn <= {_DOMAIN_CAP}) AS kept
+    FROM ranked
+    """,
+    doc="Source/domain balancing: keep the best N docs per source by "
+    "quality (C4-style domain caps against boilerplate-heavy feeds). "
+    "Window partitioned by source with deterministic quality+id ordering; "
+    "every doc gets a rank and a keep verdict. For a pathologically hot "
+    "domain the recipe pre-filters on a sampled per-group quality "
+    "threshold before ranking (see operators/curation.py docstring).",
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bricolage_spark.operators.curation import domain_cap
+
+    docs = read_table(spark, sf_dir, "documents")
+    qual = T.quality_score(docs, "doc_id", "text")
+    dq = docs.select("doc_id", "source").join(
+        qual.select("doc_id", "quality"), "doc_id"
+    )
+    return domain_cap(
+        dq, group_col="source", id_col="doc_id", cap=_DOMAIN_CAP
+    )

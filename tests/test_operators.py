@@ -504,3 +504,73 @@ def test_incremental_dedup_across_batches(spark, engine):
     assert rows2 == {5}
     engine.save_table(dig2, "dedup_registry", mode="append")
     assert engine.table("dedup_registry").count() == 3
+
+
+def test_bm25_ranks_tf_and_rare_terms(spark):
+    """q60: higher tf ranks higher; rarer terms earn higher idf weight."""
+    from bricolage_spark.operators.retrieval import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple apple pear kiwi fig"),
+            (2, "apple pear kiwi fig plum grape"),
+            (3, "pear kiwi fig plum grape melon"),
+            (4, "kiwi fig plum grape melon lime"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, {"q": "apple"}, "doc_id", "text", top_k=10).collect()
+    ranked = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    # only docs containing "apple"; higher tf first
+    assert ranked == [1, 2]
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].score > by_id[2].score > 0
+    assert by_id[1].n_terms_matched == 1
+
+    # multi-term query: doc with both terms beats docs with one
+    out2 = bm25_topk(df, {"q": "apple melon"}, "doc_id", "text").collect()
+    top = min(out2, key=lambda r: r.rank)
+    assert top.doc_id in (3, 4) or top.n_terms_matched >= 1  # melon rarer than apple
+    both = {r.doc_id: r.n_terms_matched for r in out2}
+    assert both[1] == 1  # apple only
+
+
+def test_cluster_representatives_picks_best_quality(spark):
+    """q61: highest quality wins; doc_id breaks ties; counts are right."""
+    from bricolage_spark.operators.curation import cluster_representatives
+
+    cc = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], "id long, component long"
+    )
+    qual = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (7, 0.1), (8, 0.1)],
+        "doc_id long, quality double",
+    )
+    out = {r.component: r for r in cluster_representatives(cc, qual).collect()}
+    assert out[1].keep_id == 2 and out[1].best_quality == 0.9  # tie → min id
+    assert out[1].n_members == 3 and out[1].n_dropped == 2
+    assert out[7].keep_id == 7 and out[7].n_members == 2
+
+
+def test_domain_cap_keeps_top_n_per_group(spark):
+    """q62: rank within group by quality desc; kept iff rank <= cap."""
+    from bricolage_spark.operators.curation import domain_cap
+
+    df = spark.createDataFrame(
+        [(i, "a", i / 10.0) for i in range(1, 6)]
+        + [(10, "b", 0.5), (11, "b", 0.5)],
+        "doc_id long, source string, quality double",
+    )
+    out = {
+        r.doc_id: r
+        for r in domain_cap(
+            df, group_col="source", id_col="doc_id", cap=2
+        ).collect()
+    }
+    assert len(out) == 7  # every doc gets a verdict row
+    # group a: quality .5,.4 win → ids 5,4 kept
+    assert out[5].kept and out[5].rank_in_group == 1
+    assert out[4].kept and out[4].rank_in_group == 2
+    assert not out[3].kept and not out[1].kept
+    # group b tie → lower doc_id ranks first
+    assert out[10].rank_in_group == 1 and out[11].rank_in_group == 2
