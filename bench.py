@@ -55,7 +55,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Queries whose best-of-N is a SERVE-stage time over a staged artifact
 # (built once per block, shared across runs and sibling queries):
 #   shingle table      -> q32, q33, q48, q51, q53  (+ q50 via pairs)
-#   verified pairs     -> q50
+#   verified pairs     -> q50, q61
 #   trained IVF index  -> q49
 #   percentile brackets-> q26, q26b
 #   hot-key statistics -> q47 (sampled probe, the ANALYZE-stats stand-in)
@@ -70,6 +70,7 @@ STAGED = (
     "q50_dedup_clusters",
     "q51_contamination",
     "q53_boilerplate_ngrams",
+    "q61_dedup_best_of_cluster",
 )
 
 

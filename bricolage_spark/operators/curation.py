@@ -91,3 +91,46 @@ def domain_cap(
         F.col(quality_col),
         F.row_number().over(w).cast("bigint").alias("rank_in_group"),
     ).withColumn("kept", F.col("rank_in_group") <= cap)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping word-window chunks (RAG/context
+    prep): (id, chunk_id, n_words_chunk, chunk_text).
+
+    Chunk i covers words [i·stride, i·stride + window); the last chunk is
+    the first one whose window reaches the end of the document (no empty
+    trailing chunks, every word covered, short docs yield one chunk).
+
+    Scale shape: a row-local ``sequence → transform → explode`` — output
+    rows ≈ tokens/stride, each built from the in-row word array with no
+    shuffle; chunking happens inside the scan stage and the chunk frame
+    inherits the input partitioning (append chunk files per input split).
+    """
+    from bricolage_spark.operators.dedup import normalize_text
+
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(words)
+    # number of chunks: 1 + ceil(max(n - window, 0) / stride)
+    n_chunks = 1 + F.ceil(
+        F.greatest(n - window, F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        idx, lambda i: F.slice(words, i * stride + 1, window)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "_w"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size("_w").cast("bigint").alias("n_words_chunk"),
+        F.concat_ws(" ", "_w").alias("chunk_text"),
+    )

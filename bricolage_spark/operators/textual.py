@@ -351,3 +351,61 @@ def fingerprint(
             "min_shingle_hash"
         ),
     )
+
+
+def char_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Character-level quality signals: entropy, digit/upper ratios.
+
+    (id, n_chars, n_distinct_chars, char_entropy, digit_ratio,
+    upper_ratio, keep): Shannon entropy (log2) of the character
+    distribution of the normalized text flags low-information docs
+    (repeated padding, binary junk, single-char spam); digit and
+    uppercase ratios use the RAW text (normalization lowercases).
+
+    Scale design: entirely row-local — the per-character histogram is
+    built as ``transform(array_distinct(chars), c -> count in row)``
+    over the in-row char array (distinct chars per document are bounded
+    by the alphabet, so the O(n·|alphabet|) inner loop is small), then
+    folded with ``aggregate``. Zero shuffle, zero Python; runs inside
+    the first curation scan like the other row-local filters.
+    """
+    t = F.col(text_col)
+    norm = normalize_text(t)
+    chars = F.split(norm, "")
+    n = F.length(norm)
+    uniq = F.array_distinct(chars)
+    # per-distinct-char counts, then -Σ p·log2(p)
+    counts = F.transform(uniq, lambda c: F.size(F.filter(chars, lambda x: x == c)))
+    entropy = F.when(n > 0, F.round(
+        # 0.0 − Σ, not −Σ: a single-char doc sums to 0.0 and unary
+        # negation yields −0.0, whose repr differs from +0.0 across
+        # engines in the oracle's canonical-value hash
+        F.lit(0.0)
+        - F.aggregate(
+            counts,
+            F.lit(0.0),
+            lambda acc, cnt: acc + (cnt / n) * F.log2(cnt / n),
+        ),
+        4,
+    )).otherwise(F.lit(0.0))
+    digit_ratio = F.round(
+        F.regexp_count(t, F.lit(r"[0-9]")) / F.greatest(F.length(t), F.lit(1)), 4
+    )
+    upper_ratio = F.round(
+        F.regexp_count(t, F.lit(r"[A-Z]")) / F.greatest(F.length(t), F.lit(1)), 4
+    )
+    return spread(df, id_col).select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_chars"),
+        # guard: Spark's split('', '') is [''] (size 1) while other
+        # engines give [] — pin empty docs to 0 distinct chars
+        F.when(n > 0, F.size(uniq)).otherwise(F.lit(0)).cast("bigint").alias(
+            "n_distinct_chars"
+        ),
+        entropy.alias("char_entropy"),
+        digit_ratio.alias("digit_ratio"),
+        upper_ratio.alias("upper_ratio"),
+        (
+            (entropy >= 2.0) & (digit_ratio <= 0.3) & (upper_ratio <= 0.3)
+        ).alias("keep"),
+    )

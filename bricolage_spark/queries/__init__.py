@@ -69,6 +69,9 @@ _EVIDENCE_FIRST = [
     "q60_bm25_retrieval",
     "q61_dedup_best_of_cluster",
     "q62_domain_caps",
+    "q63_char_entropy",
+    "q64_doc_chunking",
+    "q65_corpus_report",
 ]
 
 # Explicitly demoted to the tail (absorb the driver's >50 clip): every
@@ -91,6 +94,9 @@ _CLIP_LAST = [
     "q02_filter_predicates",
     "q04_global_aggregate",
     "q17_set_ops",
+    "q19_case_coalesce_cast",
+    "q20_string_functions",
+    "q21_datetime_functions",
     "q27_distinct",
 ]
 

@@ -1450,3 +1450,148 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_cap(
         dq, group_col="source", id_col="doc_id", cap=_DOMAIN_CAP
     )
+
+
+# --------------------------------------------------------------------------
+# q63 character-level quality stats (entropy / digit / uppercase filters)
+# --------------------------------------------------------------------------
+@register(
+    "q63_char_entropy",
+    oracle=f"""
+    WITH {_DOCS_CTE},
+    c AS (
+        SELECT d.doc_id, t.text,
+               string_split(d.norm, '') AS chars,
+               length(d.norm)           AS n
+        FROM docs d JOIN documents t USING (doc_id)
+    ),
+    e AS (
+        SELECT doc_id, text, n,
+               CASE WHEN n > 0 THEN len(list_distinct(chars)) ELSE 0 END
+                   AS n_distinct_chars,
+               CASE WHEN n > 0 THEN ROUND(
+                   0.0 - list_aggregate(
+                       list_transform(
+                           list_distinct(chars),
+                           c -> (len(list_filter(chars, x -> x = c)) / CAST(n AS DOUBLE))
+                                * log2(len(list_filter(chars, x -> x = c)) / CAST(n AS DOUBLE))
+                       ), 'sum'), 4)
+               ELSE 0.0 END AS char_entropy,
+               ROUND(len(regexp_extract_all(text, '[0-9]'))
+                     / GREATEST(length(text), 1), 4) AS digit_ratio,
+               ROUND(len(regexp_extract_all(text, '[A-Z]'))
+                     / GREATEST(length(text), 1), 4) AS upper_ratio
+        FROM c
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+           CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+           char_entropy, digit_ratio, upper_ratio,
+           (char_entropy >= 2.0 AND digit_ratio <= 0.3
+            AND upper_ratio <= 0.3) AS keep
+    FROM e
+    """,
+    doc="Character-level quality filter: Shannon entropy of the char "
+    "distribution (flags padding/binary junk/char-spam) plus digit and "
+    "uppercase ratios, with a keep verdict. Entirely row-local — the "
+    "per-char histogram is a transform over the in-row distinct-char "
+    "array (alphabet-bounded), folded with aggregate; zero shuffle, "
+    "zero Python, runs inside the first curation scan.",
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.char_stats(docs, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# q64 document chunking (overlapping context windows for RAG/packing)
+# --------------------------------------------------------------------------
+_CHUNK_WINDOW, _CHUNK_STRIDE = 64, 48
+
+
+@register(
+    "q64_doc_chunking",
+    oracle=f"""
+    WITH {_DOCS_CTE},
+    m AS (
+        SELECT doc_id, words, len(words) AS n,
+               1 + CAST(ceil(greatest(len(words) - {_CHUNK_WINDOW}, 0)
+                             / {_CHUNK_STRIDE}.0) AS INT) AS n_chunks
+        FROM docs
+    ),
+    x AS (
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_id,
+               words[i * {_CHUNK_STRIDE} + 1 :
+                     i * {_CHUNK_STRIDE} + {_CHUNK_WINDOW}] AS w
+        FROM m, UNNEST(range(0, n_chunks)) AS u(i)
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(w) AS BIGINT)      AS n_words_chunk,
+           array_to_string(w, ' ')     AS chunk_text
+    FROM x
+    """,
+    doc="Context-window chunking: split every document into overlapping "
+    "word windows (window 64, stride 48) for retrieval / context-length "
+    "packing. Row-local sequence→transform→posexplode over the in-row "
+    "word array — output rows ≈ tokens/stride, no shuffle, chunk frame "
+    "inherits the scan partitioning.",
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bricolage_spark.operators.curation import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        window=_CHUNK_WINDOW,
+        stride=_CHUNK_STRIDE,
+    )
+
+
+# --------------------------------------------------------------------------
+# q65 corpus report card (per-language curation dashboard row)
+# --------------------------------------------------------------------------
+@register(
+    "q65_corpus_report",
+    oracle=f"""
+    WITH {_DOCS_CTE},
+    {_quality_cte()},
+    j AS (
+        SELECT t.lang, t.doc_id, len(d.words) AS n_words, q.quality
+        FROM documents t
+        JOIN docs d USING (doc_id)
+        JOIN qual q USING (doc_id)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)      AS n_docs,
+           CAST(SUM(n_words) AS BIGINT)  AS total_words,
+           ROUND(AVG(n_words), 4)        AS avg_words,
+           ROUND(quantile_cont(n_words, 0.5), 4)  AS median_words,
+           ROUND(AVG(quality), 4)        AS avg_quality,
+           ROUND(quantile_cont(quality, 0.9), 4)  AS p90_quality
+    FROM j GROUP BY lang
+    """,
+    doc="Per-language corpus report card: doc counts, token totals, "
+    "exact median length, mean/p90 quality — the dashboard row a "
+    "curation run publishes per snapshot. One hash-agg over row-local "
+    "features; exact percentiles per language group via "
+    "percentile(interpolated) — groups = |languages|, so the per-group "
+    "sort is metadata-scale.",
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    qual = T.quality_score(docs, "doc_id", "text")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(D.normalize_text(F.col("text")), " ")).alias("n_words"),
+    ).join(qual.select("doc_id", "quality"), "doc_id")
+    return feats.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.round(F.avg("n_words"), 4).alias("avg_words"),
+        F.round(F.percentile("n_words", F.lit(0.5)), 4).alias("median_words"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.round(F.percentile("quality", F.lit(0.9)), 4).alias("p90_quality"),
+    )

@@ -574,3 +574,58 @@ def test_domain_cap_keeps_top_n_per_group(spark):
     assert not out[3].kept and not out[1].kept
     # group b tie → lower doc_id ranks first
     assert out[10].rank_in_group == 1 and out[11].rank_in_group == 2
+
+
+def test_char_stats_entropy_and_guards(spark):
+    """q63: low-entropy spam flagged; empty doc yields zeros not nulls."""
+    from bricolage_spark.operators.textual import char_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa aaaa aaaa"),
+            (2, "The quick brown fox jumps over the lazy dog"),
+            (3, ""),
+            (4, "1234567890 1234567890"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in char_stats(df, "doc_id", "text").collect()}
+    assert out[1].char_entropy < 1.0 and not out[1].keep
+    assert out[2].char_entropy > 3.0 and out[2].keep
+    assert out[3].n_chars == 0 and out[3].char_entropy == 0.0
+    assert out[3].n_distinct_chars == 0
+    assert out[4].digit_ratio > 0.9 and not out[4].keep
+    # entropy of a uniform 2-char string is exactly 1 bit
+    one_bit = char_stats(
+        spark.createDataFrame([(9, "abab")], "doc_id long, text string"),
+        "doc_id",
+        "text",
+    ).collect()[0]
+    assert one_bit.char_entropy == 1.0
+
+
+def test_chunk_documents_covers_all_words(spark):
+    """q64: chunks tile the doc with the stride; short docs = 1 chunk."""
+    from bricolage_spark.operators.curation import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text), (2, "tiny doc")], "doc_id long, text string"
+    )
+    out = chunk_documents(
+        df, id_col="doc_id", text_col="text", window=4, stride=3
+    ).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_text for r in c1] == [
+        "w0 w1 w2 w3",
+        "w3 w4 w5 w6",
+        "w6 w7 w8 w9",
+    ]
+    assert all(r.n_words_chunk == 4 for r in c1)
+    # every word appears in some chunk
+    covered = {w for r in c1 for w in r.chunk_text.split()}
+    assert covered == set(text.split())
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "tiny doc"
