@@ -386,7 +386,7 @@ def test_runner_queue_path_and_db_dsn_selection(engine, home, tmp_path):
 
 def test_example_curation_home_runs_end_to_end(engine, tmp_path):
     """The shipped examples/curation_home jobnet (load → quality filter →
-    dedup → stats) runs green against the sf0.001 testdata."""
+    dedup → domain caps → stats) runs green against the sf0.001 testdata."""
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ex_home = os.path.join(repo_root, "examples", "curation_home")
     c = Context(engine, home=ex_home)
@@ -396,11 +396,16 @@ def test_example_curation_home_runs_end_to_end(engine, tmp_path):
     raw = engine.table("raw_documents").count()
     clean = engine.table("clean_documents").count()
     ded = engine.table("dedup_documents").count()
+    capped = engine.table("capped_documents").count()
     assert raw == 500
     assert 0 < clean <= raw          # the repetition filter drops some docs
     assert 0 < ded <= clean          # dedup never grows the corpus
+    assert 0 < capped <= ded         # domain caps never grow the corpus
+    from pyspark.sql import functions as SF
+    per_source = engine.table("capped_documents").groupBy("source").count()
+    assert per_source.agg(SF.max("count")).first()[0] <= 40
     stats = {
         (r.lang, r.source): r.n_docs
         for r in engine.table("corpus_stats").collect()
     }
-    assert sum(stats.values()) == ded
+    assert sum(stats.values()) == capped
