@@ -72,6 +72,7 @@ _EVIDENCE_FIRST = [
     "q63_char_entropy",
     "q64_doc_chunking",
     "q65_corpus_report",
+    "q66_interval_join",
 ]
 
 # Explicitly demoted to the tail (absorb the driver's >50 clip): every
@@ -94,6 +95,7 @@ _CLIP_LAST = [
     "q02_filter_predicates",
     "q04_global_aggregate",
     "q17_set_ops",
+    "q18_subqueries",
     "q19_case_coalesce_cast",
     "q20_string_functions",
     "q21_datetime_functions",

@@ -388,3 +388,62 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q66 bucketed interval join (points-in-window matching without a
+# nested-loop join) — error-burst attribution over the events stream
+# --------------------------------------------------------------------------
+_IJ_WINDOW_US = 600_000_000  # 10 minutes
+
+
+@register(
+    "q66_interval_join",
+    oracle=f"""
+    WITH w AS (
+        SELECT event_id AS window_id,
+               epoch_us(ts)                    AS start_us,
+               epoch_us(ts) + {_IJ_WINDOW_US}  AS end_us
+        FROM events WHERE event_type = 'error'
+    ),
+    p AS (SELECT epoch_us(ts) AS ts_us, user_id, value FROM events)
+    SELECT w.window_id,
+           CAST(COUNT(*) AS BIGINT)                 AS n_events,
+           CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users,
+           ROUND(SUM(p.value), 2)                   AS sum_value
+    FROM w JOIN p ON p.ts_us >= w.start_us AND p.ts_us < w.end_us
+    GROUP BY w.window_id
+    """,
+    doc="Interval (range) join at scale: attribute all activity within 10 "
+    "minutes of each error event to that error's window. A naive BETWEEN "
+    "join has no equi-key and Spark would plan a broadcast-nested-loop; "
+    "operators/interval.py bins both sides on floor(ts/W) so the match "
+    "becomes a plain hash equi-join + residual filter, each pair produced "
+    "exactly once (interval length == bucket width → ≤2 bucket rows per "
+    "window). Oracle: the literal BETWEEN join (DuckDB IEJoin).",
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bricolage_spark.operators.interval import bucketed_interval_join
+
+    e = read_table(spark, sf_dir, "events")
+    pts = e.select(
+        F.unix_micros("ts").alias("ts_us"), "user_id", "value"
+    )
+    wins = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("window_id"),
+        F.unix_micros("ts").alias("start_us"),
+        (F.unix_micros("ts") + F.lit(_IJ_WINDOW_US)).alias("end_us"),
+    )
+    j = bucketed_interval_join(
+        pts,
+        wins,
+        point_ts="ts_us",
+        start_col="start_us",
+        end_col="end_us",
+        bucket_width=_IJ_WINDOW_US,
+    )
+    return j.groupBy("window_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

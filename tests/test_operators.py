@@ -629,3 +629,37 @@ def test_chunk_documents_covers_all_words(spark):
     covered = {w for r in c1 for w in r.chunk_text.split()}
     assert covered == set(text.split())
     assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "tiny doc"
+
+
+def test_bucketed_interval_join_exact_semantics(spark):
+    """q66: half-open [start,end), overlapping windows, empty intervals,
+    and per-key matching — each (point, interval) pair exactly once."""
+    from bricolage_spark.operators.interval import bucketed_interval_join
+
+    pts = spark.createDataFrame(
+        [(1, 5, "u"), (2, 10, "u"), (3, 19, "u"), (4, 10, "v")],
+        "p_id long, ts long, k string",
+    )
+    wins = spark.createDataFrame(
+        [
+            (100, 0, 10, "u"),    # catches ts=5 only (10 excluded)
+            (101, 5, 20, "u"),    # catches 5, 10, 19
+            (102, 10, 10, "u"),   # empty interval -> nothing
+            (103, 0, 30, "v"),    # other key -> ts=10@v only
+        ],
+        "w_id long, s long, e long, k string",
+    )
+    out = bucketed_interval_join(
+        pts, wins, point_ts="ts", start_col="s", end_col="e",
+        bucket_width=7, keys=("k",),
+    ).select("w_id", "p_id").collect()
+    got = sorted((r.w_id, r.p_id) for r in out)
+    assert got == [(100, 1), (101, 1), (101, 2), (101, 3), (103, 4)]
+    # no-keys variant: global matching, still exactly-once
+    out2 = bucketed_interval_join(
+        pts.drop("k"), wins.drop("k").filter(F.col("w_id") != 103),
+        point_ts="ts", start_col="s", end_col="e", bucket_width=100,
+    ).select("w_id", "p_id").collect()
+    got2 = sorted((r.w_id, r.p_id) for r in out2)
+    # [0,10) excludes ts=10; [5,20) catches every point incl. both ts=10s
+    assert got2 == [(100, 1), (101, 1), (101, 2), (101, 3), (101, 4)]
