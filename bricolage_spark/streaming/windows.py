@@ -106,3 +106,60 @@ def run_to_memory_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def interval_join_stream(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    window_us: int = 600_000_000,
+    keys: list[str] | None = None,
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: match point events into
+    [start, start + window_us) interval events.
+
+    The streaming twin of ``operators.interval.bucketed_interval_join``,
+    and the binning is MANDATORY here: Structured Streaming rejects
+    stream-stream joins without an equality predicate, and a pure
+    time-range condition has none. Bucketing ``floor(epoch/W)`` on both
+    sides (the interval explodes to the ≤2 buckets it covers, since its
+    length equals the bucket width) supplies the equi-key; the exact
+    range condition rides along as the residual, and together with the
+    two watermarks it bounds the join state to the watermark horizon —
+    not the stream length. Each (point, interval) pair matches exactly
+    once (a point lives in one bucket; the interval covers it once).
+
+    On batch frames the same expression runs as a plain hash join
+    (Spark's batch/stream unification), which is how tests verify values.
+    """
+    if points.isStreaming:
+        points = points.withWatermark(point_ts, watermark)
+    if intervals.isStreaming:
+        intervals = intervals.withWatermark(start_col, watermark)
+    w = F.lit(window_us)
+    p = points.withColumn(
+        "_ij_bucket", F.floor(F.unix_micros(F.col(point_ts)) / w)
+    )
+    start_us = F.unix_micros(F.col(start_col))
+    i = intervals.withColumn(
+        "_ij_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(start_us / w), F.floor((start_us + window_us - 1) / w)
+            )
+        ),
+    )
+    cond = (
+        (p["_ij_bucket"] == i["_ij_bucket"])
+        & (F.col(point_ts) >= F.col(start_col))
+        & (
+            F.unix_micros(F.col(point_ts))
+            < F.unix_micros(F.col(start_col)) + window_us
+        )
+    )
+    for k in keys or []:
+        cond = cond & (p[k] == i[k])
+    return p.join(i, cond, "inner").drop("_ij_bucket")

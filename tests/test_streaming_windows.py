@@ -216,3 +216,56 @@ def test_curate_stream_filters_redacts_and_dedups(spark, tmp_path):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     bout = curate_stream(batch, watermark="1 hour").collect()
     assert len(bout) == 1 and bout[0].content_digest == kept.content_digest
+
+
+def test_interval_join_batch_values(spark, events):
+    """Batch check of interval_join_stream values: points within
+    [start, start+10min) of each interval event match."""
+    intervals = spark.createDataFrame(
+        [(100, "2024-01-01 00:00:00"), (101, "2024-01-01 00:10:00")],
+        "window_id long, start_ts string",
+    ).withColumn("start_ts", F.col("start_ts").cast("timestamp"))
+    out = W.interval_join_stream(
+        events.select("event_id", "ts"), intervals, window_us=600_000_000
+    ).collect()
+    got = sorted({(r.window_id, r.event_id) for r in out})
+    # [00:00,00:10): events 1,2 ; [00:10,00:20): events 3,4
+    assert got == [(100, 1), (100, 2), (101, 3), (101, 4)]
+
+
+def test_interval_join_stream_stream_run(spark, tmp_path):
+    """Real stream-stream range join: both sides are file-source streams
+    with watermarks; Spark bounds the join state from the range + the
+    watermarks (no unbounded buffering)."""
+    psrc = tmp_path / "ij_points"; psrc.mkdir()
+    isrc = tmp_path / "ij_intervals"; isrc.mkdir()
+    with open(psrc / "p1.json", "w") as f:
+        for e in [
+            {"event_id": 1, "ts": "2024-01-01T00:01:00"},
+            {"event_id": 2, "ts": "2024-01-01T00:12:00"},
+            {"event_id": 3, "ts": "2024-01-01T00:25:00"},
+        ]:
+            f.write(json.dumps(e) + "\n")
+    with open(isrc / "i1.json", "w") as f:
+        for w in [
+            {"window_id": 100, "start_ts": "2024-01-01T00:00:00"},
+            {"window_id": 101, "start_ts": "2024-01-01T00:10:00"},
+        ]:
+            f.write(json.dumps(w) + "\n")
+    pschema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    ischema = T.StructType([
+        T.StructField("window_id", T.LongType()),
+        T.StructField("start_ts", T.TimestampType()),
+    ])
+    pts = spark.readStream.schema(pschema).json(str(psrc))
+    ivs = spark.readStream.schema(ischema).json(str(isrc))
+    joined = W.interval_join_stream(pts, ivs, window_us=600_000_000)
+    assert joined.isStreaming
+    q = W.run_to_memory_sink(joined, "ij_sink", str(tmp_path / "ij_ckpt"))
+    q.awaitTermination(120)
+    rows = spark.sql("select window_id, event_id from ij_sink").collect()
+    got = sorted({(r.window_id, r.event_id) for r in rows})
+    assert got == [(100, 1), (101, 2)]  # event 3 (00:25) matches no window
