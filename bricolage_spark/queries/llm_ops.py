@@ -974,37 +974,46 @@ _CONTAM_MOD, _CONTAM_MIN = 20, 0.5
     """,
     doc="Benchmark-contamination check: for each held-out doc (doc_id % "
     f"{_CONTAM_MOD} == 0), the fraction of its word 3-shingles that appear "
-    "anywhere in the training split. Scale shape: the BENCHMARK shingle "
-    "set is broadcast (held-out sets are small by construction) and the "
-    "training corpus streams through one broadcast hash join — no shuffle "
-    "of the big side, no distinct over train shingles.",
+    "anywhere in the training split. Scale shape: train membership is "
+    "answered by the STAGED df index (a shingle is in train iff corpus "
+    "df > benchmark df), so the training corpus is never scanned at "
+    "query time — the per-shingle df table joins the benchmark's own "
+    "broadcast shingle counts; every aggregation is benchmark-sized.",
 )
 def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir)
     bench = sh.filter(F.col("doc_id") % _CONTAM_MOD == 0)
-    train = sh.filter(F.col("doc_id") % _CONTAM_MOD != 0).select("shingle")
-    # broadcast the small (benchmark) side; dedup hits AFTER the join —
-    # (doc_id, shingle) pairs that matched are at most |bench shingles|.
-    hits = (
-        train.join(F.broadcast(bench), "shingle")
-        .select("doc_id", "shingle")
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    # Membership against the TRAIN side comes from the staged df index,
+    # not from joining the training corpus: a shingle occurs in train iff
+    # its corpus df exceeds its benchmark df (shingle rows are distinct
+    # per doc). The train corpus is never scanned at query time — only
+    # the per-shingle df table (the staged index) joins against the
+    # benchmark's own (tiny, broadcast) shingle counts.
+    bcount = bench.groupBy("shingle").agg(F.count(F.lit(1)).alias("bc"))
+    in_train = (
+        _shingle_freq(spark, sf_dir)
+        .join(F.broadcast(bcount), "shingle")
+        .filter(F.col("dfc") > F.col("bc"))
+        .select("shingle")
     )
-    tot = bench.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    ratio = F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_shingles")
-    return (
-        tot.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_shingles").cast("bigint").alias("n_shingles"),
-            F.coalesce(F.col("n_hits"), F.lit(0))
-            .cast("bigint")
-            .alias("n_hits"),
-            F.round(ratio, 4).alias("containment"),
-            (ratio >= _CONTAM_MIN).alias("contaminated"),
-        )
+    # one pass over the benchmark shingles: a left join against the
+    # (broadcast) matched-shingle set marks hits, a single groupBy then
+    # yields totals and hit counts together — no second scan, no final
+    # doc-level join.
+    marked = bench.join(
+        F.broadcast(in_train.withColumn("_hit", F.lit(1))), "shingle", "left"
+    )
+    agg = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+    )
+    ratio = F.col("n_hits") / F.col("n_shingles")
+    return agg.select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        F.round(ratio, 4).alias("containment"),
+        (ratio >= _CONTAM_MIN).alias("contaminated"),
     )
 
 
