@@ -274,3 +274,44 @@ def test_chunking_matches_python_mirror(spark, docs_words, window, stride):
         for c in chunks:
             covered.update(range(c.chunk_id * stride, c.chunk_id * stride + c.n_words_chunk))
         assert covered == set(range(n))
+
+
+# ---------------------------------------------------------------------------
+# Bucketed interval join vs the brute-force O(n·m) mirror (q66)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.spark
+@given(
+    st.lists(st.integers(0, 200), min_size=1, max_size=25),
+    st.lists(
+        st.tuples(st.integers(0, 200), st.integers(0, 60)),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(1, 80),
+)
+@settings(max_examples=10, deadline=None)
+def test_bucketed_interval_join_matches_bruteforce(spark, ts_list, iv_list, width):
+    """Any bucket width yields exactly the BETWEEN-join pairs, each once."""
+    from bricolage_spark.operators.interval import bucketed_interval_join
+
+    pts = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ts_list)], "p_id long, ts long"
+    )
+    wins = spark.createDataFrame(
+        [(j, s, s + l) for j, (s, l) in enumerate(iv_list)],
+        "w_id long, s long, e long",
+    )
+    out = bucketed_interval_join(
+        pts, wins, point_ts="ts", start_col="s", end_col="e",
+        bucket_width=width,
+    ).select("w_id", "p_id").collect()
+    got = sorted((r.w_id, r.p_id) for r in out)
+    expect = sorted(
+        (j, i)
+        for j, (s, l) in enumerate(iv_list)
+        for i, t in enumerate(ts_list)
+        if s <= t < s + l
+    )
+    assert got == expect  # exactly-once: list equality, not set
