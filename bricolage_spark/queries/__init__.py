@@ -73,6 +73,7 @@ _EVIDENCE_FIRST = [
     "q64_doc_chunking",
     "q65_corpus_report",
     "q66_interval_join",
+    "q67_incremental_dedup",
 ]
 
 # Explicitly demoted to the tail (absorb the driver's >50 clip): every
@@ -96,6 +97,7 @@ _CLIP_LAST = [
     "q04_global_aggregate",
     "q17_set_ops",
     "q18_subqueries",
+    "q22_math_functions",
     "q19_case_coalesce_cast",
     "q20_string_functions",
     "q21_datetime_functions",

@@ -1685,3 +1685,49 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("quality"), 4).alias("avg_quality"),
         F.round(F.percentile("quality", F.lit(0.9)), 4).alias("p90_quality"),
     )
+
+
+# --------------------------------------------------------------------------
+# q67 incremental (registry) dedup — dedup a new batch against history
+# --------------------------------------------------------------------------
+@register(
+    "q67_incremental_dedup",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS content_hash,
+               (doc_id % 3 = 0) AS is_new
+        FROM documents
+    ),
+    reg AS (SELECT DISTINCT content_hash FROM d WHERE NOT is_new),
+    batch AS (SELECT doc_id, content_hash FROM d WHERE is_new),
+    first_seen AS (
+        SELECT content_hash, MIN(doc_id) AS doc_id
+        FROM batch GROUP BY content_hash
+    )
+    SELECT b.doc_id, b.content_hash
+    FROM batch b
+    JOIN first_seen f
+      ON f.content_hash = b.content_hash AND f.doc_id = b.doc_id
+    LEFT JOIN reg r ON r.content_hash = b.content_hash
+    WHERE r.content_hash IS NULL
+    """,
+    doc="Cross-batch content identity (operators/dedup.py::"
+    "incremental_dedup): a NEW batch (doc_id % 3 == 0) dedups against "
+    "the digest registry of everything already ingested — in-batch "
+    "first-seen representative, then a 16-byte-digest anti-join against "
+    "the registry. History is never rescanned; bodies move only for "
+    "novel survivors. The same exactly-once ledger contract as "
+    "streaming_load, applied to content instead of filenames.",
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    registry = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .select(D.content_hash(F.col("text")).alias("content_hash"))
+        .distinct()
+    )
+    novel, _digests = D.incremental_dedup(batch, registry, "doc_id", "text")
+    return novel.select("doc_id", "content_hash")
