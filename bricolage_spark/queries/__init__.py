@@ -110,7 +110,7 @@ def load_all() -> dict[str, QuerySpec]:
     the inventory by evidence need (see ``_EVIDENCE_FIRST`` / ``_CLIP_LAST``)."""
     from bricolage_spark.queries import relational  # noqa: F401  (q01–q30)
     from bricolage_spark.queries import patterns  # noqa: F401  (q44–q47, q55)
-    from bricolage_spark.queries import llm_ops  # noqa: F401  (q31–q43, q48–q62)
+    from bricolage_spark.queries import llm_ops  # noqa: F401  (q31–q43, q48–q67)
 
     clip = set(_CLIP_LAST)
     evidence = set(_EVIDENCE_FIRST)
