@@ -134,3 +134,69 @@ def chunk_documents(
         F.size("_w").cast("bigint").alias("n_words_chunk"),
         F.concat_ws(" ", "_w").alias("chunk_text"),
     )
+
+
+def write_packed_shards(
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    budget: int = 2048,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Materialize sequence-packed training shards: concatenate documents
+    into ~``budget``-token rows and write them partitioned by group.
+
+    The write stage of the packing pipeline (q54 plans the bins; this
+    emits them): documents are binned per group by a running token-budget
+    sum in deterministic id order, each bin concatenates its members into
+    one training row, and the shard table lands partitioned by group so
+    a loader reads one directory per language/source.
+
+    Returns the written frame (group, bin_id, n_docs, n_tokens, text).
+
+    Scale shape: the running sum windows PER GROUP (never a global
+    order), the concat is one ``array_agg``-style aggregation per bin
+    (bins are budget-bounded, so rows stay small), and ``partitionBy``
+    on the write maps each group to its own output directory — the
+    standard shard layout. Deterministic: same input → same shards.
+    """
+    tokens = F.ceil(F.length(F.col(text_col)) / 4.0).cast("bigint")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    binned = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(text_col),
+        tokens.alias("_tok"),
+    ).withColumn(
+        "bin_id",
+        F.floor((F.sum("_tok").over(w) - F.col("_tok")) / budget).cast("bigint"),
+    )
+    # array_sort on (id, text) structs gives deterministic concat order
+    # regardless of shuffle arrival order; transform extracts the text
+    packed = (
+        binned.groupBy(group_col, "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_tok").cast("bigint").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col(id_col).alias("i"), F.col(text_col).alias("t"))
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                sep,
+            ).alias("text"),
+        )
+    )
+    packed.write.mode("overwrite").partitionBy(group_col).parquet(out_dir)
+    return packed

@@ -663,3 +663,47 @@ def test_bucketed_interval_join_exact_semantics(spark):
     got2 = sorted((r.w_id, r.p_id) for r in out2)
     # [0,10) excludes ts=10; [5,20) catches every point incl. both ts=10s
     assert got2 == [(100, 1), (101, 1), (101, 2), (101, 3), (101, 4)]
+
+
+def test_write_packed_shards_roundtrip(spark, tmp_path):
+    """Packing materialization: budget respected, deterministic concat
+    order, shards partitioned by group, every doc present exactly once."""
+    from bricolage_spark.operators.curation import write_packed_shards
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de", "x" * (i * 40)) for i in range(1, 11)],
+        "doc_id long, lang string, text string",
+    )
+    out_dir = str(tmp_path / "shards")
+    packed = write_packed_shards(
+        docs, out_dir, id_col="doc_id", text_col="text",
+        group_col="lang", budget=100, sep="|",
+    )
+    back = spark.read.parquet(out_dir)
+    rows = back.collect()
+    assert sorted(r.lang for r in rows)  # partition column round-trips
+    # every doc's text appears exactly once across all shards
+    joined = "|".join(r.text for r in rows)
+    for i in range(1, 11):
+        assert joined.count("x" * (i * 40)) >= 1
+    assert sum(r.n_docs for r in rows) == 10
+    # budget invariant: bin b only opens once the running total reached
+    # b*budget, so the cumulative tokens before each bin >= bin_id*budget
+    import collections
+    by_lang = collections.defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.lang, r.bin_id)):
+        by_lang[r.lang].append(r)
+    for lang, shards in by_lang.items():
+        assert [s.bin_id for s in shards] == sorted({s.bin_id for s in shards})
+        cum = 0
+        for s in shards:
+            assert cum >= s.bin_id * 100
+            cum += s.n_tokens
+    # deterministic: second run produces identical shard texts
+    packed2 = write_packed_shards(
+        docs, str(tmp_path / "shards2"), id_col="doc_id",
+        text_col="text", group_col="lang", budget=100, sep="|",
+    )
+    a = {(r.lang, r.bin_id): r.text for r in spark.read.parquet(out_dir).collect()}
+    b = {(r.lang, r.bin_id): r.text for r in spark.read.parquet(str(tmp_path / "shards2")).collect()}
+    assert a == b
