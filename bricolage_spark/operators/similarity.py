@@ -296,6 +296,19 @@ def ivf_cell(vec: str, centroids: list) -> Column:
     )
 
 
+def ivf_assignment(vec: str, centroids: list) -> Column:
+    """Row-local winning (cell, sim) struct for a vector — the assignment
+    plus its 6-dp-rounded cosine to the chosen centroid (ties to the
+    lowest cell id, like :func:`ivf_cell`). Used by cluster reporting."""
+    structs = _ivf_sim_structs_sql(vec, centroids)
+    return _memo_expr(
+        ("ivf_assign", vec, _cent_key(centroids)),
+        "named_struct("
+        f"'cell', CAST(array_min({structs}).cell AS INT), "
+        f"'sim', -array_min({structs}).ns)",
+    )
+
+
 def ivf_probe_cells(vec: str, centroids: list, nprobe: int) -> Column:
     """The ``nprobe`` nearest cells for a query vector, as an array<int>.
 

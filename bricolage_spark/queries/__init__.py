@@ -74,6 +74,7 @@ _EVIDENCE_FIRST = [
     "q65_corpus_report",
     "q66_interval_join",
     "q67_incremental_dedup",
+    "q68_embedding_clusters",
 ]
 
 # Explicitly demoted to the tail (absorb the driver's >50 clip): every
@@ -98,6 +99,7 @@ _CLIP_LAST = [
     "q17_set_ops",
     "q18_subqueries",
     "q22_math_functions",
+    "q23_array_functions",
     "q19_case_coalesce_cast",
     "q20_string_functions",
     "q21_datetime_functions",

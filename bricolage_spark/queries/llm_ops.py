@@ -720,14 +720,17 @@ _IVF_CELLS, _IVF_NPROBE, _IVF_SEED = 8, 2, 4242
 _IVF_MODEL_CACHE: dict = {}
 
 
-def _ivf_oracle(dims: int = 64) -> str:
+def _ivf_a1_ctes(dims: int = 64) -> str:
+    """CTE chain ending in ``a1`` = every (vector, trained-centroid) pair
+    with its 6-dp cosine — the shared trunk of the q49 (ANN serve) and
+    q68 (cluster report) oracles. Reproduces the deterministic training:
+    md5-seeded seeds → one Lloyd step → 6-dp centroids."""
     h = _h32("CAST(vec_id AS VARCHAR)", _IVF_SEED)
     cos6 = (
         "ROUND(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
         " * sqrt(list_dot_product({b}, {b}))), 6)"
     )
-    return f"""
-    WITH v AS (
+    return f"""v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
     seeds AS (
@@ -762,7 +765,12 @@ def _ivf_oracle(dims: int = 64) -> str:
         SELECT v.vec_id, v.e, c.cell,
                {cos6.format(a='v.e', b='c.ce')} AS sim
         FROM v CROSS JOIN cent c
-    ),
+    )"""
+
+
+def _ivf_oracle(dims: int = 64) -> str:
+    return f"""
+    WITH {_ivf_a1_ctes(dims)},
     cell1 AS (
         SELECT vec_id, e, cell FROM (
             SELECT vec_id, e, cell,
@@ -1731,3 +1739,55 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     novel, _digests = D.incremental_dedup(batch, registry, "doc_id", "text")
     return novel.select("doc_id", "content_hash")
+
+
+# --------------------------------------------------------------------------
+# q68 embedding cluster report (trained-quantizer corpus segmentation)
+# --------------------------------------------------------------------------
+@register(
+    "q68_embedding_clusters",
+    oracle=f"""
+    WITH {_ivf_a1_ctes()},
+    assign AS (
+        SELECT vec_id, cell, sim FROM (
+            SELECT vec_id, cell, sim,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY sim DESC, cell) AS rn
+            FROM a1
+        ) WHERE rn = 1
+    )
+    SELECT CAST(cell AS BIGINT)          AS cell,
+           CAST(COUNT(*) AS BIGINT)      AS n_vectors,
+           ROUND(AVG(sim), 4)            AS mean_sim,
+           ROUND(MIN(sim), 4)            AS min_sim,
+           CAST(MIN(vec_id) AS BIGINT)   AS min_vec_id
+    FROM assign GROUP BY cell
+    """,
+    doc="Embedding-space corpus segmentation: every vector assigned to "
+    "its trained k-means cell (the q49 quantizer — same cached "
+    "centroids) with per-cluster size and cohesion (mean/min cosine to "
+    "the centroid). Assignment is row-local codegen arithmetic over "
+    "centroid literals — the corpus is labeled in the scan stage, then "
+    "one |cells|-group hash-agg. The report a curation run uses to spot "
+    "dominant/degenerate embedding clusters before balancing.",
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    key = (session_token(spark), sf_dir, _IVF_CELLS, _IVF_SEED)
+    entry = _IVF_MODEL_CACHE.get(key)
+    if entry is None:
+        cents = S.ivf_centroids(emb, k_cells=_IVF_CELLS, seed=_IVF_SEED)
+        index = S.ivf_index(emb, cents).persist()
+        entry = (cents, index)
+        _IVF_MODEL_CACHE[key] = entry
+    cents, _index = entry
+    assign = spread(emb, "vec_id").select(
+        F.col("vec_id"),
+        S.ivf_assignment("embedding", cents).alias("a"),
+    )
+    return assign.groupBy(F.col("a.cell").cast("bigint").alias("cell")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(F.avg("a.sim"), 4).alias("mean_sim"),
+        F.round(F.min("a.sim"), 4).alias("min_sim"),
+        F.min("vec_id").cast("bigint").alias("min_vec_id"),
+    )
