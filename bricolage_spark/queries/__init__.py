@@ -75,6 +75,8 @@ _EVIDENCE_FIRST = [
     "q66_interval_join",
     "q67_incremental_dedup",
     "q68_embedding_clusters",
+    "q69_ngram_novelty",
+    "q70_length_histogram",
 ]
 
 # Explicitly demoted to the tail (absorb the driver's >50 clip): every
@@ -100,6 +102,8 @@ _CLIP_LAST = [
     "q18_subqueries",
     "q22_math_functions",
     "q23_array_functions",
+    "q24_map_functions",
+    "q25_json_functions",
     "q19_case_coalesce_cast",
     "q20_string_functions",
     "q21_datetime_functions",

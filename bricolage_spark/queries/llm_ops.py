@@ -1791,3 +1791,99 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("a.sim"), 4).alias("min_sim"),
         F.min("vec_id").cast("bigint").alias("min_vec_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# q69 n-gram novelty score (uniqueness signal — the inverse of boilerplate)
+# --------------------------------------------------------------------------
+@register(
+    "q69_ngram_novelty",
+    oracle=f"""
+    WITH {_DOCS_CTE}, {_SHINGLES_CTE},
+    freq AS (SELECT shingle, COUNT(*) AS dfc FROM shingles GROUP BY shingle),
+    j AS (
+        SELECT s.doc_id,
+               CASE WHEN f.dfc = 1 THEN 1 ELSE 0 END AS uniq,
+               CASE WHEN f.dfc <= 5 THEN 1 ELSE 0 END AS rare
+        FROM shingles s JOIN freq f USING (shingle)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)      AS n_shingles,
+           CAST(SUM(uniq) AS BIGINT)     AS n_unique,
+           ROUND(SUM(uniq) / CAST(COUNT(*) AS DOUBLE), 4) AS novelty,
+           ROUND(SUM(rare) / CAST(COUNT(*) AS DOUBLE), 4) AS rare_frac
+    FROM j GROUP BY doc_id
+    """,
+    doc="Per-document n-gram novelty: the fraction of a doc's word "
+    "3-shingles that occur nowhere else (df = 1) and the rare fraction "
+    "(df <= 5) — the uniqueness/data-valuation signal dual to q53's "
+    "boilerplate detection. Serves from the staged shingle index: one "
+    "posting-to-df hash join plus a doc-keyed aggregation; no text "
+    "rescan, no new corpus-wide pass.",
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    freq = _shingle_freq(spark, sf_dir)
+    j = sh.join(freq, "shingle").select(
+        "doc_id",
+        (F.col("dfc") == 1).cast("int").alias("uniq"),
+        (F.col("dfc") <= 5).cast("int").alias("rare"),
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum("uniq").cast("bigint").alias("n_unique"),
+        F.round(F.sum("uniq") / F.count(F.lit(1)), 4).alias("novelty"),
+        F.round(F.sum("rare") / F.count(F.lit(1)), 4).alias("rare_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q70 token-length histogram (log2 buckets per language — corpus shape)
+# --------------------------------------------------------------------------
+@register(
+    "q70_length_histogram",
+    oracle="""
+    WITH t AS (
+        SELECT lang,
+               GREATEST(CAST(CEIL(n_chars / 4.0) AS BIGINT), 1) AS n_tokens
+        FROM documents
+    )
+    SELECT lang,
+           CAST(FLOOR(LOG2(n_tokens)) AS BIGINT)        AS bucket,
+           CAST(POWER(2, CAST(FLOOR(LOG2(n_tokens)) AS BIGINT)) AS BIGINT)
+                                                        AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT)                     AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT)                AS total_tokens
+    FROM t GROUP BY lang, CAST(FLOOR(LOG2(n_tokens)) AS BIGINT)
+    """,
+    doc="Corpus length-distribution report: per-language histogram of "
+    "estimated token counts in power-of-two buckets — the shape chart "
+    "that drives packing budgets and truncation policy. Row-local bucket "
+    "arithmetic + one (lang, bucket) hash-agg with map-side combine; "
+    "output is |langs|·|buckets| rows (metadata-scale).",
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    n_tokens = F.greatest(
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint"), F.lit(1)
+    )
+    bucket = F.floor(F.log2(n_tokens)).cast("bigint")
+    return (
+        docs.select(F.col("lang"), n_tokens.alias("n_tokens"), bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "bucket",
+            # SQL shiftleft takes a column bit count (the pyspark wrapper
+            # only accepts a literal int) — 2^bucket, integer-exact
+            F.expr("CAST(shiftleft(1, CAST(bucket AS INT)) AS BIGINT)").alias(
+                "bucket_lo"
+            ),
+            "n_docs",
+            "total_tokens",
+        )
+    )
