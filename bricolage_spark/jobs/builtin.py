@@ -267,7 +267,9 @@ def load(job: Job) -> JobResult:
     Patterns: drop-create-load (drop+table-def), truncate-load
     (truncate: true), append-load (default). COPY options map to reader
     options (psqldatasource.rb:476-601):
-    delimiter→sep, emptyasnull→nullValue '', maxerror>0→mode PERMISSIVE,
+    delimiter→sep, emptyasnull→nullValue '', maxerror>0→PERMISSIVE with
+    malformed records quarantined to ``{dest}__errors`` and a hard
+    failure past the limit (COPY MAXERROR contract),
     acceptanydate/dateformat→dateFormat, json 'auto'→schema-on-read.
     """
     dest = job.require("dest-table")
@@ -286,8 +288,22 @@ def load(job: Job) -> JobResult:
     elif job.engine.table_exists(dest):
         schema = job.engine.table(dest).schema
 
+    # MAXERROR parity (psqldatasource.rb:476-601 → Redshift COPY MAXERROR):
+    # maxerror > 0 tolerates up to that many malformed records — they are
+    # QUARANTINED to ``{dest}__errors`` (raw line + load metadata) and the
+    # job FAILS if the count exceeds the limit. maxerror absent/0 keeps
+    # FAILFAST: the first malformed record aborts the load.
+    maxerror = int(options.get("maxerror", 0) or 0)
+    corrupt_col = "_corrupt_record"
+    quarantine = maxerror > 0 and fmt in ("csv", "json") and schema is not None
     reader = job.engine.spark.read
-    if schema is not None:
+    if quarantine:
+        from pyspark.sql import types as _T
+
+        reader = reader.schema(
+            _T.StructType(list(schema.fields) + [_T.StructField(corrupt_col, _T.StringType())])
+        ).option("columnNameOfCorruptRecord", corrupt_col)
+    elif schema is not None:
         reader = reader.schema(schema)
     if fmt == "csv":
         sep = str(options.get("delimiter", "\t" if job.param("format", "tsv") == "tsv" else ","))
@@ -296,10 +312,7 @@ def load(job: Job) -> JobResult:
             reader = reader.option("nullValue", "")
         if options.get("dateformat") and options["dateformat"] != "auto":
             reader = reader.option("dateFormat", str(options["dateformat"]))
-        if int(options.get("maxerror", 0) or 0) > 0:
-            reader = reader.option("mode", "PERMISSIVE")
-        else:
-            reader = reader.option("mode", "FAILFAST")
+        reader = reader.option("mode", "PERMISSIVE" if quarantine else "FAILFAST")
         if options.get("header"):
             reader = reader.option("header", "true")
     paths = expand_glob(src) if any(c in src for c in "*?[") else [src]
@@ -308,6 +321,27 @@ def load(job: Job) -> JobResult:
     # DataFrameReader.parquet is varargs-only; csv/json/orc accept a list
     # (their second positional is schema, so never splat those).
     df = reader.parquet(*paths) if fmt == "parquet" else getattr(reader, fmt)(paths)
+    n_bad = 0
+    if quarantine:
+        # persist before splitting: Spark disallows filtering on ONLY the
+        # internal corrupt-record column of a raw file scan — and the
+        # good/bad split reads the batch twice anyway (micro-batch sized)
+        df = df.persist()
+        bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+            F.col(corrupt_col).alias("raw_record"),
+            F.lit(src).alias("src_file"),
+            F.current_timestamp().alias("load_ts"),
+        )
+        n_bad = bad.count()
+        if n_bad > maxerror:
+            df.unpersist(blocking=False)
+            raise JobFailure(
+                f"load aborted: {n_bad} malformed record(s) exceed maxerror "
+                f"{maxerror} (quarantine not written)"
+            )
+        if n_bad:
+            job.engine.save_table(bad, f"{dest}__errors", mode="append")
+        df = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     if schema is not None:
         df = df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
 
@@ -321,8 +355,13 @@ def load(job: Job) -> JobResult:
     n = job.engine.save_table(
         df, dest, mode=mode, sort_by=(tdef.sortkeys if tdef else None)
     )
+    if quarantine:
+        df.unpersist(blocking=False)
     _post_ops(job, dest)
-    return JobResult(message=f"loaded {len(paths)} file(s) into {dest}", rows=n)
+    msg = f"loaded {len(paths)} file(s) into {dest}"
+    if n_bad:
+        msg += f" ({n_bad} malformed record(s) quarantined to {dest}__errors)"
+    return JobResult(message=msg, rows=n)
 
 
 @jobclass(

@@ -409,3 +409,46 @@ def test_example_curation_home_runs_end_to_end(engine, tmp_path):
         for r in engine.table("corpus_stats").collect()
     }
     assert sum(stats.values()) == capped
+
+
+def test_load_maxerror_quarantines_bad_rows(engine, home, tmp_path):
+    """MAXERROR parity: malformed records within the limit land in
+    {dest}__errors and the good rows load; over the limit the job fails."""
+    (home / "subsys" / "t.ct").write_text(
+        "create table x\n( x int\n, y varchar(20)\n);\n"
+    )
+    data = tmp_path / "in"
+    data.mkdir()
+    # row 2 has a non-integer x and an extra column -> malformed
+    (data / "f.tsv").write_text("1\tfoo\nnotanint\tbar\textra\n3\tbaz\n")
+    r = run_job(
+        engine, home, "load.job",
+        f"class: load\ndest-table: mx_ok\nsrc-file: {data}/f.tsv\n"
+        "table-def: t.ct\nformat: tsv\ndrop: true\n"
+        "options: {maxerror: 2}\n",
+    )
+    assert r.rows == 2 and "quarantined" in r.message
+    assert {row.x for row in engine.table("mx_ok").collect()} == {1, 3}
+    errs = engine.table("mx_ok__errors").collect()
+    assert len(errs) == 1 and "notanint" in errs[0].raw_record
+
+    # maxerror 0 (default) keeps FAILFAST: the load aborts
+    from bricolage_spark.exception import JobFailure
+    import pytest as _pt
+    with _pt.raises(Exception):
+        run_job(
+            engine, home, "load2.job",
+            f"class: load\ndest-table: mx_ff\nsrc-file: {data}/f.tsv\n"
+            "table-def: t.ct\nformat: tsv\ndrop: true\n",
+        )
+
+    # over the limit: JobFailure, quarantine NOT written
+    (data / "g.tsv").write_text("a\tx\nb\ty\nc\tz\n1\tok\n")
+    with _pt.raises(JobFailure, match="exceed maxerror"):
+        run_job(
+            engine, home, "load3.job",
+            f"class: load\ndest-table: mx_over\nsrc-file: {data}/g.tsv\n"
+            "table-def: t.ct\nformat: tsv\ndrop: true\n"
+            "options: {maxerror: 2}\n",
+        )
+    assert not engine.table_exists("mx_over__errors")
