@@ -318,9 +318,37 @@ def load(job: Job) -> JobResult:
     paths = expand_glob(src) if any(c in src for c in "*?[") else [src]
     if not paths:
         raise JobFailure(f"no input files match: {src}")
-    # DataFrameReader.parquet is varargs-only; csv/json/orc accept a list
-    # (their second positional is schema, so never splat those).
-    df = reader.parquet(*paths) if fmt == "parquet" else getattr(reader, fmt)(paths)
+    if fmt == "json" and job.param("jsonpath"):
+        # Redshift jsonpaths-file parity (load.rb:10, psqldatasource.rb
+        # COPY json 'path'): {"jsonpaths": ["$.a", "$['b'].c", ...]} maps
+        # POSITIONALLY onto the table columns. Spark mapping: read raw
+        # lines, extract each column with get_json_object (same $.x /
+        # $['x'] syntax), cast to the declared type — row-local, no
+        # schema inference pass.
+        import json as _json
+
+        with open(job.resolve_path(job.param("jsonpath"))) as f:
+            jpaths = _json.load(f).get("jsonpaths")
+        if not isinstance(jpaths, list) or not jpaths:
+            raise ParameterError("jsonpaths file must contain a 'jsonpaths' list")
+        if schema is None:
+            raise ParameterError("jsonpath load requires table-def or an existing dest table")
+        if len(jpaths) != len(schema.fields):
+            raise ParameterError(
+                f"jsonpaths count ({len(jpaths)}) != column count ({len(schema.fields)})"
+            )
+        raw = job.engine.spark.read.text(paths)
+        df = raw.select(
+            *[
+                F.get_json_object(F.col("value"), str(p)).cast(fld.dataType).alias(fld.name)
+                for p, fld in zip(jpaths, schema.fields)
+            ]
+        )
+        quarantine = False
+    else:
+        # DataFrameReader.parquet is varargs-only; csv/json/orc accept a list
+        # (their second positional is schema, so never splat those).
+        df = reader.parquet(*paths) if fmt == "parquet" else getattr(reader, fmt)(paths)
     n_bad = 0
     if quarantine:
         # persist before splitting: Spark disallows filtering on ONLY the

@@ -452,3 +452,28 @@ def test_load_maxerror_quarantines_bad_rows(engine, home, tmp_path):
             "options: {maxerror: 2}\n",
         )
     assert not engine.table_exists("mx_over__errors")
+
+
+def test_load_json_with_jsonpaths_file(engine, home, tmp_path):
+    """Redshift jsonpaths parity: positional $.path extraction into the
+    declared columns, including nested and bracket-quoted keys."""
+    (home / "subsys" / "jp.ct").write_text(
+        "create table x\n( uid int\n, ev varchar(20)\n, amt int\n);\n"
+    )
+    (home / "subsys" / "paths.json").write_text(
+        '{"jsonpaths": ["$.user.id", "$[\'event type\']", "$.amount"]}'
+    )
+    data = tmp_path / "in"
+    data.mkdir()
+    (data / "e.json").write_text(
+        '{"user": {"id": 7}, "event type": "click", "amount": 3}\n'
+        '{"user": {"id": 8}, "event type": "view", "amount": 5}\n'
+    )
+    r = run_job(
+        engine, home, "loadjp.job",
+        f"class: load\ndest-table: jp_test\nsrc-file: {data}/e.json\n"
+        "table-def: jp.ct\nformat: json\njsonpath: paths.json\ndrop: true\n",
+    )
+    assert r.rows == 2
+    rows = {row.uid: (row.ev, row.amt) for row in engine.table("jp_test").collect()}
+    assert rows == {7: ("click", 3), 8: ("view", 5)}
