@@ -246,6 +246,26 @@ _FORMAT_ALIASES = {
 }
 
 
+def _parse_load_options(value) -> dict:
+    """COPY options as a mapping OR the reference's string form
+    (psqldatasource.rb:501-517): "a=1,b,c=false" — bare keys are true,
+    digit strings become ints."""
+    if not value:
+        return {}
+    if isinstance(value, str):
+        parsed: dict = {}
+        for pair in value.split(","):
+            k, _, v = pair.strip().partition("=")
+            parsed[k] = (
+                True if v in ("", "true")
+                else False if v == "false"
+                else int(v) if v.isdigit()
+                else v
+            )
+        return parsed
+    return {str(k): v for k, v in value.items()}
+
+
 @jobclass(
     "load",
     schema=ParamSchema(
@@ -277,7 +297,7 @@ def load(job: Job) -> JobResult:
     fmt = _FORMAT_ALIASES.get(str(job.param("format", "tsv")).lower())
     if not fmt:
         raise ParameterError(f"unknown load format: {job.param('format')}")
-    options = {str(k): v for k, v in (job.param("options") or {}).items()}
+    options = _parse_load_options(job.param("options"))
 
     schema = None
     tdef = None
@@ -410,7 +430,7 @@ def unload(job: Job) -> JobResult:
     df = job.engine.execute_script(job.read_sql_param())
     if df is None:
         raise ParameterError("unload SQL must end with a SELECT")
-    options = {str(k): v for k, v in (job.param("options") or {}).items()}
+    options = _parse_load_options(job.param("options"))
     writer = df.write.mode("overwrite")
     if fmt == "csv":
         sep = str(options.get("delimiter", "\t" if job.param("format", "tsv") == "tsv" else ","))
