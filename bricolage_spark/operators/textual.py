@@ -353,22 +353,10 @@ def fingerprint(
     )
 
 
-def char_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Character-level quality signals: entropy, digit/upper ratios.
-
-    (id, n_chars, n_distinct_chars, char_entropy, digit_ratio,
-    upper_ratio, keep): Shannon entropy (log2) of the character
-    distribution of the normalized text flags low-information docs
-    (repeated padding, binary junk, single-char spam); digit and
-    uppercase ratios use the RAW text (normalization lowercases).
-
-    Scale design: entirely row-local — the per-character histogram is
-    built as ``transform(array_distinct(chars), c -> count in row)``
-    over the in-row char array (distinct chars per document are bounded
-    by the alphabet, so the O(n·|alphabet|) inner loop is small), then
-    folded with ``aggregate``. Zero shuffle, zero Python; runs inside
-    the first curation scan like the other row-local filters.
-    """
+def _char_signals(text_col: str):
+    """Row-local (norm_len, entropy, digit_ratio, upper_ratio) columns —
+    shared by :func:`char_stats` (report) and :func:`entropy_filter`
+    (in-scan predicate)."""
     t = F.col(text_col)
     norm = normalize_text(t)
     chars = F.split(norm, "")
@@ -394,6 +382,40 @@ def char_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     upper_ratio = F.round(
         F.regexp_count(t, F.lit(r"[A-Z]")) / F.greatest(F.length(t), F.lit(1)), 4
     )
+    return n, uniq, entropy, digit_ratio, upper_ratio
+
+
+def char_keep(text_col: str = "text") -> Column:
+    """The q63 keep predicate as a single row-local Column (entropy ≥ 2,
+    digit ratio ≤ 0.3, uppercase ratio ≤ 0.3)."""
+    _, _, entropy, digit_ratio, upper_ratio = _char_signals(text_col)
+    return (entropy >= 2.0) & (digit_ratio <= 0.3) & (upper_ratio <= 0.3)
+
+
+def entropy_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep only rows passing the char-entropy quality gate — the
+    in-scan filter form of :func:`char_stats` for curation pipelines
+    (batch or streaming; pure Catalyst, zero state)."""
+    return df.filter(char_keep(text_col))
+
+
+def char_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Character-level quality signals: entropy, digit/upper ratios.
+
+    (id, n_chars, n_distinct_chars, char_entropy, digit_ratio,
+    upper_ratio, keep): Shannon entropy (log2) of the character
+    distribution of the normalized text flags low-information docs
+    (repeated padding, binary junk, single-char spam); digit and
+    uppercase ratios use the RAW text (normalization lowercases).
+
+    Scale design: entirely row-local — the per-character histogram is
+    built as ``transform(array_distinct(chars), c -> count in row)``
+    over the in-row char array (distinct chars per document are bounded
+    by the alphabet, so the O(n·|alphabet|) inner loop is small), then
+    folded with ``aggregate``. Zero shuffle, zero Python; runs inside
+    the first curation scan like the other row-local filters.
+    """
+    n, uniq, entropy, digit_ratio, upper_ratio = _char_signals(text_col)
     return spread(df, id_col).select(
         F.col(id_col),
         n.cast("bigint").alias("n_chars"),

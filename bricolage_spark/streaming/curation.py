@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bricolage_spark.operators.dedup import normalize_text
-from bricolage_spark.operators.textual import redact_pii, repetition_filter
+from bricolage_spark.operators.textual import (
+    entropy_filter,
+    redact_pii,
+    repetition_filter,
+)
 from bricolage_spark.streaming.windows import dedup_within_watermark
 
 
@@ -40,10 +44,11 @@ def curate_stream(
     input columns (with ``text_col`` redacted) plus ``content_digest``.
     Dedup keys on the digest of the normalized REDACTED text, so two
     spam blasts differing only in the scrubbed email address collapse to
-    one kept document.
+    one kept document. Both quality gates (repetition + char entropy)
+    are row-local Catalyst predicates fused into the micro-batch scan.
     """
     curated = (
-        repetition_filter(docs, text_col)
+        entropy_filter(repetition_filter(docs, text_col), text_col)
         .withColumn(text_col, redact_pii(F.col(text_col)))
         .withColumn("content_digest", F.md5(normalize_text(F.col(text_col))))
     )

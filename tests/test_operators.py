@@ -707,3 +707,18 @@ def test_write_packed_shards_roundtrip(spark, tmp_path):
     a = {(r.lang, r.bin_id): r.text for r in spark.read.parquet(out_dir).collect()}
     b = {(r.lang, r.bin_id): r.text for r in spark.read.parquet(str(tmp_path / "shards2")).collect()}
     assert a == b
+
+
+def test_entropy_filter_drops_low_information_rows(spark):
+    """q63's keep predicate as an in-scan filter (curation pipeline form)."""
+    from bricolage_spark.operators.textual import entropy_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa aaaa aaaa aaaa"),
+            (2, "a perfectly ordinary sentence with varied characters"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = [r.doc_id for r in entropy_filter(df, "text").collect()]
+    assert kept == [2]
