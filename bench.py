@@ -71,6 +71,7 @@ STAGED = (
     "q51_contamination",
     "q53_boilerplate_ngrams",
     "q61_dedup_best_of_cluster",
+    "q69_ngram_novelty",
 )
 
 

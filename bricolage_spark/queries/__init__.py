@@ -77,6 +77,7 @@ _EVIDENCE_FIRST = [
     "q68_embedding_clusters",
     "q69_ngram_novelty",
     "q70_length_histogram",
+    "q71_language_label_audit",
 ]
 
 # Explicitly demoted to the tail (absorb the driver's >50 clip): every
@@ -104,6 +105,7 @@ _CLIP_LAST = [
     "q23_array_functions",
     "q24_map_functions",
     "q25_json_functions",
+    "q12_rollup",
     "q19_case_coalesce_cast",
     "q20_string_functions",
     "q21_datetime_functions",

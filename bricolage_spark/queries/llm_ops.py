@@ -1887,3 +1887,67 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_tokens",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q71 language label audit (labeled vs predicted confusion matrix)
+# --------------------------------------------------------------------------
+def _langid_pred_cte() -> str:
+    """CTE ``pred`` = (doc_id, pred_lang) by the q37 marker heuristic."""
+    hits = {
+        lang: "len(list_filter(words, w -> w IN ("
+        + ", ".join(f"'{m}'" for m in marks)
+        + ")))"
+        for lang, marks in T.LANG_MARKERS.items()
+    }
+    return f"""
+    scored AS (
+        SELECT doc_id,
+               {hits['en']} AS hits_en,
+               {hits['es']} AS hits_es,
+               {hits['fr']} AS hits_fr,
+               {hits['de']} AS hits_de,
+               {hits['zh']} AS hits_zh
+        FROM docs
+    ),
+    pred AS (
+        SELECT doc_id,
+               CASE
+                 WHEN hits_zh > GREATEST(hits_en, hits_es, hits_fr, hits_de) THEN 'zh'
+                 WHEN hits_de > GREATEST(hits_en, hits_es, hits_fr) THEN 'de'
+                 WHEN hits_fr > GREATEST(hits_en, hits_es) THEN 'fr'
+                 WHEN hits_es > hits_en THEN 'es'
+                 ELSE 'en'
+               END AS pred_lang
+        FROM scored
+    )
+    """
+
+
+@register(
+    "q71_language_label_audit",
+    oracle=f"""
+    WITH {_DOCS_CTE},
+    {_langid_pred_cte()}
+    SELECT t.lang, p.pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           (t.lang = p.pred_lang)   AS agree
+    FROM documents t JOIN pred p USING (doc_id)
+    GROUP BY t.lang, p.pred_lang
+    """,
+    doc="Label-noise audit: the confusion matrix of the corpus' declared "
+    "language labels against the marker-heuristic prediction (q37). "
+    "Disagreement cells are where mislabeled or code-switched documents "
+    "hide — the audit a curation run does before trusting per-language "
+    "sampling rates. Row-local prediction + one |langs|² hash-agg.",
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pred = T.detect_language(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .withColumn("agree", F.col("lang") == F.col("pred_lang"))
+    )
