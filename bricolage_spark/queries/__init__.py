@@ -78,6 +78,7 @@ _EVIDENCE_FIRST = [
     "q69_ngram_novelty",
     "q70_length_histogram",
     "q71_language_label_audit",
+    "q72_snapshot_diff",
 ]
 
 # Explicitly demoted to the tail (absorb the driver's >50 clip): every
@@ -106,6 +107,7 @@ _CLIP_LAST = [
     "q24_map_functions",
     "q25_json_functions",
     "q12_rollup",
+    "q12b_cube",
     "q19_case_coalesce_cast",
     "q20_string_functions",
     "q21_datetime_functions",

@@ -1951,3 +1951,62 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .withColumn("agree", F.col("lang") == F.col("pred_lang"))
     )
+
+
+# --------------------------------------------------------------------------
+# q72 corpus snapshot diff (digest-level added/removed/common between feeds)
+# --------------------------------------------------------------------------
+@register(
+    "q72_snapshot_diff",
+    oracle=f"""
+    WITH {_DOCS_CTE},
+    a AS (
+        SELECT DISTINCT md5(d.norm) AS content_hash
+        FROM docs d JOIN documents t USING (doc_id)
+        WHERE t.source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+    ),
+    b AS (
+        SELECT DISTINCT md5(d.norm) AS content_hash
+        FROM docs d JOIN documents t USING (doc_id)
+        WHERE t.source IN ('src3', 'src4', 'src5', 'src6', 'src7')
+    ),
+    j AS (
+        SELECT COALESCE(a.content_hash, b.content_hash) AS content_hash,
+               CASE WHEN a.content_hash IS NULL THEN 'added'
+                    WHEN b.content_hash IS NULL THEN 'removed'
+                    ELSE 'common' END AS status
+        FROM a FULL OUTER JOIN b USING (content_hash)
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM j GROUP BY status
+    """,
+    doc="Snapshot diffing for incremental curation: which distinct "
+    "documents (by content digest) were added, removed, or kept between "
+    "two feed snapshots — the planning stats before an incremental "
+    "ingest. Full-outer join on 16-byte digests (bodies never move), "
+    "distinct per side via digest groupBy with map-side combine; the "
+    "status aggregation is 3 rows.",
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    snap_a = ["src0", "src1", "src2", "src3", "src4"]
+    snap_b = ["src3", "src4", "src5", "src6", "src7"]
+
+    def digests(sources):
+        return (
+            docs.filter(F.col("source").isin(sources))
+            .select(D.content_hash(F.col("text")).alias("content_hash"))
+            .distinct()
+        )
+
+    a = digests(snap_a).withColumn("_a", F.lit(1))
+    b = digests(snap_b).withColumn("_b", F.lit(1))
+    j = a.join(b, "content_hash", "full_outer").select(
+        F.when(F.col("_a").isNull(), F.lit("added"))
+        .when(F.col("_b").isNull(), F.lit("removed"))
+        .otherwise(F.lit("common"))
+        .alias("status")
+    )
+    return j.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
