@@ -79,6 +79,7 @@ _EVIDENCE_FIRST = [
     "q70_length_histogram",
     "q71_language_label_audit",
     "q72_snapshot_diff",
+    "q73_pmi_collocations",
 ]
 
 # Explicitly demoted to the tail (absorb the driver's >50 clip): every
@@ -108,6 +109,7 @@ _CLIP_LAST = [
     "q25_json_functions",
     "q12_rollup",
     "q12b_cube",
+    "q12c_pivot",
     "q19_case_coalesce_cast",
     "q20_string_functions",
     "q21_datetime_functions",

@@ -2010,3 +2010,94 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("status").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+
+
+# --------------------------------------------------------------------------
+# q73 PMI collocations (statistically-bound word pairs over the corpus)
+# --------------------------------------------------------------------------
+_PMI_MIN, _PMI_TOP = 5, 50
+
+
+@register(
+    "q73_pmi_collocations",
+    oracle=f"""
+    WITH {_DOCS_CTE},
+    uni AS (
+        SELECT word, COUNT(*) AS c1
+        FROM (SELECT unnest(words) AS word FROM docs)
+        GROUP BY word
+    ),
+    n1 AS (SELECT SUM(c1) AS total1 FROM uni),
+    bi AS (
+        SELECT w1, w2, COUNT(*) AS c2
+        FROM (
+            SELECT words[i] AS w1, words[i + 1] AS w2
+            FROM docs, UNNEST(range(1, greatest(len(words) - 1, 0) + 1)) AS t(i)
+        )
+        GROUP BY w1, w2
+    ),
+    n2 AS (SELECT SUM(c2) AS total2 FROM bi),
+    scored AS (
+        SELECT b.w1, b.w2, b.c2 AS pair_count,
+               ROUND(ln((b.c2 / n2.total2)
+                        / ((ua.c1 / n1.total1) * (ub.c1 / n1.total1))), 4)
+                   AS pmi
+        FROM bi b
+        JOIN uni ua ON ua.word = b.w1
+        JOIN uni ub ON ub.word = b.w2
+        CROSS JOIN n1 CROSS JOIN n2
+        WHERE b.c2 >= {_PMI_MIN}
+    )
+    SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count, pmi
+    FROM scored
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {_PMI_TOP}
+    """,
+    doc="Collocation mining: top adjacent word pairs by pointwise mutual "
+    "information (how much more often they co-occur than chance) with a "
+    "minimum pair count — surfaces templated phrases and named entities "
+    "for tokenizer/boilerplate decisions. Two hash-aggs with map-side "
+    "combine (unigrams, bigrams), corpus totals broadcast as one-row "
+    "frames, TakeOrdered top-k — no global sort.",
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    words = F.split(D.normalize_text(F.col("text")), " ")
+    toks = spread(docs, "doc_id").select(words.alias("w"))
+    uni = (
+        toks.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    n1 = uni.agg(F.sum("c1").alias("total1"))
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    n2 = bi.agg(F.sum("c2").alias("total2"))
+    scored = (
+        bi.filter(F.col("c2") >= _PMI_MIN)
+        .join(uni.select(F.col("word").alias("w1"), F.col("c1").alias("ca")), "w1")
+        .join(uni.select(F.col("word").alias("w2"), F.col("c1").alias("cb")), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").cast("bigint").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("c2") / F.col("total2"))
+                    / ((F.col("ca") / F.col("total1")) * (F.col("cb") / F.col("total1")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(_PMI_TOP)
