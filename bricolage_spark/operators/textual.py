@@ -31,6 +31,22 @@ def _marker_hits(words: Column, markers: list[str]) -> Column:
     return F.size(F.filter(words, lambda w: w.isin(markers)))
 
 
+def language_pred(text_col: str) -> Column:
+    """Row-local predicted-language Column (argmax marker hits, ties →
+    first language in the fixed order) — the single-expression form of
+    :func:`detect_language` for pipelines that keep other columns of the
+    same row (no join needed)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    langs = list(LANG_MARKERS)
+    hits = {lang: _marker_hits(words, LANG_MARKERS[lang]) for lang in langs}
+    best = F.lit(langs[0])
+    best_hits = hits[langs[0]]
+    for lang in langs[1:]:
+        best = F.when(hits[lang] > best_hits, F.lit(lang)).otherwise(best)
+        best_hits = F.when(hits[lang] > best_hits, hits[lang]).otherwise(best_hits)
+    return best
+
+
 def detect_language(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -44,7 +60,7 @@ def detect_language(
         lang: _marker_hits(words, marks).alias(f"hits_{lang}")
         for lang, marks in LANG_MARKERS.items()
     }
-    scored = df.select(F.col(id_col), *cols.values())
+    scored = spread(df, id_col).select(F.col(id_col), *cols.values())
     langs = list(LANG_MARKERS)
     best = F.lit(langs[0])
     best_hits = F.col(f"hits_{langs[0]}")

@@ -1943,10 +1943,11 @@ def _langid_pred_cte() -> str:
 )
 def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    pred = T.detect_language(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    # label and prediction live on the SAME row — compute the prediction
+    # inline (no self-join): one scan, one |langs|²-group hash-agg
     return (
-        docs.select("doc_id", "lang")
-        .join(pred, "doc_id")
+        spread(docs, "doc_id")
+        .select("lang", T.language_pred("text").alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .withColumn("agree", F.col("lang") == F.col("pred_lang"))
@@ -1983,31 +1984,37 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Snapshot diffing for incremental curation: which distinct "
     "documents (by content digest) were added, removed, or kept between "
     "two feed snapshots — the planning stats before an incremental "
-    "ingest. Full-outer join on 16-byte digests (bodies never move), "
-    "distinct per side via digest groupBy with map-side combine; the "
-    "status aggregation is 3 rows.",
+    "ingest. One scan with per-side membership flags folded by a single "
+    "digest-keyed max-agg (map-side combine; bodies never move, 16-byte "
+    "shuffle keys) — the oracle states the same semantics as the "
+    "classic two-branch full-outer join.",
 )
 def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     snap_a = ["src0", "src1", "src2", "src3", "src4"]
     snap_b = ["src3", "src4", "src5", "src6", "src7"]
-
-    def digests(sources):
-        return (
-            docs.filter(F.col("source").isin(sources))
-            .select(D.content_hash(F.col("text")).alias("content_hash"))
-            .distinct()
+    # one scan, one digest-keyed agg: membership flags fold with max()
+    # per digest — strictly fewer exchanges than two distinct branches +
+    # a full-outer join, identical semantics
+    in_a = F.col("source").isin(snap_a)
+    in_b = F.col("source").isin(snap_b)
+    flagged = (
+        spread(docs, "doc_id")
+        .filter(in_a | in_b)
+        .select(
+            D.content_hash(F.col("text")).alias("content_hash"),
+            in_a.cast("int").alias("_a"),
+            in_b.cast("int").alias("_b"),
         )
-
-    a = digests(snap_a).withColumn("_a", F.lit(1))
-    b = digests(snap_b).withColumn("_b", F.lit(1))
-    j = a.join(b, "content_hash", "full_outer").select(
-        F.when(F.col("_a").isNull(), F.lit("added"))
-        .when(F.col("_b").isNull(), F.lit("removed"))
-        .otherwise(F.lit("common"))
-        .alias("status")
+        .groupBy("content_hash")
+        .agg(F.max("_a").alias("a"), F.max("_b").alias("b"))
     )
-    return j.groupBy("status").agg(
+    status = (
+        F.when(F.col("a") == 0, F.lit("added"))
+        .when(F.col("b") == 0, F.lit("removed"))
+        .otherwise(F.lit("common"))
+    )
+    return flagged.select(status.alias("status")).groupBy("status").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
 
@@ -2070,12 +2077,14 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c1"))
     )
     n1 = uni.agg(F.sum("c1").alias("total1"))
+    # arrays_zip, not zip_with: higher-order-function lambdas are
+    # interpreted per element (~2× cost, q57's measurement) while
+    # arrays_zip stays in codegen
     pairs = toks.select(
         F.explode(
-            F.zip_with(
-                F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
-                F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            F.arrays_zip(
+                F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))).alias("w1"),
+                F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))).alias("w2"),
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
