@@ -2076,7 +2076,6 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
-    n1 = uni.agg(F.sum("c1").alias("total1"))
     # arrays_zip, not zip_with: higher-order-function lambdas are
     # interpreted per element (~2× cost, q57's measurement) while
     # arrays_zip stays in codegen
@@ -2089,21 +2088,27 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.w1", "p.w2")
     bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    n2 = bi.agg(F.sum("c2").alias("total2"))
+    # corpus totals are metadata: total bigrams = total words − n_docs,
+    # so ONE tiny aggregation yields both scalars — embedded as literals
+    # (the BM25 index-metadata pattern) instead of two broadcast
+    # cross-joins, whose AQE stage materializations dominated at toy scale
+    total1, n_docs = toks.agg(F.sum(F.size("w")), F.count(F.lit(1))).first()
+    total2 = total1 - n_docs
     scored = (
         bi.filter(F.col("c2") >= _PMI_MIN)
         .join(uni.select(F.col("word").alias("w1"), F.col("c1").alias("ca")), "w1")
         .join(uni.select(F.col("word").alias("w2"), F.col("c1").alias("cb")), "w2")
-        .crossJoin(F.broadcast(n1))
-        .crossJoin(F.broadcast(n2))
         .select(
             "w1",
             "w2",
             F.col("c2").cast("bigint").alias("pair_count"),
             F.round(
                 F.log(
-                    (F.col("c2") / F.col("total2"))
-                    / ((F.col("ca") / F.col("total1")) * (F.col("cb") / F.col("total1")))
+                    (F.col("c2") / F.lit(float(total2)))
+                    / (
+                        (F.col("ca") / F.lit(float(total1)))
+                        * (F.col("cb") / F.lit(float(total1)))
+                    )
                 ),
                 4,
             ).alias("pmi"),
