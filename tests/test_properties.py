@@ -315,3 +315,61 @@ def test_bucketed_interval_join_matches_bruteforce(spark, ts_list, iv_list, widt
         if s <= t < s + l
     )
     assert got == expect  # exactly-once: list equality, not set
+
+
+# ---------------------------------------------------------------------------
+# Char entropy exactness (q63) and packing bin invariant
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.spark
+@given(st.integers(1, 8), st.integers(1, 6))
+@settings(max_examples=8, deadline=None)
+def test_uniform_char_entropy_is_log2_k(spark, k, reps):
+    """A uniform distribution over k distinct chars has exactly log2(k)
+    bits of entropy, independent of repetitions."""
+    import math as _m
+
+    from bricolage_spark.operators.textual import char_stats
+
+    alphabet = "abcdefgh"[:k]
+    text = alphabet * reps
+    r = char_stats(
+        spark.createDataFrame([(1, text)], "doc_id long, text string"),
+        "doc_id",
+        "text",
+    ).collect()[0]
+    assert r.char_entropy == round(_m.log2(k), 4)
+    assert r.n_distinct_chars == k
+
+
+@pytest.mark.spark
+@given(
+    st.lists(st.integers(1, 400), min_size=1, max_size=12),
+    st.integers(50, 400),
+)
+@settings(max_examples=8, deadline=None)
+def test_packed_shards_bin_invariant(spark, tmp_path_factory, doc_chars, budget):
+    """write_packed_shards: bin b opens only after the running token total
+    reached b*budget; every doc lands in exactly one bin."""
+    from bricolage_spark.operators.curation import write_packed_shards
+
+    rows = [(i, "g", "x" * c) for i, c in enumerate(doc_chars)]
+    out = tmp_path_factory.mktemp("shards")
+    packed = write_packed_shards(
+        spark.createDataFrame(rows, "doc_id long, lang string, text string"),
+        str(out),
+        id_col="doc_id",
+        text_col="text",
+        group_col="lang",
+        budget=budget,
+    ).collect()
+    shards = sorted(packed, key=lambda r: r.bin_id)
+    assert sum(r.n_docs for r in shards) == len(doc_chars)
+    cum = 0
+    for s in shards:
+        assert cum >= s.bin_id * budget
+        cum += s.n_tokens
+    import math as _m
+
+    assert cum == sum(_m.ceil(c / 4) for c in doc_chars)
