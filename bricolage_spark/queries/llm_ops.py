@@ -2071,11 +2071,6 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     words = F.split(D.normalize_text(F.col("text")), " ")
     toks = spread(docs, "doc_id").select(words.alias("w"))
-    uni = (
-        toks.select(F.explode("w").alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("c1"))
-    )
     # arrays_zip, not zip_with: higher-order-function lambdas are
     # interpreted per element (~2× cost, q57's measurement) while
     # arrays_zip stays in codegen
@@ -2088,6 +2083,15 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.w1", "p.w2")
     bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # unigram counts as their own explode+agg: deriving them from the
+    # bigram table (w1 fold + per-doc last words) was measured SLOWER —
+    # the bi exchange is not reused across the two consumers, so the
+    # corpus explode ran twice plus an extra union shuffle
+    uni = (
+        toks.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
     # corpus totals are metadata: total bigrams = total words − n_docs,
     # so ONE tiny aggregation yields both scalars — embedded as literals
     # (the BM25 index-metadata pattern) instead of two broadcast
