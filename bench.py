@@ -65,6 +65,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #   verified pairs     -> q50, q61
 #   trained IVF index  -> q49
 #   PMI unigram table  -> q73
+#   bigram LM counts   -> q75
 #   percentile brackets-> q26, q26b
 #   hot-key statistics -> q47 (sampled probe, the ANALYZE-stats stand-in)
 STAGED = (
@@ -81,6 +82,7 @@ STAGED = (
     "q61_dedup_best_of_cluster",
     "q69_ngram_novelty",
     "q73_pmi_collocations",
+    "q75_lm_perplexity",
 )
 
 

@@ -138,6 +138,116 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     )
 
 
+def positional_anchors(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Positional word k-gram postings: (id, pos, anchor) with 1-based
+    ``pos``, one row per k-gram start. Unlike :func:`word_shingles` the
+    positions are kept (span detection needs them) and duplicates are NOT
+    collapsed. Docs shorter than k words emit nothing.
+
+    Pure Catalyst (sequence+explode+slice), whole-stage-codegen'd.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(words)
+    # guard the short-doc case explicitly: sequence(1, 0) is a DESCENDING
+    # [1, 0] in Spark, not empty
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        spread(df, id_col)
+        .select(F.col(id_col), words.alias("_w"), F.explode(idx).alias("pos"))
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("bigint").alias("pos"),
+            F.concat_ws(" ", F.slice(F.col("_w"), F.col("pos"), F.lit(k))).alias(
+                "anchor"
+            ),
+        )
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    anchor_len: int = 8,
+    min_span: int = 12,
+    max_postings: int = 8,
+) -> DataFrame:
+    """Substring-level exact dedup: maximal cross-document duplicated
+    token SPANS, the sequence-level dual of whole-doc near-dup — the
+    public "Deduplicating Training Data" (Lee et al. 2022) 50-token-
+    overlap method re-expressed as bucketed joins instead of a suffix
+    array.
+
+    Bucketed design, never all-pairs:
+
+    1. positional anchor postings — every word ``anchor_len``-gram with
+       its start offset (one corpus scan, row-local);
+    2. anchors kept only when their posting count is in
+       [2, max_postings]: singletons can't witness a duplicate, and
+       boilerplate anchors above the cap are dropped at index time
+       (q48's df-cutoff discipline) so the bucket self-join is
+       O(max_postings²) per anchor, bounded;
+    3. aligned matches: postings self-joined per anchor bucket
+       (doc_a < doc_b keeps cross-doc pairs once) — a duplicated span of
+       L tokens shows up as L−k+1 matches at a CONSTANT offset
+       difference ``pos_a − pos_b``;
+    4. gaps-and-islands per (doc_a, doc_b, diff): consecutive anchor
+       starts collapse to one maximal span via the pos − row_number()
+       trick; span token length = last_start − first_start + anchor_len.
+
+    Anchors are joined as strings so the DuckDB oracle reproduces results
+    exactly; a production run would key buckets on a 128-bit anchor
+    digest to shrink shuffle rows to fixed width (same plan shape).
+    Returns (doc_a, doc_b, a_start, b_start, span_len), spans of at
+    least ``min_span`` tokens.
+    """
+    from pyspark.sql import Window
+
+    p = positional_anchors(df, id_col, text_col, k=anchor_len)
+    keep = (
+        p.groupBy("anchor")
+        .agg(F.count(F.lit(1)).alias("n_post"))
+        .filter((F.col("n_post") >= 2) & (F.col("n_post") <= max_postings))
+        .select("anchor")
+    )
+    p = p.join(keep, "anchor")
+    left = p.select(
+        "anchor", F.col(id_col).alias("doc_a"), F.col("pos").alias("pos_a")
+    )
+    right = p.select(
+        "anchor", F.col(id_col).alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    m = (
+        left.join(right, "anchor")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pos_a", "pos_b")
+        .withColumn("diff", F.col("pos_a") - F.col("pos_b"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diff").orderBy("pos_a")
+    isl = m.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_a", "doc_b", "diff", "grp")
+        .agg(
+            F.min("pos_a").alias("a_start"),
+            F.min("pos_b").alias("b_start"),
+            (F.max("pos_a") - F.min("pos_a") + F.lit(anchor_len)).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_span)
+        .select(
+            F.col("doc_a").cast("bigint").alias("doc_a"),
+            F.col("doc_b").cast("bigint").alias("doc_b"),
+            F.col("a_start").cast("bigint").alias("a_start"),
+            F.col("b_start").cast("bigint").alias("b_start"),
+            F.col("span_len").cast("bigint").alias("span_len"),
+        )
+    )
+
+
 MINHASH_PRIME = 4294967311  # smallest prime > 2^32
 
 

@@ -52,17 +52,41 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # come right after the core, and the clip falls on queries that are already
 # driver-green in multiple rounds (listed in ``_CLIP_LAST``).
 _EVIDENCE_FIRST = [
-    "q50_dedup_clusters",
-    "q51_contamination",
-    "q52_stratified_sample",
-    "q53_boilerplate_ngrams",
-    "q54_sequence_packing",
-    "q56_pii_redaction",
-    "q43_asof_join",
-    "q41_multimodal_features",
-    "q48_ngram_jaccard_neardup",
-    "q49_ann_ivf",
-    # round 4 additions — never driver-checked:
+    # round 5 additions — never driver-checked:
+    "q74_duplicate_spans",
+    "q75_lm_perplexity",
+    "q76_url_canonical_dedup",
+    # last driver row in round 3 (clipped in r4) — rotate back in so no
+    # query's newest driver-green row is older than two rounds:
+    "q01_scan_projection",
+    "q02_filter_predicates",
+    "q04_global_aggregate",
+    "q12_rollup",
+    "q12b_cube",
+    "q12c_pivot",
+    "q17_set_ops",
+    "q18_subqueries",
+    "q19_case_coalesce_cast",
+    "q20_string_functions",
+    "q21_datetime_functions",
+    "q22_math_functions",
+    "q23_array_functions",
+    "q24_map_functions",
+    "q25_json_functions",
+    "q27_distinct",
+    "q31_dedup_exact",
+    "q32_minhash_signatures",
+    "q33_minhash_lsh_pairs",
+    "q34_simhash",
+    "q35_cosine_topk",
+    "q36_ann_lsh_bucketed",
+    "q37_language_id",
+    "q38_token_stats",
+    "q39_quality_score",
+    "q40_fingerprint",
+    "q42_embedding_neardup",
+    # single driver-green round so far (first rows in r4) — keep in the
+    # window to build multi-round evidence:
     "q57_quality_repetition",
     "q58_doc_top_word",
     "q59_source_overlap",
@@ -80,40 +104,47 @@ _EVIDENCE_FIRST = [
     "q71_language_label_audit",
     "q72_snapshot_diff",
     "q73_pmi_collocations",
+    # code touched this round (q73 totals rework shares the PMI path;
+    # q48/q50/q51 exercise the staged shingle/pair/cluster artifacts):
+    "q48_ngram_jaccard_neardup",
+    "q50_dedup_clusters",
+    "q51_contamination",
 ]
 
 # Explicitly demoted to the tail (absorb the driver's >50 clip): every
-# entry here must already have multi-round driver-green CORRECTNESS rows.
+# entry here must already have multi-round driver-green CORRECTNESS rows
+# (these are green r1–r4 or r3+r4).
 _CLIP_LAST = [
-    # green in rounds 1+2+3:
-    "q31_dedup_exact",
-    "q32_minhash_signatures",
-    "q33_minhash_lsh_pairs",
-    "q34_simhash",
-    "q35_cosine_topk",
-    "q36_ann_lsh_bucketed",
-    "q37_language_id",
-    "q38_token_stats",
-    "q39_quality_score",
-    "q40_fingerprint",
-    "q42_embedding_neardup",
-    # trivially-stable core, green in rounds 1+2+3:
-    "q01_scan_projection",
-    "q02_filter_predicates",
-    "q04_global_aggregate",
-    "q17_set_ops",
-    "q18_subqueries",
-    "q22_math_functions",
-    "q23_array_functions",
-    "q24_map_functions",
-    "q25_json_functions",
-    "q12_rollup",
-    "q12b_cube",
-    "q12c_pivot",
-    "q19_case_coalesce_cast",
-    "q20_string_functions",
-    "q21_datetime_functions",
-    "q27_distinct",
+    "q03_group_aggregate",
+    "q05_tpch_q1",
+    "q06_inner_join",
+    "q07_broadcast_join",
+    "q08_outer_join",
+    "q09_semi_anti_join",
+    "q10_cross_theta_join",
+    "q11_tpch_q3",
+    "q12d_unpivot",
+    "q13_window_rank",
+    "q14_window_analytic",
+    "q15_topk_per_group",
+    "q16_global_topk",
+    "q26_distinct_percentiles",
+    "q26b_approx_aggregates",
+    "q28_insert_delta",
+    "q29_rebuild",
+    "q30_streaming_load_dedup",
+    "q41_multimodal_features",
+    "q43_asof_join",
+    "q44_tumbling_window",
+    "q45_sliding_window",
+    "q46_salted_aggregate",
+    "q47_salted_join",
+    "q49_ann_ivf",
+    "q52_stratified_sample",
+    "q53_boilerplate_ngrams",
+    "q54_sequence_packing",
+    "q55_sessionization",
+    "q56_pii_redaction",
 ]
 
 

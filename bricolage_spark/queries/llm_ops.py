@@ -1187,6 +1187,7 @@ def release_caches() -> None:
     release_shingles()
     release_pairs()
     release_ivf_index()
+    release_lm()
     relational._PCT_CACHE.clear()
     patterns._HOT_KEY_CACHE.clear()
 
@@ -1225,6 +1226,8 @@ def stage_artifacts(spark: SparkSession, sf_dir: str) -> list[str]:
         _IVF_MODEL_CACHE[key] = (cents, S.ivf_index(emb, cents).persist())
     _IVF_MODEL_CACHE[key][1].count()
     built.append("ivf_index")
+    _lm_counts(spark, sf_dir)  # trains + materializes uni/bi/vocab
+    built.append("lm_counts")
     relational._lineitem_price_pcts(read_table(spark, sf_dir, "lineitem"), sf_dir)
     built.append("percentile_brackets")
     from bricolage_spark.operators.skew import detect_hot_keys
@@ -2197,3 +2200,307 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(_PMI_TOP)
+
+
+# --------------------------------------------------------------------------
+# q74 substring-level exact dedup (cross-doc duplicated token spans)
+# --------------------------------------------------------------------------
+# The sequence-level dual of whole-doc near-dup: find the duplicated
+# SPANS themselves (Lee et al. 2022's 50-token-overlap method), scaled
+# down to this corpus' doc lengths. See operators/dedup.duplicate_spans
+# for the bucketed design (anchor postings -> capped bucket self-join ->
+# gaps-and-islands span merge).
+_SPAN_K, _SPAN_MIN, _SPAN_MAXPOST = 8, 12, 8
+
+
+@register(
+    "q74_duplicate_spans",
+    oracle=f"""
+    WITH {_DOCS_CTE},
+    anch AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(words[i : i + {_SPAN_K - 1}], ' ') AS anchor
+        FROM docs,
+             UNNEST(range(1, greatest(len(words) - {_SPAN_K - 1}, 0) + 1)) AS t(i)
+    ),
+    keep AS (
+        SELECT anchor FROM anch
+        GROUP BY anchor HAVING COUNT(*) BETWEEN 2 AND {_SPAN_MAXPOST}
+    ),
+    p AS (SELECT a.* FROM anch a JOIN keep USING (anchor)),
+    m AS (
+        SELECT p1.doc_id AS doc_a, p2.doc_id AS doc_b,
+               p1.pos AS pos_a, p2.pos AS pos_b,
+               p1.pos - p2.pos AS diff
+        FROM p p1
+        JOIN p p2 ON p1.anchor = p2.anchor AND p1.doc_id < p2.doc_id
+    ),
+    isl AS (
+        SELECT *,
+               pos_a - ROW_NUMBER() OVER (
+                   PARTITION BY doc_a, doc_b, diff ORDER BY pos_a) AS grp
+        FROM m
+    )
+    SELECT CAST(doc_a AS BIGINT)                         AS doc_a,
+           CAST(doc_b AS BIGINT)                         AS doc_b,
+           CAST(MIN(pos_a) AS BIGINT)                    AS a_start,
+           CAST(MIN(pos_b) AS BIGINT)                    AS b_start,
+           CAST(MAX(pos_a) - MIN(pos_a) + {_SPAN_K} AS BIGINT) AS span_len
+    FROM isl
+    GROUP BY doc_a, doc_b, diff, grp
+    HAVING MAX(pos_a) - MIN(pos_a) + {_SPAN_K} >= {_SPAN_MIN}
+    """,
+    doc="Substring-level exact dedup: maximal cross-document duplicated "
+    f"token spans (>= {_SPAN_MIN} tokens) via positional {_SPAN_K}-gram "
+    "anchor postings, a per-anchor capped bucket self-join (df cutoff "
+    "kills boilerplate anchors at index time), and a gaps-and-islands "
+    "merge of constant-offset matches — never a suffix array, never "
+    "all-pairs. Oracle: the same formulation in window/unnest SQL.",
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.duplicate_spans(
+        docs,
+        "doc_id",
+        "text",
+        anchor_len=_SPAN_K,
+        min_span=_SPAN_MIN,
+        max_postings=_SPAN_MAXPOST,
+    )
+
+
+# --------------------------------------------------------------------------
+# q75 n-gram LM perplexity scoring (CCNet-style quality filter)
+# --------------------------------------------------------------------------
+# Train bigram/unigram counts on a clean slice (doc_id % 4 != 0 stands in
+# for the curated wiki slice CCNet trains on), then score EVERY doc by
+# average add-one-smoothed bigram log-likelihood. The LM is a staged
+# artifact: counts are vocab-scale tables trained once per corpus and
+# broadcast to the scorers, so score time is one corpus explode + two
+# broadcast hash joins + a doc-keyed partial agg — the train corpus is
+# never rescanned and nothing shuffles except per-doc partials.
+_LM_TRAIN_MOD = 4  # doc_id % 4 != 0 -> train slice (75 %)
+
+# Session-keyed staged LM: (uni DataFrame, bi DataFrame, vocab size).
+# Same keying/release discipline as the shingle index.
+_LM_CACHE: dict = {}
+
+
+def _bigram_pairs(col: str = "w"):
+    """(w1, w2) adjacent-pair structs from a word-array column — q73's
+    arrays_zip construction (codegen; HOF lambdas measured ~2x slower)."""
+    return F.arrays_zip(
+        F.slice(F.col(col), 1, F.greatest(F.size(col) - 1, F.lit(0))).alias("w1"),
+        F.slice(F.col(col), 2, F.greatest(F.size(col) - 1, F.lit(0))).alias("w2"),
+    )
+
+
+def _lm_counts(spark: SparkSession, sf_dir: str):
+    key = (session_token(spark), sf_dir, "lm")
+    entry = _LM_CACHE.get(key)
+    if entry is None:
+        docs = read_table(spark, sf_dir, "documents")
+        words = F.split(D.normalize_text(F.col("text")), " ")
+        train = (
+            spread(docs, "doc_id")
+            .filter(F.col("doc_id") % _LM_TRAIN_MOD != 0)
+            .select(words.alias("w"))
+        )
+        uni = (
+            train.select(F.explode("w").alias("w1"))
+            .groupBy("w1")
+            .agg(F.count(F.lit(1)).alias("c1"))
+            .persist()
+        )
+        bi = (
+            train.select(F.explode(_bigram_pairs()).alias("p"))
+            .select("p.w1", "p.w2")
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c2"))
+            .persist()
+        )
+        vocab = uni.count()  # materializes uni; |vocab| is LM metadata
+        bi.count()
+        entry = _LM_CACHE[key] = (uni, bi, vocab)
+    return entry
+
+
+def release_lm(sf_dir: str | None = None) -> None:
+    """Drop cached LM count tables (all, or one corpus')."""
+    live = session_token()
+    for key in [k for k in _LM_CACHE if sf_dir is None or k[1] == sf_dir]:
+        uni, bi, _v = _LM_CACHE.pop(key)
+        if key[0] == live:
+            uni.unpersist(blocking=False)
+            bi.unpersist(blocking=False)
+
+
+@register(
+    "q75_lm_perplexity",
+    oracle=f"""
+    WITH {_DOCS_CTE},
+    train AS (SELECT words FROM docs WHERE doc_id % {_LM_TRAIN_MOD} <> 0),
+    uni AS (
+        SELECT w AS w1, COUNT(*) AS c1
+        FROM (SELECT unnest(words) AS w FROM train) GROUP BY w
+    ),
+    bi AS (
+        SELECT words[i] AS w1, words[i + 1] AS w2, COUNT(*) AS c2
+        FROM train,
+             UNNEST(range(1, greatest(len(words) - 1, 0) + 1)) AS t(i)
+        GROUP BY 1, 2
+    ),
+    v AS (SELECT COUNT(*) AS vocab FROM uni),
+    doc_bi AS (
+        SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
+        FROM docs,
+             UNNEST(range(1, greatest(len(words) - 1, 0) + 1)) AS t(i)
+    ),
+    s AS (
+        SELECT d.doc_id,
+               ln((COALESCE(b.c2, 0) + 1.0)
+                  / (COALESCE(u.c1, 0) + v.vocab)) AS logp
+        FROM doc_bi d
+        LEFT JOIN bi b ON b.w1 = d.w1 AND b.w2 = d.w2
+        LEFT JOIN uni u ON u.w1 = d.w1
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)       AS n_bigrams,
+           ROUND(AVG(logp), 4)            AS avg_logp,
+           ROUND(EXP(-AVG(logp)), 2)      AS ppl
+    FROM s GROUP BY doc_id
+    """,
+    doc="CCNet-style LM quality scoring: add-one-smoothed bigram "
+    "log-likelihood under counts trained on a clean slice "
+    f"(doc_id % {_LM_TRAIN_MOD} != 0), reported per doc as avg log-prob "
+    "and perplexity — the standard public quality-filter signal. The "
+    "trained counts are a staged, broadcast artifact; scoring is one "
+    "corpus pass with two broadcast joins and a doc-keyed partial agg "
+    "(docs with fewer than two words have no bigrams and are absent, "
+    "matching the oracle).",
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    uni, bi, vocab = _lm_counts(spark, sf_dir)
+    words = F.split(D.normalize_text(F.col("text")), " ")
+    doc_bi = (
+        spread(docs, "doc_id")
+        .select(F.col("doc_id"), words.alias("w"))
+        .select("doc_id", F.explode(_bigram_pairs()).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    logp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(vocab)))
+    )
+    return (
+        doc_bi.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(uni), "w1", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(logp), 4).alias("avg_logp"),
+            F.round(F.exp(-F.avg(logp)), 2).alias("ppl"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q76 URL canonicalization + dedup (canonical-URL keying of a crawl)
+# --------------------------------------------------------------------------
+# documents carries no URL column, so the crawl URLs are DERIVED
+# deterministically from (doc_id, source) — mixed-case scheme/host, www
+# prefixes, default ports, /index.html tails, shuffled + tracking query
+# params, fragments — the q67 synthetic-column idiom. Both engines build
+# the identical messy URL, so the oracle checks the CANONICALIZER, which
+# is the operator under test (operators/urls.py).
+_URL_RE_SQL = r"^([^:]+)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
+_TRACK_SQL = (
+    "list_filter(string_split(substr(q, 2), '&'), "
+    "p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)='))"
+)
+
+
+@register(
+    "q76_url_canonical_dedup",
+    oracle=f"""
+    WITH u AS (
+        SELECT doc_id,
+            (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+            || '://'
+            || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+            || (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END)
+            || '.Example.COM'
+            || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+            || '/a/' || CAST(doc_id % 25 AS VARCHAR)
+            || (CASE WHEN doc_id % 5 = 0 THEN '/index.html'
+                     WHEN doc_id % 5 = 1 THEN '/' ELSE '' END)
+            || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=feed&a=1'
+                     ELSE '?a=1&b=2&utm_campaign=x' END)
+            || (CASE WHEN doc_id % 7 = 0 THEN '#s2' ELSE '' END) AS url
+        FROM documents
+    ),
+    parts AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, '{_URL_RE_SQL}', 1)) AS scheme,
+               regexp_replace(lower(regexp_extract(url, '{_URL_RE_SQL}', 2)),
+                              '^www\\.', '') AS host,
+               regexp_extract(url, '{_URL_RE_SQL}', 3) AS path,
+               regexp_extract(url, '{_URL_RE_SQL}', 4) AS q
+        FROM u
+    ),
+    canon AS (
+        SELECT doc_id,
+            scheme || '://'
+            || (CASE WHEN scheme = 'https' THEN regexp_replace(host, ':443$', '')
+                     WHEN scheme = 'http'  THEN regexp_replace(host, ':80$', '')
+                     ELSE host END)
+            || regexp_replace(regexp_replace(path, '/index\\.html?$', '/'),
+                              '/+$', '')
+            || (CASE WHEN len({_TRACK_SQL}) > 0
+                     THEN '?' || array_to_string(list_sort({_TRACK_SQL}), '&')
+                     ELSE '' END) AS canon_url
+        FROM parts
+    )
+    SELECT canon_url,
+           CAST(COUNT(*) AS BIGINT)   AS n_dups,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id
+    FROM canon GROUP BY canon_url
+    """,
+    doc="Canonical-URL dedup keying: scheme/host case-fold, www and "
+    "default-port strip, /index.html collapse, tracking-param removal "
+    "with bytewise param sort, fragment drop (operators/urls.py) — then "
+    "one hash-agg on the canonical key (min doc_id kept per group). "
+    "Row-local canonicalization, shuffle carries only canonical keys; "
+    "feeds q62's domain caps and q72's snapshot diff at 100 TB.",
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bricolage_spark.operators.urls import canonical_url
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".Example.COM"),
+        F.when(d % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.concat(F.lit("/a/"), (d % 25).cast("string")),
+        F.when(d % 5 == 0, F.lit("/index.html"))
+        .when(d % 5 == 1, F.lit("/"))
+        .otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("?b=2&utm_source=feed&a=1")).otherwise(
+            F.lit("?a=1&b=2&utm_campaign=x")
+        ),
+        F.when(d % 7 == 0, F.lit("#s2")).otherwise(F.lit("")),
+    )
+    return (
+        docs.select(d.alias("doc_id"), canonical_url(url).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+        )
+    )

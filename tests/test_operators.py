@@ -722,3 +722,119 @@ def test_entropy_filter_drops_low_information_rows(spark):
     )
     kept = [r.doc_id for r in entropy_filter(df, "text").collect()]
     assert kept == [2]
+
+
+# ---------------------------------------------------------------------------
+# substring-level exact dedup (duplicate_spans)
+# ---------------------------------------------------------------------------
+def test_positional_anchors_positions_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y")], "doc_id long, text string"
+    )
+    rows = D.positional_anchors(df, "doc_id", "text", k=3).collect()
+    got = {(r.doc_id, r.pos): r.anchor for r in rows}
+    # doc 1: 5 words -> anchors at pos 1..3; doc 2 (2 words < k) -> none
+    assert got == {
+        (1, 1): "a b c",
+        (1, 2): "b c d",
+        (1, 3): "c d e",
+    }
+
+
+def test_duplicate_spans_finds_maximal_cross_doc_span(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "p q a b c d e f r s"),
+            (2, "a b c d e f z w"),
+            (3, "totally unrelated words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = D.duplicate_spans(
+        df, "doc_id", "text", anchor_len=3, min_span=5, max_postings=8
+    ).collect()
+    assert [(r.doc_a, r.doc_b, r.a_start, r.b_start, r.span_len) for r in out] == [
+        (1, 2, 3, 1, 6)
+    ]
+
+
+def test_duplicate_spans_min_span_filters_short_matches(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d x1 x2"), (2, "a b c d y1 y2")], "doc_id long, text string"
+    )
+    # shared run is 4 tokens: reported at min_span=4, dropped at 5
+    ok = D.duplicate_spans(
+        df, "doc_id", "text", anchor_len=3, min_span=4, max_postings=8
+    ).collect()
+    assert [(r.a_start, r.span_len) for r in ok] == [(1, 4)]
+    none = D.duplicate_spans(
+        df, "doc_id", "text", anchor_len=3, min_span=5, max_postings=8
+    ).collect()
+    assert none == []
+
+
+def test_duplicate_spans_posting_cap_drops_boilerplate_anchors(spark):
+    # the same 5-token run in FOUR docs -> every anchor has 4 postings;
+    # cap at 3 kills them all (boilerplate), cap at 8 reports all pairs
+    rows = [(i, f"h{i} a b c d e t{i}") for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = D.duplicate_spans(
+        df, "doc_id", "text", anchor_len=3, min_span=5, max_postings=8
+    ).collect()
+    assert len(full) == 6  # C(4,2) doc pairs
+    capped = D.duplicate_spans(
+        df, "doc_id", "text", anchor_len=3, min_span=5, max_postings=3
+    ).collect()
+    assert capped == []
+
+
+def test_duplicate_spans_ignores_same_doc_repeats(spark):
+    df = spark.createDataFrame(
+        [(7, "a b c d e z z a b c d e")], "doc_id long, text string"
+    )
+    out = D.duplicate_spans(
+        df, "doc_id", "text", anchor_len=3, min_span=5, max_postings=8
+    ).collect()
+    assert out == []  # doc_a < doc_b keeps only cross-doc spans
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize(
+    "raw,canon",
+    [
+        (
+            "HTTPS://WWW.Foo.COM:443/a/5/index.html?b=2&utm_source=f&a=1#s",
+            "https://foo.com/a/5?a=1&b=2",
+        ),
+        ("http://Example.com:80/", "http://example.com"),
+        # non-default port survives
+        ("https://example.com:8443/p/", "https://example.com:8443/p"),
+        # tracking-only query drops entirely; bare host unchanged
+        ("https://example.com/path?utm_campaign=x&gclid=1", "https://example.com/path"),
+        ("https://example.com", "https://example.com"),
+        # path stays case-sensitive; only literal /index.htm(l) collapses
+        ("https://example.com/INDEX.html", "https://example.com/INDEX.html"),
+        ("https://example.com/a/index.htm", "https://example.com/a"),
+        # ref= is tracking, href= is not (anchored match)
+        ("https://example.com/x?ref=tw&href=keep", "https://example.com/x?href=keep"),
+    ],
+)
+def test_canonical_url_rules(spark, raw, canon):
+    from bricolage_spark.operators.urls import canonical_url
+
+    df = spark.createDataFrame([(raw,)], "url string")
+    assert df.select(canonical_url(F.col("url")).alias("c")).first().c == canon
+
+
+def test_bucketed_interval_join_rejects_outer_how(spark):
+    from bricolage_spark.operators.interval import bucketed_interval_join
+
+    pts = spark.createDataFrame([(1, 5)], "pid long, ts long")
+    ivs = spark.createDataFrame([(1, 0, 10)], "wid long, lo long, hi long")
+    with pytest.raises(ValueError, match="inner"):
+        bucketed_interval_join(
+            pts, ivs, point_ts="ts", start_col="lo", end_col="hi",
+            bucket_width=10, how="left",
+        )
