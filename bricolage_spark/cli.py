@@ -144,6 +144,17 @@ def main(argv: list[str] | None = None) -> int:
         help="fork isolate-safe (non-Spark) jobs so a crashing job is "
         "recorded as failed instead of killing the runner",
     )
+    pn.add_argument(
+        "-L", "--log-dir", default=None,
+        help="per-job log file prefix: each job's stdout/stderr goes to "
+        "<dir>/%%{std}.log (application.rb -L; env BRICOLAGE_LOG_DIR)",
+    )
+    pn.add_argument(
+        "--log-path", default=None,
+        help="per-job log path template with %%{jobnet}/%%{subsystem}/"
+        "%%{job}/%%{job_start_time}... variables (application.rb "
+        "--log-path; env BRICOLAGE_LOG_PATH)",
+    )
 
     sub.add_parser(
         "list-job-class", help="list registered job class names"
@@ -222,6 +233,16 @@ def main(argv: list[str] | None = None) -> int:
             print(result)
             return 0
         if args.command == "jobnet":
+            from bricolage_spark.loglocator import LogFilePath
+
+            # precedence (application.rb:240-268): --log-dir beats
+            # --log-path beats the environment defaults
+            if args.log_dir:
+                log_path = LogFilePath(f"{args.log_dir}/%{{std}}.log")
+            elif args.log_path:
+                log_path = LogFilePath(args.log_path)
+            else:
+                log_path = LogFilePath.default()
             runner = JobNetRunner(
                 ctx,
                 queue_dir=args.local_state_dir,
@@ -229,6 +250,7 @@ def main(argv: list[str] | None = None) -> int:
                 isolate=args.isolate,
                 queue_path=args.queue_path,
                 db_dsn=args.db_name,
+                log_path=log_path,
             )
             report = runner.run(
                 os.path.join(ctx.home, args.path)

@@ -27,10 +27,13 @@ import json
 import os
 from dataclasses import dataclass
 
+from datetime import datetime
+
 from bricolage_spark.context import Context
 from bricolage_spark.exception import ApplicationError, JobFailure
 from bricolage_spark.jobnet import Ref, RootJobNet
 from bricolage_spark.jobs import ISOLATE_SAFE, Job, JobResult
+from bricolage_spark.loglocator import LogFilePath, LogLocator
 from bricolage_spark.taskqueue import FileTaskQueue, MemoryTaskQueue
 
 
@@ -90,13 +93,18 @@ class JobNetRunner:
         isolate: bool = False,
         queue_path: str | None = None,
         db_dsn: str | None = None,
+        log_path: LogFilePath | None = None,
+        log_upload=None,
     ):
         """``queue_path`` pins the file queue to an explicit path
         (--queue-path, jobnetrunner.rb:289-291); ``db_dsn`` enables the
         DB queue on an explicit SQLite path or postgresql:// DSN
         (--db-name, jobnetrunner.rb:292-294 — the reference names a
         datasource, we take the DSN directly). Either implies its queue
-        type."""
+        type. ``log_path`` is a per-job log-file template (loglocator
+        parity; defaults to $BRICOLAGE_LOG_DIR / $BRICOLAGE_LOG_PATH);
+        ``log_upload`` optionally ships each closed log file to durable
+        storage (the reference's --s3-log slot)."""
         self.ctx = context
         self.queue_dir = queue_dir or os.path.join(context.home, ".queue")
         if db_dsn is not None:
@@ -109,6 +117,8 @@ class JobNetRunner:
         self.isolate = isolate
         self._queue_path_override = queue_path
         self._db_dsn = db_dsn
+        self.log_path = log_path if log_path is not None else LogFilePath.default()
+        self._log_upload = log_upload
 
     def queue_path(self, net_ref: Ref) -> str:
         if self._queue_path_override:
@@ -135,6 +145,25 @@ class JobNetRunner:
         if clear and os.path.exists(qpath):
             os.remove(qpath)
         return FileTaskQueue.restore_if_exists(qpath)
+
+    def _log_locator(
+        self, net_ref: Ref, job: str, jobnet_start_time: datetime
+    ) -> LogLocator:
+        """Per-job log destination (jobnetrunner.rb:180,189-196): the
+        template is expanded per job with both start times; no template
+        means a no-op locator (everything stays on the runner's own
+        stdout/stderr, the pre-round-5 behavior)."""
+        if self.log_path is None:
+            return LogLocator(None)
+        ref = Ref.parse(job)
+        path = self.log_path.format(
+            subsystem=ref.subsystem,
+            job=ref.name,
+            jobnet_id=f"{net_ref.subsystem}/{net_ref.name}",
+            job_start_time=datetime.now(),
+            jobnet_start_time=jobnet_start_time,
+        )
+        return LogLocator(path, upload=self._log_upload)
 
     def compile_net(
         self, jobnet_path: str, cmd_variables: dict | None = None
@@ -179,6 +208,7 @@ class JobNetRunner:
         succeeded: list[str] = []
         failed: list[str] = []
         skipped = [t.job for t in queue.tasks if t.status == "succeeded"]
+        jobnet_start_time = datetime.now()
         try:
             for task in queue.consume_each():
                 job = jobs.get(task.job)
@@ -188,13 +218,18 @@ class JobNetRunner:
                     )
                     job.compile()
                 self.ctx.hooks.fire("before_job", job=job, ref=task.job)
+                locator = self._log_locator(
+                    net.root.ref, task.job, jobnet_start_time
+                )
                 if self.isolate and job.class_name in ISOLATE_SAFE:
-                    ok, message = execute_isolated(job)
+                    with locator.redirect_stdouts():
+                        ok, message = execute_isolated(job)
                     task.transition("succeeded" if ok else "failed", message)
                     (succeeded if ok else failed).append(task.job)
                 else:
                     try:
-                        result = job.execute()
+                        with locator.redirect_stdouts():
+                            result = job.execute()
                         task.transition("succeeded", result.message)
                         succeeded.append(task.job)
                     except (JobFailure, ApplicationError) as err:

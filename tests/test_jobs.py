@@ -478,3 +478,91 @@ def test_load_json_with_jsonpaths_file(engine, home, tmp_path):
     assert r.rows == 2
     rows = {row.uid: (row.ev, row.amt) for row in engine.table("jp_test").collect()}
     assert rows == {7: ("click", 3), 8: ("view", 5)}
+
+
+def test_logfilepath_template_variables():
+    """logfilepath.rb parity: %{std} layout, aliases, strftime parts."""
+    from datetime import datetime
+
+    from bricolage_spark.exception import ParameterError as PE
+    from bricolage_spark.loglocator import LogFilePath
+
+    js = datetime(2026, 8, 14, 9, 30, 5, 123000)
+    ns = datetime(2026, 8, 13, 22, 0, 1, 999000)
+    kw = dict(
+        subsystem="subsys", job="job1", jobnet_id="subsys/net1",
+        job_start_time=js, jobnet_start_time=ns,
+    )
+    std = LogFilePath("/logs/%{std}.log").format(**kw)
+    assert std == (
+        "/logs/20260813/subsys::net1/20260813_220001999/subsys-job1.log"
+    )
+    assert (
+        LogFilePath("%{net}|%{flow_id}|%{jobnet_id}").format(**kw)
+        == "subsys::net1|subsys::net1|subsys::net1"
+    )
+    assert (
+        LogFilePath("%{job_start_date}/%{job_start_time}/%{job_id}").format(**kw)
+        == "20260814/20260814_093005123/job1"
+    )
+    with _pt_raises(PE, match="bad log path variable"):
+        LogFilePath("%{nope}").format(**kw)
+
+
+def _pt_raises(*a, **kw):
+    import pytest as _pt
+
+    return _pt.raises(*a, **kw)
+
+
+def test_jobnet_writes_per_job_log_files(engine, home, tmp_path):
+    """loglocator parity: every job of a net gets its own log file at the
+    templated path, capturing the job's stdout/stderr (fd-level, so
+    forked --isolate children are captured too)."""
+    from bricolage_spark.jobs import JobResult, jobclass
+    from bricolage_spark.loglocator import LogFilePath
+    from bricolage_spark.runner import JobNetRunner
+
+    @jobclass("chatty", isolate_safe=True)
+    def chatty(job):
+        # os.write to fd 1, not print: pytest's capture replaces
+        # sys.stdout with an in-memory buffer, while real jobs (and the
+        # forked --isolate children) write through the process fds the
+        # locator redirects
+        os.write(1, f"hello from {job.param('who')}\n".encode())
+        return JobResult(message="ok")
+
+    write_job(home, "a.job", "class: chatty\nwho: aaa\n")
+    write_job(home, "b.job", "class: chatty\nwho: bbb\n")
+    (home / "subsys" / "net.jobnet").write_text("a\n-> b\n")
+    c = ctx_for(engine, home)
+    tpl = LogFilePath(str(tmp_path / "logs" / "%{jobnet}" / "%{subsystem}-%{job}.log"))
+    for isolate in (False, True):
+        report = JobNetRunner(c, isolate=isolate, log_path=tpl).run(
+            str(home / "subsys" / "net.jobnet"), clear_queue=True
+        )
+        assert report.success
+        for name, who in (("a", "aaa"), ("b", "bbb")):
+            p = tmp_path / "logs" / "subsys::net" / f"subsys-{name}.log"
+            assert p.exists(), (isolate, name)
+            assert f"hello from {who}" in p.read_text(), (isolate, name)
+            p.unlink()
+
+
+def test_log_locator_upload_ships_and_prunes(engine, home, tmp_path):
+    """--s3-log slot: on successful upload the local file is removed and
+    empty parent dirs pruned (loglocator.rb:62-89)."""
+    from bricolage_spark.loglocator import LogFilePath
+    from bricolage_spark.runner import JobNetRunner
+
+    write_job(home, "a.job", "class: noop\n")
+    (home / "subsys" / "net.jobnet").write_text("a\n")
+    c = ctx_for(engine, home)
+    shipped = []
+    tpl = LogFilePath(str(tmp_path / "logs" / "deep" / "%{job}.log"))
+    report = JobNetRunner(c, log_path=tpl, log_upload=shipped.append).run(
+        str(home / "subsys" / "net.jobnet"), clear_queue=True
+    )
+    assert report.success
+    assert shipped == [str(tmp_path / "logs" / "deep" / "a.log")]
+    assert not (tmp_path / "logs").exists()  # file removed, parents pruned
