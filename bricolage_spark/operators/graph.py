@@ -22,9 +22,10 @@ Scale notes (100 TB):
 - For graphs with genuinely long chains (web link graphs, not near-dup
   graphs) the O(log n)-round alternating large-star/small-star algorithm
   (Kiveris et al., "Connected Components in MapReduce and Beyond",
-  SoCC'14) drops in with the same join+min building blocks; label
-  propagation is chosen here because near-dup diameters make the extra
-  machinery pure overhead.
+  SoCC'14) is implemented below (``connected_components_star``) with the
+  same join+min building blocks, and label propagation falls back to it
+  automatically on max_iter exhaustion; propagation stays the default
+  because near-dup diameters make the extra machinery pure overhead.
 
 Reference parity: the reference has no graph operator (its dedup ends at
 SQL joins); this is part of the training-data-pipeline extension surface.
@@ -41,9 +42,16 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    fallback_star: bool = True,
 ) -> DataFrame:
     """(id, component) for every node in ``edges``; component = min node id
     reachable. Deterministic — min over a set is order-independent.
+
+    If label propagation hits ``max_iter`` without a fixpoint (graph
+    diameter > max_iter — long chains, not near-dup quasi-cliques), the
+    O(log n)-round :func:`connected_components_star` takes over
+    (``fallback_star=True``, default) instead of failing; pass
+    ``fallback_star=False`` to keep the loud failure.
     """
     # checkpoint the EDGE LIST first: everything below references it many
     # times (both union branches, every round), and without truncation each
@@ -94,11 +102,105 @@ def connected_components(
         prev_sum = cur_sum
     if not converged:
         # An unconverged label frame is a PLAUSIBLE WRONG ANSWER (clusters
-        # split along long chains) — fail loudly rather than return it.
+        # split along long chains) — never return it: hand the graph to
+        # the diameter-independent algorithm, or fail loudly.
+        if fallback_star:
+            return connected_components_star(edges, src, dst)
         raise RuntimeError(
             f"connected_components: no fixpoint after {max_iter} rounds; "
             "graph diameter exceeds max_iter (near-dup graphs converge in "
-            "3-5 rounds — for long-chain graphs raise max_iter or switch "
-            "to the large-star/small-star algorithm)"
+            "3-5 rounds — raise max_iter, or use fallback_star/"
+            "connected_components_star)"
         )
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, component) via alternating large-star/small-star (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    O(log n) rounds regardless of graph DIAMETER, built from the same
+    join + groupBy-min primitives as label propagation.
+
+    Per round the edge set itself is rewritten:
+
+    - **large-star** — for every node u, every strictly-larger neighbor
+      is re-pointed at m = min(N(u) ∪ {u});
+    - **small-star** — edges oriented big→small, then every smaller
+      neighbor and u itself re-pointed at m.
+
+    Both steps preserve connectivity and only ever decrease edge
+    endpoints; at the fixpoint every component is a star rooted at its
+    minimum node, read off directly as the labels. Convergence is an
+    exact edge-set comparison via (count, Σs, Σt, Σxxhash64(s,t)) — four
+    scalars per round, no driver-side edge materialization.
+
+    Prefer :func:`connected_components` for near-dup graphs (shallow
+    diameter → fewer rounds, no per-round distinct); use this for
+    long-chain graphs (web/link graphs, lineage chains).
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def checksum(df: DataFrame) -> tuple:
+        # bit_xor is order-independent and cannot overflow (ANSI mode
+        # rejects a plain SUM of 64-bit hashes); decimal sums of the
+        # endpoints guard the xor against structured collisions
+        return tuple(
+            df.agg(
+                F.count(F.lit(1)),
+                F.sum(F.col("s").cast("decimal(38,0)")),
+                F.sum(F.col("t").cast("decimal(38,0)")),
+                F.bit_xor(F.xxhash64("s", "t")),
+            ).first()
+        )
+
+    prev = checksum(e)
+    converged = False
+    for _ in range(max_iter):
+        # large-star over the symmetric neighborhood
+        sym = e.union(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
+        mins = sym.groupBy("s").agg(F.least(F.min("t"), F.col("s")).alias("m"))
+        large = (
+            sym.join(mins, "s")
+            .filter(F.col("t") > F.col("s"))
+            .select(F.col("t").alias("s"), F.col("m").alias("t"))
+            .filter(F.col("s") != F.col("t"))
+            .distinct()
+        )
+        # small-star over big->small oriented edges
+        d = large.select(
+            F.greatest("s", "t").alias("s"), F.least("s", "t").alias("t")
+        ).distinct()
+        mins2 = d.groupBy("s").agg(F.least(F.min("t"), F.col("s")).alias("m"))
+        e = (
+            d.join(mins2, "s")
+            .select(F.col("t").alias("s"), F.col("m").alias("t"))
+            .union(mins2.select("s", F.col("m").alias("t")))
+            .filter(F.col("s") != F.col("t"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = checksum(e)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint after {max_iter} "
+            "rounds (needs ~log2(n); raise max_iter)"
+        )
+    # star state: every edge is (node -> component root); roots label
+    # themselves
+    return e.select(F.col("s").alias("id"), F.col("t").alias("component")).union(
+        e.select(F.col("t").alias("id"), F.col("t").alias("component")).distinct()
+    )

@@ -396,7 +396,8 @@ def test_connected_components_long_chain_converges(spark):
 
 
 def test_connected_components_raises_on_max_iter_exhaustion(spark):
-    """Diameter > max_iter must fail loudly, never return split clusters."""
+    """Diameter > max_iter with the fallback disabled must fail loudly,
+    never return split clusters."""
     import pytest
 
     from bricolage_spark.operators.graph import connected_components
@@ -405,7 +406,45 @@ def test_connected_components_raises_on_max_iter_exhaustion(spark):
         [(i, i + 1) for i in range(30)], "id_a bigint, id_b bigint"
     )
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(edges, "id_a", "id_b", max_iter=2)
+        connected_components(edges, "id_a", "id_b", max_iter=2, fallback_star=False)
+
+
+def test_connected_components_star_fallback_handles_long_chains(spark):
+    """Default path: label propagation exhausts max_iter on a deep chain
+    and the large-star/small-star fallback still returns exact labels."""
+    from bricolage_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)] + [(100, 101)],
+        "id_a bigint, id_b bigint",
+    )
+    cc = connected_components(edges, "id_a", "id_b", max_iter=2)
+    got = {r.id: r.component for r in cc.collect()}
+    assert got == {i: 0 for i in range(31)} | {100: 100, 101: 100}
+
+
+def test_connected_components_star_matches_label_propagation(spark):
+    """Both algorithms agree on a mixed graph (chain + triangle + pair +
+    arbitrary edge orientations)."""
+    from bricolage_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (21, 20), (22, 21), (20, 22), (5, 4)],
+        "id_a bigint, id_b bigint",
+    )
+    label = {
+        (r.id, r.component)
+        for r in connected_components(edges, "id_a", "id_b").collect()
+    }
+    star = {
+        (r.id, r.component)
+        for r in connected_components_star(edges, "id_a", "id_b").collect()
+    }
+    assert star == label
+    assert {c for _, c in star} == {1, 10, 20}
 
 
 def test_stratified_sample_weight_never_infinite(spark, sf_dir):

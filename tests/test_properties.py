@@ -373,3 +373,51 @@ def test_packed_shards_bin_invariant(spark, tmp_path_factory, doc_chars, budget)
     import math as _m
 
     assert cum == sum(_m.ceil(c / 4) for c in doc_chars)
+
+
+# ---------------------------------------------------------------------------
+# Large-star/small-star connected components vs union-find (q50 hardening)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.spark
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_connected_components_star_matches_union_find(spark, edge_list):
+    """Alternating star rounds produce EXACT min-labeled components on
+    arbitrary graphs (self-loops, duplicates, any orientation)."""
+    from bricolage_spark.operators.graph import connected_components_star
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edge_list:
+        nodes |= {a, b}
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in sorted(nodes)}
+    # the operator sees only real edges; nodes appearing solely in
+    # self-loops are isolated singletons it (documentedly) drops
+    seen = {n for a, b in edge_list if a != b for n in (a, b)}
+    expect = {k: v for k, v in expect.items() if k in seen}
+    if not expect:
+        return
+    edges = spark.createDataFrame(edge_list, "id_a bigint, id_b bigint")
+    got = {
+        r.id: r.component
+        for r in connected_components_star(edges, "id_a", "id_b").collect()
+    }
+    assert got == expect
