@@ -183,49 +183,78 @@ def duplicate_spans(
     overlap method re-expressed as bucketed joins instead of a suffix
     array.
 
-    Bucketed design, never all-pairs:
+    Bucketed design, never all-pairs — and ONE corpus-sized shuffle:
 
     1. positional anchor postings — every word ``anchor_len``-gram with
-       its start offset (one corpus scan, row-local);
-    2. anchors kept only when their posting count is in
-       [2, max_postings]: singletons can't witness a duplicate, and
-       boilerplate anchors above the cap are dropped at index time
-       (q48's df-cutoff discipline) so the bucket self-join is
-       O(max_postings²) per anchor, bounded;
-    3. aligned matches: postings self-joined per anchor bucket
-       (doc_a < doc_b keeps cross-doc pairs once) — a duplicated span of
-       L tokens shows up as L−k+1 matches at a CONSTANT offset
+       its start offset (one corpus scan, row-local); the shuffle key is
+       ``xxhash64(anchor)``, so shuffle rows are fixed-width (8 B key +
+       two ints), never the anchor text;
+    2. one groupBy collects each anchor's posting list and keeps only
+       lists of size [2, max_postings]: singletons can't witness a
+       duplicate, and boilerplate anchors above the cap are dropped at
+       index time (q48's df-cutoff discipline);
+    3. aligned matches expand ROW-LOCALLY from the collected list
+       (≤ max_postings² struct pairs per anchor, doc_a < doc_b keeps
+       cross-doc pairs once) — no keep-join, no self-join: a duplicated
+       span of L tokens shows up as L−k+1 matches at a CONSTANT offset
        difference ``pos_a − pos_b``;
     4. gaps-and-islands per (doc_a, doc_b, diff): consecutive anchor
        starts collapse to one maximal span via the pos − row_number()
        trick; span token length = last_start − first_start + anchor_len.
 
-    Anchors are joined as strings so the DuckDB oracle reproduces results
-    exactly; a production run would key buckets on a 128-bit anchor
-    digest to shrink shuffle rows to fixed width (same plan shape).
+    A 64-bit anchor-hash collision can create a stray aligned match, but
+    it lands in its own (doc pair, diff) island of span_len = anchor_len
+    < min_span and is filtered; corrupting a real span would need the
+    collision to align at an existing island's offset — at which point a
+    128-bit digest key (md5) is the dial to turn, same plan shape.
     Returns (doc_a, doc_b, a_start, b_start, span_len), spans of at
     least ``min_span`` tokens.
     """
     from pyspark.sql import Window
 
-    p = positional_anchors(df, id_col, text_col, k=anchor_len)
-    keep = (
-        p.groupBy("anchor")
-        .agg(F.count(F.lit(1)).alias("n_post"))
-        .filter((F.col("n_post") >= 2) & (F.col("n_post") <= max_postings))
-        .select("anchor")
+    # inline postings (same shape as positional_anchors, minus the anchor
+    # STRING: the k-word slice array feeds xxhash64 directly, so no
+    # per-position string is ever allocated)
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(words)
+    idx = F.when(n >= anchor_len, F.sequence(F.lit(1), n - (anchor_len - 1))).otherwise(
+        F.array().cast("array<int>")
     )
-    p = p.join(keep, "anchor")
-    left = p.select(
-        "anchor", F.col(id_col).alias("doc_a"), F.col("pos").alias("pos_a")
+    p = (
+        spread(df, id_col)
+        .select(F.col(id_col), words.alias("_w"), F.explode(idx).alias("pos"))
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("bigint").alias("pos"),
+            F.xxhash64(F.slice(F.col("_w"), F.col("pos"), F.lit(anchor_len))).alias("ah"),
+        )
     )
-    right = p.select(
-        "anchor", F.col(id_col).alias("doc_b"), F.col("pos").alias("pos_b")
+    grouped = (
+        p.groupBy("ah")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("L"))
+        .filter((F.size("L") >= 2) & (F.size("L") <= max_postings))
     )
     m = (
-        left.join(right, "anchor")
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "L",
+                        lambda x: F.transform(
+                            "L",
+                            lambda y: F.struct(
+                                x["d"].alias("doc_a"),
+                                y["d"].alias("doc_b"),
+                                x["p"].alias("pos_a"),
+                                y["p"].alias("pos_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("pr")
+        )
+        .select("pr.doc_a", "pr.doc_b", "pr.pos_a", "pr.pos_b")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pos_a", "pos_b")
         .withColumn("diff", F.col("pos_a") - F.col("pos_b"))
     )
     w = Window.partitionBy("doc_a", "doc_b", "diff").orderBy("pos_a")
