@@ -66,6 +66,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #   trained IVF index  -> q49
 #   PMI unigram table  -> q73
 #   bigram LM counts   -> q75
+#   IVF cells (q49's)  -> q77
+#   duplicated spans   -> q78
 #   percentile brackets-> q26, q26b
 #   hot-key statistics -> q47 (sampled probe, the ANALYZE-stats stand-in)
 STAGED = (
@@ -83,6 +85,8 @@ STAGED = (
     "q69_ngram_novelty",
     "q73_pmi_collocations",
     "q75_lm_perplexity",
+    "q77_semantic_dedup",
+    "q78_span_coverage",
 )
 
 

@@ -56,6 +56,8 @@ _EVIDENCE_FIRST = [
     "q74_duplicate_spans",
     "q75_lm_perplexity",
     "q76_url_canonical_dedup",
+    "q77_semantic_dedup",
+    "q78_span_coverage",
     # last driver row in round 3 (clipped in r4) — rotate back in so no
     # query's newest driver-green row is older than two rounds:
     "q01_scan_projection",
@@ -104,11 +106,9 @@ _EVIDENCE_FIRST = [
     "q71_language_label_audit",
     "q72_snapshot_diff",
     "q73_pmi_collocations",
-    # code touched this round (q73 totals rework shares the PMI path;
-    # q48/q50/q51 exercise the staged shingle/pair/cluster artifacts):
-    "q48_ngram_jaccard_neardup",
+    # code touched this round (q50 exercises the CC path that gained the
+    # star fallback):
     "q50_dedup_clusters",
-    "q51_contamination",
 ]
 
 # Explicitly demoted to the tail (absorb the driver's >50 clip): every
@@ -116,6 +116,8 @@ _EVIDENCE_FIRST = [
 # (these are green r1–r4 or r3+r4).
 _CLIP_LAST = [
     "q03_group_aggregate",
+    "q48_ngram_jaccard_neardup",
+    "q51_contamination",
     "q05_tpch_q1",
     "q06_inner_join",
     "q07_broadcast_join",

@@ -724,11 +724,14 @@ _IVF_CELLS, _IVF_NPROBE, _IVF_SEED = 8, 2, 4242
 _IVF_MODEL_CACHE: dict = {}
 
 
-def _ivf_a1_ctes(dims: int = 64) -> str:
+def _ivf_a1_ctes(dims: int = 64, cells: int | None = None) -> str:
     """CTE chain ending in ``a1`` = every (vector, trained-centroid) pair
-    with its 6-dp cosine — the shared trunk of the q49 (ANN serve) and
-    q68 (cluster report) oracles. Reproduces the deterministic training:
-    md5-seeded seeds → one Lloyd step → 6-dp centroids."""
+    with its 6-dp cosine — the shared trunk of the q49 (ANN serve), q68
+    (cluster report) and q77 (semantic dedup, its own cell count) oracles.
+    Reproduces the deterministic training: md5-seeded seeds → one Lloyd
+    step → 6-dp centroids."""
+    if cells is None:
+        cells = _IVF_CELLS
     h = _h32("CAST(vec_id AS VARCHAR)", _IVF_SEED)
     cos6 = (
         "ROUND(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
@@ -741,7 +744,7 @@ def _ivf_a1_ctes(dims: int = 64) -> str:
         SELECT cell, e FROM (
             SELECT e, ROW_NUMBER() OVER (ORDER BY {h}, vec_id) - 1 AS cell
             FROM v
-        ) WHERE cell < {_IVF_CELLS}
+        ) WHERE cell < {cells}
     ),
     a0 AS (
         SELECT v.vec_id, v.e, s.cell,
@@ -1188,6 +1191,8 @@ def release_caches() -> None:
     release_pairs()
     release_ivf_index()
     release_lm()
+    release_spans()
+    _SEM_CENT_CACHE.clear()
     relational._PCT_CACHE.clear()
     patterns._HOT_KEY_CACHE.clear()
 
@@ -1228,6 +1233,16 @@ def stage_artifacts(spark: SparkSession, sf_dir: str) -> list[str]:
     built.append("ivf_index")
     _lm_counts(spark, sf_dir)  # trains + materializes uni/bi/vocab
     built.append("lm_counts")
+    _staged_spans(spark, sf_dir).count()
+    built.append("span_table")
+    sk = (session_token(spark), sf_dir, _SEM_CELLS, _IVF_SEED)
+    if sk not in _SEM_CENT_CACHE:
+        _SEM_CENT_CACHE[sk] = S.ivf_centroids(
+            read_table(spark, sf_dir, "embeddings"),
+            k_cells=_SEM_CELLS,
+            seed=_IVF_SEED,
+        )
+    built.append("semdedup_centroids")
     relational._lineitem_price_pcts(read_table(spark, sf_dir, "lineitem"), sf_dir)
     built.append("percentile_brackets")
     from bricolage_spark.operators.skew import detect_hot_keys
@@ -2502,5 +2517,330 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_dups"),
             F.min("doc_id").cast("bigint").alias("keep_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q77 semantic dedup (SemDeDup-style within-cluster embedding dedup)
+# --------------------------------------------------------------------------
+# Public method (Abbas et al. 2023, "SemDeDup"): cluster embeddings with
+# k-means, then compare pairs only WITHIN a cluster; members closer than
+# tau are semantic duplicates and all but one are dropped — keeping the
+# member with the LOWEST cosine to the centroid (preserves cluster-edge
+# diversity, the paper's best-performing keeper rule; vec_id breaks
+# ties). Reuses the q49/q68 trained quantizer, so the pairwise stage is
+# bounded by cell size — the knob a 100 TB run turns via k.
+_SEM_TAU = 0.4  # same duplicate threshold as q42 (this corpus' near-dups)
+# q77 trains its OWN quantizer with more cells than the q49 ANN index:
+# SemDeDup's pairwise stage costs n²/k per corpus, so k scales with n —
+# 8 serving cells are right for the ANN probe fan-out but make dedup
+# cells quadratically oversized. Separate cache entry, same trainer.
+_SEM_CELLS = 32
+
+# Centroid lists are plain Python floats (driver metadata, like the
+# percentile brackets) — cached per corpus, cleared by release_caches().
+_SEM_CENT_CACHE: dict = {}
+
+
+@register(
+    "q77_semantic_dedup",
+    oracle=f"""
+    WITH {_ivf_a1_ctes(cells=_SEM_CELLS)},
+    assign AS (
+        SELECT vec_id, e, cell, sim FROM (
+            SELECT vec_id, e, cell, sim,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY sim DESC, cell) AS rn
+            FROM a1
+        ) WHERE rn = 1
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assign a
+        JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        WHERE ROUND(list_dot_product(a.e, b.e)
+                    / (sqrt(list_dot_product(a.e, a.e))
+                       * sqrt(list_dot_product(b.e, b.e))), 6) >= {_SEM_TAU}
+          AND (a.sim < b.sim OR (a.sim = b.sim AND a.vec_id < b.vec_id))
+    )
+    SELECT a.vec_id,
+           CAST(a.cell AS BIGINT) AS cell,
+           a.sim                  AS cent_sim,
+           (d.vec_id IS NULL)     AS keep
+    FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    """,
+    doc="SemDeDup-style semantic dedup verdicts: every embedding labeled "
+    "with its trained k-means cell, pairwise cosine compared WITHIN the "
+    f"cell only, pairs >= {_SEM_TAU} marked duplicates and resolved "
+    "deterministically toward the member with the lowest centroid "
+    "cosine. Assignment is row-local centroid-literal arithmetic; the "
+    "pairwise join is cell-bucketed (never all-pairs) with per-cell "
+    "blowup bounded by cell size — at 100 TB, k scales so cells stay "
+    "bounded, exactly the published design.",
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    key = (session_token(spark), sf_dir, _SEM_CELLS, _IVF_SEED)
+    cents = _SEM_CENT_CACHE.get(key)
+    if cents is None:
+        cents = _SEM_CENT_CACHE[key] = S.ivf_centroids(
+            emb, k_cells=_SEM_CELLS, seed=_IVF_SEED
+        )
+    import math
+
+    from pyspark.sql import Window
+
+    # assignment via a BROADCAST centroid table, not centroid-literal
+    # expressions: at 32 cells x 64 dims the inlined literals blow the
+    # whole-stage-codegen method-size limit and the whole stage falls
+    # back to interpreted eval (measured ~2x slower than this join). A
+    # broadcast centroid table is also the real-cluster shape.
+    cdf = spark.createDataFrame(
+        [
+            (
+                int(cell),
+                [float(x) for x in comps],
+                math.sqrt(sum(float(x) ** 2 for x in comps)),
+            )
+            for cell, comps in cents
+        ],
+        "cell long, ce array<double>, cn double",
+    )
+    e_d = F.col("embedding").cast("array<double>")
+    # norm precomputed per VECTOR, not per pair: the pairwise stage then
+    # costs one dot + one divide per pair instead of three dots
+    vecs = spread(emb, "vec_id").select(
+        "vec_id", e_d.alias("e"), S.norm(e_d).alias("nrm")
+    )
+    scored = vecs.join(F.broadcast(cdf)).select(
+        "vec_id",
+        "e",
+        "nrm",
+        "cell",
+        F.round(
+            S.dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cn")), 6
+        ).alias("sim"),
+    )
+    w_best = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    a = (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", "nrm", "cell", F.col("sim").alias("cent_sim"))
+    )
+    left = a.select(
+        F.col("cell"),
+        F.col("vec_id").alias("a_id"),
+        F.col("e").alias("a_e"),
+        F.col("nrm").alias("a_n"),
+        F.col("cent_sim").alias("a_cs"),
+    )
+    right = a.select(
+        F.col("cell"),
+        F.col("vec_id").alias("b_id"),
+        F.col("e").alias("b_e"),
+        F.col("nrm").alias("b_n"),
+        F.col("cent_sim").alias("b_cs"),
+    )
+    pair_sim = F.round(
+        S.dot(F.col("a_e"), F.col("b_e")) / (F.col("a_n") * F.col("b_n")), 6
+    )
+    # each unordered pair evaluated ONCE (a_id < b_id); the keeper rule
+    # then names the dropped side directly
+    a_keeps = (F.col("a_cs") < F.col("b_cs")) | (
+        (F.col("a_cs") == F.col("b_cs")) & (F.col("a_id") < F.col("b_id"))
+    )
+    dropped = (
+        left.join(right, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(pair_sim >= F.lit(_SEM_TAU))
+        .select(F.when(a_keeps, F.col("b_id")).otherwise(F.col("a_id")).alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return a.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        "cent_sim",
+        F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q78 duplicated-span coverage (the APPLY side of substring dedup)
+# --------------------------------------------------------------------------
+# q74's deliverable is span DETECTION; the pipeline then materializes the
+# span table and a second pass scores each document by how much of it is
+# covered by cross-doc duplicated text (the signal that drives
+# drop/trim decisions in the public sequence-dedup recipes). The staged
+# span table is that materialization (localCheckpoint at test scale,
+# a storage write at 100 TB).
+_SPAN_CACHE: dict = {}
+
+
+def _staged_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (session_token(spark), sf_dir)
+    sp = _SPAN_CACHE.get(key)
+    if sp is None:
+        docs = read_table(spark, sf_dir, "documents")
+        sp = D.duplicate_spans(
+            docs,
+            "doc_id",
+            "text",
+            anchor_len=_SPAN_K,
+            min_span=_SPAN_MIN,
+            max_postings=_SPAN_MAXPOST,
+        ).localCheckpoint(eager=True)
+        _SPAN_CACHE[key] = sp
+    return sp
+
+
+def release_spans(sf_dir: str | None = None) -> None:
+    """Drop cached duplicated-span frames (all, or one corpus')."""
+    for key in [k for k in _SPAN_CACHE if sf_dir is None or k[1] == sf_dir]:
+        _SPAN_CACHE.pop(key)
+
+
+@register(
+    "q78_span_coverage",
+    oracle=f"""
+    WITH {_DOCS_CTE},
+    anch AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(words[i : i + {_SPAN_K - 1}], ' ') AS anchor
+        FROM docs,
+             UNNEST(range(1, greatest(len(words) - {_SPAN_K - 1}, 0) + 1)) AS t(i)
+    ),
+    keep AS (
+        SELECT anchor FROM anch
+        GROUP BY anchor HAVING COUNT(*) BETWEEN 2 AND {_SPAN_MAXPOST}
+    ),
+    p AS (SELECT a.* FROM anch a JOIN keep USING (anchor)),
+    m AS (
+        SELECT p1.doc_id AS doc_a, p2.doc_id AS doc_b,
+               p1.pos AS pos_a, p2.pos AS pos_b,
+               p1.pos - p2.pos AS diff
+        FROM p p1
+        JOIN p p2 ON p1.anchor = p2.anchor AND p1.doc_id < p2.doc_id
+    ),
+    spi AS (
+        SELECT *,
+               pos_a - ROW_NUMBER() OVER (
+                   PARTITION BY doc_a, doc_b, diff ORDER BY pos_a) AS grp
+        FROM m
+    ),
+    spans AS (
+        SELECT doc_a, doc_b,
+               MIN(pos_a) AS a_start, MIN(pos_b) AS b_start,
+               MAX(pos_a) - MIN(pos_a) + {_SPAN_K} AS span_len
+        FROM spi GROUP BY doc_a, doc_b, diff, grp
+        HAVING MAX(pos_a) - MIN(pos_a) + {_SPAN_K} >= {_SPAN_MIN}
+    ),
+    iv AS (
+        -- UNION (not ALL): identical intervals from different partner
+        -- docs must collapse BEFORE the merge — duplicate (s, e) rows
+        -- make the ORDER BY non-total, and the island flag and the
+        -- running sum are separate window passes whose arbitrary tie
+        -- orders can disagree, splitting one island into two (observed:
+        -- doubled coverage). Distinct rows restore a total order; the
+        -- interval UNION is unchanged.
+        SELECT doc_a AS doc_id, a_start AS s, a_start + span_len AS e FROM spans
+        UNION
+        SELECT doc_b, b_start, b_start + span_len FROM spans
+    ),
+    fl AS (
+        SELECT doc_id, s, e,
+               CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                    OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS f
+        FROM iv
+    ),
+    isl AS (
+        SELECT *, SUM(f) OVER (PARTITION BY doc_id ORDER BY s, e
+                    ROWS UNBOUNDED PRECEDING) AS isl_id
+        FROM fl
+    ),
+    cov AS (
+        SELECT doc_id, SUM(mx - mn) AS covered FROM (
+            SELECT doc_id, isl_id, MAX(e) AS mx, MIN(s) AS mn
+            FROM isl GROUP BY doc_id, isl_id
+        ) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.words) AS BIGINT)           AS n_words,
+           CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
+           ROUND(COALESCE(c.covered, 0)
+                 / CAST(len(d.words) AS DOUBLE), 4) AS dup_frac
+    FROM docs d LEFT JOIN cov c USING (doc_id)
+    """,
+    doc="Per-document duplicated-text coverage: the union of all q74 "
+    "span intervals per doc (classic gaps-and-islands interval merge — "
+    "running-max window, island sums) over the STAGED span table, "
+    "reported as covered tokens and the dup fraction every sequence-"
+    "dedup recipe thresholds on. Interval merge partitions by doc "
+    "(tiny windows); the doc-length join is row-local.",
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    spans = _staged_spans(spark, sf_dir)
+    # distinct, not unionAll: identical intervals from different partner
+    # docs must collapse before the merge — with duplicate (s, e) rows
+    # the window ORDER BY is not a total order, and the island-flag pass
+    # and the running-sum pass can disagree on tie order, splitting one
+    # island into two (doubled coverage; caught against the oracle)
+    iv = (
+        spans.select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("a_start").alias("s"),
+            (F.col("a_start") + F.col("span_len")).alias("e"),
+        )
+        .unionAll(
+            spans.select(
+                F.col("doc_b").alias("doc_id"),
+                F.col("b_start").alias("s"),
+                (F.col("b_start") + F.col("span_len")).alias("e"),
+            )
+        )
+        .distinct()
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pmax = F.max("e").over(w_prev)
+    fl = iv.withColumn(
+        "f", F.when(pmax.isNull() | (F.col("s") > pmax), 1).otherwise(0)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = fl.withColumn("isl_id", F.sum("f").over(w_run))
+    cov = (
+        isl.groupBy("doc_id", "isl_id")
+        .agg((F.max("e") - F.min("s")).alias("ilen"))
+        .groupBy("doc_id")
+        .agg(F.sum("ilen").alias("covered"))
+    )
+    n_words = F.size(F.split(D.normalize_text(F.col("text")), " "))
+    return (
+        docs.select("doc_id", n_words.cast("bigint").alias("n_words"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce(F.col("covered"), F.lit(0)).cast("bigint").alias(
+                "covered_tokens"
+            ),
+            F.round(
+                F.coalesce(F.col("covered"), F.lit(0)) / F.col("n_words"), 4
+            ).alias("dup_frac"),
         )
     )
