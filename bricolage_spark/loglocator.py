@@ -123,8 +123,14 @@ class LogLocator:
             os.makedirs(parent, exist_ok=True)
         sys.stdout.flush()
         sys.stderr.flush()
-        saved_out, saved_err = os.dup(1), os.dup(2)
+        # open BEFORE dup'ing: if open raises there is nothing to leak,
+        # while dup-then-open would leak two fds per failed job
         f = open(self.path, "wb", buffering=0)
+        try:
+            saved_out, saved_err = os.dup(1), os.dup(2)
+        except OSError:
+            f.close()
+            raise
         try:
             os.dup2(f.fileno(), 1)
             os.dup2(f.fileno(), 2)

@@ -105,7 +105,9 @@ def connected_components(
         # split along long chains) — never return it: hand the graph to
         # the diameter-independent algorithm, or fail loudly.
         if fallback_star:
-            return connected_components_star(edges, src, dst)
+            # hand over the CHECKPOINTED edge list, not the original plan —
+            # the star pass must not re-execute the upstream pair pipeline
+            return connected_components_star(e, "s", "t")
         raise RuntimeError(
             f"connected_components: no fixpoint after {max_iter} rounds; "
             "graph diameter exceeds max_iter (near-dup graphs converge in "
@@ -143,11 +145,11 @@ def connected_components_star(
     diameter → fewer rounds, no per-round distinct); use this for
     long-chain graphs (web/link graphs, lineage chains).
     """
-    e = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
-        .filter(F.col("s") != F.col("t"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    all_edges = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("t")
+    ).localCheckpoint(eager=True)
+    e = all_edges.filter(F.col("s") != F.col("t")).distinct().localCheckpoint(
+        eager=True
     )
 
     def checksum(df: DataFrame) -> tuple:
@@ -200,7 +202,19 @@ def connected_components_star(
             "rounds (needs ~log2(n); raise max_iter)"
         )
     # star state: every edge is (node -> component root); roots label
-    # themselves
-    return e.select(F.col("s").alias("id"), F.col("t").alias("component")).union(
+    # themselves. Nodes whose only edges were self-loops vanished with the
+    # s != t filter — restore them as singletons so the contract
+    # "(id, component) for every node in edges" holds on every path
+    # (label propagation keeps them naturally; the fallback must too).
+    labels = e.select(F.col("s").alias("id"), F.col("t").alias("component")).union(
         e.select(F.col("t").alias("id"), F.col("t").alias("component")).distinct()
     )
+    nodes = (
+        all_edges.select(F.col("s").alias("id"))
+        .union(all_edges.select(F.col("t").alias("id")))
+        .distinct()
+    )
+    singletons = nodes.join(labels.select("id"), "id", "left_anti").select(
+        "id", F.col("id").alias("component")
+    )
+    return labels.union(singletons)

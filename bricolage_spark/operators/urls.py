@@ -79,11 +79,22 @@ def canonical_url(url: Column) -> Column:
     Deterministic, engine-independent (mirrored 1:1 by the DuckDB oracle
     SQL in queries/llm_ops.q76): equal canonical strings <=> same
     resource under the rules above.
+
+    Inputs that don't parse as ``scheme://...`` (relative paths,
+    mailto:, bare hosts, garbage — routine in real crawls) pass through
+    UNCHANGED: regexp_extract returns '' for every group on a non-match,
+    and concatenating those would collapse all malformed URLs onto the
+    single key '://', silently merging unrelated documents in any
+    canonical-key dedup.
     """
-    return F.concat(
-        url_scheme(url),
-        F.lit("://"),
-        canonical_host(url),
-        _canonical_path(url),
-        _canonical_query(url),
+    return F.when(
+        F.regexp_extract(url, URL_PARTS_RE, 1) == "", url
+    ).otherwise(
+        F.concat(
+            url_scheme(url),
+            F.lit("://"),
+            canonical_host(url),
+            _canonical_path(url),
+            _canonical_query(url),
+        )
     )

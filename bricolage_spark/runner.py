@@ -198,6 +198,19 @@ class JobNetRunner:
                 print(f"== {ref}\n{jobs[str(ref)].dry_run()}")
             return RunReport(succeeded=[], failed=[], skipped=[str(r) for r in order])
 
+        # validate the (static) log-path template ONCE, before any queue
+        # state exists: a bad %{var} must be an upfront ParameterError,
+        # not a mid-queue crash that leaves tasks untransitioned
+        if self.log_path is not None:
+            probe = datetime.now()
+            self.log_path.format(
+                subsystem="probe",
+                job="probe",
+                jobnet_id="probe/probe",
+                job_start_time=probe,
+                jobnet_start_time=probe,
+            )
+
         queue = self._make_queue(net.root.ref, clear_queue)
         restored = bool(queue.tasks)
         if not restored:
@@ -222,8 +235,12 @@ class JobNetRunner:
                     net.root.ref, task.job, jobnet_start_time
                 )
                 if self.isolate and job.class_name in ISOLATE_SAFE:
-                    with locator.redirect_stdouts():
-                        ok, message = execute_isolated(job)
+                    try:
+                        with locator.redirect_stdouts():
+                            ok, message = execute_isolated(job)
+                    except OSError as err:  # log-file or job I/O —
+                        # a recorded failure, never a runner crash
+                        ok, message = False, f"OSError: {err}"
                     task.transition("succeeded" if ok else "failed", message)
                     (succeeded if ok else failed).append(task.job)
                 else:
@@ -234,6 +251,10 @@ class JobNetRunner:
                         succeeded.append(task.job)
                     except (JobFailure, ApplicationError) as err:
                         task.transition("failed", str(err))
+                        failed.append(task.job)
+                    except OSError as err:  # log-file or job I/O —
+                        # a recorded failure, never a runner crash
+                        task.transition("failed", f"OSError: {err}")
                         failed.append(task.job)
                 self.ctx.hooks.fire(
                     "after_job", job=job, ref=task.job, status=task.status

@@ -566,3 +566,41 @@ def test_log_locator_upload_ships_and_prunes(engine, home, tmp_path):
     assert report.success
     assert shipped == [str(tmp_path / "logs" / "deep" / "a.log")]
     assert not (tmp_path / "logs").exists()  # file removed, parents pruned
+
+
+def test_bad_log_template_fails_upfront(engine, home, tmp_path):
+    """An invalid %{var} in the log template must raise BEFORE any task
+    runs or transitions — not crash mid-queue."""
+    from bricolage_spark.exception import ParameterError
+    from bricolage_spark.loglocator import LogFilePath
+    from bricolage_spark.runner import JobNetRunner
+
+    write_job(home, "a.job", "class: noop\n")
+    (home / "subsys" / "net.jobnet").write_text("a\n")
+    c = ctx_for(engine, home)
+    tpl = LogFilePath(str(tmp_path / "%{date}.log"))  # %{date} is not a var
+    runner = JobNetRunner(c, log_path=tpl)
+    import pytest as _pt
+    with _pt.raises(ParameterError, match="bad log path variable"):
+        runner.run(str(home / "subsys" / "net.jobnet"), clear_queue=True)
+    # nothing ran, and the queue holds no half-consumed state
+    assert not os.path.exists(runner.queue_path(__import__(
+        "bricolage_spark.jobnet", fromlist=["Ref"]).Ref("subsys", "net", True)))
+
+
+def test_unwritable_log_dir_records_job_failure(engine, home, tmp_path):
+    """A per-job log-file I/O error is a recorded job failure, not a
+    runner crash (fds restored, queue consistent)."""
+    from bricolage_spark.loglocator import LogFilePath
+    from bricolage_spark.runner import JobNetRunner
+
+    blocker = tmp_path / "blocked"
+    blocker.write_text("a file where the log DIR should be")
+    write_job(home, "a.job", "class: noop\n")
+    (home / "subsys" / "net.jobnet").write_text("a\n")
+    c = ctx_for(engine, home)
+    tpl = LogFilePath(str(blocker / "%{job}.log"))  # parent is a file
+    report = JobNetRunner(c, log_path=tpl).run(
+        str(home / "subsys" / "net.jobnet"), clear_queue=True
+    )
+    assert report.failed == ["subsys/a"] and not report.succeeded

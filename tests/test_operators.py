@@ -877,3 +877,38 @@ def test_bucketed_interval_join_rejects_outer_how(spark):
             pts, ivs, point_ts="ts", start_col="lo", end_col="hi",
             bucket_width=10, how="left",
         )
+
+
+def test_connected_components_star_keeps_self_loop_singletons(spark):
+    """Self-loop-only nodes must survive BOTH algorithms as singletons —
+    the fallback path must return the same node coverage as propagation."""
+    from bricolage_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)] + [(99, 99)],
+        "id_a bigint, id_b bigint",
+    )
+    expect = {i: 0 for i in range(11)} | {99: 99}
+    star = {r.id: r.component for r in
+            connected_components_star(edges, "id_a", "id_b").collect()}
+    assert star == expect
+    # propagation exhausted -> star fallback: same coverage
+    fb = {r.id: r.component for r in
+          connected_components(edges, "id_a", "id_b", max_iter=2).collect()}
+    assert fb == expect
+
+
+@pytest.mark.parametrize(
+    "raw",
+    ["foo.html", "mailto:a@b.c", "", "example.com/path", "//no-scheme.com/x"],
+)
+def test_canonical_url_passes_through_non_urls(spark, raw):
+    """Non-absolute-http inputs (routine in real crawls) must pass
+    through unchanged, never collapse onto a shared '://' key."""
+    from bricolage_spark.operators.urls import canonical_url
+
+    df = spark.createDataFrame([(raw,)], "url string")
+    assert df.select(canonical_url(F.col("url")).alias("c")).first().c == raw

@@ -408,13 +408,9 @@ def test_connected_components_star_matches_union_find(spark, edge_list):
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
+    # every node that appears in any edge — including self-loop-only
+    # nodes, which must come back as singletons
     expect = {x: find(x) for x in sorted(nodes)}
-    # the operator sees only real edges; nodes appearing solely in
-    # self-loops are isolated singletons it (documentedly) drops
-    seen = {n for a, b in edge_list if a != b for n in (a, b)}
-    expect = {k: v for k, v in expect.items() if k in seen}
-    if not expect:
-        return
     edges = spark.createDataFrame(edge_list, "id_a bigint, id_b bigint")
     got = {
         r.id: r.component
