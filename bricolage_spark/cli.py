@@ -81,6 +81,18 @@ def _run_list_mode(args) -> int:
     return 0
 
 
+def _log_path_from_args(args):
+    """Common-option precedence (application.rb:240-268): --log-dir beats
+    --log-path beats the environment defaults."""
+    from bricolage_spark.loglocator import LogFilePath
+
+    if getattr(args, "log_dir", None):
+        return LogFilePath(f"{args.log_dir}/%{{std}}.log")
+    if getattr(args, "log_path", None):
+        return LogFilePath(args.log_path)
+    return LogFilePath.default()
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="bricolage-spark")
     p.add_argument("--home", default=os.environ.get("BRICOLAGE_SPARK_HOME", "."))
@@ -105,6 +117,16 @@ def main(argv: list[str] | None = None) -> int:
         "-c", "--check-only", action="store_true",
         help="check job parameters and quit without executing "
         "(application.rb -c)",
+    )
+    pj.add_argument(
+        "-L", "--log-dir", default=None,
+        help="per-job log file prefix (application.rb -L; "
+        "env BRICOLAGE_LOG_DIR)",
+    )
+    pj.add_argument(
+        "--log-path", default=None,
+        help="per-job log path template (application.rb --log-path; "
+        "env BRICOLAGE_LOG_PATH)",
     )
 
     pn = sub.add_parser("jobnet", help="run a jobnet")
@@ -218,31 +240,49 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         ctx = build_context(args)
         if args.command == "job":
-            result = run_single_job(
-                ctx,
+            from datetime import datetime
+
+            from bricolage_spark.loglocator import LogLocator
+
+            jpath = (
                 os.path.join(ctx.home, args.path)
                 if not os.path.exists(args.path)
-                else args.path,
-                cmd_variables=_parse_vars(args.variable),
-                dry_run=args.dry_run,
-                explain=args.explain,
+                else args.path
             )
+            # common-option parity (application.rb:224-268): the single-job
+            # binary honors the same log flags/env as the jobnet runner;
+            # dry-run/explain output stays on the console
+            log_path = _log_path_from_args(args)
+            locator = LogLocator(None)
+            if log_path is not None and not (args.dry_run or args.explain):
+                fname = os.path.basename(jpath)
+                jname = fname[: -len(".job")] if fname.endswith(".job") else fname
+                subsys = os.path.basename(os.path.dirname(jpath)) or "job"
+                now = datetime.now()
+                locator = LogLocator(
+                    log_path.format(
+                        subsystem=subsys,
+                        job=jname,
+                        jobnet_id=f"{subsys}/{jname}",
+                        job_start_time=now,
+                        jobnet_start_time=now,
+                    )
+                )
+            with locator.redirect_stdouts():
+                result = run_single_job(
+                    ctx,
+                    jpath,
+                    cmd_variables=_parse_vars(args.variable),
+                    dry_run=args.dry_run,
+                    explain=args.explain,
+                )
             if isinstance(result, JobResult):
                 print(f"{result.status}: {result.message}")
                 return 0 if result.success else 3
             print(result)
             return 0
         if args.command == "jobnet":
-            from bricolage_spark.loglocator import LogFilePath
-
-            # precedence (application.rb:240-268): --log-dir beats
-            # --log-path beats the environment defaults
-            if args.log_dir:
-                log_path = LogFilePath(f"{args.log_dir}/%{{std}}.log")
-            elif args.log_path:
-                log_path = LogFilePath(args.log_path)
-            else:
-                log_path = LogFilePath.default()
+            log_path = _log_path_from_args(args)
             runner = JobNetRunner(
                 ctx,
                 queue_dir=args.local_state_dir,

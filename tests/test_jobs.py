@@ -604,3 +604,31 @@ def test_unwritable_log_dir_records_job_failure(engine, home, tmp_path):
         str(home / "subsys" / "net.jobnet"), clear_queue=True
     )
     assert report.failed == ["subsys/a"] and not report.succeeded
+
+
+def test_single_job_cli_log_dir_captures_output(engine, home, tmp_path, spark):
+    """The single-job binary honors -L like the jobnet runner
+    (application.rb common options): output lands in the %{std}.log path."""
+    from bricolage_spark.cli import main
+
+    write_job(home, "solo.job", "class: chatty2\nwho: solo\n")
+    from bricolage_spark.jobs import JobResult, jobclass
+
+    @jobclass("chatty2", isolate_safe=True)
+    def chatty2(job):
+        os.write(1, f"hi from {job.param('who')}\n".encode())
+        return JobResult(message="ok")
+
+    logs = tmp_path / "joblogs"
+    rc = main(
+        [
+            "--home", str(home),
+            "--warehouse", str(tmp_path / "wh"),
+            "job", "subsys/solo.job",
+            "-L", str(logs),
+        ]
+    )
+    assert rc == 0
+    found = list(logs.rglob("*.log"))
+    assert len(found) == 1 and found[0].name == "subsys-solo.log"
+    assert "hi from solo" in found[0].read_text()
