@@ -67,7 +67,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #   PMI unigram table  -> q73
 #   bigram LM counts   -> q75
 #   IVF cells (q49's)  -> q77
-#   duplicated spans   -> q78
+#   duplicated spans   -> q78, q80 (+ LM counts)
 #   percentile brackets-> q26, q26b
 #   hot-key statistics -> q47 (sampled probe, the ANALYZE-stats stand-in)
 STAGED = (
@@ -87,6 +87,7 @@ STAGED = (
     "q75_lm_perplexity",
     "q77_semantic_dedup",
     "q78_span_coverage",
+    "q80_curation_verdicts",
 )
 
 

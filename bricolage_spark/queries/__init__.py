@@ -58,6 +58,8 @@ _EVIDENCE_FIRST = [
     "q76_url_canonical_dedup",
     "q77_semantic_dedup",
     "q78_span_coverage",
+    "q79_winnowing_fingerprints",
+    "q80_curation_verdicts",
     # last driver row in round 3 (clipped in r4) — rotate back in so no
     # query's newest driver-green row is older than two rounds:
     "q01_scan_projection",
@@ -88,8 +90,9 @@ _EVIDENCE_FIRST = [
     "q40_fingerprint",
     "q42_embedding_neardup",
     # single driver-green round so far (first rows in r4) — keep in the
-    # window to build multi-round evidence:
-    "q57_quality_repetition",
+    # window to build multi-round evidence (q57 defers to r6: the window
+    # is exactly 50 and the never-checked round-5 additions outrank a
+    # second row):
     "q58_doc_top_word",
     "q59_source_overlap",
     "q60_bm25_retrieval",
@@ -106,9 +109,6 @@ _EVIDENCE_FIRST = [
     "q71_language_label_audit",
     "q72_snapshot_diff",
     "q73_pmi_collocations",
-    # code touched this round (q50 exercises the CC path that gained the
-    # star fallback):
-    "q50_dedup_clusters",
 ]
 
 # Explicitly demoted to the tail (absorb the driver's >50 clip): every
@@ -117,7 +117,9 @@ _EVIDENCE_FIRST = [
 _CLIP_LAST = [
     "q03_group_aggregate",
     "q48_ngram_jaccard_neardup",
+    "q50_dedup_clusters",
     "q51_contamination",
+    "q57_quality_repetition",
     "q05_tpch_q1",
     "q06_inner_join",
     "q07_broadcast_join",

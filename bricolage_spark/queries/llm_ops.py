@@ -2867,3 +2867,202 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q79 winnowing fingerprints (robust local document fingerprinting)
+# --------------------------------------------------------------------------
+# The classic selectable-fingerprint scheme (Schleimer/Wilkerson/Aiken,
+# "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03 —
+# the MOSS algorithm): hash every word k-gram, slide a window of w
+# consecutive hashes, and SELECT the rightmost minimal hash per window.
+# Guarantees: any shared run of >= w+k-1 tokens shares >= 1 selected
+# fingerprint, while only ~2/(w+1) of all grams are kept — the index is
+# a fraction of q74's full posting table at the cost of span-boundary
+# precision (the coarse pre-filter a pipeline runs BEFORE exact span
+# verification). Selection is encoded order-safely as
+# ord = h·2^20 + (2^20 − pos): minimizing ord minimizes h then
+# maximizes pos (the rightmost-minimum tie rule), and both engines
+# decode h = ord DIV 2^20 with nonneg integer division only.
+_WIN_K, _WIN_W, _WIN_MAXPOST, _WIN_MIN_SHARED = 4, 4, 8, 2
+_WIN_POS = 1 << 20  # pos < 2^20 fits any real document
+
+
+@register(
+    "q79_winnowing_fingerprints",
+    oracle=f"""
+    WITH {_DOCS_CTE},
+    grams AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               {_h32("array_to_string(words[i : i + " + str(_WIN_K - 1) + "], ' ')", 79)} AS h
+        FROM docs,
+             UNNEST(range(1, greatest(len(words) - {_WIN_K - 1}, 0) + 1)) AS t(i)
+    ),
+    ordv AS (
+        SELECT doc_id, pos,
+               h * {_WIN_POS} + ({_WIN_POS} - pos) AS ord,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+        FROM grams
+    ),
+    win AS (
+        SELECT doc_id,
+               MIN(ord) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS sel
+        FROM ordv
+        QUALIFY pos <= n_grams - {_WIN_W} + 1
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id, sel // {_WIN_POS} AS h FROM win
+    ),
+    keep AS (
+        SELECT h FROM sel GROUP BY h
+        HAVING COUNT(*) BETWEEN 2 AND {_WIN_MAXPOST}
+    ),
+    p AS (SELECT s.* FROM sel s JOIN keep USING (h))
+    SELECT a.doc_id                   AS doc_a,
+           b.doc_id                   AS doc_b,
+           CAST(COUNT(*) AS BIGINT)   AS n_shared
+    FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+    """,
+    doc="Winnowing document fingerprints (SIGMOD'03 / MOSS): rightmost-"
+    f"minimal {_WIN_K}-gram hash per {_WIN_W}-hash window — any shared "
+    f"run of >= {_WIN_W + _WIN_K - 1} tokens is guaranteed a shared "
+    "fingerprint while keeping ~2/(w+1) of grams. Candidate doc pairs "
+    "share >= 2 selected fingerprints (df-capped buckets, q48 "
+    "discipline). One corpus scan, one doc-partitioned window, one "
+    "capped self-join on 8-byte keys.",
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    grams = D.positional_anchors(docs, "doc_id", "text", k=_WIN_K).select(
+        "doc_id",
+        "pos",
+        D.hash32(F.col("anchor"), 79).alias("h"),
+    )
+    w_doc = Window.partitionBy("doc_id")
+    w_frame = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    )
+    ordv = grams.select(
+        "doc_id",
+        "pos",
+        (F.col("h") * _WIN_POS + (F.lit(_WIN_POS) - F.col("pos"))).alias("ord"),
+    ).withColumn("n_grams", F.count(F.lit(1)).over(w_doc))
+    win = (
+        ordv.withColumn("sel", F.min("ord").over(w_frame))
+        .filter(F.col("pos") <= F.col("n_grams") - _WIN_W + 1)
+        .select(
+            "doc_id",
+            # integer DIV, not float '/': sel is up to 52 bits and the
+            # decode must stay exact arithmetic in both engines
+            F.expr(f"CAST(sel DIV {_WIN_POS} AS BIGINT)").alias("h"),
+        )
+    )
+    # q74's single-shuffle pattern: ONE groupBy collects each selected
+    # fingerprint's (deduped) doc set with the df cap applied to the set
+    # size, and candidate doc pairs expand ROW-LOCALLY from the ≤8-element
+    # sets — no separate keep-filter join, no posting self-join.
+    grouped = win.groupBy("h").agg(F.collect_set("doc_id").alias("L")).filter(
+        (F.size("L") >= 2) & (F.size("L") <= _WIN_MAXPOST)
+    )
+    pairs = (
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "L",
+                        lambda x: F.transform(
+                            "L",
+                            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                        ),
+                    )
+                )
+            ).alias("pr")
+        )
+        .select("pr.doc_a", "pr.doc_b")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
+    )
+
+
+# --------------------------------------------------------------------------
+# q80 curation verdicts (signal composition: the keep/drop decision table)
+# --------------------------------------------------------------------------
+# The decision stage every pipeline ends with: join the independent
+# quality signals (q75 LM perplexity, q78 duplicated-span coverage) and
+# apply ordered threshold rules, recording WHICH rule dropped each doc.
+# Composed directly from the registered queries — the Spark side calls
+# their functions, the oracle nests their full SQL as subqueries — so
+# the verdict stays consistent with the audited signal definitions by
+# construction.
+_V_MAX_PPL = 4000.0   # drop docs the clean-slice LM finds this surprising
+_V_MAX_DUP = 0.5      # drop docs mostly covered by cross-doc spans
+_V_MIN_WORDS = 10     # drop near-empty docs
+
+
+def _q80_oracle() -> str:
+    from bricolage_spark.queries import QUERIES
+
+    ppl_sql = QUERIES["q75_lm_perplexity"].oracle
+    cov_sql = QUERIES["q78_span_coverage"].oracle
+    return f"""
+    SELECT c.doc_id,
+           c.n_words,
+           p.ppl,
+           c.dup_frac,
+           CASE WHEN c.n_words < {_V_MIN_WORDS} THEN 'too_short'
+                WHEN c.dup_frac > {_V_MAX_DUP} THEN 'duplicated'
+                WHEN p.ppl IS NULL OR p.ppl > {_V_MAX_PPL} THEN 'low_quality'
+                ELSE 'ok' END AS verdict,
+           (c.n_words >= {_V_MIN_WORDS} AND c.dup_frac <= {_V_MAX_DUP}
+            AND p.ppl IS NOT NULL AND p.ppl <= {_V_MAX_PPL}) AS keep
+    FROM ({cov_sql}) c
+    LEFT JOIN ({ppl_sql}) p USING (doc_id)
+    """
+
+
+@register(
+    "q80_curation_verdicts",
+    oracle=_q80_oracle(),
+    doc="Per-document keep/drop verdict table composing the audited "
+    "signals: span-dedup coverage (q78, also supplies doc length) LEFT "
+    "JOINed with LM perplexity (q75 — docs with no bigrams score NULL "
+    "and fail the quality rule), with ordered rules too_short → "
+    "duplicated → low_quality → ok. One doc-keyed join of two "
+    "doc-keyed tables; the signals themselves serve from their staged "
+    "artifacts. This is the decision stage a 100 TB curation run "
+    "writes back next to the corpus.",
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bricolage_spark.queries import QUERIES
+
+    cov = QUERIES["q78_span_coverage"].fn(spark, sf_dir)
+    ppl = QUERIES["q75_lm_perplexity"].fn(spark, sf_dir).select("doc_id", "ppl")
+    keep = (
+        (F.col("n_words") >= _V_MIN_WORDS)
+        & (F.col("dup_frac") <= _V_MAX_DUP)
+        & F.col("ppl").isNotNull()
+        & (F.col("ppl") <= _V_MAX_PPL)
+    )
+    verdict = (
+        F.when(F.col("n_words") < _V_MIN_WORDS, "too_short")
+        .when(F.col("dup_frac") > _V_MAX_DUP, "duplicated")
+        .when(F.col("ppl").isNull() | (F.col("ppl") > _V_MAX_PPL), "low_quality")
+        .otherwise("ok")
+    )
+    return cov.join(ppl, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "ppl",
+        "dup_frac",
+        verdict.alias("verdict"),
+        keep.alias("keep"),
+    )
