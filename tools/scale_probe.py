@@ -1,0 +1,159 @@
+"""Runtime-scaling probe: measure how the headline operators' wall time
+grows as the corpus grows 1x -> 4x -> 16x, on the same host.
+
+The per-round bench (bench.py) proves correctness-adjacent throughput at
+one scale; this probe provides the evidence for the OTHER claim SCALE.md
+makes — that the chosen plans are linear-ish in corpus size (bucketed
+joins with caps, map-side-combinable aggs), with no hidden quadratic
+blowup waiting at 100 TB.
+
+Method: materialize k perturbed copies of sf0.1's documents (doc_id
+offset by k * 10^7; a per-copy suffix token breaks exact cross-copy
+duplication so dedup structure stays realistic instead of every anchor
+blowing through its df cap), write them as parquet under
+.scale_probe/sfX/, then time a representative query set at each scale
+(best-of-2, noop sink, fresh caches per scale). Output: one JSON line
+with per-query times per scale plus the 16x/1x ratio — linear scaling
+shows as ratio ~16 or less (sub-linear when a fixed scheduling floor
+amortizes); quadratic shows as ~256.
+
+Usage:
+    python tools/scale_probe.py [--scales 1,4,16] [--runs 2]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from bricolage_spark.catalog import TESTDATA_TABLES, table_path
+from bricolage_spark.queries import load_all
+from bricolage_spark.session import get_spark
+
+BASE_SF = "/root/testdata/sf0.1"
+PROBE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_probe")
+
+# Representative set: row-local text ops, digest dedup, the shingle/LSH
+# path, positional-anchor spans, winnowing, PMI (the data-proportional
+# agg), BM25, and the embedding ops (embeddings scale with the corpus
+# here too).
+PROBE_QUERIES = (
+    "q31_dedup_exact",
+    "q37_language_id",
+    "q39_quality_score",
+    "q33_minhash_lsh_pairs",
+    "q74_duplicate_spans",
+    "q79_winnowing_fingerprints",
+    "q73_pmi_collocations",
+    "q60_bm25_retrieval",
+    "q42_embedding_neardup",
+)
+
+
+def build_scaled(spark, k: int) -> str:
+    """Write a k-times corpus under .scale_probe/sf{k}x (idempotent)."""
+    out = os.path.join(PROBE_DIR, f"sf{k}x")
+    marker = os.path.join(out, "_READY")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    docs = spark.read.parquet(table_path(BASE_SF, "documents"))
+    emb = spark.read.parquet(table_path(BASE_SF, "embeddings"))
+    parts_d = []
+    parts_e = []
+    for i in range(k):
+        off = F.lit(i * 10_000_000)
+        parts_d.append(
+            docs.select(
+                (F.col("doc_id") + off).alias("doc_id"),
+                # per-copy suffix token: kills exact cross-copy dup spans
+                # without changing per-copy text statistics
+                F.concat(F.col("text"), F.lit(f" copytag{i}")).alias("text"),
+                "lang",
+                "source",
+                (F.col("n_chars") + F.lit(len(f" copytag{i}"))).alias("n_chars"),
+            )
+        )
+        parts_e.append(
+            emb.select(
+                (F.col("vec_id") + off).alias("vec_id"),
+                "embedding",
+                # labels model a PRECOMPUTED coarse-quantizer cell id
+                # (q42's contract); a 16x corpus retrains with ~16x
+                # cells to hold cell size constant (q77 trains its own,
+                # _SEM_CELLS), so the probe's copies get fresh cell ids.
+                # Keeping |labels| fixed instead showed exactly the
+                # expected pathology: q42 grew 62x at 16x data.
+                (F.col("label") + F.lit(i * 10_000)).alias("label"),
+            )
+        )
+    d = parts_d[0]
+    e = parts_e[0]
+    for p in parts_d[1:]:
+        d = d.unionAll(p)
+    for p in parts_e[1:]:
+        e = e.unionAll(p)
+    d.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    e.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    # remaining tables: symlink to the base (probe queries don't touch
+    # them, but read_table must be able to resolve any of them)
+    for t in TESTDATA_TABLES:
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(table_path(BASE_SF, t), dst)
+    open(marker, "w").close()
+    return out
+
+
+def main() -> None:
+    scales = [int(x) for x in _arg("--scales", "1,4,16").split(",")]
+    runs = int(_arg("--runs", "2"))
+    specs = load_all()
+    spark = get_spark("scale-probe")
+    out: dict = {"base": BASE_SF, "scales": scales, "queries": {}}
+    for k in scales:
+        sf_dir = BASE_SF if k == 1 else build_scaled(spark, k)
+        from bricolage_spark.queries import llm_ops
+
+        llm_ops.release_caches()
+        # warm the JVM/codegen once per scale outside the timings
+        specs["q31_dedup_exact"].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        for name in PROBE_QUERIES:
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                specs[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            out["queries"].setdefault(name, {})[f"{k}x"] = round(best, 3)
+    for name, row in out["queries"].items():
+        lo, hi = f"{scales[0]}x", f"{scales[-1]}x"
+        if row.get(lo) and row.get(hi):
+            row["growth"] = round(row[hi] / row[lo], 2)
+    out["note"] = (
+        f"growth = t({scales[-1]}x)/t({scales[0]}x); linear-or-better is "
+        f"<= {scales[-1] // scales[0]} (sub-linear when the per-job "
+        "scheduling floor amortizes); quadratic would be "
+        f"~{(scales[-1] // scales[0]) ** 2}"
+    )
+    print(json.dumps(out))
+
+
+def _arg(flag: str, default: str) -> str:
+    if flag in sys.argv:
+        return sys.argv[sys.argv.index(flag) + 1]
+    return default
+
+
+if __name__ == "__main__":
+    main()
