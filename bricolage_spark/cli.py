@@ -167,6 +167,13 @@ def main(argv: list[str] | None = None) -> int:
         "recorded as failed instead of killing the runner",
     )
     pn.add_argument(
+        "--parallel", type=int, default=1, metavar="N",
+        help="run up to N independent DAG branches concurrently "
+        "(Spark-first extension: one SparkSession schedules actions "
+        "from many threads; not combinable with --isolate, per-job "
+        "logs, or the DB queue)",
+    )
+    pn.add_argument(
         "-L", "--log-dir", default=None,
         help="per-job log file prefix: each job's stdout/stderr goes to "
         "<dir>/%%{std}.log (application.rb -L; env BRICOLAGE_LOG_DIR)",
@@ -299,6 +306,7 @@ def main(argv: list[str] | None = None) -> int:
                 cmd_variables=_parse_vars(args.variable),
                 dry_run=args.dry_run,
                 clear_queue=args.clear_queue,
+                parallel=args.parallel,
             )
             print(
                 f"succeeded={len(report.succeeded)} failed={len(report.failed)} "

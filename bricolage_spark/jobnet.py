@@ -208,6 +208,44 @@ class RootJobNet:
                 ts.done(node)
         return [r for r in order if not r.is_dummy and not r.is_net]
 
+    def real_job_dependencies(self) -> dict[Ref, set[Ref]]:
+        """Per real job, the set of real jobs that must finish first —
+        pseudo nodes (``@dummy`` markers, subnet start/end sandwiches)
+        collapsed away. This is the structure a PARALLEL runner
+        schedules on: a job is ready when all its real dependencies have
+        succeeded, regardless of how many dummy/subnet hops the jobnet
+        file put between them.
+
+        Forward pass in topological order: every pseudo node carries the
+        union of its predecessors' frontiers; every real node records
+        that union as its dependencies and becomes its own frontier.
+        """
+        edges = self.dag_edges()
+        graph: dict[Ref, set[Ref]] = {}
+        for src, dest in edges:
+            graph.setdefault(dest, set()).add(src)
+            graph.setdefault(src, set())
+        ts = TopologicalSorter(graph)
+        try:
+            ts.prepare()
+        except CycleError as err:
+            cycle = " -> ".join(str(r) for r in err.args[1])
+            raise ParameterError(f"jobnet cycle detected: {cycle}")
+        frontier: dict[Ref, set[Ref]] = {}
+        deps: dict[Ref, set[Ref]] = {}
+        while ts.is_active():
+            for node in sorted(ts.get_ready(), key=str):
+                inherited: set[Ref] = set()
+                for p in graph[node]:
+                    inherited |= frontier[p]
+                if node.is_dummy or node.is_net:
+                    frontier[node] = inherited
+                else:
+                    deps[node] = inherited
+                    frontier[node] = {node}
+                ts.done(node)
+        return deps
+
     def job_path(self, ref: Ref) -> str:
         """Locate the job file for a job ref (any recognized extension).
 

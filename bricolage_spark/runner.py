@@ -189,7 +189,21 @@ class JobNetRunner:
         cmd_variables: dict | None = None,
         dry_run: bool = False,
         clear_queue: bool = False,
+        parallel: int = 1,
     ) -> RunReport:
+        """``parallel > 1`` runs independent DAG branches concurrently
+        (Spark-first extension — the reference is sequential-only): a
+        SparkSession accepts actions from many threads, so a jobnet of
+        independent table builds should saturate the cluster instead of
+        serializing on the driver. Jobs launch when every REAL
+        dependency (pseudo nodes collapsed — jobnet.real_job_dependencies)
+        has succeeded; the first failure stops NEW launches, in-flight
+        jobs finish, and unreached jobs stay ``waiting`` so a re-run
+        resumes exactly like the sequential path. Not combinable with
+        per-job log capture (fd redirection is process-global), fork
+        isolation (fork from a threaded runner can deadlock the child),
+        or the DB queue (per-transition writes are connection-bound).
+        """
         # pre-compile everything (check_jobs parity: fail before running)
         net, order, jobs = self.compile_net(jobnet_path, cmd_variables)
 
@@ -211,11 +225,32 @@ class JobNetRunner:
                 jobnet_start_time=probe,
             )
 
+        if parallel > 1:
+            if self.log_path is not None:
+                raise ApplicationError(
+                    "--parallel cannot be combined with per-job log capture: "
+                    "fd redirection is process-global and concurrent jobs "
+                    "would interleave into each other's files"
+                )
+            if self.isolate:
+                raise ApplicationError(
+                    "--parallel cannot be combined with --isolate: forking "
+                    "from a threaded runner can deadlock the child"
+                )
+            if self.queue_type == "db":
+                raise ApplicationError(
+                    "--parallel requires the file or memory queue "
+                    "(DB-queue writes are connection-bound)"
+                )
+
         queue = self._make_queue(net.root.ref, clear_queue)
         restored = bool(queue.tasks)
         if not restored:
             for ref in order:
                 queue.enqueue(str(ref))
+
+        if parallel > 1:
+            return self._run_parallel(net, order, jobs, queue, parallel)
 
         queue.lock()
         succeeded: list[str] = []
@@ -265,6 +300,122 @@ class JobNetRunner:
         if not queue.unfinished:
             queue.unlink()  # complete: next run starts fresh
         return RunReport(succeeded=succeeded, failed=failed, skipped=skipped)
+
+
+def _parallel_worker_count(parallel: int, n_jobs: int) -> int:
+    return max(1, min(parallel, n_jobs))
+
+
+class _ParallelState:
+    """Shared scheduling state; every mutation holds the one lock."""
+
+    def __init__(self, queue, deps: dict[str, set[str]]):
+        import threading
+
+        self.lock = threading.Lock()
+        self.queue = queue
+        self.deps = deps
+        self.done: set[str] = {
+            t.job for t in queue.tasks if t.status == "succeeded"
+        }
+        self.failed: list[str] = []
+        self.succeeded: list[str] = []
+        self.running: set[str] = set()
+
+    def ready_jobs(self, order: list[str]) -> list[str]:
+        """Launchable now: waiting, deps satisfied, nothing failed."""
+        if self.failed:
+            return []
+        out = []
+        for job in order:
+            if job in self.done or job in self.running:
+                continue
+            if self.deps[job] <= self.done:
+                out.append(job)
+        return out
+
+    def mark(self, job: str, ok: bool, message: str) -> None:
+        with self.lock:
+            task = next(t for t in self.queue.tasks if t.job == job)
+            task.transition("succeeded" if ok else "failed", message)
+            self.queue.save()
+            self.running.discard(job)
+            if ok:
+                self.done.add(job)
+                self.succeeded.append(job)
+            else:
+                self.failed.append(job)
+
+
+def _run_parallel(self, net, order, jobs, queue, parallel) -> RunReport:
+    """Dependency-aware concurrent consumption (bound onto JobNetRunner
+    below; kept module-level beside its state class)."""
+    from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+    deps = {
+        str(ref): {str(d) for d in dset}
+        for ref, dset in net.real_job_dependencies().items()
+    }
+    order_s = [str(r) for r in order]
+    queue.lock()
+    state = _ParallelState(queue, deps)
+    skipped = sorted(state.done)
+
+    def run_one(job_name: str) -> None:
+        job = jobs[job_name]
+        self.ctx.hooks.fire("before_job", job=job, ref=job_name)
+        try:
+            result = job.execute()
+            ok, message = True, result.message
+        except (JobFailure, ApplicationError, OSError) as err:
+            ok, message = False, str(err)
+        state.mark(job_name, ok, message)
+        self.ctx.hooks.fire(
+            "after_job",
+            job=job,
+            ref=job_name,
+            status="succeeded" if ok else "failed",
+        )
+
+    try:
+        with ThreadPoolExecutor(
+            max_workers=_parallel_worker_count(parallel, len(order_s)),
+            thread_name_prefix="jobnet",
+        ) as pool:
+            futures = {}
+            while True:
+                with state.lock:
+                    # mark launching inside the lock so ready_jobs
+                    # never double-schedules
+                    launch = state.ready_jobs(order_s)
+                    for job_name in launch:
+                        state.running.add(job_name)
+                        task = next(
+                            t for t in queue.tasks if t.job == job_name
+                        )
+                        task.transition("running")
+                    if launch:
+                        queue.save()
+                for job_name in launch:
+                    futures[pool.submit(run_one, job_name)] = job_name
+                if not futures:
+                    break
+                done_f, _pending = wait(
+                    list(futures), return_when=FIRST_COMPLETED
+                )
+                for f in done_f:
+                    futures.pop(f)
+                    f.result()  # re-raise unexpected worker errors
+    finally:
+        queue.unlock()
+        self.ctx.hooks.fire("after_all", report=None)
+    if not queue.unfinished:
+        queue.unlink()
+    return RunReport(
+        succeeded=state.succeeded, failed=state.failed, skipped=skipped
+    )
+
+JobNetRunner._run_parallel = _run_parallel
 
 
 def run_single_job(

@@ -632,3 +632,108 @@ def test_single_job_cli_log_dir_captures_output(engine, home, tmp_path, spark):
     found = list(logs.rglob("*.log"))
     assert len(found) == 1 and found[0].name == "subsys-solo.log"
     assert "hi from solo" in found[0].read_text()
+
+
+# ---------------------------------------------------------------------------
+# parallel jobnet execution (Spark-first extension)
+# ---------------------------------------------------------------------------
+
+
+def test_parallel_jobnet_runs_independent_branches_concurrently(
+    engine, home, tmp_path
+):
+    """Two independent 1.2 s sleep jobs under --parallel 2 finish in well
+    under 2.4 s; results and queue state match the sequential contract."""
+    import time as _time
+
+    for n in ("s1", "s2"):
+        write_job(home, f"{n}.job", 'class: exec\nargs: [sleep, "1.2"]\n')
+    write_job(home, "fin.job", "class: noop\n")
+    # s1 and s2 are independent; fin depends on both
+    (home / "subsys" / "net.jobnet").write_text("s1 -> fin\ns2 -> fin\n")
+    c = ctx_for(engine, home)
+    t0 = _time.monotonic()
+    report = JobNetRunner(c).run(
+        str(home / "subsys" / "net.jobnet"), clear_queue=True, parallel=2
+    )
+    wall = _time.monotonic() - t0
+    assert report.success
+    assert set(report.succeeded) == {"subsys/s1", "subsys/s2", "subsys/fin"}
+    assert wall < 2.3, f"branches did not overlap (wall={wall:.2f}s)"
+
+
+def test_parallel_respects_dependencies_and_failure_stops_launches(
+    engine, home, tmp_path
+):
+    """Diamond a -> (bad, slow) -> d: d must never run after bad fails;
+    a re-run after fixing resumes and completes."""
+    write_job(home, "a.job", "class: noop\n")
+    write_job(home, "bad.job", "class: noop\nfailure: true\n")
+    write_job(home, "slow.job", 'class: exec\nargs: [sleep, "0.8"]\n')
+    write_job(home, "d.job", "class: noop\n")
+    (home / "subsys" / "net.jobnet").write_text(
+        "a -> bad\na -> slow\nbad -> d\nslow -> d\n"
+    )
+    c = ctx_for(engine, home)
+    runner = JobNetRunner(c)
+    report = runner.run(
+        str(home / "subsys" / "net.jobnet"), clear_queue=True, parallel=3
+    )
+    assert report.failed == ["subsys/bad"]
+    assert "subsys/d" not in report.succeeded
+    # in-flight slow branch was allowed to finish
+    assert "subsys/slow" in report.succeeded
+    # fix and resume: a/slow skipped, bad+d run
+    write_job(home, "bad.job", "class: noop\n")
+    report2 = runner.run(str(home / "subsys" / "net.jobnet"), parallel=3)
+    assert report2.success
+    assert set(report2.skipped) >= {"subsys/a", "subsys/slow"}
+    assert {"subsys/bad", "subsys/d"} <= set(report2.succeeded)
+
+
+def test_parallel_rejects_unsupported_combos(engine, home, tmp_path):
+    from bricolage_spark.exception import ApplicationError
+    from bricolage_spark.loglocator import LogFilePath
+
+    write_job(home, "a.job", "class: noop\n")
+    (home / "subsys" / "net.jobnet").write_text("a\n")
+    c = ctx_for(engine, home)
+    import pytest as _pt
+
+    net = str(home / "subsys" / "net.jobnet")
+    with _pt.raises(ApplicationError, match="log capture"):
+        JobNetRunner(c, log_path=LogFilePath(str(tmp_path / "%{job}.log"))).run(
+            net, clear_queue=True, parallel=2
+        )
+    with _pt.raises(ApplicationError, match="isolate"):
+        JobNetRunner(c, isolate=True).run(net, clear_queue=True, parallel=2)
+    with _pt.raises(ApplicationError, match="file or memory queue"):
+        JobNetRunner(c, db_dsn=str(tmp_path / "q.db")).run(
+            net, clear_queue=True, parallel=2
+        )
+
+
+def test_real_job_dependencies_collapses_pseudo_nodes(tmp_path):
+    """Subnet sandwiches and dummies vanish; real-to-real deps survive."""
+    from bricolage_spark.jobnet import RootJobNet
+
+    home = str(tmp_path)
+    os.makedirs(os.path.join(home, "subsys"), exist_ok=True)
+    def w(name, text):
+        with open(os.path.join(home, "subsys", name), "w") as f:
+            f.write(text)
+    w("net1.jobnet", "job1\n-> *net2\n-> job4\n")
+    w("net2.jobnet", "job2\n-> job3\n")
+    for j in ("job1", "job2", "job3", "job4"):
+        w(f"{j}.job", "class: noop\n")
+    root = RootJobNet.load(home, os.path.join(home, "subsys", "net1.jobnet"))
+    deps = {
+        str(k): {str(v) for v in vs}
+        for k, vs in root.real_job_dependencies().items()
+    }
+    assert deps == {
+        "subsys/job1": set(),
+        "subsys/job2": {"subsys/job1"},
+        "subsys/job3": {"subsys/job2"},
+        "subsys/job4": {"subsys/job3"},
+    }
