@@ -251,19 +251,16 @@ def main(argv: list[str] | None = None) -> int:
 
             from bricolage_spark.loglocator import LogLocator
 
-            jpath = (
-                os.path.join(ctx.home, args.path)
-                if not os.path.exists(args.path)
-                else args.path
-            )
+            jpath = _job_path(ctx.home, args.path)
             # common-option parity (application.rb:224-268): the single-job
             # binary honors the same log flags/env as the jobnet runner;
             # dry-run/explain output stays on the console
             log_path = _log_path_from_args(args)
             locator = LogLocator(None)
             if log_path is not None and not (args.dry_run or args.explain):
-                fname = os.path.basename(jpath)
-                jname = fname[: -len(".job")] if fname.endswith(".job") else fname
+                # %{job} must match the jobnet runner's naming (Ref.name:
+                # extension-less), so x.sql.job logs as 'x' on BOTH paths
+                jname = os.path.basename(jpath).split(".")[0]
                 subsys = os.path.basename(os.path.dirname(jpath)) or "job"
                 now = datetime.now()
                 locator = LogLocator(

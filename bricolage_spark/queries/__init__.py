@@ -112,14 +112,16 @@ _EVIDENCE_FIRST = [
 ]
 
 # Explicitly demoted to the tail (absorb the driver's >50 clip): every
-# entry here must already have multi-round driver-green CORRECTNESS rows
-# (these are green r1–r4 or r3+r4).
+# entry must already have at least one driver-green CORRECTNESS row;
+# all are multi-round green (r1–r4 or r3+r4) EXCEPT entries annotated as
+# single-round deferrals, which must rotate back into the window next
+# round.
 _CLIP_LAST = [
     "q03_group_aggregate",
     "q48_ngram_jaccard_neardup",
     "q50_dedup_clusters",
     "q51_contamination",
-    "q57_quality_repetition",
+    "q57_quality_repetition",  # SINGLE-green (r4) deferral — restore in r6
     "q05_tpch_q1",
     "q06_inner_join",
     "q07_broadcast_join",

@@ -2885,7 +2885,12 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
 # maximizes pos (the rightmost-minimum tie rule), and both engines
 # decode h = ord DIV 2^20 with nonneg integer division only.
 _WIN_K, _WIN_W, _WIN_MAXPOST, _WIN_MIN_SHARED = 4, 4, 8, 2
-_WIN_POS = 1 << 20  # pos < 2^20 fits any real document
+# The packing holds only for pos < 2^20 (~1M words, 2 orders of
+# magnitude past a context window); grams beyond it are EXPLICITLY
+# dropped in both engines below — a deterministic documented truncation,
+# never a silent decode corruption. A corpus with monster documents
+# chunks them first (q64) like every real pipeline does.
+_WIN_POS = 1 << 20
 
 
 @register(
@@ -2903,6 +2908,7 @@ _WIN_POS = 1 << 20  # pos < 2^20 fits any real document
                h * {_WIN_POS} + ({_WIN_POS} - pos) AS ord,
                COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
         FROM grams
+        WHERE pos < {_WIN_POS}
     ),
     win AS (
         SELECT doc_id,
@@ -2947,11 +2953,15 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_frame = (
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
     )
-    ordv = grams.select(
-        "doc_id",
-        "pos",
-        (F.col("h") * _WIN_POS + (F.lit(_WIN_POS) - F.col("pos"))).alias("ord"),
-    ).withColumn("n_grams", F.count(F.lit(1)).over(w_doc))
+    ordv = (
+        grams.filter(F.col("pos") < _WIN_POS)  # explicit packing limit
+        .select(
+            "doc_id",
+            "pos",
+            (F.col("h") * _WIN_POS + (F.lit(_WIN_POS) - F.col("pos"))).alias("ord"),
+        )
+        .withColumn("n_grams", F.count(F.lit(1)).over(w_doc))
+    )
     win = (
         ordv.withColumn("sel", F.min("ord").over(w_frame))
         .filter(F.col("pos") <= F.col("n_grams") - _WIN_W + 1)

@@ -248,9 +248,25 @@ class JobNetRunner:
         if not restored:
             for ref in order:
                 queue.enqueue(str(ref))
+        else:
+            # jobnet drift, both directions: jobs ADDED since the queue
+            # was saved get tasks spliced in at their topological slot
+            # (so predecessors still run first); tasks whose job was
+            # REMOVED from the net keep their position at the end and
+            # still run (the sequential consumer reloads them by path).
+            tasks_by_job = {t.job: t for t in queue.tasks}
+            order_names = [str(r) for r in order]
+            from bricolage_spark.taskqueue import Task
+
+            merged = [
+                tasks_by_job.get(name) or Task(job=name) for name in order_names
+            ]
+            merged += [t for t in queue.tasks if t.job not in set(order_names)]
+            queue.tasks[:] = merged
+            queue.save()
 
         if parallel > 1:
-            return self._run_parallel(net, order, jobs, queue, parallel)
+            return self._run_parallel(net, order, jobs, queue, parallel, cmd_variables)
 
         queue.lock()
         succeeded: list[str] = []
@@ -301,13 +317,98 @@ class JobNetRunner:
             queue.unlink()  # complete: next run starts fresh
         return RunReport(succeeded=succeeded, failed=failed, skipped=skipped)
 
+    def _run_parallel(
+        self, net, order, jobs, queue, parallel, cmd_variables=None
+    ) -> RunReport:
+        """Dependency-aware concurrent queue consumption (see run()).
 
-def _parallel_worker_count(parallel: int, n_jobs: int) -> int:
-    return max(1, min(parallel, n_jobs))
+        Schedules over the QUEUE's tasks (which run() has already merged
+        with the current net, both drift directions): tasks for jobs no
+        longer in the net carry no dependencies and are loaded by path
+        on demand, exactly like the sequential consumer.
+        """
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+        deps = {
+            str(ref): {str(d) for d in dset}
+            for ref, dset in net.real_job_dependencies().items()
+        }
+        order_s = [t.job for t in queue.tasks]
+        for name in order_s:
+            deps.setdefault(name, set())  # stale task: no ordering info left
+        queue.lock()
+        state = _ParallelState(queue, deps)
+        skipped = sorted(state.done)
+
+        def get_job(job_name: str):
+            job = jobs.get(job_name)
+            if job is None:  # jobnet changed since the queue was saved
+                job = self.ctx.load_job(
+                    net.job_path(Ref.parse(job_name)), cmd_variables
+                )
+                job.compile()
+                jobs[job_name] = job
+            return job
+
+        def run_one(job_name: str) -> None:
+            job = get_job(job_name)
+            self.ctx.hooks.fire("before_job", job=job, ref=job_name)
+            try:
+                result = job.execute()
+                ok, message = True, result.message
+            except (JobFailure, ApplicationError, OSError) as err:
+                ok, message = False, str(err)
+            state.mark(job_name, ok, message)
+            self.ctx.hooks.fire(
+                "after_job",
+                job=job,
+                ref=job_name,
+                status="succeeded" if ok else "failed",
+            )
+
+        try:
+            with ThreadPoolExecutor(
+                max_workers=max(1, min(parallel, len(order_s) or 1)),
+                thread_name_prefix="jobnet",
+            ) as pool:
+                futures = {}
+                while True:
+                    with state.lock:
+                        # mark launching inside the lock so ready_jobs
+                        # never double-schedules
+                        launch = state.ready_jobs(order_s)
+                        for job_name in launch:
+                            state.running.add(job_name)
+                            task = next(
+                                t for t in queue.tasks if t.job == job_name
+                            )
+                            task.transition("running")
+                        if launch:
+                            queue.save()
+                    for job_name in launch:
+                        futures[pool.submit(run_one, job_name)] = job_name
+                    if not futures:
+                        break
+                    done_f, _pending = wait(
+                        list(futures), return_when=FIRST_COMPLETED
+                    )
+                    for f in done_f:
+                        futures.pop(f)
+                        f.result()  # re-raise unexpected worker errors
+        finally:
+            queue.unlock()
+            self.ctx.hooks.fire("after_all", report=None)
+        if not queue.unfinished:
+            queue.unlink()
+        return RunReport(
+            succeeded=state.succeeded, failed=state.failed, skipped=skipped
+        )
+
+
 
 
 class _ParallelState:
-    """Shared scheduling state; every mutation holds the one lock."""
+    """Shared parallel-scheduling state; every mutation holds the lock."""
 
     def __init__(self, queue, deps: dict[str, set[str]]):
         import threading
@@ -345,77 +446,6 @@ class _ParallelState:
                 self.succeeded.append(job)
             else:
                 self.failed.append(job)
-
-
-def _run_parallel(self, net, order, jobs, queue, parallel) -> RunReport:
-    """Dependency-aware concurrent consumption (bound onto JobNetRunner
-    below; kept module-level beside its state class)."""
-    from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
-
-    deps = {
-        str(ref): {str(d) for d in dset}
-        for ref, dset in net.real_job_dependencies().items()
-    }
-    order_s = [str(r) for r in order]
-    queue.lock()
-    state = _ParallelState(queue, deps)
-    skipped = sorted(state.done)
-
-    def run_one(job_name: str) -> None:
-        job = jobs[job_name]
-        self.ctx.hooks.fire("before_job", job=job, ref=job_name)
-        try:
-            result = job.execute()
-            ok, message = True, result.message
-        except (JobFailure, ApplicationError, OSError) as err:
-            ok, message = False, str(err)
-        state.mark(job_name, ok, message)
-        self.ctx.hooks.fire(
-            "after_job",
-            job=job,
-            ref=job_name,
-            status="succeeded" if ok else "failed",
-        )
-
-    try:
-        with ThreadPoolExecutor(
-            max_workers=_parallel_worker_count(parallel, len(order_s)),
-            thread_name_prefix="jobnet",
-        ) as pool:
-            futures = {}
-            while True:
-                with state.lock:
-                    # mark launching inside the lock so ready_jobs
-                    # never double-schedules
-                    launch = state.ready_jobs(order_s)
-                    for job_name in launch:
-                        state.running.add(job_name)
-                        task = next(
-                            t for t in queue.tasks if t.job == job_name
-                        )
-                        task.transition("running")
-                    if launch:
-                        queue.save()
-                for job_name in launch:
-                    futures[pool.submit(run_one, job_name)] = job_name
-                if not futures:
-                    break
-                done_f, _pending = wait(
-                    list(futures), return_when=FIRST_COMPLETED
-                )
-                for f in done_f:
-                    futures.pop(f)
-                    f.result()  # re-raise unexpected worker errors
-    finally:
-        queue.unlock()
-        self.ctx.hooks.fire("after_all", report=None)
-    if not queue.unfinished:
-        queue.unlink()
-    return RunReport(
-        succeeded=state.succeeded, failed=state.failed, skipped=skipped
-    )
-
-JobNetRunner._run_parallel = _run_parallel
 
 
 def run_single_job(

@@ -642,24 +642,35 @@ def test_single_job_cli_log_dir_captures_output(engine, home, tmp_path, spark):
 def test_parallel_jobnet_runs_independent_branches_concurrently(
     engine, home, tmp_path
 ):
-    """Two independent 1.2 s sleep jobs under --parallel 2 finish in well
-    under 2.4 s; results and queue state match the sequential contract."""
+    """Two independent sleep jobs under --parallel 2 must OVERLAP in
+    time (asserted from hook timestamps — robust on loaded hosts, unlike
+    a total-wall bound); fin waits for both."""
     import time as _time
 
     for n in ("s1", "s2"):
-        write_job(home, f"{n}.job", 'class: exec\nargs: [sleep, "1.2"]\n')
+        write_job(home, f"{n}.job", 'class: exec\nargs: [sleep, "1.0"]\n')
     write_job(home, "fin.job", "class: noop\n")
     # s1 and s2 are independent; fin depends on both
     (home / "subsys" / "net.jobnet").write_text("s1 -> fin\ns2 -> fin\n")
     c = ctx_for(engine, home)
-    t0 = _time.monotonic()
+    spans: dict[str, list[float]] = {}
+    c.hooks.before_job.append(
+        lambda **kw: spans.setdefault(kw["ref"], [0, 0]).__setitem__(
+            0, _time.monotonic()
+        )
+    )
+    c.hooks.after_job.append(
+        lambda **kw: spans[kw["ref"]].__setitem__(1, _time.monotonic())
+    )
     report = JobNetRunner(c).run(
         str(home / "subsys" / "net.jobnet"), clear_queue=True, parallel=2
     )
-    wall = _time.monotonic() - t0
     assert report.success
     assert set(report.succeeded) == {"subsys/s1", "subsys/s2", "subsys/fin"}
-    assert wall < 2.3, f"branches did not overlap (wall={wall:.2f}s)"
+    (a0, a1), (b0, b1) = spans["subsys/s1"], spans["subsys/s2"]
+    assert max(a0, b0) < min(a1, b1), f"branches did not overlap: {spans}"
+    # fin started only after both finished
+    assert spans["subsys/fin"][0] >= max(a1, b1)
 
 
 def test_parallel_respects_dependencies_and_failure_stops_launches(
@@ -737,3 +748,27 @@ def test_real_job_dependencies_collapses_pseudo_nodes(tmp_path):
         "subsys/job3": {"subsys/job2"},
         "subsys/job4": {"subsys/job3"},
     }
+
+
+def test_parallel_resume_handles_jobnet_drift(engine, home, tmp_path):
+    """Queue saved, then the jobnet gains one job and loses another:
+    parallel resume runs the added job (topological slot), still runs
+    the stale queued task (loaded by path), and completes cleanly."""
+    write_job(home, "a.job", "class: noop\n")
+    write_job(home, "bad.job", "class: noop\nfailure: true\n")
+    (home / "subsys" / "net.jobnet").write_text("a -> bad\n")
+    c = ctx_for(engine, home)
+    runner = JobNetRunner(c)
+    r1 = runner.run(
+        str(home / "subsys" / "net.jobnet"), clear_queue=True, parallel=2
+    )
+    assert r1.failed == ["subsys/bad"]
+    # drift: fix bad, ADD new job c after bad, REMOVE a from the net
+    # (its succeeded task stays in the queue)
+    write_job(home, "bad.job", "class: noop\n")
+    write_job(home, "cnew.job", "class: noop\n")
+    (home / "subsys" / "net.jobnet").write_text("bad -> cnew\n")
+    r2 = runner.run(str(home / "subsys" / "net.jobnet"), parallel=2)
+    assert r2.success
+    assert {"subsys/bad", "subsys/cnew"} <= set(r2.succeeded)
+    assert "subsys/a" in r2.skipped  # stale succeeded task stays done
