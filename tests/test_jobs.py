@@ -386,13 +386,22 @@ def test_runner_queue_path_and_db_dsn_selection(engine, home, tmp_path):
 
 def test_example_curation_home_runs_end_to_end(engine, tmp_path):
     """The shipped examples/curation_home jobnet (load → quality filter →
-    dedup → domain caps → stats) runs green against the sf0.001 testdata."""
+    dedup → domain caps → two parallel report branches → stats) runs
+    green against the sf0.001 testdata under --parallel 2."""
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ex_home = os.path.join(repo_root, "examples", "curation_home")
     c = Context(engine, home=ex_home)
     runner = JobNetRunner(c, queue_dir=str(tmp_path / "queue"))
-    report = runner.run(os.path.join(ex_home, "curation", "curation.jobnet"))
+    report = runner.run(
+        os.path.join(ex_home, "curation", "curation.jobnet"), parallel=2
+    )
     assert report.success, (report.failed, report.succeeded)
+    # the independent report branches both materialized
+    assert engine.table("length_histogram").count() > 0
+    srcs = engine.table("source_stats")
+    assert srcs.count() == engine.table("capped_documents").select(
+        "source"
+    ).distinct().count()
     raw = engine.table("raw_documents").count()
     clean = engine.table("clean_documents").count()
     ded = engine.table("dedup_documents").count()
