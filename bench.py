@@ -64,7 +64,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #   shingle index      -> q32, q33, q48, q51, q53, q69  (+ q50 via pairs)
 #   verified pairs     -> q50, q61
 #   trained IVF index  -> q49
-#   PMI unigram table  -> q73
+#   PMI unigram table  -> q73, q81
 #   bigram LM counts   -> q75
 #   IVF cells (q49's)  -> q77
 #   duplicated spans   -> q78, q80 (+ LM counts)
@@ -88,6 +88,7 @@ STAGED = (
     "q77_semantic_dedup",
     "q78_span_coverage",
     "q80_curation_verdicts",
+    "q81_zipf_fit",
 )
 
 

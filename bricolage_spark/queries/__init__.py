@@ -60,6 +60,7 @@ _EVIDENCE_FIRST = [
     "q78_span_coverage",
     "q79_winnowing_fingerprints",
     "q80_curation_verdicts",
+    "q81_zipf_fit",
     # last driver row in round 3 (clipped in r4) — rotate back in so no
     # query's newest driver-green row is older than two rounds:
     "q01_scan_projection",
@@ -90,10 +91,9 @@ _EVIDENCE_FIRST = [
     "q40_fingerprint",
     "q42_embedding_neardup",
     # single driver-green round so far (first rows in r4) — keep in the
-    # window to build multi-round evidence (q57 defers to r6: the window
-    # is exactly 50 and the never-checked round-5 additions outrank a
-    # second row):
-    "q58_doc_top_word",
+    # window to build multi-round evidence (q57/q58 defer to r6: the
+    # window is exactly 50 and the never-checked round-5 additions
+    # outrank a second row):
     "q59_source_overlap",
     "q60_bm25_retrieval",
     "q61_dedup_best_of_cluster",
@@ -122,6 +122,7 @@ _CLIP_LAST = [
     "q50_dedup_clusters",
     "q51_contamination",
     "q57_quality_repetition",  # SINGLE-green (r4) deferral — restore in r6
+    "q58_doc_top_word",  # SINGLE-green (r4) deferral — restore in r6
     "q05_tpch_q1",
     "q06_inner_join",
     "q07_broadcast_join",

@@ -3076,3 +3076,63 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
         verdict.alias("verdict"),
         keep.alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# q81 Zipf fit (corpus naturalness check from the rank-frequency law)
+# --------------------------------------------------------------------------
+# Natural-language corpora follow Zipf's law: log(freq) ~ -s*log(rank)
+# with s near 1. The fitted slope is a standard corpus-health signal —
+# generated/templated/spammy text bends the rank-frequency curve, so a
+# drifting slope between snapshots flags contamination before any
+# per-doc filter would. Served from the STAGED unigram table (q73's),
+# so the corpus is not rescanned: rank assignment is one |vocab| window
+# and the fit is a single linear-regression aggregate in both engines.
+_ZIPF_TOP = 1000  # fit over the head of the distribution (standard practice)
+
+
+@register(
+    "q81_zipf_fit",
+    oracle=f"""
+    WITH {_DOCS_CTE},
+    uni AS (
+        SELECT w AS word, COUNT(*) AS c1
+        FROM (SELECT unnest(words) AS w FROM docs) GROUP BY w
+    ),
+    ranked AS (
+        SELECT c1,
+               ROW_NUMBER() OVER (ORDER BY c1 DESC, word) AS rank
+        FROM uni
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)                       AS n_fit,
+           ROUND(regr_slope(ln(c1), ln(rank)), 4)         AS zipf_slope,
+           ROUND(regr_intercept(ln(c1), ln(rank)), 4)     AS zipf_intercept,
+           ROUND(regr_r2(ln(c1), ln(rank)), 4)            AS fit_r2
+    FROM ranked WHERE rank <= {_ZIPF_TOP}
+    """,
+    doc="Zipf's-law fit: OLS slope/intercept/R^2 of log(freq) vs "
+    f"log(rank) over the top {_ZIPF_TOP} words — the rank-frequency "
+    "naturalness signal whose drift flags templated or generated text "
+    "at corpus level. Serves from the staged unigram table (no corpus "
+    "rescan); one |vocab| window for ranks + one regression aggregate "
+    "(both engines' regr_* are single-pass).",
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    uni = _pmi_unigrams(spark, sf_dir)
+    w = Window.orderBy(F.desc("c1"), F.asc("word"))
+    # the single-partition window is over |vocab| rows (metadata scale
+    # next to the corpus); at 100 TB rank the head via TakeOrdered-style
+    # top-k first — the fit only consumes the top rows anyway
+    ranked = (
+        uni.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ZIPF_TOP)
+        .select(F.log("c1").alias("lf"), F.log("rank").alias("lr"))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fit"),
+        F.round(F.regr_slope("lf", "lr"), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept("lf", "lr"), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2("lf", "lr"), 4).alias("fit_r2"),
+    )
