@@ -781,3 +781,24 @@ def test_parallel_resume_handles_jobnet_drift(engine, home, tmp_path):
     assert r2.success
     assert {"subsys/bad", "subsys/cnew"} <= set(r2.succeeded)
     assert "subsys/a" in r2.skipped  # stale succeeded task stays done
+
+
+def test_db_queue_resume_with_added_job(engine, home, tmp_path):
+    """The jobnet-drift merge also persists through the DB queue: a job
+    added after a failed run is INSERTed on save and runs on resume."""
+    write_job(home, "a.job", "class: noop\n")
+    write_job(home, "bad.job", "class: noop\nfailure: true\n")
+    (home / "subsys" / "net.jobnet").write_text("a -> bad\n")
+    c = ctx_for(engine, home)
+    dsn = str(tmp_path / "drift.db")
+    r1 = JobNetRunner(c, db_dsn=dsn).run(
+        str(home / "subsys" / "net.jobnet"), clear_queue=True
+    )
+    assert r1.failed == ["subsys/bad"]
+    write_job(home, "bad.job", "class: noop\n")
+    write_job(home, "cnew.job", "class: noop\n")
+    (home / "subsys" / "net.jobnet").write_text("a -> bad\nbad -> cnew\n")
+    r2 = JobNetRunner(c, db_dsn=dsn).run(str(home / "subsys" / "net.jobnet"))
+    assert r2.success
+    assert {"subsys/bad", "subsys/cnew"} <= set(r2.succeeded)
+    assert "subsys/a" in r2.skipped
