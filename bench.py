@@ -39,8 +39,17 @@ Honesty notes encoded in the output:
   the block's ``artifact_build`` row — so no query's measured time
   depends on run order, and the serve-vs-build split is deterministic.
 
-Pass --duckdb to also time the DuckDB oracles on the same tables in the
-same invocation (the BASELINE.md same-run comparison).
+The DuckDB oracles are timed on the same tables in the same invocation
+BY DEFAULT whenever duckdb is importable (the BASELINE.md same-run
+comparison), so the compact final line always carries ``duckdb_total`` +
+``ratio_default``/``ratio_tuned`` — the gate ratio is then attested by
+whoever runs the bench, not just by the repo. Pass --no-duckdb to skip
+the oracle block (e.g. when isolating Spark-side timings).
+
+The compact line also carries ``regressions``: queries whose default-conf
+time grew >1.5x vs the recorded BASELINE.json per-query column (and is
+above a 0.3 s noise floor) — so host noise vs real plan regressions is
+machine-readable round over round.
 """
 
 from __future__ import annotations
@@ -153,9 +162,38 @@ def _short(name: str) -> str:
     return name.split("_", 1)[0]
 
 
+def baseline_regressions(times: dict[str, float], sf: float) -> dict[str, list[float]]:
+    """Queries >1.5x their recorded BASELINE.json default-conf time (and
+    above a 0.3 s noise floor): {name: [baseline_sec, current_sec]}.
+    Missing/unreadable baseline, new queries, or an sf mismatch (times at
+    a different scale factor are not comparable) -> simply absent."""
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.json")
+    try:
+        with open(base_path) as f:
+            head = json.loads(f.readline())
+            base = head.get("queries", {})
+            if head.get("sf") != sf:
+                return {}
+    except (OSError, ValueError):
+        return {}
+    out = {}
+    for name, sec in times.items():
+        ref = base.get(name)
+        if ref and sec > 0.3 and sec > 1.5 * ref:
+            out[name] = [ref, sec]
+    return out
+
+
 def main() -> None:
     specs = load_all()
-    with_duckdb = "--duckdb" in sys.argv
+    # DuckDB same-run comparison is ON by default (the gate ratio must be
+    # attested in the driver-visible artifact, not only in BASELINE.md)
+    with_duckdb = "--no-duckdb" not in sys.argv
+    if with_duckdb:
+        try:
+            import duckdb  # noqa: F401
+        except ImportError:
+            with_duckdb = False
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "both")  # default|tuned|both
 
@@ -217,6 +255,9 @@ def main() -> None:
         "artifact_build": out.get("artifact_build"),
         "queries": {_short(k): v for k, v in out.get("queries", {}).items()},
     }
+    if "queries" in out:
+        reg = baseline_regressions(out["queries"], out["sf"])
+        summary["regressions"] = {_short(k): v for k, v in sorted(reg.items())}
     if "tuned" in out:
         summary["tuned_total"] = out["tuned"]["total"]
     if "duckdb_total" in out:

@@ -3114,21 +3114,24 @@ _ZIPF_TOP = 1000  # fit over the head of the distribution (standard practice)
     f"log(rank) over the top {_ZIPF_TOP} words — the rank-frequency "
     "naturalness signal whose drift flags templated or generated text "
     "at corpus level. Serves from the staged unigram table (no corpus "
-    "rescan); one |vocab| window for ranks + one regression aggregate "
-    "(both engines' regr_* are single-pass).",
+    "rescan); the head is taken distributed (TakeOrderedAndProject "
+    "top-k), ranks are a window over the bounded head only, then one "
+    "regression aggregate (both engines' regr_* are single-pass).",
 )
 def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     uni = _pmi_unigrams(spark, sf_dir)
+    # take the head FIRST: orderBy+limit plans as TakeOrderedAndProject
+    # (per-partition top-k, then a k-row merge), so the full vocabulary
+    # never funnels through one task. The rank window then runs over a
+    # bounded <= _ZIPF_TOP-row input — the only single-partition step is
+    # capped by the limit, which is the plan-gate contract
+    # (tests/test_plan_quality.py::test_no_unbounded_single_partition_window).
+    head = uni.orderBy(F.desc("c1"), F.asc("word")).limit(_ZIPF_TOP)
     w = Window.orderBy(F.desc("c1"), F.asc("word"))
-    # the single-partition window is over |vocab| rows (metadata scale
-    # next to the corpus); at 100 TB rank the head via TakeOrdered-style
-    # top-k first — the fit only consumes the top rows anyway
-    ranked = (
-        uni.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _ZIPF_TOP)
-        .select(F.log("c1").alias("lf"), F.log("rank").alias("lr"))
+    ranked = head.withColumn("rank", F.row_number().over(w)).select(
+        F.log("c1").alias("lf"), F.log("rank").alias("lr")
     )
     return ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_fit"),

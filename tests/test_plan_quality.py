@@ -25,16 +25,31 @@ CARTESIAN_OK = {"q10_cross_theta_join"}
 
 
 @pytest.fixture(scope="module")
-def plans(spark):
-    """name -> formatted physical plan for every registered query."""
+def plan_pairs(spark):
+    """name -> (formatted, simple) physical plan for every registered
+    query. ``simple`` is the executedPlan tree with inline arguments —
+    the form whose indentation encodes the operator tree, which the
+    single-partition-window gate walks."""
     out = {}
     for name, spec in sorted(load_all().items()):
         df = spec.fn(spark, SF_DIR)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
-        out[name] = buf.getvalue()
+        simple = df._jdf.queryExecution().executedPlan().toString()
+        out[name] = (buf.getvalue(), simple)
     return out
+
+
+@pytest.fixture(scope="module")
+def plans(plan_pairs):
+    """name -> formatted physical plan for every registered query."""
+    return {n: p[0] for n, p in plan_pairs.items()}
+
+
+@pytest.fixture(scope="module")
+def simple_plans(plan_pairs):
+    return {n: p[1] for n, p in plan_pairs.items()}
 
 
 def test_no_row_wise_python_udf_on_any_path(plans):
@@ -76,3 +91,81 @@ def test_broadcast_join_for_small_dims(plans):
         assert "BroadcastHashJoin" in plans[name], (
             f"{name}: expected a broadcast hash join"
         )
+
+
+# -- single-partition-window gate (SCALE.md claim #4) -----------------------
+
+_WSPEC_RE = re.compile(r"windowspecdefinition\(")
+_BOUNDED_NODES = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+
+
+def _indent(line: str) -> int:
+    """Tree depth of a simple-plan line (the +-/:-/space gutter width)."""
+    return len(re.match(r"^[\s+:|-]*", line).group(0))
+
+
+def _spec_args(line: str) -> list[str]:
+    """Top-level args of the first windowspecdefinition(...) on the line,
+    split depth-aware (partition exprs may contain commas in parens)."""
+    m = _WSPEC_RE.search(line)
+    start = m.end()
+    depth, args, cur = 1, [], []
+    for ch in line[start:]:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        if ch == "," and depth == 1:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        args.append("".join(cur).strip())
+    return args
+
+
+def _is_unpartitioned(line: str) -> bool:
+    """True iff the window spec has NO partition expressions: every arg
+    before the frame is an ordering expr (carries ASC/DESC). A window
+    like ``count() over (partition by k)`` has a bare column arg and is
+    fine; ``row_number() over (order by x)`` has only ordered args and
+    funnels ALL rows through one task."""
+    exprs = [
+        a
+        for a in _spec_args(line)
+        if not a.startswith("specifiedwindowframe")
+    ]
+    return all(" ASC " in a or " DESC " in a for a in exprs)
+
+
+def test_no_unbounded_single_partition_window(simple_plans):
+    """No Window without PARTITION BY over unbounded input, anywhere in
+    the inventory (no allowlist): such a window funnels the full input
+    through a single task — the one plan shape that cannot survive a
+    100x scale-up. A single-partition window is acceptable ONLY when its
+    subtree contains a limit (TakeOrderedAndProject / GlobalLimit), i.e.
+    the head was taken distributed first and the window ranks a bounded
+    row set (q81's shape)."""
+    offenders = []
+    for name, plan in simple_plans.items():
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Window " not in ln or not _WSPEC_RE.search(ln):
+                continue
+            if not _is_unpartitioned(ln):
+                continue
+            # walk the window's subtree: deeper-indented following lines
+            d = _indent(ln)
+            bounded = False
+            for sub in lines[i + 1 :]:
+                if sub.strip() and _indent(sub) <= d:
+                    break
+                if any(b in sub for b in _BOUNDED_NODES):
+                    bounded = True
+                    break
+            if not bounded:
+                offenders.append((name, ln.strip()[:120]))
+    assert not offenders, f"unbounded single-partition window in: {offenders}"
