@@ -2532,6 +2532,16 @@ _SEM_TAU = 0.4  # same duplicate threshold as q42 (this corpus' near-dups)
 # 8 serving cells are right for the ANN probe fan-out but make dedup
 # cells quadratically oversized. Separate cache entry, same trainer.
 _SEM_CELLS = 32
+# Cell-size guard: the within-cell self-join is quadratic in cell size,
+# so a degenerate quantizer (low-variance embeddings -> one mega-cell)
+# must fail LOUDLY at assignment time, not silently go n². Real cells
+# sit near the mean (measured <=1.6x at sf0.01/sf0.1); 8x mean with a
+# floor admits any healthy clustering and trips only on collapse. Same
+# capping discipline as q48/q74/q79's posting-size caps — except those
+# can drop boilerplate keys without changing semantics, while dropping a
+# dedup cell would silently skip duplicates, so here the cap raises.
+_SEM_CELL_CAP_FLOOR = 256
+_SEM_CELL_CAP_FACTOR = 8
 
 # Centroid lists are plain Python floats (driver metadata, like the
 # percentile brackets) — cached per corpus, cleared by release_caches().
@@ -2599,6 +2609,24 @@ def _sem_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "e", "nrm", "cell", F.col("sim").alias("cent_sim"))
         .persist()
     )
+    # enforce the cell-size cap BEFORE any consumer runs the pairwise
+    # join: one k-row metadata collect over the (persisted) assignment
+    sizes = a.groupBy("cell").count().collect()
+    n = sum(r["count"] for r in sizes)
+    cap = max(_SEM_CELL_CAP_FLOOR, _SEM_CELL_CAP_FACTOR * n // _SEM_CELLS)
+    worst = max(sizes, key=lambda r: r["count"], default=None)
+    if worst is not None and worst["count"] > cap:
+        a.unpersist(blocking=False)
+        from bricolage_spark.exception import ApplicationError
+
+        raise ApplicationError(
+            f"semantic-dedup quantizer collapsed: cell {worst['cell']} holds "
+            f"{worst['count']} of {n} vectors (cap {cap} = max("
+            f"{_SEM_CELL_CAP_FLOOR}, {_SEM_CELL_CAP_FACTOR}x mean)); the "
+            f"within-cell pairwise stage would go quadratic. Raise k "
+            f"(_SEM_CELLS={_SEM_CELLS}) or inspect the embedding column "
+            f"for low variance."
+        )
     _SEM_ASSIGN_CACHE[key] = a
     return a
 
@@ -2646,8 +2674,10 @@ def release_sem_assignment(sf_dir: str | None = None) -> None:
     "deterministically toward the member with the lowest centroid "
     "cosine. Assignment is row-local centroid-literal arithmetic; the "
     "pairwise join is cell-bucketed (never all-pairs) with per-cell "
-    "blowup bounded by cell size — at 100 TB, k scales so cells stay "
-    "bounded, exactly the published design.",
+    "blowup bounded by an ENFORCED cap (8x mean cell size, floor 256): "
+    "a collapsed quantizer raises at assignment time instead of going "
+    "quadratic. At 100 TB, k scales so cells stay bounded, exactly the "
+    "published design.",
 )
 def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _sem_assignment(spark, sf_dir)

@@ -426,3 +426,29 @@ def test_release_caches_skips_dead_session_handles(spark):
         llm_ops._SHINGLE_CACHE.clear()
         llm_ops._IVF_MODEL_CACHE.clear()
     assert calls == [False]  # live handle unpersisted, dead ones skipped
+
+
+def test_semantic_dedup_cell_cap_raises_on_degenerate_embeddings(spark, tmp_path):
+    """q77's within-cell pairwise join is quadratic in cell size; a
+    degenerate (constant) embedding column collapses the quantizer into
+    one mega-cell, which must raise LOUDLY at assignment time instead of
+    silently going n² (same capping discipline as q48/q74/q79 — except a
+    dropped dedup cell would skip duplicates, so here the cap is fatal)."""
+    import pytest
+
+    from bricolage_spark.exception import ApplicationError
+    from bricolage_spark.queries import llm_ops
+
+    n = 600  # one mega-cell of 600 > cap = max(256, 8*600//32)
+    vec = [0.25] * 64
+    spark.createDataFrame(
+        [(i, vec, 0) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    try:
+        with pytest.raises(ApplicationError, match="quantizer collapsed"):
+            llm_ops._sem_assignment(spark, str(tmp_path))
+    finally:
+        # the raise path must not leave a cache entry behind
+        llm_ops.release_sem_assignment(str(tmp_path))
+        llm_ops._SEM_CENT_CACHE.clear()
