@@ -315,14 +315,16 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     signatures: DataFrame, id_col: str, bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become candidate pairs.
+    """Melt MinHash signatures into the LSH banding table
+    (id, band_id, band_hash) — one row per (doc, band).
 
-    Returns distinct (id_a, id_b) with id_a < id_b. Self-join key is
-    (band_id, band_hash): equality-only → hash join, AQE splits skewed
-    buckets.
+    This row format IS the near-dup signature registry a recurring
+    ingest persists: ~40 bytes per (doc, band) regardless of document
+    size, so cross-snapshot near-dedup joins hashes, never bodies, and
+    history is never rescanned (see ``incremental_neardup_flags``).
     """
     band_rows = []
     for b in range(bands):
@@ -333,9 +335,21 @@ def lsh_candidate_pairs(
                 F.md5(F.concat_ws(",", *cols)).alias("band_hash"),
             )
         )
-    melted = signatures.select(
+    return signatures.select(
         F.col(id_col), F.explode(F.array(*band_rows)).alias("band")
     ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    Returns distinct (id_a, id_b) with id_a < id_b. Self-join key is
+    (band_id, band_hash): equality-only → hash join, AQE splits skewed
+    buckets.
+    """
+    melted = band_buckets(signatures, id_col, bands, rows_per_band)
 
     a = melted.alias("a")
     b = melted.alias("b")
@@ -351,6 +365,41 @@ def lsh_candidate_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .distinct()
+    )
+
+
+def incremental_neardup_flags(
+    batch_bands: DataFrame, registry_bands: DataFrame, id_col: str
+) -> DataFrame:
+    """Flag NEW-batch docs that near-duplicate the already-ingested
+    corpus, using only its band-signature registry — the MinHash
+    extension of ``incremental_dedup``'s exact-digest registry.
+
+    ``batch_bands`` is the new batch's banding table
+    (``band_buckets``); ``registry_bands`` holds the accumulated
+    (band_id, band_hash) buckets of everything ever ingested (doc ids
+    not required for a keep/drop verdict; deduplicated here
+    defensively so per-doc hit counts stay well-defined). Returns one
+    row per batch doc: (id, n_hit_bands, hist_neardup).
+
+    Scale design — what a recurring 100 TB crawl actually runs:
+    history is represented by ~40-byte band rows, never rescanned; the
+    probe is one semi-join of batch bands against registry buckets
+    (hashes shuffle, bodies never move) + a doc-keyed count. New
+    batches append their own bands to the registry afterwards, so cost
+    stays O(batch) per snapshot, not O(corpus).
+    """
+    reg = registry_bands.select("band_id", "band_hash").distinct()
+    hits = (
+        batch_bands.join(reg, ["band_id", "band_hash"], "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_bands"))
+    )
+    all_ids = batch_bands.select(id_col).distinct()
+    return all_ids.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_hit_bands"), F.lit(0)).cast("bigint").alias("n_hit_bands"),
+        (F.coalesce(F.col("n_hit_bands"), F.lit(0)) > 0).alias("hist_neardup"),
     )
 
 

@@ -447,3 +447,68 @@ def char_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             (entropy >= 2.0) & (digit_ratio <= 0.3) & (upper_ratio <= 0.3)
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed-ngram linear classifier (fastText-style quality scoring)
+# ---------------------------------------------------------------------------
+# The standard public curation signal (CCNet / fastText-style quality
+# classifiers): hash word uni+bigrams into a fixed bucket space, look up
+# a linear weight per bucket, average, squash through a sigmoid. The
+# trained weight table is a broadcast-sized artifact (``buckets`` floats)
+# regardless of corpus size; scoring is entirely row-local — zero
+# shuffle at 100 TB, embarrassingly parallel over document partitions.
+#
+# Weights here are hash-DERIVED (a deterministic stand-in for a trained
+# table, the same fixture discipline as the IVF seed): INTEGER in
+# [-1000, 1000] so per-doc sums are exact and order-free in ANY engine —
+# float accumulation order can differ between engines, integer sums
+# cannot. A real deployment swaps ``_bucket_weight`` for a broadcast
+# join against the trained table; the plan shape is unchanged.
+
+CLASSIFIER_BUCKETS = 4096
+CLASSIFIER_SEED_BUCKET = 8888  # gram -> bucket hash family
+CLASSIFIER_SEED_WEIGHT = 9999  # bucket -> weight hash family
+CLASSIFIER_BIAS = 0.1  # w0: fixture bias term
+
+
+def _gram_weight(gram: Column) -> Column:
+    """gram -> bucket -> integer weight in [-1000, 1000]."""
+    bucket = hash32(gram, CLASSIFIER_SEED_BUCKET) % CLASSIFIER_BUCKETS
+    return (
+        hash32(bucket.cast("string"), CLASSIFIER_SEED_WEIGHT) % 2001 - 1000
+    )
+
+
+def hashed_ngram_score(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Per-doc linear-classifier score: sigmoid(w0 + mean gram weight).
+
+    Grams are word unigrams + bigrams WITH multiplicity (fastText
+    averages over occurrences, not the distinct set). Everything is
+    Catalyst HOFs over the per-row word array — transform/zip_with/
+    aggregate — so the plan is one projection: no explode, no shuffle,
+    no Python. Returns (id, n_grams, score, keep).
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    grams = F.concat(words, bigrams)
+    total = F.aggregate(
+        grams, F.lit(0).cast("bigint"), lambda acc, g: acc + _gram_weight(g)
+    )
+    n = F.size(grams).cast("bigint")
+    z = F.lit(CLASSIFIER_BIAS) + (total.cast("double") / n.cast("double")) / F.lit(
+        1000.0
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_grams"),
+        score.alias("score"),
+        (score >= F.lit(threshold)).alias("keep"),
+    )

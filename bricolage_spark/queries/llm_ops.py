@@ -3169,3 +3169,126 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("lf", "lr"), 4).alias("zipf_intercept"),
         F.round(F.regr_r2("lf", "lr"), 4).alias("fit_r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# q82 incremental NEAR-dup registry (cross-snapshot MinHash-LSH dedup)
+# --------------------------------------------------------------------------
+# q67 extends exact dedup across snapshots via a digest registry; q82 is
+# the same contract for NEAR duplicates: the accumulated corpus is
+# represented only by its LSH band-signature registry (~40-byte
+# (band_id, band_hash) rows), and a new batch probes it with one
+# semi-join — history bodies are never rescanned. This is the pass a
+# recurring 100 TB crawl runs per snapshot: O(batch) probe cost, then
+# the batch's own bands are appended to the registry.
+def _q82_oracle() -> str:
+    mins = _affine_mins(_N_HASHES)
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band_id, "
+        f"md5(concat_ws(',', h{b * _ROWS_PER_BAND}, h{b * _ROWS_PER_BAND + 1})) AS band_hash FROM sigs"
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH {_DOCS_CTE}, {_SHINGLES_CTE},
+    sigs AS (
+        SELECT doc_id, {mins}
+        FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+{band_selects}
+    ),
+    reg AS (
+        SELECT DISTINCT band_id, band_hash FROM bands WHERE doc_id % 3 <> 0
+    ),
+    batch AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+    hits AS (
+        SELECT b.doc_id, COUNT(*) AS n_hit_bands
+        FROM batch b
+        JOIN reg r ON r.band_id = b.band_id AND r.band_hash = b.band_hash
+        GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_hit_bands, 0) AS BIGINT) AS n_hit_bands,
+           (h.doc_id IS NOT NULL)                     AS hist_neardup
+    FROM (SELECT DISTINCT doc_id FROM batch) d
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """
+
+
+@register(
+    "q82_incremental_neardup",
+    oracle=_q82_oracle(),
+    doc="Cross-snapshot NEAR-dedup (operators/dedup.py::"
+    "incremental_neardup_flags): a NEW batch (doc_id % 3 == 0) probes "
+    "the LSH band-signature registry of everything already ingested "
+    f"({_N_HASHES} MinHash families, {_BANDS} bands x {_ROWS_PER_BAND}) "
+    "— one semi-join of ~40-byte band rows + a doc-keyed count; history "
+    "bodies are never rescanned. The MinHash extension of q67's "
+    "exact-digest registry contract.",
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    sigs = D.minhash_signatures(sh, "doc_id", num_hashes=_N_HASHES)
+    bands = D.band_buckets(
+        sigs, "doc_id", bands=_BANDS, rows_per_band=_ROWS_PER_BAND
+    )
+    registry = bands.filter(F.col("doc_id") % 3 != 0).select(
+        "band_id", "band_hash"
+    )
+    batch = bands.filter(F.col("doc_id") % 3 == 0)
+    return D.incremental_neardup_flags(batch, registry, "doc_id")
+
+
+# --------------------------------------------------------------------------
+# q83 hashed-ngram quality classifier (fastText-style linear scoring)
+# --------------------------------------------------------------------------
+# The last standard public curation signal absent from q37-q81: a linear
+# quality classifier a la CCNet/FineWeb, applied row-locally — word
+# uni+bigrams hashed into a fixed bucket space, a weight per bucket
+# (hash-derived INTEGER fixture standing in for the trained table, so
+# per-doc sums are exact and order-free in both engines), mean + bias
+# through a sigmoid. Score time is ONE projection: zero shuffle, the
+# weight table is broadcast-sized at any corpus scale.
+def _q83_oracle() -> str:
+    B = T.CLASSIFIER_BUCKETS
+    sb, sw = T.CLASSIFIER_SEED_BUCKET, T.CLASSIFIER_SEED_WEIGHT
+    w0 = T.CLASSIFIER_BIAS
+    bucket = f"({_h32('g', sb)} % {B})"
+    weight = f"({_h32(f'CAST({bucket} AS VARCHAR)', sw)} % 2001 - 1000)"
+    return f"""
+    WITH {_DOCS_CTE},
+    grams AS (
+        SELECT doc_id, words[i] AS g
+        FROM docs, UNNEST(range(1, len(words) + 1)) AS t(i)
+        UNION ALL
+        SELECT doc_id, words[i] || ' ' || words[i + 1] AS g
+        FROM docs, UNNEST(range(1, len(words))) AS t(i)
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT)  AS n_grams,
+               SUM({weight})             AS s
+        FROM grams GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams,
+           ROUND(1.0 / (1.0 + exp(-({w0} + (CAST(s AS DOUBLE) / n_grams) / 1000.0))), 6) AS score,
+           ROUND(1.0 / (1.0 + exp(-({w0} + (CAST(s AS DOUBLE) / n_grams) / 1000.0))), 6) >= 0.5 AS keep
+    FROM agg
+    """
+
+
+@register(
+    "q83_hashed_ngram_classifier",
+    oracle=_q83_oracle(),
+    doc="fastText-style hashed-ngram linear quality classifier "
+    "(operators/textual.py::hashed_ngram_score): word uni+bigrams (with "
+    f"multiplicity) hashed into {T.CLASSIFIER_BUCKETS} buckets, integer "
+    "weight per bucket (deterministic fixture for the trained table), "
+    "sigmoid(bias + mean weight) per doc. Spark side is pure Catalyst "
+    "HOFs over the word array — one projection, zero shuffle at score "
+    "time; a trained deployment swaps the hash-derived weight for a "
+    "broadcast weight-table join with the same plan shape.",
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.hashed_ngram_score(docs, "doc_id", "text")

@@ -912,3 +912,36 @@ def test_canonical_url_passes_through_non_urls(spark, raw):
 
     df = spark.createDataFrame([(raw,)], "url string")
     assert df.select(canonical_url(F.col("url")).alias("c")).first().c == raw
+
+
+def test_incremental_neardup_flags_two_batch_registry(spark):
+    """A new batch probed against the band registry of a prior snapshot:
+    a doc identical to history hits ALL bands, a vocabulary-disjoint doc
+    hits none — and only the registry's ~40-byte band rows are touched,
+    never history bodies."""
+    from bricolage_spark.operators import dedup as D
+
+    hist = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        "id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog tonight"),
+            (11, "completely different words about sailing ships and harbors"),
+        ],
+        "id long, text string",
+    )
+
+    def bands_of(df):
+        sh = D.word_shingles(df, "id", "text", k=3)
+        sigs = D.minhash_signatures(sh, "id", num_hashes=16)
+        return D.band_buckets(sigs, "id", bands=8, rows_per_band=2)
+
+    registry = bands_of(hist).select("band_id", "band_hash")
+    flags = {
+        r["id"]: (r["n_hit_bands"], r["hist_neardup"])
+        for r in D.incremental_neardup_flags(bands_of(batch), registry, "id").collect()
+    }
+    assert flags[10] == (8, True)  # identical text: every band bucket hits
+    assert flags[11] == (0, False)  # disjoint vocabulary: no bucket hits
