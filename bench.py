@@ -255,7 +255,10 @@ def main() -> None:
         "artifact_build": out.get("artifact_build"),
         "queries": {_short(k): v for k, v in out.get("queries", {}).items()},
     }
-    if "queries" in out:
+    # Regressions are defined as default-conf vs BASELINE.json's
+    # default-conf column; in tuned-only mode out["queries"] holds tuned
+    # times, so the comparison would mix configs — skip it there.
+    if "queries" in out and mode in ("default", "both"):
         reg = baseline_regressions(out["queries"], out["sf"])
         summary["regressions"] = {_short(k): v for k, v in sorted(reg.items())}
     if "tuned" in out:

@@ -170,8 +170,10 @@ def main(argv: list[str] | None = None) -> int:
         "--parallel", type=int, default=1, metavar="N",
         help="run up to N independent DAG branches concurrently "
         "(Spark-first extension: one SparkSession schedules actions "
-        "from many threads; not combinable with --isolate, per-job "
-        "logs, or the DB queue)",
+        "from many threads; per-job logs capture via a per-thread "
+        "stream router, so direct-fd writers like exec subprocesses "
+        "stay on the runner's stdout; not combinable with --isolate "
+        "or the DB queue)",
     )
     pn.add_argument(
         "-L", "--log-dir", default=None,

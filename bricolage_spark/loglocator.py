@@ -28,6 +28,7 @@ import contextlib
 import os
 import re
 import sys
+import threading
 from collections.abc import Callable
 from datetime import datetime
 
@@ -99,6 +100,98 @@ class LogFilePath:
         return expand(self.template)
 
 
+class _StreamRouter:
+    """A sys.stdout/stderr stand-in that routes writes per-thread.
+
+    Threads that registered a stream via ``push`` write there; everyone
+    else falls through to the original stream, so the runner's own
+    scheduling output and any unregistered thread (Py4J callback threads,
+    user threads inside a job) behave exactly as before.
+    """
+
+    def __init__(self, fallback):
+        self._fallback = fallback
+        self._local = threading.local()
+
+    # -- routing -----------------------------------------------------
+    def push(self, stream) -> None:
+        self._local.stream = stream
+
+    def pop(self) -> None:
+        self._local.stream = None
+
+    def _target(self):
+        return getattr(self._local, "stream", None) or self._fallback
+
+    # -- file-object protocol (the subset print/logging/traceback use) --
+    def write(self, s) -> int:
+        return self._target().write(s)
+
+    def writelines(self, lines) -> None:
+        self._target().writelines(lines)
+
+    def flush(self) -> None:
+        self._target().flush()
+
+    def isatty(self) -> bool:
+        t = self._target()
+        return bool(getattr(t, "isatty", lambda: False)())
+
+    def fileno(self) -> int:
+        # Always the FALLBACK's fd: code that grabs fileno() wants the
+        # process-level stream (e.g. subprocess wiring); per-thread files
+        # deliberately do not masquerade as fd 1/2.
+        return self._fallback.fileno()
+
+    @property
+    def encoding(self):
+        return getattr(self._target(), "encoding", "utf-8")
+
+    @property
+    def errors(self):
+        return getattr(self._target(), "errors", "strict")
+
+
+_ROUTER_LOCK = threading.Lock()
+_ROUTERS: tuple[_StreamRouter, _StreamRouter] | None = None
+_ROUTER_REFS = 0
+
+
+def _active_routers() -> tuple[_StreamRouter, _StreamRouter] | None:
+    return _ROUTERS
+
+
+@contextlib.contextmanager
+def thread_stream_routing():
+    """Install per-thread stdout/stderr routers for the duration.
+
+    Re-entrant and refcounted: nested/concurrent installs share one
+    router pair; the originals are restored when the last user exits.
+    Installed once by the parallel runner around the whole scheduling
+    loop, NOT per job — swapping sys.stdout per job would race.
+    """
+    global _ROUTERS, _ROUTER_REFS
+    with _ROUTER_LOCK:
+        if _ROUTERS is None:
+            _ROUTERS = (_StreamRouter(sys.stdout), _StreamRouter(sys.stderr))
+            sys.stdout, sys.stderr = _ROUTERS
+        _ROUTER_REFS += 1
+    try:
+        yield
+    finally:
+        with _ROUTER_LOCK:
+            _ROUTER_REFS -= 1
+            if _ROUTER_REFS == 0 and _ROUTERS is not None:
+                out_r, err_r = _ROUTERS
+                # only restore what we installed: a job that reassigned
+                # sys.stdout itself keeps its assignment
+                if sys.stdout is out_r:
+                    sys.stdout = out_r._fallback
+                if sys.stderr is err_r:
+                    sys.stderr = err_r._fallback
+                _ROUTERS = None
+
+
 class LogLocator:
     """One job's log destination (loglocator.rb:4-96): a local path (or
     None for no capture) plus an optional ``upload(path)`` callable — the
@@ -142,6 +235,46 @@ class LogLocator:
             os.dup2(saved_err, 2)
             os.close(saved_out)
             os.close(saved_err)
+            f.close()
+            self._ship()
+
+    @contextlib.contextmanager
+    def redirect_thread_stdouts(self):
+        """Per-THREAD capture for the parallel runner: route this thread's
+        ``sys.stdout``/``sys.stderr`` writes into ``path`` while other
+        threads keep writing to their own (or the shared) destination.
+
+        Python-level, not fd-level: ``redirect_stdouts`` dup2's fds 1/2,
+        which is process-global — two concurrent jobs would interleave
+        into whichever file was dup'd last. Here ``thread_stream_routing``
+        has replaced sys.stdout/stderr with per-thread routers, and this
+        context registers the job's file for the current thread only.
+        Trade-off (documented in --parallel's help): writers that bypass
+        sys.stdout — subprocess children of an exec job, C extensions
+        writing to fd 1 — are NOT captured under --parallel; they are
+        under sequential fd-level capture.
+        """
+        if not self.path:
+            yield
+            return
+        routers = _active_routers()
+        if routers is None:
+            raise RuntimeError(
+                "redirect_thread_stdouts requires thread_stream_routing() "
+                "to be installed"
+            )
+        parent = os.path.dirname(self.path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        f = open(self.path, "w", buffering=1, encoding="utf-8")
+        out_r, err_r = routers
+        out_r.push(f)
+        err_r.push(f)
+        try:
+            yield
+        finally:
+            out_r.pop()
+            err_r.pop()
             f.close()
             self._ship()
 

@@ -463,8 +463,12 @@ def char_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # table, the same fixture discipline as the IVF seed): INTEGER in
 # [-1000, 1000] so per-doc sums are exact and order-free in ANY engine —
 # float accumulation order can differ between engines, integer sums
-# cannot. A real deployment swaps ``_bucket_weight`` for a broadcast
-# join against the trained table; the plan shape is unchanged.
+# cannot. The bucket->weight table is MATERIALIZED ONCE on the driver
+# (4096 ints, the exact size a trained table ships at) and embedded as
+# an array literal, so score time does ONE hash + one array lookup per
+# gram instead of re-deriving the weight hash per occurrence. A real
+# deployment swaps ``_weight_table`` for its trained vector; the plan
+# shape — a single projection — is unchanged.
 
 CLASSIFIER_BUCKETS = 4096
 CLASSIFIER_SEED_BUCKET = 8888  # gram -> bucket hash family
@@ -472,12 +476,45 @@ CLASSIFIER_SEED_WEIGHT = 9999  # bucket -> weight hash family
 CLASSIFIER_BIAS = 0.1  # w0: fixture bias term
 
 
-def _gram_weight(gram: Column) -> Column:
-    """gram -> bucket -> integer weight in [-1000, 1000]."""
-    bucket = hash32(gram, CLASSIFIER_SEED_BUCKET) % CLASSIFIER_BUCKETS
-    return (
-        hash32(bucket.cast("string"), CLASSIFIER_SEED_WEIGHT) % 2001 - 1000
-    )
+def _weight_table() -> list[int]:
+    """bucket -> integer weight in [-1000, 1000].
+
+    Same values as hash32(str(bucket), SEED_WEIGHT) % 2001 - 1000 computed
+    per-row (the q83 DuckDB oracle still derives them that way), but
+    evaluated once here: md5("<seed>|<bucket>") first-8-hex as uint32.
+    """
+    import hashlib
+
+    out = []
+    for b in range(CLASSIFIER_BUCKETS):
+        h = hashlib.md5(
+            f"{CLASSIFIER_SEED_WEIGHT}|{b}".encode()
+        ).hexdigest()[:8]
+        out.append(int(h, 16) % 2001 - 1000)
+    return out
+
+
+_WEIGHTS_COL: Column | None = None
+
+
+def _weights_lit() -> Column:
+    """The weight table as a TRUE array Literal (a JVM long[]).
+
+    ``F.lit(list)`` builds a CreateArray of 4096 literal children, and
+    Catalyst does not constant-fold inside HOF lambda bodies — the array
+    would be re-materialized per aggregate step (measured ~2 s at sf0.1,
+    worse than re-hashing). A numpy int64 array lits as ONE ArrayType
+    Literal, so ``element_at`` is a plain O(1) index read. The Column is
+    cached module-wide: the np->JVM conversion costs ~0.5 s of py4j
+    traffic, paid once per process, not per query build (a Literal holds
+    no SparkContext state, so it survives session restarts in-process).
+    """
+    global _WEIGHTS_COL
+    if _WEIGHTS_COL is None:
+        import numpy as np
+
+        _WEIGHTS_COL = F.lit(np.array(_weight_table(), dtype=np.int64))
+    return _WEIGHTS_COL
 
 
 def hashed_ngram_score(
@@ -489,26 +526,60 @@ def hashed_ngram_score(
     averages over occurrences, not the distinct set). Everything is
     Catalyst HOFs over the per-row word array — transform/zip_with/
     aggregate — so the plan is one projection: no explode, no shuffle,
-    no Python. Returns (id, n_grams, score, keep).
+    no Python. Per gram: one hash32 -> bucket, then an element_at into
+    the materialized weight-table literal. NULL-text docs are dropped
+    (the oracle's UNNEST over a NULL word list yields no rows; a doc
+    with no text has no grams to score). Returns (id, n_grams, score,
+    keep).
     """
+    wtab = _weights_lit()
+
+    def gram_weight(gram: Column) -> Column:
+        idx = (hash32(gram, CLASSIFIER_SEED_BUCKET) % CLASSIFIER_BUCKETS) + 1
+        return F.element_at(wtab, idx.cast("int"))
+
+    df = df.where(F.col(text_col).isNotNull())
+    # compute-bound row-local scoring: guarantee parallelism >= cores.
+    # A single sub-128MB input file (one row group) scans as ONE task and
+    # serializes ~all the work onto one core; the repartition shuffle
+    # moves only that small input once. At corpus scale the scan already
+    # has >= cores splits and this no-ops.
+    spark = df.sparkSession
+    min_par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_par:
+        df = df.repartition(min_par)
     words = F.split(normalize_text(F.col(text_col)), " ")
     bigrams = F.zip_with(
         F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
         F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    grams = F.concat(words, bigrams)
-    total = F.aggregate(
-        grams, F.lit(0).cast("bigint"), lambda acc, g: acc + _gram_weight(g)
-    )
-    n = F.size(grams).cast("bigint")
-    z = F.lit(CLASSIFIER_BIAS) + (total.cast("double") / n.cast("double")) / F.lit(
-        1000.0
-    )
-    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
-    return df.select(
+    # materialize grams in their own projection (CollapseProject keeps it:
+    # the array is referenced twice and split/zip_with are not cheap), so
+    # the gram pipeline runs once, not once per consumer
+    gdf = df.select(F.col(id_col), F.concat(words, bigrams).alias("_grams"))
+    # project the aggregate ONCE, then derive score/keep from the column:
+    # referencing the HOF expression from both `score` and `keep` would
+    # re-run the whole per-gram aggregation per reference (interpreted
+    # HOFs get no common-subexpression elimination; measured 2x)
+    sums = gdf.select(
         F.col(id_col),
-        n.alias("n_grams"),
-        score.alias("score"),
-        (score >= F.lit(threshold)).alias("keep"),
+        F.size("_grams").cast("bigint").alias("n_grams"),
+        F.aggregate(
+            "_grams", F.lit(0).cast("bigint"), lambda acc, g: acc + gram_weight(g)
+        ).alias("_total"),
+    )
+    z = F.lit(CLASSIFIER_BIAS) + (
+        F.col("_total").cast("double") / F.col("n_grams").cast("double")
+    ) / F.lit(1000.0)
+    scored = sums.select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.col("score"),
+        (F.col("score") >= F.lit(threshold)).alias("keep"),
     )

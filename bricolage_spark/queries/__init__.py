@@ -51,18 +51,59 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # not theme: queries that have never / only stale-ly received a driver row
 # come right after the core, and the clip falls on queries that are already
 # driver-green in multiple rounds (listed in ``_CLIP_LAST``).
+# Round-7 rotation: the 35-query cohort whose newest driver row is r4
+# (two rounds stale after being clipped in r5 AND r6 — including q57/q58,
+# twice-deferred) takes the window, followed by q72/q73 (newest row r5)
+# and q82/q83 (single-green r6, need a second row).  New round-7 queries
+# register outside both lists and land at the head automatically.
 _EVIDENCE_FIRST = [
-    # round 5 additions — never driver-checked:
-    "q74_duplicate_spans",
-    "q75_lm_perplexity",
-    "q76_url_canonical_dedup",
-    "q77_semantic_dedup",
-    "q78_span_coverage",
-    "q79_winnowing_fingerprints",
-    "q80_curation_verdicts",
-    "q81_zipf_fit",
-    # last driver row in round 3 (clipped in r4) — rotate back in so no
-    # query's newest driver-green row is older than two rounds:
+    # newest driver row r4 — 35 queries, the whole stale cohort:
+    "q03_group_aggregate",
+    "q05_tpch_q1",
+    "q06_inner_join",
+    "q07_broadcast_join",
+    "q08_outer_join",
+    "q09_semi_anti_join",
+    "q10_cross_theta_join",
+    "q11_tpch_q3",
+    "q12d_unpivot",
+    "q13_window_rank",
+    "q14_window_analytic",
+    "q15_topk_per_group",
+    "q16_global_topk",
+    "q26_distinct_percentiles",
+    "q26b_approx_aggregates",
+    "q28_insert_delta",
+    "q29_rebuild",
+    "q30_streaming_load_dedup",
+    "q41_multimodal_features",
+    "q43_asof_join",
+    "q44_tumbling_window",
+    "q45_sliding_window",
+    "q46_salted_aggregate",
+    "q47_salted_join",
+    "q48_ngram_jaccard_neardup",
+    "q49_ann_ivf",
+    "q50_dedup_clusters",
+    "q51_contamination",
+    "q52_stratified_sample",
+    "q53_boilerplate_ngrams",
+    "q54_sequence_packing",
+    "q55_sessionization",
+    "q56_pii_redaction",
+    "q57_quality_repetition",
+    "q58_doc_top_word",
+    # newest driver row r5 (clipped r6 by the q82/q83 additions):
+    "q72_snapshot_diff",
+    "q73_pmi_collocations",
+    # single-green (first rows r6) — second consecutive row:
+    "q82_incremental_neardup",
+    "q83_hashed_ngram_classifier",
+]
+
+# Explicitly demoted to the tail (absorb the driver's >50 clip): every
+# entry is r5+r6 double-green on the driver (48 queries).
+_CLIP_LAST = [
     "q01_scan_projection",
     "q02_filter_predicates",
     "q04_global_aggregate",
@@ -90,10 +131,6 @@ _EVIDENCE_FIRST = [
     "q39_quality_score",
     "q40_fingerprint",
     "q42_embedding_neardup",
-    # single driver-green round so far (first rows in r4) — keep in the
-    # window to build multi-round evidence (q57/q58 defer to r6: the
-    # window is exactly 50 and the never-checked round-5 additions
-    # outrank a second row):
     "q59_source_overlap",
     "q60_bm25_retrieval",
     "q61_dedup_best_of_cluster",
@@ -107,51 +144,14 @@ _EVIDENCE_FIRST = [
     "q69_ngram_novelty",
     "q70_length_histogram",
     "q71_language_label_audit",
-    "q72_snapshot_diff",
-    "q73_pmi_collocations",
-]
-
-# Explicitly demoted to the tail (absorb the driver's >50 clip): every
-# entry must already have at least one driver-green CORRECTNESS row;
-# all are multi-round green (r1–r4 or r3+r4) EXCEPT entries annotated as
-# single-round deferrals, which must rotate back into the window next
-# round.
-_CLIP_LAST = [
-    "q03_group_aggregate",
-    "q48_ngram_jaccard_neardup",
-    "q50_dedup_clusters",
-    "q51_contamination",
-    "q57_quality_repetition",  # SINGLE-green (r4) deferral — restore in r6
-    "q58_doc_top_word",  # SINGLE-green (r4) deferral — restore in r6
-    "q05_tpch_q1",
-    "q06_inner_join",
-    "q07_broadcast_join",
-    "q08_outer_join",
-    "q09_semi_anti_join",
-    "q10_cross_theta_join",
-    "q11_tpch_q3",
-    "q12d_unpivot",
-    "q13_window_rank",
-    "q14_window_analytic",
-    "q15_topk_per_group",
-    "q16_global_topk",
-    "q26_distinct_percentiles",
-    "q26b_approx_aggregates",
-    "q28_insert_delta",
-    "q29_rebuild",
-    "q30_streaming_load_dedup",
-    "q41_multimodal_features",
-    "q43_asof_join",
-    "q44_tumbling_window",
-    "q45_sliding_window",
-    "q46_salted_aggregate",
-    "q47_salted_join",
-    "q49_ann_ivf",
-    "q52_stratified_sample",
-    "q53_boilerplate_ngrams",
-    "q54_sequence_packing",
-    "q55_sessionization",
-    "q56_pii_redaction",
+    "q74_duplicate_spans",
+    "q75_lm_perplexity",
+    "q76_url_canonical_dedup",
+    "q77_semantic_dedup",
+    "q78_span_coverage",
+    "q79_winnowing_fingerprints",
+    "q80_curation_verdicts",
+    "q81_zipf_fit",
 ]
 
 

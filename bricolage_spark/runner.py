@@ -23,6 +23,7 @@ live Py4J/JVM sockets it could corrupt.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 from dataclasses import dataclass
@@ -199,10 +200,15 @@ class JobNetRunner:
         dependency (pseudo nodes collapsed — jobnet.real_job_dependencies)
         has succeeded; the first failure stops NEW launches, in-flight
         jobs finish, and unreached jobs stay ``waiting`` so a re-run
-        resumes exactly like the sequential path. Not combinable with
-        per-job log capture (fd redirection is process-global), fork
-        isolation (fork from a threaded runner can deadlock the child),
-        or the DB queue (per-transition writes are connection-bound).
+        resumes exactly like the sequential path. Per-job log capture
+        works concurrently via a Python-level per-thread stream router
+        (loglocator.thread_stream_routing) instead of the sequential
+        path's process-global dup2 — the one capture difference is that
+        direct-fd writers (an exec job's subprocess, C extensions) stay
+        on the runner's stdout under --parallel. Not combinable with
+        fork isolation (fork from a threaded runner can deadlock the
+        child) or the DB queue (per-transition writes are
+        connection-bound).
         """
         # pre-compile everything (check_jobs parity: fail before running)
         net, order, jobs = self.compile_net(jobnet_path, cmd_variables)
@@ -226,12 +232,6 @@ class JobNetRunner:
             )
 
         if parallel > 1:
-            if self.log_path is not None:
-                raise ApplicationError(
-                    "--parallel cannot be combined with per-job log capture: "
-                    "fd redirection is process-global and concurrent jobs "
-                    "would interleave into each other's files"
-                )
             if self.isolate:
                 raise ApplicationError(
                     "--parallel cannot be combined with --isolate: forking "
@@ -350,11 +350,17 @@ class JobNetRunner:
                 jobs[job_name] = job
             return job
 
+        jobnet_start_time = datetime.now()
+
         def run_one(job_name: str) -> None:
             job = get_job(job_name)
             self.ctx.hooks.fire("before_job", job=job, ref=job_name)
             try:
-                result = job.execute()
+                locator = self._log_locator(
+                    net.root.ref, job_name, jobnet_start_time
+                )
+                with locator.redirect_thread_stdouts():
+                    result = job.execute()
                 ok, message = True, result.message
             except (JobFailure, ApplicationError, OSError) as err:
                 ok, message = False, str(err)
@@ -366,8 +372,15 @@ class JobNetRunner:
                 status="succeeded" if ok else "failed",
             )
 
+        from bricolage_spark.loglocator import thread_stream_routing
+
+        stack = contextlib.ExitStack()
+        if self.log_path is not None:
+            # install the per-thread router ONCE around the whole loop;
+            # each worker registers its job's file for its own thread
+            stack.enter_context(thread_stream_routing())
         try:
-            with ThreadPoolExecutor(
+            with stack, ThreadPoolExecutor(
                 max_workers=max(1, min(parallel, len(order_s) or 1)),
                 thread_name_prefix="jobnet",
             ) as pool:

@@ -713,7 +713,6 @@ def test_parallel_respects_dependencies_and_failure_stops_launches(
 
 def test_parallel_rejects_unsupported_combos(engine, home, tmp_path):
     from bricolage_spark.exception import ApplicationError
-    from bricolage_spark.loglocator import LogFilePath
 
     write_job(home, "a.job", "class: noop\n")
     (home / "subsys" / "net.jobnet").write_text("a\n")
@@ -721,16 +720,53 @@ def test_parallel_rejects_unsupported_combos(engine, home, tmp_path):
     import pytest as _pt
 
     net = str(home / "subsys" / "net.jobnet")
-    with _pt.raises(ApplicationError, match="log capture"):
-        JobNetRunner(c, log_path=LogFilePath(str(tmp_path / "%{job}.log"))).run(
-            net, clear_queue=True, parallel=2
-        )
     with _pt.raises(ApplicationError, match="isolate"):
         JobNetRunner(c, isolate=True).run(net, clear_queue=True, parallel=2)
     with _pt.raises(ApplicationError, match="file or memory queue"):
         JobNetRunner(c, db_dsn=str(tmp_path / "q.db")).run(
             net, clear_queue=True, parallel=2
         )
+
+
+def test_parallel_per_job_log_capture_is_disjoint(engine, home, tmp_path):
+    """--parallel + per-job logs: two jobs GUARANTEED concurrent (barrier
+    rendezvous inside the jobs) each get their own log file containing
+    only their own output — the per-thread stream router does not
+    interleave, and the runner's own sys.stdout is restored after."""
+    import sys as _sys
+    import threading
+
+    from bricolage_spark.jobs import JobResult, jobclass
+    from bricolage_spark.loglocator import LogFilePath
+    from bricolage_spark.runner import JobNetRunner
+
+    barrier = threading.Barrier(2, timeout=30)
+    orig_out = _sys.stdout
+
+    @jobclass("sync_chatty")
+    def sync_chatty(job):
+        who = job.param("who")
+        barrier.wait()  # both jobs are inside their capture context NOW
+        for i in range(50):
+            print(f"line {i} from {who}")
+        barrier.wait()  # neither exits capture before the other finishes
+        return JobResult(message="ok")
+
+    write_job(home, "a.job", "class: sync_chatty\nwho: aaa\n")
+    write_job(home, "b.job", "class: sync_chatty\nwho: bbb\n")
+    # no edge between a and b: independent branches -> run concurrently
+    (home / "subsys" / "net.jobnet").write_text("a\nb\n")
+    c = ctx_for(engine, home)
+    tpl = LogFilePath(str(tmp_path / "plogs" / "%{subsystem}-%{job}.log"))
+    report = JobNetRunner(c, log_path=tpl).run(
+        str(home / "subsys" / "net.jobnet"), clear_queue=True, parallel=2
+    )
+    assert report.success
+    for name, mine, other in (("a", "aaa", "bbb"), ("b", "bbb", "aaa")):
+        text = (tmp_path / "plogs" / f"subsys-{name}.log").read_text()
+        assert text.count(f"from {mine}") == 50, name
+        assert f"from {other}" not in text, name
+    assert _sys.stdout is orig_out  # router uninstalled after the run
 
 
 def test_real_job_dependencies_collapses_pseudo_nodes(tmp_path):

@@ -945,3 +945,44 @@ def test_incremental_neardup_flags_two_batch_registry(spark):
     }
     assert flags[10] == (8, True)  # identical text: every band bucket hits
     assert flags[11] == (0, False)  # disjoint vocabulary: no bucket hits
+
+
+def test_hashed_ngram_score_matches_reference_derivation(spark):
+    """The materialized bucket->weight table must stay byte-identical to
+    the per-gram hash derivation the DuckDB oracle still uses: recompute
+    one doc's score by hand (hash gram -> bucket -> weight) and compare."""
+    import hashlib
+
+    def h32(s: str, seed: int) -> int:
+        return int(
+            hashlib.md5(f"{seed}|{s}".encode()).hexdigest()[:8], 16
+        )
+
+    text = "the quick brown fox jumps over the quick dog"
+    words = text.split(" ")
+    grams = words + [f"{a} {b}" for a, b in zip(words, words[1:])]
+    total = 0
+    for g in grams:
+        b = h32(g, T.CLASSIFIER_SEED_BUCKET) % T.CLASSIFIER_BUCKETS
+        total += h32(str(b), T.CLASSIFIER_SEED_WEIGHT) % 2001 - 1000
+    z = T.CLASSIFIER_BIAS + (total / len(grams)) / 1000.0
+    want = round(1.0 / (1.0 + math.exp(-z)), 6)
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = T.hashed_ngram_score(df, "doc_id", "text").collect()[0]
+    assert row.n_grams == len(grams)
+    assert abs(row.score - want) < 1e-9
+    assert row.keep == (want >= 0.5)
+
+
+def test_hashed_ngram_score_drops_null_text(spark):
+    """NULL-text docs are dropped (oracle parity: UNNEST over a NULL word
+    list yields no rows) — not emitted with null/-1 fields; empty text
+    still scores (one empty-string unigram, as both engines split it)."""
+    df = spark.createDataFrame(
+        [(1, "real text here"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in T.hashed_ngram_score(df, "doc_id", "text").collect()}
+    assert set(rows) == {1, 3}
+    assert rows[3].n_grams == 1
