@@ -1,0 +1,197 @@
+"""LLM-data curation job classes (Spark-first extensions; SURVEY.md §2.7).
+
+The reference's job-class surface stops at warehouse verbs (load, insert,
+rebuild, ...). A training-data pipeline additionally needs the curation
+operators (quality classifier, cross-snapshot near-dedup, registry
+maintenance) runnable as jobnet stages with the same parameter/resume
+contract — these classes wrap the operators in
+``bricolage_spark.operators`` so the example curation jobnet and a real
+recurring crawl can compose them declaratively.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from bricolage_spark.exception import ParameterError
+from bricolage_spark.jobs import Job, JobResult, jobclass
+from bricolage_spark.parameters import ParamSchema, StringParam, TableParam
+
+
+@jobclass(
+    "classifier-filter",
+    schema=ParamSchema(
+        [
+            TableParam("dest-table"),
+            TableParam("src-table"),
+            StringParam("text-column", optional=True),
+            StringParam("threshold", optional=True),
+        ]
+    ),
+)
+def classifier_filter(job: Job) -> JobResult:
+    """Keep only docs the hashed-ngram quality classifier accepts (q83).
+
+    Row-local scoring (operators.textual.hashed_ngram_keep): the keep
+    predicate evaluates inside the scan of ``src-table`` — zero shuffle,
+    the weight table is a broadcast-sized literal. The stage-and-swap
+    write is the only data movement.
+    """
+    from bricolage_spark.operators.textual import hashed_ngram_keep
+
+    dest = job.require("dest-table")
+    src = job.require("src-table")
+    text_col = str(job.param("text-column", "text"))
+    threshold = float(job.param("threshold", 0.5))
+    kept = job.engine.table(src).where(hashed_ngram_keep(text_col, threshold))
+    n = job.engine.save_table(kept, dest, mode="overwrite")
+    return JobResult(
+        message=f"classifier kept {n} docs from {src} (threshold {threshold})",
+        rows=n,
+    )
+
+
+@jobclass(
+    "neardup-history",
+    schema=ParamSchema(
+        [
+            TableParam("dest-table"),
+            TableParam("src-table"),
+            TableParam("registry-table"),
+            StringParam("id-column", optional=True),
+            StringParam("text-column", optional=True),
+            StringParam("snapshot", optional=True),
+        ]
+    ),
+)
+def neardup_history(job: Job) -> JobResult:
+    """Cross-snapshot near-dedup stage (q82): drop batch docs that
+    near-duplicate ANY previously ingested snapshot, then append the
+    surviving docs' band signatures to the registry.
+
+    The probe touches only the registry's ~40-byte (band_id, band_hash)
+    rows — one left-semi join + a doc-keyed count; history bodies are
+    never rescanned, so a recurring crawl pays O(batch) per snapshot.
+    A missing registry table bootstraps empty (first snapshot keeps
+    everything). The registry append records this batch's bands with an
+    optional ``snapshot`` label so ``registry-compact`` can age out and
+    keep first-seen metadata. The probe/append body is shared with the
+    streaming foreachBatch path
+    (``streaming.curation.curate_batch_against_history``).
+    """
+    from bricolage_spark.streaming.curation import curate_batch_against_history
+
+    dest = job.require("dest-table")
+    src = job.require("src-table")
+    reg_table = job.require("registry-table")
+    kept = curate_batch_against_history(
+        job.engine.table(src),
+        job.engine,
+        reg_table,
+        id_col=str(job.param("id-column", "doc_id")),
+        text_col=str(job.param("text-column", "text")),
+        snapshot=job.param("snapshot"),
+    )
+    n = job.engine.save_table(kept, dest, mode="overwrite")
+    return JobResult(
+        message=f"{n} docs survive history near-dedup into {dest}; "
+        f"bands appended to {reg_table}",
+        rows=n,
+    )
+
+
+@jobclass(
+    "registry-compact",
+    schema=ParamSchema(
+        [
+            TableParam("dest-table"),
+            StringParam("key-columns", optional=True),
+            StringParam("snapshot-column", optional=True),
+            StringParam("keep-snapshots", optional=True),
+            StringParam("target-partitions", optional=True),
+        ]
+    ),
+)
+def registry_compact(job: Job) -> JobResult:
+    """Maintain an append-only dedup registry (completes q67/q82).
+
+    Digest registries (one ``content_hash`` per ingested doc) and LSH
+    band registries (``band_id, band_hash`` per signature band) grow by
+    appending each batch's rows. After many snapshots they hold the same
+    key many times (a common band recurs in every batch) and thousands
+    of small part files — both tax the per-batch probe join that keeps
+    incremental dedup O(batch). This job compacts without changing any
+    probe verdict (a left-semi/anti join only tests key EXISTENCE):
+
+    - ``key-columns`` (comma list; default: all columns) — output keeps
+      exactly one row per distinct key;
+    - ``snapshot-column`` — when set, non-key columns survive from the
+      EARLIEST-snapshot row per key (min_by via a struct-min aggregate:
+      one shuffle of key+payload, no window), so "first seen" metadata
+      is stable under compaction; without it the representative row is
+      arbitrary (``dropDuplicates``);
+    - ``keep-snapshots`` N — optional age-out: rows whose snapshot value
+      is not among the newest N distinct snapshots are dropped first
+      (the distinct-snapshot list is batch-count-sized metadata, safe to
+      collect at any corpus scale);
+    - the rewrite is stage-and-swap at ``target-partitions`` files (or
+      the vacuum heuristic, current file count / 4).
+    """
+    dest = job.require("dest-table")
+    df = job.engine.table(dest)
+    all_cols = df.columns
+    keys_raw = job.param("key-columns")
+    keys = (
+        [c.strip() for c in str(keys_raw).split(",") if c.strip()]
+        if keys_raw
+        else list(all_cols)
+    )
+    snap = job.param("snapshot-column")
+    for c in keys + ([snap] if snap else []):
+        if c not in all_cols:
+            raise ParameterError(f"registry-compact: no such column: {c}")
+
+    dropped_snapshots = 0
+    if snap and job.param("keep-snapshots"):
+        n_keep = int(job.param("keep-snapshots"))
+        snaps = [r[0] for r in df.select(snap).distinct().collect()]
+        newest = sorted(snaps, reverse=True)[:n_keep]
+        dropped_snapshots = len(snaps) - len(newest)
+        if dropped_snapshots:
+            df = df.where(F.col(snap).isin(newest))
+
+    others = [c for c in all_cols if c not in keys]
+    if not others:
+        compacted = df.distinct()
+    elif snap:
+        # earliest-snapshot representative per key: min over a struct
+        # ordered (snapshot, payload...) — an ordinary partial-aggregable
+        # min, no single-partition window
+        payload = [snap] + [c for c in others if c != snap]
+        compacted = (
+            df.groupBy(*keys)
+            .agg(F.min(F.struct(*[F.col(c) for c in payload])).alias("_rep"))
+            .select(*keys, *[F.col(f"_rep.{c}").alias(c) for c in payload])
+            .select(*all_cols)
+        )
+    else:
+        compacted = df.dropDuplicates(keys)
+
+    tdir = job.engine.table_dir(dest)
+    n_files = sum(
+        1
+        for _root, _dirs, files in os.walk(tdir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n = int(job.param("target-partitions") or 0) or max(1, n_files // 4)
+    rows = job.engine.save_table(compacted.repartition(n), dest, mode="overwrite")
+    return JobResult(
+        message=(
+            f"compacted {dest}: {rows} distinct keys, {n_files}->{n} "
+            f"file target, {dropped_snapshots} snapshot(s) aged out"
+        ),
+        rows=rows,
+    )

@@ -517,6 +517,43 @@ def _weights_lit() -> Column:
     return _WEIGHTS_COL
 
 
+def hashed_ngram_keep(text_col: str, threshold: float = 0.5) -> Column:
+    """Row-local boolean: would ``hashed_ngram_score`` keep this doc?
+
+    The same score as a single Column expression, for use as a FILTER
+    predicate inside a larger pipeline (batch or streaming micro-batch
+    scan) where the caller doesn't want the score columns — e.g. the
+    classifier-keep stage of a curation jobnet. NULL text -> NULL ->
+    filtered out, matching hashed_ngram_score's dropped-doc semantics.
+    Evaluated once per row (single consumer), so the projection-splitting
+    hashed_ngram_score needs does not apply here.
+    """
+    wtab = _weights_lit()
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    grams = F.concat(words, bigrams)
+    total = F.aggregate(
+        grams,
+        F.lit(0).cast("bigint"),
+        lambda acc, g: acc
+        + F.element_at(
+            wtab,
+            ((hash32(g, CLASSIFIER_SEED_BUCKET) % CLASSIFIER_BUCKETS) + 1).cast(
+                "int"
+            ),
+        ),
+    )
+    z = F.lit(CLASSIFIER_BIAS) + (
+        total.cast("double") / F.size(grams).cast("double")
+    ) / F.lit(1000.0)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return score >= F.lit(threshold)
+
+
 def hashed_ngram_score(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
 ) -> DataFrame:

@@ -37,21 +37,115 @@ def curate_stream(
     text_col: str = "text",
     ts_col: str = "ts",
     watermark: str = "1 hour",
+    classifier_threshold: float | None = 0.5,
 ) -> DataFrame:
-    """Quality-filter, redact, and first-seen-dedup a document stream.
+    """Quality-filter, classify, redact, and first-seen-dedup a document
+    stream.
 
     Works on streaming and batch DataFrames alike. Output schema: the
     input columns (with ``text_col`` redacted) plus ``content_digest``.
     Dedup keys on the digest of the normalized REDACTED text, so two
     spam blasts differing only in the scrubbed email address collapse to
-    one kept document. Both quality gates (repetition + char entropy)
-    are row-local Catalyst predicates fused into the micro-batch scan.
+    one kept document. All quality gates — repetition, char entropy, and
+    the hashed-ngram quality classifier (q83's keep verdict; disable
+    with ``classifier_threshold=None``) — are row-local Catalyst
+    predicates fused into the micro-batch scan: zero streaming state
+    beyond the watermark-bounded dedup. The classifier scores the
+    PRE-redaction text (redaction replaces PII with fixed tags that
+    would perturb the gram distribution).
     """
-    curated = (
-        entropy_filter(repetition_filter(docs, text_col), text_col)
-        .withColumn(text_col, redact_pii(F.col(text_col)))
-        .withColumn("content_digest", F.md5(normalize_text(F.col(text_col))))
-    )
+    from bricolage_spark.operators.textual import hashed_ngram_keep
+
+    curated = entropy_filter(repetition_filter(docs, text_col), text_col)
+    if classifier_threshold is not None:
+        curated = curated.where(
+            hashed_ngram_keep(text_col, classifier_threshold)
+        )
+    curated = curated.withColumn(
+        text_col, redact_pii(F.col(text_col))
+    ).withColumn("content_digest", F.md5(normalize_text(F.col(text_col))))
     return dedup_within_watermark(
         curated, ["content_digest"], ts_col=ts_col, watermark=watermark
     )
+
+
+def curate_batch_against_history(
+    batch: DataFrame,
+    engine,
+    registry_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    snapshot: str | None = None,
+) -> DataFrame:
+    """The cross-snapshot near-dedup stage (q82) at the micro-batch
+    boundary — the body of a ``foreachBatch`` sink.
+
+    Stream-side joins can't express "no band of this doc appears in the
+    registry" (a non-equi aggregate condition), and the registry append
+    must be transactional with the batch — so this is deliberately a
+    BATCH function over each micro-batch, the standard foreachBatch
+    merge pattern:
+
+        def sink(batch_df, epoch_id):
+            kept = curate_batch_against_history(batch_df, engine, "band_registry")
+            engine.save_table(kept, "curated_corpus", mode="append")
+
+    Probes the persisted band registry with one left-semi join of
+    ~40-byte band rows (history bodies never rescanned), drops batch
+    docs that near-duplicate ANY prior snapshot, and appends the
+    survivors' bands to the registry. Run ``registry-compact``
+    periodically to keep the registry one-row-per-key.
+
+    Idempotency: with a ``snapshot`` label the stage is safely
+    re-runnable (a resumed jobnet, a replayed epoch) — the probe
+    EXCLUDES rows labeled with the current snapshot (a re-run must not
+    see its own bands as "history" and drop the whole batch), and the
+    registry write is insert-delta style: old-minus-this-snapshot plus
+    the new bands, staged and swapped, so replays never double-append.
+    Without a label the registry is append-only and a replay
+    double-appends (harmless for verdicts — probes test existence —
+    but ``registry-compact`` is then the cleanup).
+    """
+    from bricolage_spark.operators import dedup as D
+
+    shingles = D.word_shingles(batch, id_col, text_col, k=3)
+    sigs = D.minhash_signatures(shingles, id_col, num_hashes=16)
+    bands = D.band_buckets(sigs, id_col, bands=8, rows_per_band=2)
+
+    have_registry = engine.table_exists(registry_table)
+    prior = engine.table(registry_table) if have_registry else None
+    if prior is not None and snapshot is not None and "snapshot" in prior.columns:
+        prior = prior.where(F.col("snapshot") != F.lit(str(snapshot)))
+
+    if prior is not None:
+        flags = D.incremental_neardup_flags(
+            bands, prior.select("band_id", "band_hash"), id_col
+        )
+        # materialize NOW (id-only rows, O(batch)): the registry write
+        # below swaps the files `prior` reads, so a verdict evaluated
+        # lazily after it would scan the replaced registry
+        keep_ids = (
+            flags.where(~F.col("hist_neardup"))
+            .select(id_col)
+            .localCheckpoint(eager=True)
+        )
+    else:
+        keep_ids = batch.select(id_col)
+    kept = batch.join(keep_ids, id_col, "left_semi")
+
+    new_bands = bands.join(keep_ids, id_col, "left_semi").select(
+        "band_id", "band_hash"
+    )
+    if snapshot is not None:
+        new_bands = new_bands.withColumn("snapshot", F.lit(str(snapshot)))
+    if prior is not None and snapshot is not None and "snapshot" in prior.columns:
+        engine.save_table(
+            prior.unionByName(new_bands), registry_table, mode="overwrite"
+        )
+    else:
+        engine.save_table(
+            new_bands,
+            registry_table,
+            mode="append" if have_registry else "overwrite",
+        )
+    return kept

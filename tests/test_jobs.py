@@ -386,8 +386,9 @@ def test_runner_queue_path_and_db_dsn_selection(engine, home, tmp_path):
 
 def test_example_curation_home_runs_end_to_end(engine, tmp_path):
     """The shipped examples/curation_home jobnet (load → quality filter →
-    dedup → domain caps → two parallel report branches → stats) runs
-    green against the sf0.001 testdata under --parallel 2."""
+    classifier filter → dedup → history near-dedup + registry compaction
+    → domain caps → two parallel report branches → stats) runs green
+    against the sf0.001 testdata under --parallel 2."""
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ex_home = os.path.join(repo_root, "examples", "curation_home")
     c = Context(engine, home=ex_home)
@@ -404,12 +405,22 @@ def test_example_curation_home_runs_end_to_end(engine, tmp_path):
     ).distinct().count()
     raw = engine.table("raw_documents").count()
     clean = engine.table("clean_documents").count()
+    scored = engine.table("scored_documents").count()
     ded = engine.table("dedup_documents").count()
+    fresh = engine.table("fresh_documents").count()
     capped = engine.table("capped_documents").count()
     assert raw == 500
     assert 0 < clean <= raw          # the repetition filter drops some docs
-    assert 0 < ded <= clean          # dedup never grows the corpus
-    assert 0 < capped <= ded         # domain caps never grow the corpus
+    assert 0 < scored <= clean       # classifier keeps a subset
+    assert 0 < ded <= scored         # dedup never grows the corpus
+    assert 0 < fresh <= ded          # history probe never grows the corpus
+    assert fresh == ded              # first snapshot: empty registry keeps all
+    # the compacted band registry holds the surviving docs' bands, one
+    # row per key, labeled with the snapshot variable
+    reg = engine.table("band_registry")
+    assert reg.count() == reg.select("band_id", "band_hash").distinct().count()
+    assert reg.select("snapshot").distinct().collect()[0][0] == "snapshot0"
+    assert 0 < capped <= fresh       # domain caps never grow the corpus
     from pyspark.sql import functions as SF
     per_source = engine.table("capped_documents").groupBy("source").count()
     assert per_source.agg(SF.max("count")).first()[0] <= 40
@@ -838,3 +849,103 @@ def test_db_queue_resume_with_added_job(engine, home, tmp_path):
     assert r2.success
     assert {"subsys/bad", "subsys/cnew"} <= set(r2.succeeded)
     assert "subsys/a" in r2.skipped
+
+
+def test_registry_compact_dedups_and_preserves_probe_verdicts(engine, home, spark):
+    """A band registry appended over three snapshots is compacted to one
+    row per (band_id, band_hash) with first-seen snapshot retained, fewer
+    files — and a q82-style probe returns identical flags before/after."""
+    import os as _os
+
+    rows = [
+        # snapshot 1 ingests bands A,B; snapshot 2 re-sees A and adds C;
+        # snapshot 3 re-sees everything (worst-case duplication)
+        (1, "A", 100), (1, "B", 100),
+        (1, "A", 200), (2, "C", 200),
+        (1, "A", 300), (1, "B", 300), (2, "C", 300),
+    ]
+    for snap in (100, 200, 300):
+        batch = [(b, h, s) for (b, h, s) in rows if s == snap]
+        engine.save_table(
+            spark.createDataFrame(batch, "band_id int, band_hash string, snapshot int"),
+            "band_registry",
+            mode="append" if snap > 100 else "overwrite",
+        )
+
+    from bricolage_spark.operators.dedup import incremental_neardup_flags
+
+    probe = spark.createDataFrame(
+        [(10, 1, "A"), (10, 1, "B"), (11, 2, "ZZZ")],
+        "doc_id long, band_id int, band_hash string",
+    )
+
+    def flags():
+        reg = engine.table("band_registry").select("band_id", "band_hash")
+        return {
+            r.doc_id: (r.n_hit_bands, r.hist_neardup)
+            for r in incremental_neardup_flags(probe, reg, "doc_id").collect()
+        }
+
+    before = flags()
+    files_before = sum(
+        1 for _r, _d, fs in _os.walk(engine.table_dir("band_registry"))
+        for f in fs if f.endswith(".parquet")
+    )
+    r = run_job(
+        engine, home, "compact.job",
+        "class: registry-compact\ndest-table: band_registry\n"
+        "key-columns: band_id, band_hash\nsnapshot-column: snapshot\n"
+        "target-partitions: 1\n",
+    )
+    assert r.success and r.rows == 3  # A, B, C — one row per key
+    files_after = sum(
+        1 for _r, _d, fs in _os.walk(engine.table_dir("band_registry"))
+        for f in fs if f.endswith(".parquet")
+    )
+    assert files_after < files_before
+    compacted = {
+        (row.band_id, row.band_hash): row.snapshot
+        for row in engine.table("band_registry").collect()
+    }
+    # first-seen snapshot survives compaction
+    assert compacted == {(1, "A"): 100, (1, "B"): 100, (2, "C"): 200}
+    assert flags() == before  # probe verdicts unchanged
+
+
+def test_registry_compact_ages_out_old_snapshots(engine, home, spark):
+    """keep-snapshots N retains only the newest N distinct snapshots
+    before deduping — the TTL story for a rolling-window registry."""
+    engine.save_table(
+        spark.createDataFrame(
+            [("h1", 1), ("h2", 2), ("h2", 3), ("h3", 3)],
+            "content_hash string, snapshot int",
+        ),
+        "digest_registry",
+    )
+    r = run_job(
+        engine, home, "ttl.job",
+        "class: registry-compact\ndest-table: digest_registry\n"
+        "key-columns: content_hash\nsnapshot-column: snapshot\n"
+        "keep-snapshots: 2\n",
+    )
+    assert r.success
+    out = {
+        (row.content_hash, row.snapshot)
+        for row in engine.table("digest_registry").collect()
+    }
+    # snapshot 1 aged out entirely; h2 keeps its earliest REMAINING snapshot
+    assert out == {("h2", 2), ("h3", 3)}
+    assert "1 snapshot(s) aged out" in r.message
+
+
+def test_registry_compact_rejects_unknown_column(engine, home, spark):
+    from bricolage_spark.exception import ParameterError
+
+    engine.save_table(
+        spark.createDataFrame([("x",)], "content_hash string"), "reg_bad"
+    )
+    with pytest.raises(ParameterError, match="no such column"):
+        run_job(
+            engine, home, "bad.job",
+            "class: registry-compact\ndest-table: reg_bad\nkey-columns: nope\n",
+        )

@@ -269,3 +269,43 @@ def test_interval_join_stream_stream_run(spark, tmp_path):
     rows = spark.sql("select window_id, event_id from ij_sink").collect()
     got = sorted({(r.window_id, r.event_id) for r in rows})
     assert got == [(100, 1), (101, 2)]  # event 3 (00:25) matches no window
+
+
+def test_curate_batch_against_history_two_snapshots_and_replay(spark, tmp_path):
+    """foreachBatch history near-dedup: snapshot 2 drops docs that
+    near-duplicate snapshot 1; replaying snapshot 2 (resume/retry) is
+    idempotent — own bands are excluded from the probe and the registry
+    write is insert-delta style, so nothing double-appends."""
+    from bricolage_spark.engine import SparkEngine
+    from bricolage_spark.streaming.curation import curate_batch_against_history
+
+    engine = SparkEngine(spark, warehouse=str(tmp_path / "wh"))
+    base = "the quick brown fox jumps over the lazy dog tonight again"
+    other = "completely different words about sailing ships and distant harbors"
+    snap1 = spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    )
+    snap2 = spark.createDataFrame(
+        [(10, base), (11, other)], "doc_id long, text string"
+    )
+
+    kept1 = curate_batch_against_history(
+        snap1, engine, "reg", snapshot="s1"
+    ).collect()
+    assert [r.doc_id for r in kept1] == [1]  # empty registry keeps all
+
+    kept2 = curate_batch_against_history(
+        snap2, engine, "reg", snapshot="s2"
+    )
+    assert {r.doc_id for r in kept2.collect()} == {11}  # 10 dups history
+
+    reg_rows = engine.table("reg").count()
+    # replay snapshot 2: same verdict, registry unchanged in size
+    kept2b = curate_batch_against_history(
+        snap2, engine, "reg", snapshot="s2"
+    )
+    assert {r.doc_id for r in kept2b.collect()} == {11}
+    assert engine.table("reg").count() == reg_rows
+    assert set(
+        r.snapshot for r in engine.table("reg").select("snapshot").distinct().collect()
+    ) == {"s1", "s2"}
