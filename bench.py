@@ -79,7 +79,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #   duplicated spans   -> q78, q80 (+ LM counts)
 #   percentile brackets-> q26, q26b
 #   hot-key statistics -> q47 (sampled probe, the ANALYZE-stats stand-in)
+#   PMI unigram table  -> also q88 (vocab head)
 STAGED = (
+    "q88_oov_rate",
     "q26_distinct_percentiles",
     "q26b_approx_aggregates",
     "q32_minhash_signatures",

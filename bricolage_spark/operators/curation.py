@@ -200,3 +200,107 @@ def write_packed_shards(
     )
     packed.write.mode("overwrite").partitionBy(group_col).parquet(out_dir)
     return packed
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    seed: int = 4242,
+) -> DataFrame:
+    """Temperature-based source mixing: per-group sampling rates
+    proportional to count^alpha (the multilingual/multi-source training
+    mix recipe — alpha < 1 upweights small sources relative to their raw
+    share), applied as a DETERMINISTIC md5-bucket filter.
+
+    Returns the per-group mix summary: (group, n_docs, weight, rate,
+    n_sampled). ``weight`` is the group's normalized count^alpha share;
+    ``rate = min(1, weight * target_frac * N / n_docs)``. All rates are
+    derived from the group-count table — |groups| rows of metadata — and
+    the sample filter is row-local on a hash bucket, so at 100 TB the
+    plan is: one count aggregation, a |groups|-row weight computation
+    with a broadcast total, one broadcast join of rates back onto the
+    corpus, one row-local filter. No RNG: reruns and other engines
+    select the identical sample.
+    """
+    from bricolage_spark.operators.dedup import hash32
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))).alias("z"),
+        F.sum("n_docs").alias("n_total"),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col(group_col),
+            F.col("n_docs"),
+            F.round(
+                F.pow(F.col("n_docs").cast("double"), F.lit(alpha)) / F.col("z"),
+                12,
+            ).alias("_w"),
+            F.col("n_total"),
+        )
+        .select(
+            F.col(group_col),
+            F.col("n_docs"),
+            F.col("_w"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("_w")
+                    * F.lit(target_frac)
+                    * F.col("n_total").cast("double")
+                    / F.col("n_docs").cast("double"),
+                ),
+                6,
+            ).alias("rate"),
+        )
+    )
+    bucket = F.pmod(hash32(F.col(id_col).cast("string"), seed), F.lit(1000000))
+    sampled = (
+        df.join(F.broadcast(rates.select(group_col, "rate")), group_col)
+        .where(bucket < F.col("rate") * 1000000)
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        rates.join(sampled, group_col, "left")
+        .select(
+            F.col(group_col),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round("_w", 6).alias("weight"),
+            F.col("rate"),
+            F.coalesce(F.col("n_sampled"), F.lit(0))
+            .cast("bigint")
+            .alias("n_sampled"),
+        )
+    )
+
+
+def shard_assignment(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 16,
+    seed: int = 7171,
+) -> DataFrame:
+    """Deterministic training-order assignment: (id, shard_id, sort_key).
+
+    The global-shuffle step before sequence packing: shard by hash (even
+    load regardless of ingest order or source skew), order within a
+    shard by an independent hash key. Purely row-local — the ORDER
+    ITSELF is never materialized as a rank (a row_number per shard would
+    put a whole shard through one window task at 100 TB); readers sort
+    each shard's partition lazily, which parquet/iceberg writers do as a
+    local sortWithinPartitions.
+    """
+    from bricolage_spark.operators.dedup import hash32
+
+    sid = F.col(id_col).cast("string")
+    return df.select(
+        F.col(id_col),
+        F.pmod(hash32(sid, seed), F.lit(n_shards)).cast("bigint").alias("shard_id"),
+        F.md5(F.concat_ws("|", F.lit(str(seed + 1)), sid)).alias("sort_key"),
+    )

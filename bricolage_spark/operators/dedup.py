@@ -558,3 +558,48 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return sums.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
+def sentence_dedup_stats(
+    df: DataFrame, id_col: str, text_col: str, min_len: int = 20
+) -> DataFrame:
+    """Sentence-level duplication profile: per doc, how many of its
+    sentences also appear (normalized-exact) in OTHER documents.
+
+    The sub-document granularity between q31's whole-doc digests and
+    q74's span mining: sentences split on ". ", normalized, md5-hashed;
+    a sentence "is shared" when its digest occurs in >= 2 distinct docs.
+    Returns (id, n_sents, n_shared, shared_frac). Two aggregations over
+    16-byte digests (per-doc-distinct melt -> digest doc-frequency ->
+    per-doc rollup); sentence text shuffles only inside the first
+    explode's map stage, never between stages — at 100 TB the shuffled
+    rows are (digest, id) pairs.
+    """
+    sents = F.split(normalize_text(F.col(text_col)), r"\. ")
+    melted = (
+        df.select(F.col(id_col), F.explode(sents).alias("sent"))
+        .where(F.length("sent") >= min_len)
+        .select(id_col, F.md5(F.col("sent")).alias("sd"))
+        .distinct()
+    )
+    freq = melted.groupBy("sd").agg(
+        F.count(F.lit(1)).alias("n_docs_with")
+    )
+    per_doc = (
+        melted.join(freq, "sd")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_sents"),
+            F.sum(
+                F.when(F.col("n_docs_with") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_sents").cast("bigint").alias("n_sents"),
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        F.round(
+            F.col("n_shared").cast("double") / F.col("n_sents").cast("double"), 4
+        ).alias("shared_frac"),
+    )

@@ -450,3 +450,47 @@ def lsh_bucketed_topk(
         sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ann_recall(
+    exact_topk: DataFrame, approx_topk: DataFrame, k: int
+) -> DataFrame:
+    """Index-quality evaluation: recall@k of an approximate top-k result
+    against the exact baseline — the acceptance metric every ANN index
+    deployment tracks (build the index, measure recall on a probe set,
+    THEN route traffic).
+
+    Both inputs are (query_id, neighbor_id, ...) top-k tables (e.g.
+    ``brute_force_cosine_topk`` vs ``lsh_bucketed_topk``). Returns one
+    row per query: (query_id, n_exact, n_approx, n_common, recall) with
+    recall = |approx ∩ exact| / k. Probe sets are small by construction
+    (k·|queries| rows), so every join here is broadcast-sized metadata —
+    the corpus itself is only touched by the top-k inputs.
+    """
+    e = exact_topk.select("query_id", "neighbor_id")
+    a = approx_topk.select("query_id", "neighbor_id")
+    common = e.join(a, ["query_id", "neighbor_id"], "left_semi")
+    stats = (
+        e.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            a.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_approx")),
+            "query_id",
+            "left",
+        )
+        .join(
+            common.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_common")),
+            "query_id",
+            "left",
+        )
+    )
+    return stats.select(
+        "query_id",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.coalesce(F.col("n_approx"), F.lit(0)).cast("bigint").alias("n_approx"),
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint").alias("n_common"),
+        F.round(
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("double") / F.lit(float(k)),
+            4,
+        ).alias("recall"),
+    )

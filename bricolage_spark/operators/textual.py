@@ -620,3 +620,53 @@ def hashed_ngram_score(
         F.col("score"),
         (F.col("score") >= F.lit(threshold)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# code/markup detection (corpus-composition signal)
+# ---------------------------------------------------------------------------
+# Training mixes track how much of the corpus is code/markup vs prose.
+# The standard cheap signal: density of code-punctuation characters and
+# average word length. Pure row-local arithmetic over length/replace —
+# zero shuffle, reproducible in any engine.
+
+CODE_CHARS = ";{}<>=()[]"
+CODE_RATIO_THRESHOLD = 0.02
+
+
+def code_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc code/markup signals: (id, n_chars, code_char_ratio,
+    avg_word_len, is_code).
+
+    ``code_char_ratio`` counts CODE_CHARS occurrences via length-delta
+    (length(s) - length(replace(s, c))) summed per char — no regex, no
+    explode. ``is_code`` = ratio above threshold.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    code_count = None
+    for ch in CODE_CHARS:
+        # literal replace (no regex): same `replace` builtin both engines
+        c = F.length(t) - F.length(F.replace(t, F.lit(ch), F.lit("")))
+        code_count = c if code_count is None else code_count + c
+    words = F.split(normalize_text(t), " ")
+    awl = F.round(
+        F.aggregate(
+            words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+        ).cast("double")
+        / F.size(words).cast("double"),
+        4,
+    )
+    ratio = F.round(
+        F.when(n > 0, code_count.cast("double") / n.cast("double")).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_chars"),
+        ratio.alias("code_char_ratio"),
+        awl.alias("avg_word_len"),
+        (ratio > F.lit(CODE_RATIO_THRESHOLD)).alias("is_code"),
+    )

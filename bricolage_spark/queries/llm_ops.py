@@ -14,11 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bricolage_spark.catalog import read_table, spread
+from bricolage_spark.operators import curation as C
 from bricolage_spark.operators import dedup as D
 from bricolage_spark.operators import multimodal as M
 from bricolage_spark.operators import similarity as S
 from bricolage_spark.operators import textual as T
-from bricolage_spark.queries import register
+from bricolage_spark.queries import QUERIES, register
 from bricolage_spark.session import session_token
 
 # Shared oracle CTE: normalized documents + word arrays (mirrors
@@ -3292,3 +3293,292 @@ def _q83_oracle() -> str:
 def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return T.hashed_ngram_score(docs, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# q84 temperature-based mixture sampling (training-mix composition)
+# --------------------------------------------------------------------------
+# The multilingual/multi-source training-mix recipe: sampling rates per
+# source proportional to count^alpha (alpha < 1 upweights small sources),
+# applied via the same deterministic md5 bucketing as q52. The whole rate
+# table is |sources| rows of metadata; the sample filter is row-local.
+_MIX_ALPHA, _MIX_TARGET, _MIX_SEED = 0.5, 0.5, 4242
+
+
+@register(
+    "q84_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT SUM(POW(CAST(n_docs AS DOUBLE), {_MIX_ALPHA})) AS z,
+               SUM(n_docs) AS n_total
+        FROM counts
+    ),
+    rates AS (
+        SELECT source, n_docs,
+               ROUND(POW(CAST(n_docs AS DOUBLE), {_MIX_ALPHA}) / z, 12) AS w,
+               ROUND(LEAST(1.0,
+                   ROUND(POW(CAST(n_docs AS DOUBLE), {_MIX_ALPHA}) / z, 12)
+                   * {_MIX_TARGET} * CAST(n_total AS DOUBLE)
+                   / CAST(n_docs AS DOUBLE)), 6) AS rate
+        FROM counts, tot
+    ),
+    sampled AS (
+        SELECT d.source, COUNT(*) AS n_sampled
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE ({_h32('CAST(d.doc_id AS VARCHAR)', _MIX_SEED)} % 1000000)
+              < r.rate * 1000000
+        GROUP BY d.source
+    )
+    SELECT r.source,
+           CAST(r.n_docs AS BIGINT)                 AS n_docs,
+           ROUND(r.w, 6)                            AS weight,
+           r.rate                                   AS rate,
+           CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled
+    FROM rates r LEFT JOIN sampled s ON s.source = r.source
+    """,
+    doc="Temperature-based source mixing (operators/curation.py::"
+    f"temperature_mixture): per-source rate proportional to count^{_MIX_ALPHA}, "
+    "deterministic md5-bucket sampling (no RNG), inverse-share upweighting "
+    "of small sources. Plan: one count agg + |sources|-row rate table "
+    "broadcast back + row-local filter — the corpus shuffles nothing.",
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return C.temperature_mixture(
+        docs, "source", "doc_id",
+        alpha=_MIX_ALPHA, target_frac=_MIX_TARGET, seed=_MIX_SEED,
+    )
+
+
+# --------------------------------------------------------------------------
+# q85 ANN index recall evaluation (exact baseline vs SRP-LSH)
+# --------------------------------------------------------------------------
+# The acceptance metric of every ANN deployment: recall@k of the
+# approximate index against the exact baseline on a probe set. Composes
+# q35 (exact) and q36 (SRP-LSH) — both already oracle-verified — and
+# reduces to per-query overlap counts.
+def _q85_oracle() -> str:
+    exact = QUERIES["q35_cosine_topk"].oracle
+    approx = QUERIES["q36_ann_lsh_bucketed"].oracle
+    return f"""
+    WITH e AS ({exact}),
+    a AS ({approx}),
+    ec AS (SELECT query_id, COUNT(*) AS n_exact FROM e GROUP BY query_id),
+    ac AS (SELECT query_id, COUNT(*) AS n_approx FROM a GROUP BY query_id),
+    cc AS (
+        SELECT e.query_id, COUNT(*) AS n_common
+        FROM e JOIN a ON a.query_id = e.query_id
+                     AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    )
+    SELECT ec.query_id,
+           CAST(ec.n_exact AS BIGINT)               AS n_exact,
+           CAST(COALESCE(ac.n_approx, 0) AS BIGINT) AS n_approx,
+           CAST(COALESCE(cc.n_common, 0) AS BIGINT) AS n_common,
+           ROUND(CAST(COALESCE(cc.n_common, 0) AS DOUBLE) / {_K}, 4) AS recall
+    FROM ec
+    LEFT JOIN ac ON ac.query_id = ec.query_id
+    LEFT JOIN cc ON cc.query_id = ec.query_id
+    """
+
+
+@register(
+    "q85_ann_recall",
+    oracle=_q85_oracle(),
+    doc="ANN index-quality evaluation (operators/similarity.py::"
+    "ann_recall): recall@k of the SRP-LSH bucketed index (q36) vs the "
+    "exact cosine baseline (q35) per probe query. All joins are over "
+    "k x |probes| rows — metadata scale; the corpus is touched only by "
+    "the two top-k inputs being evaluated.",
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _NQ)
+    exact = S.brute_force_cosine_topk(emb, probes, k=_K)
+    approx = S.lsh_bucketed_topk(emb, probes, k=_K, n_planes=6)
+    return S.ann_recall(exact, approx, k=_K)
+
+
+# --------------------------------------------------------------------------
+# q86 sentence-level duplication profile
+# --------------------------------------------------------------------------
+# Sub-document granularity between q31 (whole-doc digests) and q74 (span
+# mining): which docs consist largely of sentences that also appear
+# elsewhere (template/boilerplate pages, syndicated content).
+_SENT_MIN_LEN = 20
+
+
+@register(
+    "q86_sentence_dedup",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+        FROM documents
+    ),
+    melted AS (
+        SELECT DISTINCT doc_id, md5(s) AS sd
+        FROM norm, UNNEST(string_split_regex(t, '\\. ')) AS u(s)
+        WHERE LENGTH(s) >= {_SENT_MIN_LEN}
+    ),
+    freq AS (
+        SELECT sd, COUNT(*) AS n_docs_with FROM melted GROUP BY sd
+    )
+    SELECT m.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sents,
+           CAST(SUM(CASE WHEN f.n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+           ROUND(CAST(SUM(CASE WHEN f.n_docs_with >= 2 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 4) AS shared_frac
+    FROM melted m JOIN freq f ON f.sd = m.sd
+    GROUP BY m.doc_id
+    """,
+    doc="Sentence-level duplication profile (operators/dedup.py::"
+    "sentence_dedup_stats): normalized sentences (split '. ', length >= "
+    f"{_SENT_MIN_LEN}) hashed to 16-byte digests; a sentence is shared when "
+    "its digest occurs in >= 2 distinct docs. Two digest-keyed "
+    "aggregations; sentence text never shuffles between stages.",
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    return D.sentence_dedup_stats(docs, "doc_id", "text", min_len=_SENT_MIN_LEN)
+
+
+# --------------------------------------------------------------------------
+# q87 code/markup detection (corpus-composition signal)
+# --------------------------------------------------------------------------
+def _q87_oracle() -> str:
+    count_exprs = " + ".join(
+        f"(LENGTH(text) - LENGTH(REPLACE(text, '{c}', '')))"
+        for c in T.CODE_CHARS
+        if c != "'"
+    )
+    return f"""
+    WITH {_DOCS_CTE},
+    sig AS (
+        SELECT d.doc_id,
+               LENGTH(d.text) AS n_chars,
+               ROUND(CASE WHEN LENGTH(d.text) > 0
+                     THEN CAST({count_exprs} AS DOUBLE) / LENGTH(d.text)
+                     ELSE 0.0 END, 6) AS code_char_ratio,
+               ROUND(CAST(LENGTH(array_to_string(n.words, '')) AS DOUBLE)
+                     / len(n.words), 4) AS avg_word_len
+        FROM documents d JOIN docs n ON n.doc_id = d.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           code_char_ratio,
+           avg_word_len,
+           code_char_ratio > {T.CODE_RATIO_THRESHOLD} AS is_code
+    FROM sig
+    """
+
+
+@register(
+    "q87_code_detection",
+    oracle=_q87_oracle(),
+    doc="Code/markup detection (operators/textual.py::code_signals): "
+    "density of code punctuation (length-delta per literal char, no "
+    "regex) + average word length -> is_code flag. Pure row-local "
+    "arithmetic, zero shuffle — a corpus-composition signal every "
+    "training mix tracks.",
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.code_signals(docs, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# q88 out-of-vocabulary rate vs the staged corpus vocabulary
+# --------------------------------------------------------------------------
+# Serves from the staged unigram table (q73/q81's artifact): vocab = the
+# top-V words by corpus frequency; per doc, the fraction of word
+# occurrences outside it. High OOV = garbled text, wrong language, or
+# heavy markup — a standard keep/drop curation signal.
+_OOV_VOCAB, _OOV_MAX = 500, 0.30
+
+
+@register(
+    "q88_oov_rate",
+    oracle=f"""
+    WITH {_DOCS_CTE},
+    uni AS (
+        SELECT word, COUNT(*) AS c1
+        FROM (SELECT unnest(words) AS word FROM docs)
+        GROUP BY word
+    ),
+    vocab AS (
+        SELECT word FROM uni ORDER BY c1 DESC, word LIMIT {_OOV_VOCAB}
+    ),
+    melted AS (
+        SELECT doc_id, u.word
+        FROM docs, UNNEST(words) AS u(word)
+    )
+    SELECT m.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 4) AS oov_rate,
+           ROUND(CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 4) <= {_OOV_MAX} AS keep
+    FROM melted m LEFT JOIN vocab v ON v.word = m.word
+    GROUP BY m.doc_id
+    """,
+    doc=f"OOV-rate filter vs the corpus vocabulary: top-{_OOV_VOCAB} words "
+    "from the STAGED unigram table (q73's artifact — compose, don't "
+    "recompute) taken distributed (TakeOrdered head, ties by word), "
+    "broadcast-joined against the per-doc word melt; one per-doc "
+    "aggregation with map-side combine. The vocab is broadcast-sized at "
+    "any corpus scale.",
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uni = _pmi_unigrams(spark, sf_dir)
+    vocab = uni.orderBy(F.col("c1").desc(), F.col("word")).limit(_OOV_VOCAB).select("word")
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    words = F.split(D.normalize_text(F.col("text")), " ")
+    melted = docs.select("doc_id", F.explode(words).alias("word"))
+    flagged = melted.join(
+        F.broadcast(vocab.withColumn("_inv", F.lit(1))), "word", "left"
+    )
+    oov = F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+    agg = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"), oov.alias("n_oov")
+    )
+    rate = F.round(F.col("n_oov").cast("double") / F.col("n_words").cast("double"), 4)
+    return agg.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_oov").cast("bigint").alias("n_oov"),
+        rate.alias("oov_rate"),
+        (rate <= F.lit(_OOV_MAX)).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q89 deterministic training-order shard assignment
+# --------------------------------------------------------------------------
+_SHARDS, _SHARD_SEED = 16, 7171
+
+
+@register(
+    "q89_shard_assignment",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_h32('CAST(doc_id AS VARCHAR)', _SHARD_SEED)} % {_SHARDS}
+                AS BIGINT) AS shard_id,
+           md5('{_SHARD_SEED + 1}|' || CAST(doc_id AS VARCHAR)) AS sort_key
+    FROM documents
+    """,
+    doc="Deterministic training-order assignment (operators/curation.py::"
+    f"shard_assignment): hash-shard into {_SHARDS} shards + an independent "
+    "hash sort key. Purely row-local; the order is never materialized as "
+    "a rank (a per-shard row_number would funnel each shard through one "
+    "window task at 100 TB) — writers sortWithinPartitions lazily.",
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return C.shard_assignment(docs, "doc_id", n_shards=_SHARDS, seed=_SHARD_SEED)

@@ -986,3 +986,89 @@ def test_hashed_ngram_score_drops_null_text(spark):
     rows = {r.doc_id: r for r in T.hashed_ngram_score(df, "doc_id", "text").collect()}
     assert set(rows) == {1, 3}
     assert rows[3].n_grams == 1
+
+
+def test_temperature_mixture_upweights_small_sources(spark):
+    """alpha<1 mixing: the small source's sampling rate exceeds the big
+    source's; weights sum to ~1; n_sampled <= n_docs; determinism."""
+    from bricolage_spark.operators import curation as C
+
+    rows = [(i, "big") for i in range(90)] + [(90 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r.source: r for r in C.temperature_mixture(
+        df, "source", "doc_id", alpha=0.5, target_frac=0.5
+    ).collect()}
+    assert out["big"].n_docs == 90 and out["small"].n_docs == 10
+    assert abs(out["big"].weight + out["small"].weight - 1.0) < 1e-6
+    # count^0.5 mix: small source's keep RATE is higher than big's
+    assert out["small"].rate > out["big"].rate
+    for r in out.values():
+        assert 0 <= r.n_sampled <= r.n_docs
+    # deterministic: identical second run
+    out2 = {r.source: r.n_sampled for r in C.temperature_mixture(
+        df, "source", "doc_id", alpha=0.5, target_frac=0.5
+    ).collect()}
+    assert out2 == {s: r.n_sampled for s, r in out.items()}
+
+
+def test_sentence_dedup_stats_flags_shared_sentences(spark):
+    from bricolage_spark.operators import dedup as D
+
+    shared = "this exact sentence appears in two different documents"
+    df = spark.createDataFrame(
+        [
+            (1, shared + ". a unique closing line for document one."),
+            (2, shared + ". an entirely different ending for doc two."),
+            (3, "nothing here overlaps with anything else at all. truly unique text."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in D.sentence_dedup_stats(df, "doc_id", "text").collect()}
+    assert out[1].n_shared == 1 and out[2].n_shared == 1
+    assert out[3].n_shared == 0
+    assert out[1].shared_frac == 0.5
+
+
+def test_code_signals_flags_code_like_text(spark):
+    from bricolage_spark.operators import textual as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "def f(x): return {x: [1, 2]}; # dense punctuation"),
+            (2, "plain english prose with no markup and long words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in T.code_signals(df, "doc_id", "text").collect()}
+    assert out[1].is_code and not out[2].is_code
+    assert out[2].code_char_ratio == 0.0
+
+
+def test_ann_recall_counts_overlap(spark):
+    from bricolage_spark.operators import similarity as S
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], "query_id long, neighbor_id long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 20), (2, 21)], "query_id long, neighbor_id long"
+    )
+    out = {r.query_id: r for r in S.ann_recall(exact, approx, k=2).collect()}
+    assert out[1].n_common == 1 and out[1].recall == 0.5
+    assert out[2].n_common == 2 and out[2].recall == 1.0
+
+
+def test_shard_assignment_is_deterministic_and_balancedish(spark):
+    from bricolage_spark.operators import curation as C
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out = C.shard_assignment(df, "doc_id", n_shards=8).collect()
+    shards = {}
+    for r in out:
+        shards.setdefault(r.shard_id, 0)
+        shards[r.shard_id] += 1
+    assert set(shards) == set(range(8))
+    assert max(shards.values()) < 3 * min(shards.values())  # hash-balanced
+    again = {r.doc_id: (r.shard_id, r.sort_key) for r in
+             C.shard_assignment(df, "doc_id", n_shards=8).collect()}
+    assert all(again[r.doc_id] == (r.shard_id, r.sort_key) for r in out)

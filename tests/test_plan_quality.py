@@ -146,9 +146,12 @@ def test_no_unbounded_single_partition_window(simple_plans):
     the inventory (no allowlist): such a window funnels the full input
     through a single task — the one plan shape that cannot survive a
     100x scale-up. A single-partition window is acceptable ONLY when its
-    subtree contains a limit (TakeOrderedAndProject / GlobalLimit), i.e.
-    the head was taken distributed first and the window ranks a bounded
-    row set (q81's shape)."""
+    INPUT SPINE contains a limit (TakeOrderedAndProject / GlobalLimit),
+    i.e. the head was taken distributed first and the window ranks a
+    bounded row set (q81's shape). The walk follows only the chain of
+    first children (indent strictly increasing) and STOPS at any
+    multi-input node (join/union): a limit inside one branch of a join
+    bounds that branch, not the window's input."""
     offenders = []
     for name, plan in simple_plans.items():
         lines = plan.splitlines()
@@ -157,15 +160,22 @@ def test_no_unbounded_single_partition_window(simple_plans):
                 continue
             if not _is_unpartitioned(ln):
                 continue
-            # walk the window's subtree: deeper-indented following lines
-            d = _indent(ln)
+            prev = _indent(ln)
             bounded = False
             for sub in lines[i + 1 :]:
-                if sub.strip() and _indent(sub) <= d:
-                    break
+                if not sub.strip():
+                    continue
+                ind = _indent(sub)
+                if ind <= prev:
+                    break  # sibling branch: left the first-child spine
                 if any(b in sub for b in _BOUNDED_NODES):
                     bounded = True
                     break
+                if any(
+                    m in sub for m in ("Join", "Union", "CartesianProduct")
+                ):
+                    break  # multi-input: a limit below bounds one branch only
+                prev = ind
             if not bounded:
                 offenders.append((name, ln.strip()[:120]))
     assert not offenders, f"unbounded single-partition window in: {offenders}"
