@@ -82,6 +82,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #   PMI unigram table  -> also q88 (vocab head)
 STAGED = (
     "q88_oov_rate",
+    "q93_cluster_size_histogram",
     "q26_distinct_percentiles",
     "q26b_approx_aggregates",
     "q32_minhash_signatures",

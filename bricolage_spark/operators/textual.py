@@ -575,16 +575,10 @@ def hashed_ngram_score(
         idx = (hash32(gram, CLASSIFIER_SEED_BUCKET) % CLASSIFIER_BUCKETS) + 1
         return F.element_at(wtab, idx.cast("int"))
 
-    df = df.where(F.col(text_col).isNotNull())
-    # compute-bound row-local scoring: guarantee parallelism >= cores.
-    # A single sub-128MB input file (one row group) scans as ONE task and
-    # serializes ~all the work onto one core; the repartition shuffle
-    # moves only that small input once. At corpus scale the scan already
-    # has >= cores splits and this no-ops.
-    spark = df.sparkSession
-    min_par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min_par:
-        df = df.repartition(min_par)
+    # compute-bound row-local scoring: spread() guarantees parallelism
+    # >= cores (a single-row-group input file scans as ONE task and
+    # would serialize the scoring onto one core; no-op at corpus scale)
+    df = spread(df.where(F.col(text_col).isNotNull()), id_col)
     words = F.split(normalize_text(F.col(text_col)), " ")
     bigrams = F.zip_with(
         F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),

@@ -3582,3 +3582,316 @@ _SHARDS, _SHARD_SEED = 16, 7171
 def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return C.shard_assignment(docs, "doc_id", n_shards=_SHARDS, seed=_SHARD_SEED)
+
+
+# --------------------------------------------------------------------------
+# q90 training-set decontamination APPLY (the reverse of q51's detect)
+# --------------------------------------------------------------------------
+# q51 measures which BENCHMARK docs leak into training; the apply stage a
+# pipeline actually runs is the reverse: drop TRAINING docs that contain
+# benchmark content, so the eval stays valid. The benchmark shingle set
+# is small by definition -> broadcast; the train side pays one doc-keyed
+# aggregation with map-side combine.
+_DECON_MAX = 0.2
+
+
+@register(
+    "q90_decontamination_apply",
+    oracle=f"""
+    WITH {_DOCS_CTE}, {_SHINGLES_CTE},
+    bench_set AS (
+        SELECT DISTINCT shingle FROM shingles WHERE doc_id % {_CONTAM_MOD} = 0
+    ),
+    train AS (
+        SELECT doc_id, shingle FROM shingles WHERE doc_id % {_CONTAM_MOD} <> 0
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bench_hits,
+           ROUND(CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 4) AS bench_frac,
+           CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) <= {_DECON_MAX} AS keep
+    FROM train t LEFT JOIN bench_set b ON b.shingle = t.shingle
+    GROUP BY t.doc_id
+    """,
+    doc="Decontamination APPLY: drop TRAINING docs whose word-3-shingle "
+    f"overlap with the benchmark exceeds {_DECON_MAX} (q51 is the detect "
+    "direction, benchmark->train; this is the keep/drop verdict the "
+    "pipeline writes). Benchmark shingle set is small by definition -> "
+    "broadcast left join + one doc-keyed agg with map-side combine; the "
+    "training corpus shuffles only (doc_id, partial counts).",
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    bench_set = (
+        sh.filter(F.col("doc_id") % _CONTAM_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    train = sh.filter(F.col("doc_id") % _CONTAM_MOD != 0)
+    marked = train.join(
+        F.broadcast(bench_set.withColumn("_hit", F.lit(1))), "shingle", "left"
+    )
+    agg = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_bench_hits"),
+    )
+    frac = F.col("n_bench_hits").cast("double") / F.col("n_shingles").cast("double")
+    return agg.select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_bench_hits").cast("bigint").alias("n_bench_hits"),
+        F.round(frac, 4).alias("bench_frac"),
+        (frac <= F.lit(_DECON_MAX)).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q91 embedding hygiene validation (pre-index data quality gate)
+# --------------------------------------------------------------------------
+# The validation pass every embedding pipeline runs before building an
+# index: vector dimensionality, L2 norm, zero-vector detection. Bad rows
+# (wrong dims, zero norm) poison cosine similarity silently. Row-local.
+_EMB_DIMS = 64
+
+
+@register(
+    "q91_embedding_hygiene",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(e) AS BIGINT)                         AS dims,
+           ROUND(sqrt(list_dot_product(e, e)), 4)         AS l2_norm,
+           sqrt(list_dot_product(e, e)) = 0               AS is_zero,
+           len(e) = {_EMB_DIMS}
+               AND sqrt(list_dot_product(e, e)) > 0       AS valid
+    FROM v
+    """,
+    doc="Embedding hygiene gate (pre-index validation): dims, L2 norm, "
+    "zero-vector flag, overall validity — row-local array arithmetic, "
+    "zero shuffle; the cheap pass that keeps silent cosine poison "
+    "(zero or truncated vectors) out of q35/q36/q49's indexes.",
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(
+        F.zip_with(e, e, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ))
+    df = emb.select(
+        "vec_id",
+        F.size(e).cast("bigint").alias("dims"),
+        norm.alias("_norm"),
+    )
+    return df.select(
+        "vec_id",
+        "dims",
+        F.round("_norm", 4).alias("l2_norm"),
+        (F.col("_norm") == 0).alias("is_zero"),
+        ((F.col("dims") == _EMB_DIMS) & (F.col("_norm") > 0)).alias("valid"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q92 boilerplate-sentence removal (q86's APPLY stage)
+# --------------------------------------------------------------------------
+# q86 profiles sentence-level duplication; this is the rewrite a pipeline
+# actually ships: strip sentences whose digest appears in >= 2 distinct
+# docs (nav chrome, legal footers, syndication banners), keep everything
+# else in order, emit the cleaned text.
+@register(
+    "q92_boilerplate_removal",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id,
+               string_split_regex(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   '\\. ') AS sents
+        FROM documents
+    ),
+    melted AS (
+        SELECT doc_id, i AS pos, sents[i] AS s
+        FROM norm, UNNEST(range(1, len(sents) + 1)) AS t(i)
+    ),
+    freq AS (
+        SELECT md5(s) AS sd, COUNT(DISTINCT doc_id) AS n_docs_with
+        FROM melted WHERE LENGTH(s) >= {_SENT_MIN_LEN}
+        GROUP BY md5(s)
+    ),
+    flagged AS (
+        SELECT m.doc_id, m.pos, m.s,
+               (LENGTH(m.s) >= {_SENT_MIN_LEN}
+                AND COALESCE(f.n_docs_with, 0) >= 2) AS drop_it
+        FROM melted m LEFT JOIN freq f ON f.sd = md5(m.s)
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN drop_it THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN drop_it THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           COALESCE(string_agg(CASE WHEN NOT drop_it THEN s END,
+                               '. ' ORDER BY pos), '') AS clean_text
+    FROM flagged
+    GROUP BY doc_id
+    """,
+    doc="Boilerplate-sentence removal — the APPLY stage of q86's profile: "
+    "sentences (normalized, split '. ') whose digest occurs in >= 2 "
+    f"distinct docs and length >= {_SENT_MIN_LEN} are stripped; the doc is "
+    "rebuilt in order from the survivors. Digest doc-frequency table "
+    "joins back on 16-byte hashes; reconstruction is a per-doc "
+    "collect_list of (pos, sentence) — bounded by one document's "
+    "sentence count, never a corpus-wide window.",
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    sents = F.split(D.normalize_text(F.col("text")), r"\. ")
+    melted = docs.select(
+        "doc_id", F.posexplode(sents).alias("pos", "s")
+    )
+    eligible = melted.where(F.length("s") >= _SENT_MIN_LEN).select(
+        "doc_id", F.md5("s").alias("sd")
+    )
+    freq = (
+        eligible.distinct()
+        .groupBy("sd")
+        .agg(F.count(F.lit(1)).alias("n_docs_with"))
+        .where(F.col("n_docs_with") >= 2)
+    )
+    flagged = melted.withColumn("sd", F.md5("s")).join(
+        freq.withColumn("_bp", F.lit(1)), "sd", "left"
+    ).select(
+        "doc_id",
+        "pos",
+        "s",
+        (
+            (F.length("s") >= _SENT_MIN_LEN) & F.col("_bp").isNotNull()
+        ).alias("drop_it"),
+    )
+    agg = flagged.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("drop_it"), 0).otherwise(1)).alias("n_kept"),
+        F.sum(F.when(F.col("drop_it"), 1).otherwise(0)).alias("n_dropped"),
+        F.array_sort(
+            F.collect_list(
+                F.when(~F.col("drop_it"), F.struct("pos", "s"))
+            )
+        ).alias("_kept"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
+        F.coalesce(
+            F.array_join(F.transform("_kept", lambda x: x["s"]), ". "),
+            F.lit(""),
+        ).alias("clean_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q93 near-dup cluster-size histogram (dedup pipeline observability)
+# --------------------------------------------------------------------------
+# The health metric a dedup pipeline dashboards: how big do near-dup
+# clusters get? A fat tail means template spam (one cluster swallowing
+# thousands of docs) and predicts skew in every cluster-keyed stage.
+# Serves from the STAGED cluster-assignment table (q50's artifact).
+@register(
+    "q93_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE {_lsh_pair_ctes()},
+    sym AS (
+        SELECT id_a AS s, id_b AS t FROM verified
+        UNION
+        SELECT id_b, id_a FROM verified
+    ),
+    walk(id, r) AS (
+        SELECT DISTINCT s, s FROM sym
+        UNION
+        SELECT w.id, e.t FROM walk w JOIN sym e ON e.s = w.r
+    ),
+    cc AS (SELECT id, MIN(r) AS component FROM walk GROUP BY id),
+    csizes AS (SELECT component, COUNT(*) AS csize FROM cc GROUP BY component)
+    SELECT CAST(csize AS BIGINT)    AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM csizes GROUP BY csize
+    """,
+    doc="Near-dup cluster-size histogram — dedup observability: two "
+    "metadata-scale aggregations over the STAGED cluster-assignment "
+    "table (q50's artifact; compose, don't recompute). A fat tail here "
+    "is the early warning for template spam and for skew in any "
+    "cluster-keyed downstream stage.",
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cc = _components(spark, sf_dir)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    return sizes.groupBy("csize").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    ).select(
+        F.col("csize").cast("bigint").alias("cluster_size"),
+        F.col("n_clusters").cast("bigint").alias("n_clusters"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q94 per-source dedup audit (what did exact dedup cost each feed?)
+# --------------------------------------------------------------------------
+# The accounting view next to q31: per source, how many docs and how
+# much text does exact dedup remove? Sources with high dup rates are
+# re-crawl/feed-configuration bugs; this is the report that finds them.
+@register(
+    "q94_dedup_audit",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source, n_chars,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+        FROM documents
+    ),
+    k AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN d.doc_id = k.keep_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN d.doc_id = k.keep_id THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN d.doc_id = k.keep_id THEN 0 ELSE d.n_chars END)
+                AS BIGINT) AS chars_dropped,
+           ROUND(CAST(SUM(CASE WHEN d.doc_id = k.keep_id THEN 0 ELSE 1 END)
+                 AS DOUBLE) / COUNT(*), 4) AS dup_rate
+    FROM d JOIN k ON k.h = d.h
+    GROUP BY d.source
+    """,
+    doc="Per-source exact-dedup audit: docs/chars removed by q31's "
+    "min-id-keeper rule, grouped by feed. Digest keeper table joins "
+    "back on 16-byte hashes (bodies never shuffle); one source-keyed "
+    "aggregation. High dup_rate per source = a re-crawl or feed bug — "
+    "the report that catches it before 100 TB of duplicates land.",
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    d = docs.select(
+        "doc_id", "source", "n_chars",
+        D.content_hash(F.col("text")).alias("h"),
+    )
+    keep = d.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    j = d.join(keep, "h")
+    kept = F.when(F.col("doc_id") == F.col("keep_id"), 1).otherwise(0)
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept).alias("n_kept"),
+        F.sum(1 - kept).alias("n_dropped"),
+        F.sum(F.when(F.col("doc_id") == F.col("keep_id"), 0).otherwise(
+            F.col("n_chars"))).alias("chars_dropped"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
+        F.col("chars_dropped").cast("bigint").alias("chars_dropped"),
+        F.round(
+            F.col("n_dropped").cast("double") / F.col("n_docs").cast("double"), 4
+        ).alias("dup_rate"),
+    )
