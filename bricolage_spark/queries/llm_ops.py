@@ -3395,11 +3395,77 @@ def _q85_oracle() -> str:
     "the two top-k inputs being evaluated.",
 )
 def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-pass evaluation: the exact and LSH rankings use the SAME
+    # rounded-cosine + id-tiebreak ordering (their only difference is
+    # the bucket-match candidate restriction), so one pair frame carries
+    # both — cosine computed once per pair, rank_e over query_id, rank_l
+    # over (query_id, same_bucket) — instead of two full top-k pipelines
+    # joined after the fact (measured 2x the stages for identical sets).
+    from pyspark.sql import Window
+
+    from bricolage_spark.operators.similarity import (
+        _as_double,
+        dot,
+        norm,
+        srp_bucket,
+    )
+
     emb = read_table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < _NQ)
-    exact = S.brute_force_cosine_topk(emb, probes, k=_K)
-    approx = S.lsh_bucketed_topk(emb, probes, k=_K, n_planes=6)
-    return S.ann_recall(exact, approx, k=_K)
+    cd = _as_double(F.col("embedding"))
+    c = spread(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            cd.alias("c_vec"),
+            norm(cd).alias("c_n"),
+            srp_bucket("embedding", 6).alias("c_bucket"),
+        ),
+        "neighbor_id",
+    )
+    q = emb.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"),
+        cd.alias("q_vec"),
+        norm(cd).alias("q_n"),
+        srp_bucket("embedding", 6).alias("q_bucket"),
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_n") * F.col("c_n")),
+                4,
+            ).alias("cos_sim"),
+            (F.col("c_bucket") == F.col("q_bucket")).alias("same_bucket"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    wl = Window.partitionBy("query_id", "same_bucket").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    ranked = pairs.withColumn("rank_e", F.row_number().over(we)).withColumn(
+        "rank_l", F.row_number().over(wl)
+    )
+    in_e = F.col("rank_e") <= _K
+    in_l = F.col("same_bucket") & (F.col("rank_l") <= _K)
+    agg = ranked.groupBy("query_id").agg(
+        F.sum(F.when(in_e, 1).otherwise(0)).alias("n_exact"),
+        F.sum(F.when(in_l, 1).otherwise(0)).alias("n_approx"),
+        F.sum(F.when(in_e & in_l, 1).otherwise(0)).alias("n_common"),
+    )
+    return agg.select(
+        "query_id",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("n_approx").cast("bigint").alias("n_approx"),
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.round(F.col("n_common").cast("double") / F.lit(float(_K)), 4).alias(
+            "recall"
+        ),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -3870,13 +3936,19 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the report that catches it before 100 TB of duplicates land.",
 )
 def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", "source", "n_chars",
         D.content_hash(F.col("text")).alias("h"),
     )
-    keep = d.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
-    j = d.join(keep, "h")
+    # keeper via a digest-partitioned window (partitions = dup-group
+    # sizes, bounded): ONE shuffle and one md5 pass, vs the
+    # groupBy+join-back shape that scans and hashes the corpus twice
+    j = d.withColumn(
+        "keep_id", F.min("doc_id").over(Window.partitionBy("h"))
+    )
     kept = F.when(F.col("doc_id") == F.col("keep_id"), 1).otherwise(0)
     agg = j.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
