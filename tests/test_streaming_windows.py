@@ -309,3 +309,75 @@ def test_curate_batch_against_history_two_snapshots_and_replay(spark, tmp_path):
     assert set(
         r.snapshot for r in engine.table("reg").select("snapshot").distinct().collect()
     ) == {"s1", "s2"}
+
+
+def test_streaming_foreachbatch_history_sink(spark, tmp_path):
+    """The documented foreachBatch recipe end-to-end: a file-source
+    stream runs curate_stream inside the micro-batch, the sink body
+    probes the band registry via curate_batch_against_history and
+    appends survivors to a curated table; a second batch containing a
+    near-dup of batch 1 is dropped by the history probe."""
+    import json as _json
+
+    from bricolage_spark.engine import SparkEngine
+    from bricolage_spark.streaming.curation import (
+        curate_batch_against_history,
+        curate_stream,
+    )
+
+    engine = SparkEngine(spark, warehouse=str(tmp_path / "wh"))
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    with open(src / "b1.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 1, "ts": "2024-01-01T00:00:00", "text": base}) + "\n")
+
+    def run_stream(epoch_tag):
+        stream = spark.readStream.schema(doc_schema).json(str(src))
+        curated = curate_stream(stream, watermark="1 hour", classifier_threshold=None)
+
+        def sink(batch_df, epoch_id):
+            if batch_df.isEmpty():
+                return
+            kept = curate_batch_against_history(
+                batch_df, engine, "stream_reg", snapshot=f"{epoch_tag}-{epoch_id}"
+            )
+            engine.save_table(
+                kept,
+                "curated_corpus",
+                mode="append" if engine.table_exists("curated_corpus") else "overwrite",
+            )
+
+        q = (
+            curated.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{epoch_tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream("s1")
+    assert engine.table("curated_corpus").count() == 1
+
+    # batch 2: one near-dup of batch 1 (one word changed), one novel doc
+    with open(src / "b2.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 10, "ts": "2024-01-01T01:00:00",
+                             "text": base.replace("tango", "uniform")}) + "\n")
+        f.write(_json.dumps({"doc_id": 11, "ts": "2024-01-01T01:01:00",
+                             "text": "entirely novel content about deep sea "
+                                     "creatures and their bioluminescent organs "
+                                     "glowing in the abyssal dark zone"}) + "\n")
+    run_stream("s2")
+    kept_ids = sorted(r.doc_id for r in engine.table("curated_corpus").collect())
+    assert 1 in kept_ids and 11 in kept_ids
+    assert 10 not in kept_ids  # near-dup of history: dropped by the probe

@@ -54,6 +54,13 @@ PROBE_QUERIES = (
     "q73_pmi_collocations",
     "q60_bm25_retrieval",
     "q42_embedding_neardup",
+    # round-7 additions with data-proportional terms:
+    "q82_incremental_neardup",
+    "q83_hashed_ngram_classifier",
+    "q86_sentence_dedup",
+    "q88_oov_rate",
+    "q90_decontamination_apply",
+    "q92_boilerplate_removal",
 )
 
 
