@@ -949,3 +949,37 @@ def test_registry_compact_rejects_unknown_column(engine, home, spark):
             engine, home, "bad.job",
             "class: registry-compact\ndest-table: reg_bad\nkey-columns: nope\n",
         )
+
+
+def test_classifier_filter_job_honors_threshold(engine, home, spark):
+    """classifier-filter: keeps exactly the docs hashed_ngram_score keeps
+    at the configured threshold; NULL text never reaches the output."""
+    from bricolage_spark.operators.textual import hashed_ngram_score
+
+    engine.save_table(
+        spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog again"),
+                (2, "completely different words about sailing ships and harbors"),
+                (3, None),
+                (4, "some additional plain text for scoring variety here now"),
+            ],
+            "doc_id long, text string",
+        ),
+        "cls_src",
+    )
+    r = run_job(
+        engine, home, "cf.job",
+        "class: classifier-filter\ndest-table: cls_out\nsrc-table: cls_src\n"
+        "threshold: 0.5\n",
+    )
+    assert r.success
+    got = {row.doc_id for row in engine.table("cls_out").collect()}
+    want = {
+        row.doc_id
+        for row in hashed_ngram_score(
+            engine.table("cls_src"), "doc_id", "text", threshold=0.5
+        ).collect()
+        if row.keep
+    }
+    assert got == want and 3 not in got

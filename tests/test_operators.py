@@ -1072,3 +1072,29 @@ def test_shard_assignment_is_deterministic_and_balancedish(spark):
     again = {r.doc_id: (r.shard_id, r.sort_key) for r in
              C.shard_assignment(df, "doc_id", n_shards=8).collect()}
     assert all(again[r.doc_id] == (r.shard_id, r.sort_key) for r in out)
+
+
+def test_hashed_ngram_keep_matches_score_keep(spark):
+    """The filter-predicate form must agree with the scoring form doc by
+    doc at any threshold (same weights, same gram pipeline)."""
+    rows = [
+        (i, t)
+        for i, t in enumerate(
+            [
+                "the quick brown fox jumps over the lazy dog",
+                "buy cheap pills now " * 5,
+                "completely different words about sailing ships and harbors",
+                "short",
+                "",
+            ]
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for thr in (0.4, 0.5, 0.6):
+        via_score = {
+            r.doc_id for r in T.hashed_ngram_score(df, "doc_id", "text", thr).collect() if r.keep
+        }
+        via_keep = {
+            r.doc_id for r in df.where(T.hashed_ngram_keep("text", thr)).collect()
+        }
+        assert via_keep == via_score, thr
