@@ -539,3 +539,96 @@ def test_canonical_url_idempotent(spark, scheme, www, host, port, path, qs, frag
         .c
     )
     assert twice == once
+
+
+@pytest.mark.spark
+@given(st.lists(words_st, min_size=1, max_size=6))
+@settings(max_examples=8, deadline=None)
+def test_hashed_ngram_score_matches_python_mirror(spark, docs_words):
+    """Spark classifier == pure-Python mirror of the SAME derivation
+    (md5 bucket -> materialized weight -> sigmoid of mean) on arbitrary
+    word lists — pins gram multiplicity, the weight table, and rounding."""
+    import hashlib
+    import math
+
+    from bricolage_spark.operators import textual as T
+
+    def h32(s, seed):
+        return int(hashlib.md5(f"{seed}|{s}".encode()).hexdigest()[:8], 16)
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    out = {
+        r.doc_id: r
+        for r in T.hashed_ngram_score(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    wtab = T._weight_table()
+    for i, ws in enumerate(docs_words):
+        grams = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        total = sum(
+            wtab[h32(g, T.CLASSIFIER_SEED_BUCKET) % T.CLASSIFIER_BUCKETS]
+            for g in grams
+        )
+        z = T.CLASSIFIER_BIAS + (total / len(grams)) / 1000.0
+        want = round(1.0 / (1.0 + math.exp(-z)), 6)
+        assert out[i].n_grams == len(grams)
+        assert abs(out[i].score - want) < 1e-9
+
+
+@pytest.mark.spark
+@given(st.lists(words_st, min_size=2, max_size=6))
+@settings(max_examples=8, deadline=None)
+def test_temperature_mixture_invariants(spark, docs_words):
+    """On arbitrary per-source doc counts: weights sum to ~1, every rate
+    is in (0, 1], n_sampled <= n_docs, and with alpha=1 every source's
+    rate equals target_frac (proportional mixing is the identity mix)."""
+    from bricolage_spark.operators import curation as C
+
+    rows = []
+    doc_id = 0
+    for s, ws in enumerate(docs_words):
+        for _ in range(len(ws)):
+            rows.append((doc_id, f"src{s}"))
+            doc_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = C.temperature_mixture(df, "source", "doc_id", alpha=0.5,
+                                target_frac=0.5).collect()
+    assert abs(sum(r.weight for r in out) - 1.0) < 1e-4
+    for r in out:
+        assert 0.0 < r.rate <= 1.0
+        assert 0 <= r.n_sampled <= r.n_docs
+    flat = C.temperature_mixture(df, "source", "doc_id", alpha=1.0,
+                                 target_frac=0.5).collect()
+    for r in flat:
+        assert abs(r.rate - 0.5) < 1e-6, r
+
+
+@pytest.mark.spark
+@given(st.lists(words_st, min_size=1, max_size=5))
+@settings(max_examples=8, deadline=None)
+def test_code_signals_matches_python_mirror(spark, docs_words):
+    from bricolage_spark.operators import textual as T
+
+    # salt some docs with code punctuation so the ratio branch is exercised
+    rows = [
+        (i, " ".join(ws) + ("; {x}" if i % 2 else ""))
+        for i, ws in enumerate(docs_words)
+    ]
+    out = {
+        r.doc_id: r
+        for r in T.code_signals(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    for i, text in rows:
+        n = len(text)
+        cc = sum(text.count(ch) for ch in T.CODE_CHARS)
+        want = round(cc / n, 6) if n else 0.0
+        assert out[i].n_chars == n
+        assert out[i].code_char_ratio == want
+        assert out[i].is_code == (want > T.CODE_RATIO_THRESHOLD)
