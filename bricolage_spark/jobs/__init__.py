@@ -63,6 +63,8 @@ def get_jobclass(name: str) -> Callable[["Job"], "JobResult"]:
     if name not in JOB_CLASSES:
         from bricolage_spark.jobs import curation  # noqa: F401
     if name not in JOB_CLASSES:
+        from bricolage_spark.jobs import checks  # noqa: F401
+    if name not in JOB_CLASSES:
         from bricolage_spark.streaming import streaming_load  # noqa: F401
     if name not in JOB_CLASSES:
         raise ParameterError(f"no such job class: {name}")

@@ -56,6 +56,13 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # twice-deferred) takes the window, followed by q72/q73 (newest row r5)
 # and q82/q83 (single-green r6, need a second row).  New round-7 queries
 # register outside both lists and land at the head automatically.
+#
+# ROUND-8 ROTATION PLAN (the standing rule: no query's newest driver row
+# older than two rounds): after r7 the 48 queries in _CLIP_LAST below
+# will have r6 as their newest row — in r8 they MUST take the window
+# (swap the two lists wholesale: 48 + up to 2 new queries fills the 50
+# slots; everything r7-green moves to the clip).  The r7 additions
+# q84–q94 will then be single-green and rotate back in r9.
 _EVIDENCE_FIRST = [
     # newest driver row r4 — 35 queries, the whole stale cohort:
     "q03_group_aggregate",

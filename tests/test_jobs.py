@@ -983,3 +983,55 @@ def test_classifier_filter_job_honors_threshold(engine, home, spark):
         if row.keep
     }
     assert got == want and 3 not in got
+
+
+def test_assert_job_gates_on_violations(engine, home):
+    """assert job class: clean data passes, violations fail the job with
+    offending rows quoted, max-violations tolerates a budget, and
+    fail-if-empty asserts existence."""
+    # violations query: rows with NULL v (none initially)
+    ok = run_job(
+        engine, home, "a1.sql.job",
+        "/*\nclass: assert\nsrc-tables: {s: src_events}\n*/\n"
+        "select id from $s where v is null;\n",
+    )
+    assert ok.success and "assert ok" in ok.message
+
+    with pytest.raises(JobFailure, match="violation"):
+        run_job(
+            engine, home, "a2.sql.job",
+            "/*\nclass: assert\nsrc-tables: {s: src_events}\n"
+            "message: ids must stay under 3\n*/\n"
+            "select id from $s where id >= 3;\n",
+        )
+    try:
+        run_job(
+            engine, home, "a2b.sql.job",
+            "/*\nclass: assert\nsrc-tables: {s: src_events}\n"
+            "message: ids must stay under 3\n*/\n"
+            "select id from $s where id >= 3;\n",
+        )
+    except JobFailure as err:
+        assert "ids must stay under 3" in str(err) and "(3,)" in str(err)
+
+    # a violation budget tolerates the row
+    ok2 = run_job(
+        engine, home, "a3.sql.job",
+        "/*\nclass: assert\nsrc-tables: {s: src_events}\nmax-violations: 1\n*/\n"
+        "select id from $s where id >= 3;\n",
+    )
+    assert ok2.success
+
+    # fail-if-empty: existence check
+    ok3 = run_job(
+        engine, home, "a4.sql.job",
+        "/*\nclass: assert\nmode: fail-if-empty\nsrc-tables: {s: src_events}\n*/\n"
+        "select * from $s;\n",
+    )
+    assert ok3.success
+    with pytest.raises(JobFailure, match="no rows"):
+        run_job(
+            engine, home, "a5.sql.job",
+            "/*\nclass: assert\nmode: fail-if-empty\nsrc-tables: {s: src_events}\n*/\n"
+            "select * from $s where 1 = 0;\n",
+        )
