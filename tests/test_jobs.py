@@ -1035,3 +1035,49 @@ def test_assert_job_gates_on_violations(engine, home):
             "/*\nclass: assert\nmode: fail-if-empty\nsrc-tables: {s: src_events}\n*/\n"
             "select * from $s where 1 = 0;\n",
         )
+
+
+def test_example_crawl_home_three_snapshots(engine, tmp_path):
+    """The recurring-crawl example: the SAME jobnet runs once per
+    snapshot (-v snap/data_date), accumulating a corpus and a band
+    registry — later snapshots' near-dups of history are dropped, the
+    registry stays compacted (one row per key), and a re-run of the last
+    snapshot is idempotent (insert-delta publish)."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ex_home = os.path.join(repo_root, "examples", "crawl_home")
+    c = Context(engine, home=ex_home)
+    runner = JobNetRunner(c, queue_dir=str(tmp_path / "queue"))
+    net = os.path.join(ex_home, "crawl", "crawl.jobnet")
+
+    sizes = {}
+    for snap, date in ((0, "2024-01-01"), (1, "2024-01-02"), (2, "2024-01-03")):
+        report = runner.run(
+            net, cmd_variables={"snap": str(snap), "data_date": date},
+            clear_queue=True,
+        )
+        assert report.success, (snap, report.failed)
+        sizes[date] = engine.table("corpus").count()
+    assert sizes["2024-01-01"] < sizes["2024-01-02"] < sizes["2024-01-03"]
+
+    # registry is compacted: one row per (band_id, band_hash)
+    reg = engine.table("crawl_registry")
+    assert reg.count() == reg.select("band_id", "band_hash").distinct().count()
+    # corpus never holds two docs with identical normalized content
+    from pyspark.sql import functions as SF
+    from bricolage_spark.operators.dedup import content_hash
+    corpus = engine.table("corpus")
+    dups = (
+        corpus.select(content_hash(SF.col("text")).alias("h"))
+        .groupBy("h").count().where("count > 1").count()
+    )
+    assert dups == 0
+    # per-snapshot accounting exists for all three crawls
+    assert engine.table("corpus_report").count() == 3
+
+    # idempotent re-run of the last snapshot: corpus unchanged
+    report = runner.run(
+        net, cmd_variables={"snap": "2", "data_date": "2024-01-03"},
+        clear_queue=True,
+    )
+    assert report.success
+    assert engine.table("corpus").count() == sizes["2024-01-03"]
