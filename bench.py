@@ -47,9 +47,13 @@ whoever runs the bench, not just by the repo. Pass --no-duckdb to skip
 the oracle block (e.g. when isolating Spark-side timings).
 
 The compact line also carries ``regressions``: queries whose default-conf
-time grew >1.5x vs the recorded BASELINE.json per-query column (and is
-above a 0.3 s noise floor) — so host noise vs real plan regressions is
-machine-readable round over round.
+time grew >1.5x vs the recorded BASELINE.json per-query column, after
+normalizing the line by this run's duckdb_total / baseline duckdb_total
+(the same-run DuckDB column measures the HOST's current speed — DuckDB
+code never changes), with a 0.3 s floor and a 0.2 s absolute-excess
+requirement — so a uniformly loaded machine doesn't flag half the
+inventory while a genuine plan regression still trips all three
+conditions.
 """
 
 from __future__ import annotations
@@ -165,11 +169,21 @@ def _short(name: str) -> str:
     return name.split("_", 1)[0]
 
 
-def baseline_regressions(times: dict[str, float], sf: float) -> dict[str, list[float]]:
+def baseline_regressions(
+    times: dict[str, float], sf: float, duckdb_total: float | None = None
+) -> dict[str, list[float]]:
     """Queries >1.5x their recorded BASELINE.json default-conf time (and
     above a 0.3 s noise floor): {name: [baseline_sec, current_sec]}.
     Missing/unreadable baseline, new queries, or an sf mismatch (times at
-    a different scale factor are not comparable) -> simply absent."""
+    a different scale factor are not comparable) -> simply absent.
+
+    Host-noise normalization: when this run timed the DuckDB oracles too,
+    the ratio of this run's duckdb_total to the baseline's measures how
+    much slower/faster the HOST is right now (DuckDB code didn't change);
+    the 1.5x line is scaled by that factor (clamped to [0.8, 2.0]) so a
+    uniformly loaded machine doesn't flag every query while a genuine
+    single-plan regression still trips it.
+    """
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.json")
     try:
         with open(base_path) as f:
@@ -179,10 +193,23 @@ def baseline_regressions(times: dict[str, float], sf: float) -> dict[str, list[f
                 return {}
     except (OSError, ValueError):
         return {}
+    scale = 1.0
+    dd_base = head.get("duckdb_total")
+    if duckdb_total and dd_base:
+        scale = min(2.0, max(0.8, duckdb_total / dd_base))
     out = {}
     for name, sec in times.items():
         ref = base.get(name)
-        if ref and sec > 0.3 and sec > 1.5 * ref:
+        # three conditions: above the absolute noise floor, 1.5x the
+        # host-scaled baseline, AND at least 0.2 s of absolute excess —
+        # sub-second rows jitter 1.5-2x run to run without any plan
+        # change, but a genuine plan regression clears all three easily
+        if (
+            ref
+            and sec > 0.3
+            and sec > 1.5 * ref * scale
+            and sec - ref * scale > 0.2
+        ):
             out[name] = [ref, sec]
     return out
 
@@ -262,7 +289,9 @@ def main() -> None:
     # default-conf column; in tuned-only mode out["queries"] holds tuned
     # times, so the comparison would mix configs — skip it there.
     if "queries" in out and mode in ("default", "both"):
-        reg = baseline_regressions(out["queries"], out["sf"])
+        reg = baseline_regressions(
+            out["queries"], out["sf"], out.get("duckdb_total")
+        )
         summary["regressions"] = {_short(k): v for k, v in sorted(reg.items())}
     if "tuned" in out:
         summary["tuned_total"] = out["tuned"]["total"]
