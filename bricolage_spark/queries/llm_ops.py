@@ -3388,11 +3388,13 @@ def _q85_oracle() -> str:
 @register(
     "q85_ann_recall",
     oracle=_q85_oracle(),
-    doc="ANN index-quality evaluation (operators/similarity.py::"
-    "ann_recall): recall@k of the SRP-LSH bucketed index (q36) vs the "
-    "exact cosine baseline (q35) per probe query. All joins are over "
-    "k x |probes| rows — metadata scale; the corpus is touched only by "
-    "the two top-k inputs being evaluated.",
+    doc="ANN index-quality evaluation: recall@k of the SRP-LSH bucketed "
+    "index (q36) vs the exact cosine baseline (q35) per probe query, "
+    "computed in a SINGLE pair scan (both rankings share the rounded-"
+    "cosine + id-tiebreak order; the LSH side just restricts to bucket "
+    "matches) — one broadcast-probe exchange, two windows on shared "
+    "partitioning. operators/similarity.py::ann_recall remains the "
+    "general composition form for two independently-built top-k tables.",
 )
 def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Single-pass evaluation: the exact and LSH rankings use the SAME
