@@ -170,7 +170,10 @@ def _short(name: str) -> str:
 
 
 def baseline_regressions(
-    times: dict[str, float], sf: float, duckdb_total: float | None = None
+    times: dict[str, float],
+    sf: float,
+    duckdb_total: float | None = None,
+    base_path: str | None = None,
 ) -> dict[str, list[float]]:
     """Queries >1.5x their recorded BASELINE.json default-conf time (and
     above a 0.3 s noise floor): {name: [baseline_sec, current_sec]}.
@@ -184,7 +187,10 @@ def baseline_regressions(
     uniformly loaded machine doesn't flag every query while a genuine
     single-plan regression still trips it.
     """
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.json")
+    if base_path is None:
+        base_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BASELINE.json"
+        )
     try:
         with open(base_path) as f:
             head = json.loads(f.readline())
