@@ -84,6 +84,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #   percentile brackets-> q26, q26b
 #   hot-key statistics -> q47 (sampled probe, the ANALYZE-stats stand-in)
 #   PMI unigram table  -> also q88 (vocab head)
+#   BM25 index         -> q60 (postings + corpus stats)
 STAGED = (
     "q88_oov_rate",
     "q93_cluster_size_histogram",
@@ -97,6 +98,7 @@ STAGED = (
     "q50_dedup_clusters",
     "q51_contamination",
     "q53_boilerplate_ngrams",
+    "q60_bm25_retrieval",
     "q61_dedup_best_of_cluster",
     "q69_ngram_novelty",
     "q73_pmi_collocations",

@@ -11,11 +11,11 @@ Scale shape (100 TB corpus, Q queries, T distinct query terms):
   shuffled posting table is bounded by docs-containing-a-query-term, not
   by corpus token count.
 - Corpus statistics (N, avgdl) and per-term document frequencies are
-  INDEX METADATA: metadata-scale values (T+2 scalars) computed by ONE
-  global aggregation job (df via codegen'd ``array_contains`` counts)
-  and embedded as literals into the scoring plan — the same split
-  Lucene makes (df/norms are written at index-build time, queries read
-  them for free). No data-sized collect anywhere.
+  INDEX METADATA, and they stay in-plan: stats are a 1-row broadcast
+  cross join, per-term df is a T-row broadcast built from the postings
+  (each (doc, word) posting is unique, so df_t = COUNT(*) per word) —
+  the same split Lucene makes (df/norms at index-build time), with no
+  eager metadata job and no data-sized collect anywhere.
 - Query-term → query-id fan-out is a literal array mapping (terms and
   queries are driver-known), so scoring is one job: scan → explode+filter
   → (doc, word) hash-agg → score → per-query top-k window over an
@@ -49,6 +49,45 @@ def _literal_map(col: Column, mapping: dict[str, Column], default: Column) -> Co
     )
 
 
+def bm25_index(
+    docs: DataFrame,
+    all_terms: list[str],
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The two tables a BM25 index persists, as lazy DataFrames:
+
+    - postings ``(doc_id, dl, word, tf)`` restricted to ``all_terms`` —
+      the term filter runs in the same codegen stage as the explode, so
+      the (doc, word) hash-agg shuffle is bounded by query-term hits,
+      never corpus tokens;
+    - corpus stats ``(_n_docs, _avgdl)`` — one row.
+
+    Callers that serve many query batches over one corpus persist both
+    (the Lucene split: df/norms are written at index-build time) and
+    pass them to :func:`bm25_topk`; one-shot callers let ``bm25_topk``
+    inline them into a single lazy DAG.
+    """
+    # spread(): parallelize the split/explode stages when the input scan
+    # is under-partitioned (single-split toy parquet); no-op at scale
+    tok = spread(docs, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("words"),
+    ).select("doc_id", "words", F.size("words").alias("dl"))
+
+    postings = (
+        tok.select("doc_id", "dl", F.explode("words").alias("word"))
+        .filter(F.col("word").isin(all_terms))
+        .groupBy("doc_id", "dl", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    corpus = tok.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.avg("dl").alias("_avgdl"),
+    )
+    return postings, corpus
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: dict[str, str],
@@ -58,10 +97,13 @@ def bm25_topk(
     k1: float = BM25_K1,
     b: float = BM25_B,
     top_k: int = 10,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Top-k BM25 documents per query.
 
     ``queries`` maps query_id -> whitespace-separated keyword string.
+    ``index`` optionally supplies staged ``bm25_index`` tables (postings,
+    corpus stats) so serve time pays no corpus pass at all.
     Returns (query_id, doc_id, n_terms_matched, score, rank) with
     ``score`` rounded to 4 decimals and rank ties broken by doc_id so the
     result is engine-reproducible.
@@ -72,46 +114,23 @@ def bm25_topk(
             term_queries.setdefault(term, []).append(qid)
     all_terms = sorted(term_queries)
 
-    # spread(): parallelize the split/explode stages when the input scan
-    # is under-partitioned (single-split toy parquet); no-op at scale
-    tok = spread(docs, id_col).select(
-        F.col(id_col).alias("doc_id"),
-        F.split(normalize_text(F.col(text_col)), " ").alias("words"),
-    ).select("doc_id", "words", F.size("words").alias("dl"))
+    postings, corpus = index or bm25_index(docs, all_terms, id_col, text_col)
 
-    # index-metadata job: corpus stats AND per-term document frequency in
-    # ONE global aggregation (df_t = Σ array_contains(words, t) — a
-    # codegen'd conditional count, no lambda, no second corpus pass).
-    meta = tok.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        *[
-            F.sum(F.array_contains("words", t).cast("long")).alias(f"df{i}")
-            for i, t in enumerate(all_terms)
-        ],
-    ).first()
-    n_docs, avgdl = meta["n_docs"], meta["avgdl"]
-    dfreq = {t: meta[f"df{i}"] for i, t in enumerate(all_terms)}
-
-    postings = (
-        tok.select("doc_id", "dl", F.explode("words").alias("word"))
-        .filter(F.col("word").isin(all_terms))
-        .groupBy("doc_id", "dl", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    # Index metadata stays IN-PLAN (no eager collect): corpus stats are
+    # a 1-row broadcast cross join, and per-term document frequency
+    # falls out of the postings themselves — each (doc, word) posting is
+    # unique, so df_t = COUNT(*) per word, a T-row broadcast. Same
+    # values as a dedicated metadata scan, one lazy DAG.
+    dfreq = postings.groupBy("word").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
     )
+    scored = postings.join(F.broadcast(dfreq), "word").crossJoin(F.broadcast(corpus))
 
-    # literal df per posting row keeps the idf arithmetic in the JVM,
-    # identical to an in-plan join against a df table
-    df_col = _literal_map(
-        F.col("word"),
-        {t: F.lit(float(dfreq.get(t, 0))) for t in all_terms},
-        F.lit(0.0),
-    )
-    idf = F.log(1.0 + (F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5))
+    idf = F.log(1.0 + (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5))
     term_score = (
         idf
         * (F.col("tf") * (k1 + 1))
-        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl))))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl")))
     )
 
     qid_col = _literal_map(
@@ -121,7 +140,7 @@ def bm25_topk(
     )
 
     per_query = (
-        postings.withColumn("term_score", term_score)
+        scored.withColumn("term_score", term_score)
         .withColumn("query_id", F.explode(qid_col))
         .groupBy("query_id", "doc_id")
         .agg(
