@@ -494,3 +494,62 @@ def ann_recall(
             4,
         ).alias("recall"),
     )
+
+
+def max_sim_to_reference(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Semantic decontamination: for every corpus vector, its maximum
+    cosine similarity to ANY reference (benchmark/eval) vector, plus the
+    argmax reference id and a keep verdict — the embedding-space
+    complement of shingle-overlap decontamination (lexical paraphrases
+    evade n-grams; embeddings catch them).
+
+    Scale shape mirrors :func:`brute_force_cosine_topk`: the reference
+    set is small by definition -> broadcast; the corpus is scanned once,
+    partition-parallel, norms computed once per row below the exchange
+    barrier; the per-pair stage is one dot + one divide; the result agg
+    is id-keyed with map-side combine (shuffle rows are (id, best)
+    structs, never vectors). Determinism: similarity is rounded to 4dp
+    BEFORE the argmax, ties break to the smallest reference id.
+
+    Returns (vec_id, nn_ref_id, max_sim, keep) with keep = max_sim
+    strictly below ``threshold``.
+    """
+    rd = _as_double(F.col(vec_col))
+    ref = reference.select(
+        F.col(id_col).alias("_rid"),
+        rd.alias("_rv"),
+        norm(rd).alias("_rn"),
+    )
+    cd = _as_double(F.col(vec_col))
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            cd.alias("_cv"),
+            norm(cd).alias("_cn"),
+        ),
+        "vec_id",
+    )
+    sims = c.crossJoin(F.broadcast(ref)).select(
+        "vec_id",
+        "_rid",
+        F.round(
+            dot(F.col("_cv"), F.col("_rv")) / (F.col("_cn") * F.col("_rn")), 4
+        ).alias("_sim"),
+    )
+    # argmax as a struct max: (sim, -ref_id) orders by sim then smallest id
+    best = sims.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("_sim").alias("s"), (-F.col("_rid")).alias("ni"))).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("b.ni")).cast("bigint").alias("nn_ref_id"),
+        F.col("b.s").alias("max_sim"),
+        (F.col("b.s") < F.lit(threshold)).alias("keep"),
+    )

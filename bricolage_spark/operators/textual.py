@@ -664,3 +664,59 @@ def code_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         awl.alias("avg_word_len"),
         (ratio > F.lit(CODE_RATIO_THRESHOLD)).alias("is_code"),
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    top_n: int = 30,
+    eow: str = "</w>",
+) -> DataFrame:
+    """First-round BPE merge induction: adjacent symbol-pair frequencies
+    over the corpus vocabulary, the statistic a byte-pair-encoding
+    tokenizer trainer maximizes at every merge step (Sennrich et al.
+    2016's algorithm; reference behavior modeled on the public
+    subword-nmt/GPT-2 BPE trainers).
+
+    Scale shape — the corpus is touched ONCE, everything after is
+    vocab-scale (this is exactly why real BPE trainers count words
+    first):
+
+    1. word frequencies: one corpus explode + hash-agg with map-side
+       combine (shuffle rows are (word, count), never documents);
+    2. per DISTINCT word: symbols = characters + an end-of-word marker,
+       adjacent pairs via the codegen'd slice/arrays_zip construction
+       (q73's pattern — HOF lambdas are interpreted per element),
+       weighted by the word's corpus count;
+    3. pair aggregation + deterministic top-n via orderBy().limit()
+       (TakeOrderedAndProject — no global sort), ties broken by the
+       pair itself.
+
+    Returns (s1, s2, pair_count): the ranked merge candidates; the top
+    row IS the first BPE merge.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    vocab = (
+        spread(df, id_col)
+        .select(F.explode(words).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    syms = F.concat(F.split(F.col("word"), ""), F.array(F.lit(eow)))
+    sized = vocab.select("wc", syms.alias("s"), F.size(syms).alias("n"))
+    pairs = sized.select(
+        "wc",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("s"), 1, F.col("n") - 1).alias("s1"),
+                F.slice(F.col("s"), 2, F.col("n") - 1).alias("s2"),
+            )
+        ).alias("p"),
+    )
+    agg = pairs.groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2")).agg(
+        F.sum("wc").cast("bigint").alias("pair_count")
+    )
+    return agg.orderBy(F.desc("pair_count"), "s1", "s2").limit(top_n)

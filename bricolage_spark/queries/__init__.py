@@ -58,11 +58,13 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # register outside both lists and land at the head automatically.
 #
 # ROUND-8 ROTATION PLAN (the standing rule: no query's newest driver row
-# older than two rounds): after r7 the 48 queries in _CLIP_LAST below
-# will have r6 as their newest row — in r8 they MUST take the window
-# (swap the two lists wholesale: 48 + up to 2 new queries fills the 50
-# slots; everything r7-green moves to the clip).  The r7 additions
-# q84–q94 will then be single-green and rotate back in r9.
+# older than two rounds): after r7 the 48 r5+r6-green queries in
+# _CLIP_LAST below will have r6 as their newest row — in r8 they MUST
+# take the window, and q95/q96 (registered late in r7, never
+# driver-attested, parked in _CLIP_LAST to keep the committed r7 window
+# intact) take the two spare slots: 48 + 2 = exactly 50.  Everything
+# r7-green moves to the clip; the r7 additions q84–q94 will then be
+# single-green and rotate back in r9.
 _EVIDENCE_FIRST = [
     # newest driver row r4 — 35 queries, the whole stale cohort:
     "q03_group_aggregate",
@@ -159,6 +161,9 @@ _CLIP_LAST = [
     "q79_winnowing_fingerprints",
     "q80_curation_verdicts",
     "q81_zipf_fit",
+    # new post-r7-window (no driver row yet; first row r8, see plan above):
+    "q95_bpe_merges",
+    "q96_semantic_decontamination",
 ]
 
 

@@ -4014,3 +4014,103 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_dropped").cast("double") / F.col("n_docs").cast("double"), 4
         ).alias("dup_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# q95 BPE merge induction (tokenizer-training primitive)
+# --------------------------------------------------------------------------
+# NEW post-r7-window: registered in _CLIP_LAST so the committed round-7
+# driver window stays intact; takes one of the two spare slots when the
+# r8 rotation swaps the lists (first driver row r8).
+_BPE_TOP = 30
+
+
+@register(
+    "q95_bpe_merges",
+    oracle=f"""
+    WITH {_DOCS_CTE},
+    vocab AS (
+        SELECT word, COUNT(*) AS wc
+        FROM (SELECT unnest(words) AS word FROM docs)
+        WHERE word <> ''
+        GROUP BY word
+    ),
+    syms AS (
+        SELECT wc, list_append(string_split(word, ''), '</w>') AS s
+        FROM vocab
+    ),
+    pairs AS (
+        SELECT s[i] AS s1, s[i + 1] AS s2, SUM(wc) AS pair_count
+        FROM syms, UNNEST(range(1, len(s))) AS t(i)
+        GROUP BY 1, 2
+    )
+    SELECT s1, s2, CAST(pair_count AS BIGINT) AS pair_count
+    FROM pairs
+    ORDER BY pair_count DESC, s1, s2
+    LIMIT {_BPE_TOP}
+    """,
+    doc="First-round BPE merge induction (operators/textual.py::"
+    "bpe_merge_candidates): adjacent symbol-pair frequencies (chars + "
+    "end-of-word marker) weighted by word frequency — the statistic a "
+    "BPE tokenizer trainer maximizes per merge. The corpus is touched "
+    "once (word-count hash-agg); symbol melting and pair aggregation "
+    "are VOCAB-scale, which is why real trainers count words first. "
+    "Deterministic top-n via TakeOrderedAndProject, ties by pair.",
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.bpe_merge_candidates(docs, "doc_id", "text", top_n=_BPE_TOP)
+
+
+# --------------------------------------------------------------------------
+# q96 semantic decontamination (embedding-space eval-leak scrub)
+# --------------------------------------------------------------------------
+# q51/q90 catch verbatim n-gram overlap; paraphrased benchmark rewrites
+# evade shingles but not embeddings. Same bench/train convention as the
+# lexical pair (a held-out id slice stands in for the benchmark set).
+_SEMDECON_MOD, _SEMDECON_TAU = 50, 0.40
+
+
+@register(
+    "q96_semantic_decontamination",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id AS rid, CAST(embedding AS DOUBLE[]) AS rv
+        FROM embeddings WHERE vec_id % {_SEMDECON_MOD} = 0
+    ),
+    t AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id % {_SEMDECON_MOD} <> 0
+    ),
+    sims AS (
+        SELECT t.vec_id, b.rid,
+               ROUND(list_dot_product(cv, rv)
+                     / (sqrt(list_dot_product(cv, cv))
+                        * sqrt(list_dot_product(rv, rv))), 4) AS sim
+        FROM t, b
+    ),
+    m AS (SELECT vec_id, MAX(sim) AS max_sim FROM sims GROUP BY vec_id)
+    SELECT m.vec_id,
+           CAST(MIN(s.rid) AS BIGINT)  AS nn_ref_id,
+           m.max_sim                   AS max_sim,
+           m.max_sim < {_SEMDECON_TAU} AS keep
+    FROM m JOIN sims s ON s.vec_id = m.vec_id AND s.sim = m.max_sim
+    GROUP BY m.vec_id, m.max_sim
+    """,
+    doc="Semantic decontamination (operators/similarity.py::"
+    f"max_sim_to_reference): max cosine similarity of every training "
+    f"vector to the benchmark slice (vec_id % {_SEMDECON_MOD} = 0), "
+    "argmax benchmark id, and a keep verdict below "
+    f"{_SEMDECON_TAU} — the embedding-space complement of q90's "
+    "n-gram decontamination (paraphrases evade shingles). Benchmark "
+    "side broadcast, corpus scanned once, norms below the exchange "
+    "barrier, id-keyed struct-max agg; similarity rounded to 4dp "
+    "before the argmax, ties to the smallest benchmark id.",
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % _SEMDECON_MOD == 0)
+    train = emb.filter(F.col("vec_id") % _SEMDECON_MOD != 0)
+    return S.max_sim_to_reference(
+        train, bench, "vec_id", "embedding", threshold=_SEMDECON_TAU
+    )

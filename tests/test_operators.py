@@ -1098,3 +1098,47 @@ def test_hashed_ngram_keep_matches_score_keep(spark):
             r.doc_id for r in df.where(T.hashed_ngram_keep("text", thr)).collect()
         }
         assert via_keep == via_score, thr
+
+
+def test_bpe_merge_candidates(spark):
+    """q95: pair counts are word-frequency weighted; eow marker pairs
+    counted; top row is the most frequent adjacent pair."""
+    from bricolage_spark.operators.textual import bpe_merge_candidates
+
+    df = spark.createDataFrame(
+        [(1, "aa aa ab"), (2, "aa b")],
+        "doc_id long, text string",
+    )
+    out = {(r.s1, r.s2): r.pair_count for r in
+           bpe_merge_candidates(df, "doc_id", "text", top_n=10).collect()}
+    # "aa" x3: pairs (a,a), (a,</w>); "ab" x1: (a,b), (b,</w>); "b" x1: (b,</w>)
+    assert out[("a", "a")] == 3
+    assert out[("a", "</w>")] == 3
+    assert out[("a", "b")] == 1
+    assert out[("b", "</w>")] == 2
+    top = bpe_merge_candidates(df, "doc_id", "text", top_n=1).collect()[0]
+    # count ties at 3 break lexicographically: (a, </w>) < (a, a)
+    assert (top.s1, top.s2) == ("a", "</w>")
+
+
+def test_max_sim_to_reference(spark):
+    """q96: argmax reference id, 4dp rounding before the max, keep flag."""
+    from bricolage_spark.operators.similarity import max_sim_to_reference
+
+    ref = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (200, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0]),    # identical direction to ref 100 -> sim 1.0
+            (2, [1.0, 1.0]),    # 0.7071 to both -> tie, argmax = min id 100
+            (3, [-1.0, 0.0]),   # best is 0.0 to ref 200
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in
+           max_sim_to_reference(corpus, ref, threshold=0.9).collect()}
+    assert out[1].max_sim == 1.0 and out[1].nn_ref_id == 100 and not out[1].keep
+    assert out[2].max_sim == 0.7071 and out[2].nn_ref_id == 100 and out[2].keep
+    assert out[3].max_sim == 0.0 and out[3].nn_ref_id == 200 and out[3].keep
