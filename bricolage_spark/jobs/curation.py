@@ -195,3 +195,61 @@ def registry_compact(job: Job) -> JobResult:
         ),
         rows=rows,
     )
+
+
+@jobclass(
+    "semantic-decon",
+    schema=ParamSchema(
+        [
+            TableParam("dest-table"),
+            TableParam("src-table"),
+            TableParam("embeddings-table"),
+            TableParam("bench-table"),
+            StringParam("id-column", optional=True),
+            StringParam("vec-id-column", optional=True),
+            StringParam("vec-column", optional=True),
+            StringParam("threshold", optional=True),
+        ]
+    ),
+)
+def semantic_decon(job: Job) -> JobResult:
+    """Embedding-space decontamination stage (q96): drop docs whose
+    embedding is too close to any benchmark vector.
+
+    ``max_sim_to_reference`` scores every row of ``embeddings-table``
+    against the (fixed, broadcast-sized) ``bench-table``; ids whose max
+    cosine similarity reaches ``threshold`` are anti-joined out of
+    ``src-table``. Two properties fall out of scoring the FULL
+    embedding table rather than a pre-split train side:
+
+    - benchmark members themselves score 1.0 against their own vector,
+      so eval docs that leaked into the ingest feed are always dropped;
+    - docs with no embedding row are passed through untouched — the
+      stage only judges what is embedded (run it after the hygiene gate
+      that guarantees coverage, or treat missing vectors upstream).
+    """
+    from bricolage_spark.operators.similarity import max_sim_to_reference
+
+    dest = job.require("dest-table")
+    src = job.require("src-table")
+    emb_t = job.require("embeddings-table")
+    bench_t = job.require("bench-table")
+    id_col = str(job.param("id-column", "doc_id"))
+    vid = str(job.param("vec-id-column", "vec_id"))
+    vec = str(job.param("vec-column", "embedding"))
+    tau = float(job.param("threshold", 0.4))
+    flags = max_sim_to_reference(
+        job.engine.table(emb_t), job.engine.table(bench_t), vid, vec, threshold=tau
+    )
+    contaminated = flags.filter(~F.col("keep")).select(
+        F.col("vec_id").alias(id_col)
+    )
+    kept = job.engine.table(src).join(contaminated, id_col, "left_anti")
+    n = job.engine.save_table(kept, dest, mode="overwrite")
+    return JobResult(
+        message=(
+            f"{n} docs survive semantic decon into {dest} "
+            f"(threshold {tau} vs {bench_t})"
+        ),
+        rows=n,
+    )

@@ -387,8 +387,9 @@ def test_runner_queue_path_and_db_dsn_selection(engine, home, tmp_path):
 def test_example_curation_home_runs_end_to_end(engine, tmp_path):
     """The shipped examples/curation_home jobnet (load → quality filter →
     classifier filter → dedup → history near-dedup + registry compaction
-    → domain caps → two parallel report branches → stats) runs green
-    against the sf0.001 testdata under --parallel 2."""
+    → semantic decon (concurrent embeddings/bench branch) → domain caps
+    → two parallel report branches → stats) runs green against the
+    sf0.001 testdata under --parallel 2."""
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ex_home = os.path.join(repo_root, "examples", "curation_home")
     c = Context(engine, home=ex_home)
@@ -408,6 +409,7 @@ def test_example_curation_home_runs_end_to_end(engine, tmp_path):
     scored = engine.table("scored_documents").count()
     ded = engine.table("dedup_documents").count()
     fresh = engine.table("fresh_documents").count()
+    decon = engine.table("decon_documents").count()
     capped = engine.table("capped_documents").count()
     assert raw == 500
     assert 0 < clean <= raw          # the repetition filter drops some docs
@@ -415,12 +417,17 @@ def test_example_curation_home_runs_end_to_end(engine, tmp_path):
     assert 0 < ded <= scored         # dedup never grows the corpus
     assert 0 < fresh <= ded          # history probe never grows the corpus
     assert fresh == ded              # first snapshot: empty registry keeps all
+    assert 0 < decon <= fresh        # semantic decon never grows the corpus
+    # benchmark members score 1.0 against themselves -> every bench-id doc
+    # that survived to fresh_documents is dropped by the decon stage
+    assert engine.table("decon_documents").filter("doc_id < 100").count() == 0
+    assert engine.table("fresh_documents").filter("doc_id < 100").count() > 0
     # the compacted band registry holds the surviving docs' bands, one
     # row per key, labeled with the snapshot variable
     reg = engine.table("band_registry")
     assert reg.count() == reg.select("band_id", "band_hash").distinct().count()
     assert reg.select("snapshot").distinct().collect()[0][0] == "snapshot0"
-    assert 0 < capped <= fresh       # domain caps never grow the corpus
+    assert 0 < capped <= decon       # domain caps never grow the corpus
     from pyspark.sql import functions as SF
     per_source = engine.table("capped_documents").groupBy("source").count()
     assert per_source.agg(SF.max("count")).first()[0] <= 40
