@@ -632,3 +632,93 @@ def test_code_signals_matches_python_mirror(spark, docs_words):
         assert out[i].n_chars == n
         assert out[i].code_char_ratio == want
         assert out[i].is_code == (want > T.CODE_RATIO_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction / semantic decon vs pure-Python mirrors (q95/q96)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_mirror(docs_words):
+    """Reference symbol-pair counting in plain Python."""
+    from collections import Counter
+
+    wc = Counter(w for ws in docs_words for w in ws if w)
+    pairs = Counter()
+    for w, c in wc.items():
+        syms = list(w) + ["</w>"]
+        for a, b in zip(syms, syms[1:]):
+            pairs[(a, b)] += c
+    return dict(pairs)
+
+
+@pytest.mark.spark
+@given(st.lists(words_st, min_size=1, max_size=8))
+@settings(max_examples=8, deadline=None)
+def test_bpe_merges_match_python_mirror(spark, docs_words):
+    from bricolage_spark.operators.textual import bpe_merge_candidates
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    expect = _bpe_mirror(docs_words)
+    out = bpe_merge_candidates(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "doc_id",
+        "text",
+        top_n=len(expect) + 1,
+    ).collect()
+    got = {(r.s1, r.s2): r.pair_count for r in out}
+    assert got == expect
+    # ordering: count desc, then (s1, s2) asc
+    keys = [(r.s1, r.s2) for r in out]
+    assert keys == sorted(expect, key=lambda k: (-expect[k], k))
+
+
+vec_st = st.lists(
+    st.floats(min_value=-4, max_value=4, allow_nan=False).map(
+        lambda x: round(x, 2)
+    ),
+    min_size=3,
+    max_size=3,
+).filter(lambda v: any(abs(x) > 0.01 for x in v))
+
+
+@pytest.mark.spark
+@given(
+    st.lists(vec_st, min_size=1, max_size=6),
+    st.lists(vec_st, min_size=1, max_size=3),
+)
+@settings(max_examples=8, deadline=None)
+def test_max_sim_to_reference_matches_python_mirror(spark, corpus, ref):
+    import math
+
+    from bricolage_spark.operators.similarity import max_sim_to_reference
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 4)
+
+    cdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(corpus)],
+        "vec_id long, embedding array<float>",
+    )
+    rdf = spark.createDataFrame(
+        [(100 + i, v) for i, v in enumerate(ref)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in
+           max_sim_to_reference(cdf, rdf, threshold=0.5).collect()}
+    for i, v in enumerate(corpus):
+        # the float32 round-trip through array<float> perturbs the 4dp
+        # rounding boundary: recompute the mirror on the float32 values
+        import struct as _s
+        f32 = lambda xs: [_s.unpack("f", _s.pack("f", x))[0] for x in xs]
+        sims = [(cos(f32(v), f32(rv)), 100 + j) for j, rv in enumerate(ref)]
+        best = max(s for s, _ in sims)
+        nn = min(j for s, j in sims if s == best)
+        r = out[i]
+        assert r.max_sim == pytest.approx(best, abs=1.5e-4)
+        if all(abs(best - s) > 3e-4 for s, j in sims if j != nn):
+            assert r.nn_ref_id == nn
+        assert r.keep == (r.max_sim < 0.5)
