@@ -569,31 +569,36 @@ def sentence_dedup_stats(
     The sub-document granularity between q31's whole-doc digests and
     q74's span mining: sentences split on ". ", normalized, md5-hashed;
     a sentence "is shared" when its digest occurs in >= 2 distinct docs.
-    Returns (id, n_sents, n_shared, shared_frac). Two aggregations over
-    16-byte digests (per-doc-distinct melt -> digest doc-frequency ->
-    per-doc rollup); sentence text shuffles only inside the first
-    explode's map stage, never between stages — at 100 TB the shuffled
-    rows are (digest, id) pairs.
+    Returns (id, n_sents, n_shared, shared_frac).
+
+    TWO shuffles total, melt computed once: the melt repartitions by the
+    16-byte digest, and everything digest-keyed then piggybacks on that
+    one exchange via the subset-partitioning rule — the (id, digest)
+    dedup aggregate and the per-digest doc-frequency window both have
+    ``sd`` in their clustering keys, so neither inserts an exchange
+    (replacing the former distinct -> groupBy -> join-back shape, which
+    shuffled three times and computed the melt twice). The only other
+    shuffle is the final per-doc rollup of (id, two counts) rows; at
+    100 TB nothing wider than (digest, id) ever moves.
     """
+    from pyspark.sql import Window
+
     sents = F.split(normalize_text(F.col(text_col)), r"\. ")
     melted = (
         df.select(F.col(id_col), F.explode(sents).alias("sent"))
         .where(F.length("sent") >= min_len)
         .select(id_col, F.md5(F.col("sent")).alias("sd"))
-        .distinct()
+        .repartition(F.col("sd"))
+        .dropDuplicates([id_col, "sd"])
     )
-    freq = melted.groupBy("sd").agg(
-        F.count(F.lit(1)).alias("n_docs_with")
+    counted = melted.withColumn(
+        "n_docs_with", F.count(F.lit(1)).over(Window.partitionBy("sd"))
     )
-    per_doc = (
-        melted.join(freq, "sd")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_sents"),
-            F.sum(
-                F.when(F.col("n_docs_with") >= 2, F.lit(1)).otherwise(F.lit(0))
-            ).alias("n_shared"),
-        )
+    per_doc = counted.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_sents"),
+        F.sum(
+            F.when(F.col("n_docs_with") >= 2, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_shared"),
     )
     return per_doc.select(
         F.col(id_col),

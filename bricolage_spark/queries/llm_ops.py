@@ -3020,23 +3020,45 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = read_table(spark, sf_dir, "documents")
-    grams = D.positional_anchors(docs, "doc_id", "text", k=_WIN_K).select(
-        "doc_id",
-        "pos",
-        D.hash32(F.col("anchor"), 79).alias("h"),
+    # positional_anchors' melt, inlined to carry n_grams as a per-doc
+    # constant computed from the word count at melt time — one less
+    # window pass than a COUNT() OVER (PARTITION BY doc_id). The
+    # least(·, 2^20 − 1) mirrors the oracle exactly: its per-doc count
+    # runs AFTER the pos < 2^20 packing filter, so for a monster doc it
+    # equals the truncated gram count, not the true one.
+    words = F.split(D.normalize_text(F.col("text")), " ")
+    nw = F.size(words)
+    idx = F.when(
+        nw >= _WIN_K, F.sequence(F.lit(1), nw - (_WIN_K - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (
+        spread(docs, "doc_id")
+        .select(
+            F.col("doc_id"),
+            words.alias("_w"),
+            F.least((nw - (_WIN_K - 1)).cast("bigint"), F.lit(_WIN_POS - 1)).alias(
+                "n_grams"
+            ),
+            F.explode(idx).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            "n_grams",
+            D.hash32(
+                F.concat_ws(" ", F.slice(F.col("_w"), F.col("pos"), F.lit(_WIN_K))),
+                79,
+            ).alias("h"),
+        )
     )
-    w_doc = Window.partitionBy("doc_id")
     w_frame = (
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
     )
-    ordv = (
-        grams.filter(F.col("pos") < _WIN_POS)  # explicit packing limit
-        .select(
-            "doc_id",
-            "pos",
-            (F.col("h") * _WIN_POS + (F.lit(_WIN_POS) - F.col("pos"))).alias("ord"),
-        )
-        .withColumn("n_grams", F.count(F.lit(1)).over(w_doc))
+    ordv = grams.filter(F.col("pos") < _WIN_POS).select(  # explicit packing limit
+        "doc_id",
+        "pos",
+        (F.col("h") * _WIN_POS + (F.lit(_WIN_POS) - F.col("pos"))).alias("ord"),
+        "n_grams",
     )
     win = (
         ordv.withColumn("sel", F.min("ord").over(w_frame))
