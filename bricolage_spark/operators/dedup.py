@@ -139,12 +139,17 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
 
 
 def positional_anchors(
-    df: DataFrame, id_col: str, text_col: str, k: int = 8
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, *, with_total: bool = False
 ) -> DataFrame:
     """Positional word k-gram postings: (id, pos, anchor) with 1-based
     ``pos``, one row per k-gram start. Unlike :func:`word_shingles` the
     positions are kept (span detection needs them) and duplicates are NOT
     collapsed. Docs shorter than k words emit nothing.
+
+    ``with_total`` adds ``n_grams`` (= word count − k + 1, the doc's
+    gram count) as a per-doc constant computed at melt time — consumers
+    that need it (q79's full-window filter) avoid a COUNT() OVER
+    (PARTITION BY id) window pass over the gram stream.
 
     Pure Catalyst (sequence+explode+slice), whole-stage-codegen'd.
     """
@@ -155,12 +160,14 @@ def positional_anchors(
     idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
         F.array().cast("array<int>")
     )
+    total = [(n - (k - 1)).cast("bigint").alias("n_grams")] if with_total else []
     return (
         spread(df, id_col)
-        .select(F.col(id_col), words.alias("_w"), F.explode(idx).alias("pos"))
+        .select(F.col(id_col), words.alias("_w"), *total, F.explode(idx).alias("pos"))
         .select(
             F.col(id_col),
             F.col("pos").cast("bigint").alias("pos"),
+            *(["n_grams"] if with_total else []),
             F.concat_ws(" ", F.slice(F.col("_w"), F.col("pos"), F.lit(k))).alias(
                 "anchor"
             ),

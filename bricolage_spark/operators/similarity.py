@@ -518,6 +518,12 @@ def max_sim_to_reference(
     structs, never vectors). Determinism: similarity is rounded to 4dp
     BEFORE the argmax, ties break to the smallest reference id.
 
+    Degenerate (zero-norm) vectors on either side score 0.0 rather
+    than NULL — a NULL sim would make ``keep`` NULL and let a
+    consumer's ``filter(~keep)`` silently pass the doc unjudged. 0.0
+    states the honest answer ("no directional match is measurable");
+    routing such vectors out beforehand is the q91 hygiene gate's job.
+
     Returns (vec_id, nn_ref_id, max_sim, keep) with keep = max_sim
     strictly below ``threshold``.
     """
@@ -540,7 +546,11 @@ def max_sim_to_reference(
         "vec_id",
         "_rid",
         F.round(
-            dot(F.col("_cv"), F.col("_rv")) / (F.col("_cn") * F.col("_rn")), 4
+            F.when(
+                (F.col("_cn") > 0) & (F.col("_rn") > 0),
+                dot(F.col("_cv"), F.col("_rv")) / (F.col("_cn") * F.col("_rn")),
+            ).otherwise(F.lit(0.0)),
+            4,
         ).alias("_sim"),
     )
     # argmax as a struct max: (sim, -ref_id) orders by sim then smallest id

@@ -1213,7 +1213,9 @@ def stage_artifacts(spark: SparkSession, sf_dir: str) -> list[str]:
     Artifacts (all session-keyed, released by release_caches()):
     shingle postings + df/pruned/sets aux tables, Jaccard-verified pair
     table, cluster assignments, IVF centroids+index, PMI unigram table,
-    lineitem percentile brackets, orders hot-key stats.
+    bigram LM counts, span table, SemDeDup assignments, lineitem
+    percentile brackets, orders hot-key stats, BM25 postings + corpus
+    stats.
     """
     from bricolage_spark.queries import patterns, relational
 
@@ -3020,36 +3022,18 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = read_table(spark, sf_dir, "documents")
-    # positional_anchors' melt, inlined to carry n_grams as a per-doc
-    # constant computed from the word count at melt time — one less
-    # window pass than a COUNT() OVER (PARTITION BY doc_id). The
+    # with_total carries n_grams as a per-doc melt-time constant — one
+    # less window pass than a COUNT() OVER (PARTITION BY doc_id). The
     # least(·, 2^20 − 1) mirrors the oracle exactly: its per-doc count
     # runs AFTER the pos < 2^20 packing filter, so for a monster doc it
     # equals the truncated gram count, not the true one.
-    words = F.split(D.normalize_text(F.col("text")), " ")
-    nw = F.size(words)
-    idx = F.when(
-        nw >= _WIN_K, F.sequence(F.lit(1), nw - (_WIN_K - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = (
-        spread(docs, "doc_id")
-        .select(
-            F.col("doc_id"),
-            words.alias("_w"),
-            F.least((nw - (_WIN_K - 1)).cast("bigint"), F.lit(_WIN_POS - 1)).alias(
-                "n_grams"
-            ),
-            F.explode(idx).alias("pos"),
-        )
-        .select(
-            "doc_id",
-            F.col("pos").cast("bigint").alias("pos"),
-            "n_grams",
-            D.hash32(
-                F.concat_ws(" ", F.slice(F.col("_w"), F.col("pos"), F.lit(_WIN_K))),
-                79,
-            ).alias("h"),
-        )
+    grams = D.positional_anchors(
+        docs, "doc_id", "text", k=_WIN_K, with_total=True
+    ).select(
+        "doc_id",
+        "pos",
+        F.least(F.col("n_grams"), F.lit(_WIN_POS - 1)).alias("n_grams"),
+        D.hash32(F.col("anchor"), 79).alias("h"),
     )
     w_frame = (
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
@@ -4109,10 +4093,15 @@ _SEMDECON_NBENCH, _SEMDECON_TAU = 100, 0.40
         FROM embeddings WHERE vec_id >= {_SEMDECON_NBENCH}
     ),
     sims AS (
+        -- zero-norm guard mirrors max_sim_to_reference: degenerate
+        -- vectors score 0.0, never NULL/NaN
         SELECT t.vec_id, b.rid,
-               ROUND(list_dot_product(cv, rv)
-                     / (sqrt(list_dot_product(cv, cv))
-                        * sqrt(list_dot_product(rv, rv))), 4) AS sim
+               ROUND(CASE WHEN list_dot_product(cv, cv) > 0
+                           AND list_dot_product(rv, rv) > 0
+                     THEN list_dot_product(cv, rv)
+                          / (sqrt(list_dot_product(cv, cv))
+                             * sqrt(list_dot_product(rv, rv)))
+                     ELSE 0.0 END, 4) AS sim
         FROM t, b
     ),
     m AS (SELECT vec_id, MAX(sim) AS max_sim FROM sims GROUP BY vec_id)

@@ -1142,3 +1142,24 @@ def test_max_sim_to_reference(spark):
     assert out[1].max_sim == 1.0 and out[1].nn_ref_id == 100 and not out[1].keep
     assert out[2].max_sim == 0.7071 and out[2].nn_ref_id == 100 and out[2].keep
     assert out[3].max_sim == 0.0 and out[3].nn_ref_id == 200 and out[3].keep
+
+
+def test_max_sim_to_reference_zero_norm_scores_zero(spark):
+    """Degenerate vectors score 0.0 (never NULL: a NULL keep would slip
+    through a consumer's filter(~keep) unjudged)."""
+    from bricolage_spark.operators.similarity import max_sim_to_reference
+
+    ref = spark.createDataFrame(
+        [(100, [0.0, 0.0]), (200, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in
+           max_sim_to_reference(corpus, ref, threshold=0.9).collect()}
+    # zero-norm corpus vector: every sim 0.0, keep=True, argmax = min rid
+    assert out[1].max_sim == 0.0 and out[1].keep and out[1].nn_ref_id == 100
+    # zero-norm reference vector scores 0.0 and loses to the real match
+    assert out[2].max_sim == 1.0 and not out[2].keep and out[2].nn_ref_id == 200
