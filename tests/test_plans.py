@@ -76,3 +76,28 @@ def test_q35_no_python_udf_in_cosine(plans):
     p = plans("q35_cosine_topk")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert has_broadcast_join(p)  # query set broadcast, corpus streamed
+
+
+def test_driver_window_composition():
+    """The external driver attests the FIRST 50 registered queries. The
+    rotation lists must tile the registry exactly: every listed name
+    registered (no typos), no overlap between the lists, and the head
+    (new, unlisted queries) + _EVIDENCE_FIRST must fill the 50-slot
+    window EXACTLY — so registering a new query without placing it in a
+    list fails here loudly instead of silently evicting an evidence
+    query out of the driver window."""
+    from bricolage_spark.queries import _CLIP_LAST, _EVIDENCE_FIRST, load_all
+
+    q = load_all()
+    names = list(q)
+    listed = set(_EVIDENCE_FIRST) | set(_CLIP_LAST)
+    assert not set(_EVIDENCE_FIRST) & set(_CLIP_LAST)
+    missing = [n for n in [*_EVIDENCE_FIRST, *_CLIP_LAST] if n not in q]
+    assert not missing, f"rotation lists name unregistered queries: {missing}"
+    head = [n for n in names if n not in listed]
+    assert len(head) + len(_EVIDENCE_FIRST) == 50, (
+        f"driver window over/under-filled: {len(head)} new + "
+        f"{len(_EVIDENCE_FIRST)} evidence != 50 — place new queries in "
+        "_CLIP_LAST (or rebalance the lists per the rotation plan)"
+    )
+    assert set(names[:50]) == set(head) | set(_EVIDENCE_FIRST)
