@@ -66,11 +66,6 @@ def asof_join(
             lt = lt.withColumn(c, F.lit(None).cast(dict(rt.dtypes)[c]))
     unioned = lt.unionByName(rt)
 
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(on), F.col("__side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     # One struct per RIGHT row (NULL struct on left rows), one
     # last(ignorenulls) — the whole right row is carried atomically,
     # so per-column NULLs inside a right row are preserved as-is.
@@ -80,6 +75,19 @@ def asof_join(
             F.col("__side") == 0,
             F.struct(*[F.col(f"{c}{suffix}") for c in carry_cols]),
         ),
+    )
+    # __rrow as the FINAL sort key makes ties deterministic: right rows
+    # sharing (key, ts) would otherwise keep arbitrary shuffle order and
+    # last() would carry whichever happened to sort last. With the
+    # packed row in the ordering, the GREATEST carried row (struct
+    # lexicographic order over carry_cols) wins — engine-reproducible,
+    # matching the repo-wide unique-tiebreak discipline. (Carried
+    # columns must be orderable types; an unorderable carry column
+    # fails analysis loudly — exclude it via right_cols.)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on), F.col("__side"), F.col("__rrow"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = packed.select(
         "*", F.last("__rrow", ignorenulls=True).over(w).alias("__carry")

@@ -121,19 +121,31 @@ def incremental_dedup(
 # ---------------------------------------------------------------------------
 
 
+def shingle_array(text_col: Column, k: int = 3) -> Column:
+    """Word k-shingle strings of a text column, as a row-local array —
+    the ONE shared definition of the k-shingle (built with
+    sequence+transform+slice, pure Catalyst): :func:`word_shingles`
+    melts it for the MinHash pipeline, ``textual.fingerprint`` sketches
+    it. A shingle-semantics change lands in both consumers by
+    construction."""
+    words = F.split(normalize_text(text_col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+
+
 def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Distinct word k-shingles per document: (id, shingle).
 
     Shingles are built with array ops (sequence+transform+slice) — pure
     Catalyst expressions, whole-stage-codegen'd, no Python in the loop.
     """
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
     return (
         spread(df, id_col)
-        .select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .select(
+            F.col(id_col),
+            F.explode(shingle_array(F.col(text_col), k)).alias("shingle"),
+        )
         .distinct()
     )
 
@@ -577,6 +589,13 @@ def sentence_dedup_stats(
     q74's span mining: sentences split on ". ", normalized, md5-hashed;
     a sentence "is shared" when its digest occurs in >= 2 distinct docs.
     Returns (id, n_sents, n_shared, shared_frac).
+
+    Docs with NO sentence of at least ``min_len`` chars emit no row:
+    this is a duplication PROFILE over the measurable sentences, not a
+    keep/drop verdict — absence means "nothing eligible to judge", and
+    a consumer gating docs on the profile must left-join and choose its
+    own default for the missing rows (the q92 APPLY stage, by contrast,
+    carries every doc through unconditionally).
 
     TWO shuffles total, melt computed once: the melt repartitions by the
     16-byte digest, and everything digest-keyed then piggybacks on that

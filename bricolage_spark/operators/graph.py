@@ -72,7 +72,11 @@ def connected_components(
     # IS convergence. This makes each round two jobs (materialize + tiny
     # sum over the checkpointed frame) instead of three (no join-compare
     # against the previous labels).
-    prev_sum = labels.agg(F.sum("component")).first()[0]
+    # decimal(38,0), not a raw long sum: 64-bit (hash-derived) node ids
+    # overflow a bigint sum — ANSI mode turns that into a hard
+    # ARITHMETIC_OVERFLOW crash (connected_components_star's checksum
+    # guards the same way)
+    prev_sum = labels.agg(F.sum(F.col("component").cast("decimal(38,0)"))).first()[0]
     converged = False
     for _ in range(max_iter):
         nb_min = (
@@ -95,7 +99,9 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("component")).first()[0]
+        cur_sum = labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).first()[0]
         if cur_sum == prev_sum:
             converged = True
             break

@@ -315,7 +315,7 @@ def decode_media(payload: bytes, dim: int = 8) -> list[float]:
             return decode_jpeg(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return decode_wav(payload)
-    except (ValueError, zlib.error):
+    except (ValueError, zlib.error, struct.error, IndexError):
         pass  # malformed/unsupported variant of a known magic → fallback
     return _fake_feature(payload, dim)
 
@@ -397,7 +397,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     payloads.append(out)
                     types.append("image/bmp")
                     ok.append(True)
-                except (ValueError, zlib.error):
+                except (ValueError, zlib.error, struct.error, IndexError):
                     payloads.append(raw)
                     types.append(mt)
                     ok.append(False)
@@ -535,7 +535,7 @@ def sample_frames(media: DataFrame, every_n: int = 1, max_frames: int = 0) -> Da
                         totals.append(len(frames))
                         payloads.append(fp)
                         decoded.append(True)
-                except (ValueError, zlib.error):
+                except (ValueError, zlib.error, struct.error, IndexError):
                     ids.append(mid)
                     idxs.append(0)
                     totals.append(1)

@@ -53,9 +53,45 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def guarded_cosine(dot_col: Column, n_a: Column, n_b: Column) -> Column:
+    """``dot/(n_a·n_b)`` with a zero-norm guard: degenerate vectors
+    score 0.0 instead of NULL (non-ANSI) or a DIVIDE_BY_ZERO crash
+    (ANSI — Spark 4's default). 0.0 is the honest answer ("no
+    directional match is measurable"); routing such vectors out is the
+    q91 hygiene gate's job, and every similarity operator here shares
+    this one guard so none of them can kill a stage on one bad row."""
+    return F.when((n_a > 0) & (n_b > 0), dot_col / (n_a * n_b)).otherwise(
+        F.lit(0.0)
+    )
+
+
 def cosine_sim(a: Column, b: Column) -> Column:
     ad, bd = _as_double(a), _as_double(b)
-    return dot(ad, bd) / (norm(ad) * norm(bd))
+    return guarded_cosine(dot(ad, bd), norm(ad), norm(bd))
+
+
+def _cosine_topk_tail(cands: DataFrame, k: int) -> DataFrame:
+    """Shared tail of every cosine top-k: candidates with columns
+    (query_id, neighbor_id, q_vec, q_n, c_vec, c_n) → rounded guarded
+    similarity, per-query rank window (desc sim, neighbor-id tiebreak
+    for engine-reproducible order), keep rank <= k."""
+    sims = cands.filter(F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            guarded_cosine(
+                dot(F.col("q_vec"), F.col("c_vec")), F.col("q_n"), F.col("c_n")
+            ),
+            4,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
 
 
 # NOTE: never express normalization as a unit-vector transform — a lambda
@@ -96,25 +132,7 @@ def brute_force_cosine_topk(
         ),
         "neighbor_id",
     )
-    sims = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
-                4,
-            ).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    return _cosine_topk_tail(c.crossJoin(F.broadcast(q)), k)
 
 
 # ---------------------------------------------------------------------------
@@ -275,7 +293,18 @@ def _ivf_sim_structs_sql(vec: str, centroids: list) -> str:
     entries = []
     for cell, comps in centroids:
         cn = math.sqrt(sum(float(x) * float(x) for x in comps))
-        sim = f"round({_dot_sql(vd, _arr_sql(comps))} / ({vn} * {_dbl_sql(cn)}), 6)"
+        if cn > 0.0:
+            # zero-norm guard (same contract as guarded_cosine): a
+            # degenerate vector scores 0.0 against every centroid and
+            # deterministically lands in the lowest cell, instead of
+            # killing the scan under ANSI division-by-zero
+            sim = (
+                f"round(CASE WHEN {vn} > 0.0D THEN "
+                f"{_dot_sql(vd, _arr_sql(comps))} / ({vn} * {_dbl_sql(cn)}) "
+                f"ELSE 0.0D END, 6)"
+            )
+        else:
+            sim = "0.0D"
         entries.append(f"named_struct('ns', -{sim}, 'cell', {int(cell)})")
     return f"array({', '.join(entries)})"
 
@@ -301,11 +330,16 @@ def ivf_assignment(vec: str, centroids: list) -> Column:
     plus its 6-dp-rounded cosine to the chosen centroid (ties to the
     lowest cell id, like :func:`ivf_cell`). Used by cluster reporting."""
     structs = _ivf_sim_structs_sql(vec, centroids)
+    # bind array_min(structs) ONCE via a HOF lambda scope: referencing
+    # the struct-array from both fields would re-evaluate the whole
+    # k_cells x dims similarity array per field (interpreted HOF
+    # aggregates get no common-subexpression elimination — 2x the
+    # scoring cost, the same hazard hashed_ngram_score documents)
     return _memo_expr(
         ("ivf_assign", vec, _cent_key(centroids)),
-        "named_struct("
-        f"'cell', CAST(array_min({structs}).cell AS INT), "
-        f"'sim', -array_min({structs}).ns)",
+        f"aggregate(array(array_min({structs})), "
+        "named_struct('cell', -1, 'sim', CAST(0.0 AS DOUBLE)), "
+        "(acc, m) -> named_struct('cell', CAST(m.cell AS INT), 'sim', -m.ns))",
     )
 
 
@@ -379,25 +413,7 @@ def ivf_topk(
         norm(qd).alias("q_n"),
         ivf_probe_cells(vec_col, centroids, nprobe).alias("cells"),
     ).select("query_id", "q_vec", "q_n", F.explode("cells").alias("cell"))
-    sims = (
-        c.join(F.broadcast(q), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
-                4,
-            ).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    return _cosine_topk_tail(c.join(F.broadcast(q), "cell"), k)
 
 
 def lsh_bucketed_topk(
@@ -431,25 +447,7 @@ def lsh_bucketed_topk(
         norm(qd).alias("q_n"),
         srp_bucket(vec_col, n_planes).alias("bucket"),
     )
-    sims = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
-                4,
-            ).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    return _cosine_topk_tail(c.join(F.broadcast(q), "bucket"), k)
 
 
 def ann_recall(
@@ -546,10 +544,9 @@ def max_sim_to_reference(
         "vec_id",
         "_rid",
         F.round(
-            F.when(
-                (F.col("_cn") > 0) & (F.col("_rn") > 0),
-                dot(F.col("_cv"), F.col("_rv")) / (F.col("_cn") * F.col("_rn")),
-            ).otherwise(F.lit(0.0)),
+            guarded_cosine(
+                dot(F.col("_cv"), F.col("_rv")), F.col("_cn"), F.col("_rn")
+            ),
             4,
         ).alias("_sim"),
     )

@@ -92,11 +92,28 @@ def salted_join(
     if not hot:
         return skewed.join(other, key, how)
     if how in ("inner", "left", "leftouter", "left_outer"):
-        is_hot = F.col(key).isin(hot)
+        # The split predicate must be NULL-SAFE: isin() is NULL for a
+        # NULL key, so filter(is_hot) AND filter(~is_hot) would both
+        # drop NULL-key rows — silently losing them from a left join.
+        # And NULL itself can be the hot key (the classic "null user"
+        # this module's intro names; detect_hot_keys returns it like
+        # any other heavy value): isin() can never match it, so it is
+        # routed explicitly. Salting NULL keys is still useful — they
+        # all hash to one shuffle partition even though they match no
+        # dim row, and the (key, salt) layout spreads them.
+        hot_vals = [h for h in hot if h is not None]
+        null_is_hot = any(h is None for h in hot)
+
+        def is_hot_on(col: Column) -> Column:
+            base = col.isin(hot_vals) if hot_vals else F.lit(False)
+            safe = F.coalesce(base, F.lit(False))
+            return (col.isNull() | safe) if null_is_hot else safe
+
+        is_hot = is_hot_on(F.col(key))
         s_hot = skewed.filter(is_hot).withColumn(
             "__salt", _salt_of(F.col(salt_from), n_salts)
         )
-        o_hot = other.filter(F.col(key).isin(hot)).withColumn(
+        o_hot = other.filter(is_hot_on(F.col(key))).withColumn(
             "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
         )
         hot_part = s_hot.join(o_hot, [key, "__salt"], how).drop("__salt")

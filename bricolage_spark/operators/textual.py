@@ -354,12 +354,14 @@ def fingerprint(
 
     (id, digest, min_shingle_hash): the digest detects exact dups; the
     min-hash of word k-shingles is a 1-value MinHash — a cheap similarity
-    sketch (equal sketches ⇒ likely near-dup candidates).
+    sketch (equal sketches ⇒ likely near-dup candidates). The shingle
+    definition is shared with the MinHash pipeline
+    (``dedup.shingle_array``), so the sketch⇔signature relationship
+    can't drift.
     """
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    from bricolage_spark.operators.dedup import shingle_array
+
+    shingles = shingle_array(F.col(text_col), k)
     return spread(df, id_col).select(
         F.col(id_col),
         F.md5(normalize_text(F.col(text_col))).alias("digest"),

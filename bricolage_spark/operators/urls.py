@@ -35,8 +35,11 @@ from pyspark.sql import functions as F
 # group 1 scheme, 2 host[:port], 3 path, 4 ?query, 5 #fragment
 URL_PARTS_RE = r"^([^:]+)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
 
-# params dropped entirely (anchored; both RE2 and java.util.regex subset)
-TRACKING_PARAM_RE = r"^(utm_[^=]*|ref|fbclid|gclid)="
+# params dropped entirely (anchored; both RE2 and java.util.regex
+# subset). (=|$) so the bare valueless form ("?ref", "?fbclid") is
+# dropped too — trackers emit both, and keeping one would split the
+# same resource across two canonical keys.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|ref|fbclid|gclid)(=|$)"
 
 
 def url_scheme(url: Column) -> Column:

@@ -335,10 +335,12 @@ _K, _NQ = 5, 8
     ),
     sims AS (
         SELECT query_id, neighbor_id,
-               ROUND(
-                 list_dot_product(qv, cv)
-                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
-                 4) AS cos_sim
+               ROUND(CASE WHEN list_dot_product(qv, qv) > 0
+                           AND list_dot_product(cv, cv) > 0
+                      THEN list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv))
+                              * sqrt(list_dot_product(cv, cv)))
+                      ELSE 0.0 END, 4) AS cos_sim
         FROM c, q
         WHERE neighbor_id <> query_id
     )
@@ -375,7 +377,9 @@ def _srp_oracle(n_planes: int = 6, dims: int = 64) -> str:
     u AS (
         SELECT vec_id,
                CAST({bucket} AS BIGINT) AS bucket,
-               list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS ue
+               CASE WHEN list_dot_product(e, e) > 0
+                    THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+                    ELSE list_transform(e, x -> 0.0) END AS ue
         FROM v
     ),
     q AS (SELECT vec_id AS query_id, bucket, ue AS qe FROM u WHERE vec_id < {_NQ}),
@@ -423,12 +427,20 @@ _NEARDUP_MIN = 0.4
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(
-             list_dot_product(a.e, b.e)
-             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+             CASE WHEN list_dot_product(a.e, a.e) > 0
+                   AND list_dot_product(b.e, b.e) > 0
+              THEN list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e)))
+              ELSE 0.0 END,
              4) AS cos_sim
     FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.e, b.e)
-          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+    WHERE CASE WHEN list_dot_product(a.e, a.e) > 0
+                AND list_dot_product(b.e, b.e) > 0
+           THEN list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e))
+                   * sqrt(list_dot_product(b.e, b.e)))
+           ELSE 0.0 END
           >= {_NEARDUP_MIN}
     """,
     doc="Embedding-cosine near-dup: candidate pairs restricted to the same "
@@ -737,8 +749,10 @@ def _ivf_a1_ctes(dims: int = 64, cells: int | None = None) -> str:
         cells = _IVF_CELLS
     h = _h32("CAST(vec_id AS VARCHAR)", _IVF_SEED)
     cos6 = (
-        "ROUND(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
-        " * sqrt(list_dot_product({b}, {b}))), 6)"
+        "ROUND(CASE WHEN list_dot_product({a}, {a}) > 0"
+        " AND list_dot_product({b}, {b}) > 0"
+        " THEN list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))) ELSE 0.0 END, 6)"
     )
     return f"""v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -799,9 +813,12 @@ def _ivf_oracle(dims: int = 64) -> str:
     ),
     sims AS (
         SELECT p.query_id, c.vec_id AS neighbor_id,
-               ROUND(list_dot_product(p.qe, c.e)
-                     / (sqrt(list_dot_product(p.qe, p.qe))
-                        * sqrt(list_dot_product(c.e, c.e))), 4) AS cos_sim
+               ROUND(CASE WHEN list_dot_product(p.qe, p.qe) > 0
+                           AND list_dot_product(c.e, c.e) > 0
+                      THEN list_dot_product(p.qe, c.e)
+                           / (sqrt(list_dot_product(p.qe, p.qe))
+                              * sqrt(list_dot_product(c.e, c.e)))
+                      ELSE 0.0 END, 4) AS cos_sim
         FROM probes p
         JOIN cell1 c ON c.cell = p.cell AND c.vec_id <> p.query_id
     )
@@ -2476,7 +2493,7 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
 _URL_RE_SQL = r"^([^:]+)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
 _TRACK_SQL = (
     "list_filter(string_split(substr(q, 2), '&'), "
-    "p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)='))"
+    "p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)(=|$)'))"
 )
 
 
@@ -2647,7 +2664,10 @@ def _sem_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nrm",
         "cell",
         F.round(
-            S.dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cn")), 6
+            S.guarded_cosine(
+                S.dot(F.col("e"), F.col("ce")), F.col("nrm"), F.col("cn")
+            ),
+            6,
         ).alias("sim"),
     )
     w_best = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
@@ -2705,9 +2725,12 @@ def release_sem_assignment(sf_dir: str | None = None) -> None:
         SELECT DISTINCT b.vec_id
         FROM assign a
         JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
-        WHERE ROUND(list_dot_product(a.e, b.e)
-                    / (sqrt(list_dot_product(a.e, a.e))
-                       * sqrt(list_dot_product(b.e, b.e))), 6) >= {_SEM_TAU}
+        WHERE ROUND(CASE WHEN list_dot_product(a.e, a.e) > 0
+                         AND list_dot_product(b.e, b.e) > 0
+                    THEN list_dot_product(a.e, b.e)
+                         / (sqrt(list_dot_product(a.e, a.e))
+                            * sqrt(list_dot_product(b.e, b.e)))
+                    ELSE 0.0 END, 6) >= {_SEM_TAU}
           AND (a.sim < b.sim OR (a.sim = b.sim AND a.vec_id < b.vec_id))
     )
     SELECT a.vec_id,
@@ -2744,7 +2767,10 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cent_sim").alias("b_cs"),
     )
     pair_sim = F.round(
-        S.dot(F.col("a_e"), F.col("b_e")) / (F.col("a_n") * F.col("b_n")), 6
+        S.guarded_cosine(
+            S.dot(F.col("a_e"), F.col("b_e")), F.col("a_n"), F.col("b_n")
+        ),
+        6,
     )
     # each unordered pair evaluated ONCE (a_id < b_id); the keeper rule
     # then names the dropped side directly

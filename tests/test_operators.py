@@ -858,6 +858,12 @@ def test_duplicate_spans_ignores_same_doc_repeats(spark):
         ("https://example.com/a/index.htm", "https://example.com/a"),
         # ref= is tracking, href= is not (anchored match)
         ("https://example.com/x?ref=tw&href=keep", "https://example.com/x?href=keep"),
+        # bare valueless tracking params drop too ((=|$) in the regex) —
+        # trackers emit both '?ref=x' and '?ref'
+        ("https://example.com/x?ref&a=1", "https://example.com/x?a=1"),
+        ("https://example.com/x?fbclid", "https://example.com/x"),
+        # 'refresh' is NOT 'ref' ($-anchor must not truncate names)
+        ("https://example.com/x?refresh=1", "https://example.com/x?refresh=1"),
     ],
 )
 def test_canonical_url_rules(spark, raw, canon):
@@ -1163,3 +1169,98 @@ def test_max_sim_to_reference_zero_norm_scores_zero(spark):
     assert out[1].max_sim == 0.0 and out[1].keep and out[1].nn_ref_id == 100
     # zero-norm reference vector scores 0.0 and loses to the real match
     assert out[2].max_sim == 1.0 and not out[2].keep and out[2].nn_ref_id == 200
+
+
+def test_salted_join_preserves_null_keys(spark):
+    """The split path's hot/cold predicate is NULL-safe: NULL-key rows
+    survive a left join (they used to vanish — isin() is NULL for NULL,
+    so BOTH branch filters dropped them), and NULL itself can be a hot
+    key (the classic 'null user')."""
+    from bricolage_spark.operators.skew import salted_join
+
+    sk = spark.createDataFrame(
+        [(0, 1), (0, 2), (None, 3), (1, 4)], "k int, rid int"
+    )
+    dim = spark.createDataFrame([(0, "hot"), (1, "a")], "k int, v string")
+
+    def rows(df):
+        return sorted(((r.k, r.rid, r.v) for r in df.collect()), key=repr)
+
+    plain_left = rows(sk.join(dim, "k", "left"))
+    plain_inner = rows(sk.join(dim, "k", "inner"))
+    assert rows(salted_join(sk, dim, "k", "rid", how="left", hot=[0])) == plain_left
+    assert rows(salted_join(sk, dim, "k", "rid", how="inner", hot=[0])) == plain_inner
+    # NULL listed as a hot key: same results, NULL rows routed hot
+    assert (
+        rows(salted_join(sk, dim, "k", "rid", how="left", hot=[0, None]))
+        == plain_left
+    )
+
+
+def test_cosine_topk_zero_norm_vector_scores_not_crashes(spark):
+    """Zero-norm vectors score 0.0 in every similarity path instead of
+    raising DIVIDE_BY_ZERO under Spark 4's ANSI-on default."""
+    from bricolage_spark.operators.similarity import (
+        brute_force_cosine_topk,
+        ivf_centroids,
+        ivf_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter("vec_id = 0")
+    out = {r.neighbor_id: r.cos_sim
+           for r in brute_force_cosine_topk(emb, q, k=3).collect()}
+    assert out[1] == 0.0
+    lsh_bucketed_topk(emb, q, k=3).collect()  # must not raise
+    cents = ivf_centroids(emb, k_cells=2, seed=1)
+    ivf_topk(emb, q, cents, k=3).collect()  # must not raise
+
+
+def test_decode_media_truncated_payloads_fall_back():
+    """Truncated payloads with valid magic bytes fall back to the digest
+    feature instead of escaping the batch with struct.error."""
+    from bricolage_spark.operators.multimodal import _PNG_MAGIC, _fake_feature, decode_media
+
+    bad_wav = (
+        b"RIFF" + (28).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (4).to_bytes(4, "little") + b"\x00" * 4
+    )
+    bad_jpg = b"\xff\xd8\xff\xc0\x00\x04\x08\x00"
+    bad_png = _PNG_MAGIC + (13).to_bytes(4, "big") + b"IHDR" + b"\x00" * 5
+    for payload in (bad_wav, bad_jpg, bad_png):
+        assert decode_media(payload) == _fake_feature(payload, 8)
+
+
+def test_connected_components_large_hash_ids_no_overflow(spark):
+    """The convergence checksum sums components as decimal(38,0): 64-bit
+    hash-derived node ids must not ARITHMETIC_OVERFLOW the round check."""
+    from bricolage_spark.operators.graph import connected_components
+
+    big = 2 ** 62
+    e = spark.createDataFrame(
+        [(big, big + 1), (big + 1, big + 2), (5, 6)], "id_a long, id_b long"
+    )
+    cc = {r.id: r.component for r in connected_components(e).collect()}
+    assert cc[big] == cc[big + 1] == cc[big + 2] == big
+    assert cc[5] == cc[6] == 5
+
+
+def test_asof_join_ties_are_deterministic(spark):
+    """Right rows sharing (key, ts) resolve by struct order over the
+    carried columns — the GREATEST carried row wins, every run."""
+    from bricolage_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 10, 9.0), (1, 10, 7.0)],
+        "k long, ts long, px double",
+    )
+    for _ in range(3):
+        r = asof_join(
+            left.repartition(4), right.repartition(4), on="ts", by="k"
+        ).collect()[0]
+        assert r.px_right == 9.0
