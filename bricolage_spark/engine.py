@@ -103,6 +103,10 @@ class SparkEngine:
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
         self.warehouse = warehouse
+        # rows written by the most recent INSERT statement this engine
+        # executed (observed during the write itself) — how job classes
+        # report inserted-row counts without a post-write table scan
+        self.last_insert_rows: int | None = None
         os.makedirs(warehouse, exist_ok=True)
 
     # -- paths / catalog ----------------------------------------------------
@@ -379,7 +383,7 @@ class SparkEngine:
             if not m:
                 raise ParameterError(f"cannot parse INSERT: {stmt[:80]}...")
             dest, select = m.group(1), m.group(2)
-            self.save_table(self.sql(select), dest, mode="append")
+            self.last_insert_rows = self.save_table(self.sql(select), dest, mode="append")
             return None
         if kind == "delete":
             m = re.match(r"delete\s+from\s+([\w.]+)\s+where\s+(.*)\Z", stmt, re.S | re.I)

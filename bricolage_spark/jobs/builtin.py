@@ -152,7 +152,11 @@ def insert(job: Job) -> JobResult:
         job.engine.truncate(dest)
     job.engine.execute_script(job.read_sql_param())
     _post_ops(job, dest)
-    rows = job.engine.table(dest).count()
+    # rows written by the script's last INSERT, observed for free during
+    # the write (df.observe in save_table) — NOT a post-write count() of
+    # dest, which is a full-table scan per insert at 100 TB and reports
+    # table size rather than rows inserted anyway
+    rows = job.engine.last_insert_rows
     return JobResult(message=f"insert into {dest}", rows=rows)
 
 
@@ -327,6 +331,12 @@ def load(job: Job) -> JobResult:
         ).option("columnNameOfCorruptRecord", corrupt_col)
     elif schema is not None:
         reader = reader.schema(schema)
+    if fmt in ("csv", "json"):
+        # the FAILFAST/PERMISSIVE contract applies to BOTH parsed text
+        # formats: json's Spark default is PERMISSIVE, which would turn a
+        # malformed record into an all-NULL row instead of aborting —
+        # the docstring's "maxerror absent/0 keeps FAILFAST" promise
+        reader = reader.option("mode", "PERMISSIVE" if quarantine else "FAILFAST")
     if fmt == "csv":
         sep = str(options.get("delimiter", "\t" if job.param("format", "tsv") == "tsv" else ","))
         reader = reader.option("sep", sep)
@@ -334,7 +344,6 @@ def load(job: Job) -> JobResult:
             reader = reader.option("nullValue", "")
         if options.get("dateformat") and options["dateformat"] != "auto":
             reader = reader.option("dateFormat", str(options["dateformat"]))
-        reader = reader.option("mode", "PERMISSIVE" if quarantine else "FAILFAST")
         if options.get("header"):
             reader = reader.option("header", "true")
     paths = expand_glob(src) if any(c in src for c in "*?[") else [src]

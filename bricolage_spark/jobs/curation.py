@@ -155,12 +155,20 @@ def registry_compact(job: Job) -> JobResult:
 
     dropped_snapshots = 0
     if snap and job.param("keep-snapshots"):
+        # "newest" orders labels LEXICOGRAPHICALLY — use sortable labels
+        # (ISO dates, the $data_date convention); 'snap10' sorts below
+        # 'snap9'. NULL-labeled rows (appends from before labels
+        # existed) are of unknown age: they are always KEPT — an age-out
+        # that silently erased history of unknown age would re-admit its
+        # duplicates — and registry-compact's key dedup still collapses
+        # them to one row per key.
         n_keep = int(job.param("keep-snapshots"))
         snaps = [r[0] for r in df.select(snap).distinct().collect()]
-        newest = sorted(snaps, reverse=True)[:n_keep]
-        dropped_snapshots = len(snaps) - len(newest)
+        labeled = [s for s in snaps if s is not None]
+        newest = sorted(labeled, reverse=True)[:n_keep]
+        dropped_snapshots = len(labeled) - len(newest)
         if dropped_snapshots:
-            df = df.where(F.col(snap).isin(newest))
+            df = df.where(F.col(snap).isNull() | F.col(snap).isin(newest))
 
     others = [c for c in all_cols if c not in keys]
     if not others:

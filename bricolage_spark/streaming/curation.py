@@ -114,8 +114,20 @@ def curate_batch_against_history(
 
     have_registry = engine.table_exists(registry_table)
     prior = engine.table(registry_table) if have_registry else None
+    if prior is not None and snapshot is not None and "snapshot" not in prior.columns:
+        # registry written before labels existed: align the schema (NULL
+        # = unknown snapshot) and take the insert-delta rewrite below —
+        # appending label-bearing files into an unlabeled table would
+        # leave mixed parquet schemas, and whether the snapshot column
+        # exists would then depend on which file's footer a reader picks
+        prior = prior.withColumn("snapshot", F.lit(None).cast("string"))
     if prior is not None and snapshot is not None and "snapshot" in prior.columns:
-        prior = prior.where(F.col("snapshot") != F.lit(str(snapshot)))
+        # null-safe exclusion: only the CURRENT snapshot's rows leave
+        # the probe/rewrite; NULL-labeled history (pre-label appends)
+        # must stay probe-visible and survive the rewrite — a plain !=
+        # evaluates NULL for them, silently erasing that history (the
+        # same 3-valued-logic rule insert_delta enforces)
+        prior = prior.where(~F.col("snapshot").eqNullSafe(F.lit(str(snapshot))))
 
     if prior is not None:
         flags = D.incremental_neardup_flags(
@@ -138,6 +150,10 @@ def curate_batch_against_history(
     )
     if snapshot is not None:
         new_bands = new_bands.withColumn("snapshot", F.lit(str(snapshot)))
+    elif prior is not None and "snapshot" in prior.columns:
+        # unlabeled run against a labeled registry: align the appended
+        # schema (NULL snapshot) for the same mixed-footer reason
+        new_bands = new_bands.withColumn("snapshot", F.lit(None).cast("string"))
     if prior is not None and snapshot is not None and "snapshot" in prior.columns:
         engine.save_table(
             prior.unionByName(new_bands), registry_table, mode="overwrite"

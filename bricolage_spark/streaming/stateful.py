@@ -50,44 +50,65 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def _sessionize_group(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Fold this micro-batch's events for one user into session state;
-    emit the session when the inactivity timeout fires."""
-    (user_id,) = key
-    if state.hasTimedOut:
-        start, end, n, total = state.get
-        state.remove()
-        yield pd.DataFrame(
-            [
-                {
-                    "user_id": user_id,
-                    "session_start": start,
-                    "session_end": end,
-                    "n_events": n,
-                    "total_value": total,
-                    "closed_reason": "timeout",
-                }
-            ]
-        )
-        return
+def _sessionize_group_fn(gap_ms: int, tz: str):
+    """Build the per-group state function for one (gap, session-tz)
+    configuration — the gap must come from the caller's ``gap_minutes``
+    (a hardcoded constant here would silently disagree with the
+    watermark and the batch fallback for any other gap), and the epoch
+    conversion must know the SESSION timezone: Arrow hands the UDF
+    tz-naive timestamps in session-local time, and a bare
+    ``.timestamp()`` would read them as UTC — 8 h of skew on a
+    PST-pinned session, enough to land the timeout at/below the
+    watermark. (This repo pins sessions to UTC; the localization keeps
+    the operator correct for sessions that don't.)"""
 
-    rows = pd.concat(list(pdfs), ignore_index=True)
-    ts_min, ts_max = rows["ts"].min(), rows["ts"].max()
-    n_new, total_new = len(rows), float(rows["value"].sum())
-    if state.exists:
-        start, end, n, total = state.get
-        state.update((min(start, ts_min), max(end, ts_max), n + n_new, total + total_new))
-    else:
-        state.update((ts_min, ts_max, n_new, total_new))
-    # inactivity gap: 10 min of event time beyond the newest event
-    state.setTimeoutTimestamp(int(ts_max.timestamp() * 1000) + 10 * 60 * 1000)
-    yield pd.DataFrame(
-        columns=[f.name for f in SESSION_SCHEMA.fields]
-    )  # nothing emitted until the session closes
+    def _epoch_ms(ts: pd.Timestamp) -> int:
+        if ts.tzinfo is None:
+            ts = ts.tz_localize(tz)
+        return int(ts.timestamp() * 1000)
+
+    def _sessionize_group(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Fold this micro-batch's events for one user into session
+        state; emit the session when the inactivity timeout fires."""
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, end, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "session_start": start,
+                        "session_end": end,
+                        "n_events": n,
+                        "total_value": total,
+                        "closed_reason": "timeout",
+                    }
+                ]
+            )
+            return
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        ts_min, ts_max = rows["ts"].min(), rows["ts"].max()
+        n_new, total_new = len(rows), float(rows["value"].sum())
+        if state.exists:
+            start, end, n, total = state.get
+            state.update(
+                (min(start, ts_min), max(end, ts_max), n + n_new, total + total_new)
+            )
+        else:
+            state.update((ts_min, ts_max, n_new, total_new))
+        # inactivity gap of event time beyond the newest event
+        state.setTimeoutTimestamp(_epoch_ms(ts_max) + gap_ms)
+        yield pd.DataFrame(
+            columns=[f.name for f in SESSION_SCHEMA.fields]
+        )  # nothing emitted until the session closes
+
+    return _sessionize_group
 
 
 def sessionize(df: DataFrame, gap_minutes: int = 10) -> DataFrame:
@@ -98,11 +119,12 @@ def sessionize(df: DataFrame, gap_minutes: int = 10) -> DataFrame:
     functions, so tests can assert exact values.
     """
     if df.isStreaming:
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
         return (
             df.withWatermark("ts", f"{gap_minutes} minutes")
             .groupBy("user_id")
             .applyInPandasWithState(
-                _sessionize_group,
+                _sessionize_group_fn(gap_minutes * 60 * 1000, tz),
                 outputStructType=SESSION_SCHEMA,
                 stateStructType=_STATE_SCHEMA,
                 outputMode="append",

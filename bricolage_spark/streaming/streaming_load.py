@@ -330,9 +330,25 @@ class StreamingLoader:
 
         spark = self.engine.spark
         reader = spark.read
-        if self.engine.table_exists(self.dest_table):
-            reader = reader.schema(self.engine.table(self.dest_table).schema)
-        df: DataFrame = getattr(reader, self.fmt)(new)
+        # Schema hint for the RAW files. With a custom SQL the dest
+        # schema describes the TRANSFORMED rows, not the files — forcing
+        # it onto the reader would parse every mismatched field as NULL
+        # and silently commit garbage (exactly-once then prevents the
+        # re-load). The work table's (.ct-defined) schema is the raw
+        # shape in that case; without a custom SQL the dest schema is.
+        schema_src = None
+        if self.sql:
+            if self.work_table and self.engine.table_exists(self.work_table):
+                schema_src = self.engine.table(self.work_table).schema
+        elif self.engine.table_exists(self.dest_table):
+            schema_src = self.engine.table(self.dest_table).schema
+        if schema_src is not None:
+            reader = reader.schema(schema_src)
+        # DataFrameReader.parquet is varargs-only; csv/json accept a list
+        # (their second positional is schema — never splat those)
+        df: DataFrame = (
+            reader.parquet(*new) if self.fmt == "parquet" else getattr(reader, self.fmt)(new)
+        )
 
         # work table (skip-work mode loads straight into dest)
         if self.work_table:
@@ -418,9 +434,10 @@ def streaming_load(job: Job) -> JobResult:
         return JobResult(message=f"noop: {len(files)} queued file(s)")
     if job.bool_param("dequeue-only"):
         moved = 0
+        # one scan of the load log, not one per queued file
+        loaded = loader.loaded_files()
         for p in queue.queued_files():
-            base = os.path.basename(p)
-            if base in loader.loaded_files():
+            if os.path.basename(p) in loaded:
                 queue.dequeue(p)
                 moved += 1
         return JobResult(message=f"dequeued {moved} file(s)")

@@ -1088,3 +1088,43 @@ def test_example_crawl_home_three_snapshots(engine, tmp_path):
     )
     assert report.success
     assert engine.table("corpus").count() == sizes["2024-01-03"]
+
+
+def test_load_json_failfast_without_maxerror(engine, home, tmp_path):
+    """The load contract 'maxerror absent/0 keeps FAILFAST' holds for
+    json too: Spark's json default is PERMISSIVE, which would turn a
+    malformed record into an all-NULL row instead of failing the job."""
+    (home / "subsys" / "t.ct").write_text("create table x\n( x int\n, y varchar(20)\n);\n")
+    data = tmp_path / "in"
+    data.mkdir()
+    (data / "bad.json").write_text('{"x": 1, "y": "a"}\n{"x": 2,,}\n')
+    from bricolage_spark.exception import JobError
+
+    with pytest.raises(JobError):
+        run_job(
+            engine, home, "loadjf.job",
+            f"class: load\ndest-table: jf\nsrc-file: {data}/bad.json\n"
+            "table-def: t.ct\nformat: json\n",
+        )
+    # with a maxerror budget the bad line quarantines and the good row loads
+    r2 = run_job(
+        engine, home, "loadjf2.job",
+        f"class: load\ndest-table: jf\nsrc-file: {data}/bad.json\n"
+        "table-def: t.ct\nformat: json\noptions: {maxerror: 5}\n",
+    )
+    assert r2.success and r2.rows == 1
+    assert engine.table("jf__errors").count() == 1
+
+
+def test_insert_reports_written_rows_without_rescan(engine, home):
+    """insert's rows counter comes from the write-time observation of
+    the script's INSERT, not a post-write count() of the whole dest."""
+    engine.save_table(engine.table("src_events").limit(3), "seed_dest")
+    r = run_job(
+        engine, home, "insrows.sql.job",
+        "/*\nclass: insert\ndest-table: seed_dest\nsrc-tables: {s: src_events}\n*/\n"
+        "insert into $dest_table select * from $s where id <= 2;\n",
+    )
+    assert r.success
+    assert r.rows == 2                      # rows INSERTED, not table size
+    assert engine.table("seed_dest").count() == 5

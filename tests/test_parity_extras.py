@@ -452,3 +452,43 @@ def test_semantic_dedup_cell_cap_raises_on_degenerate_embeddings(spark, tmp_path
         # the raise path must not leave a cache entry behind
         llm_ops.release_sem_assignment(str(tmp_path))
         llm_ops._SEM_CENT_CACHE.clear()
+
+
+def test_sessionize_state_fn_honors_gap_and_timezone():
+    """The state function's timeout = epoch(ts_max) + the CALLER's gap
+    (a hardcoded gap would disagree with the watermark/batch path), and
+    naive timestamps are localized to the session timezone before the
+    epoch conversion (a bare .timestamp() reads them as UTC)."""
+    import pandas as pd
+
+    from bricolage_spark.streaming.stateful import _sessionize_group_fn
+
+    class FakeState:
+        hasTimedOut = False
+        exists = False
+
+        def __init__(self):
+            self.timeout = None
+
+        def update(self, v):
+            self.stored = v
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout = ms
+
+    rows = pd.DataFrame(
+        {"ts": [pd.Timestamp("2024-01-01 00:00:00")], "value": [1.0]}
+    )
+    base_utc = int(pd.Timestamp("2024-01-01 00:00:00", tz="UTC").timestamp() * 1000)
+
+    for gap_min in (10, 30):
+        st = FakeState()
+        list(_sessionize_group_fn(gap_min * 60 * 1000, "UTC")((7,), iter([rows]), st))
+        assert st.timeout == base_utc + gap_min * 60 * 1000
+
+    # a non-UTC session hands the UDF naive LOCAL times: 00:00 in
+    # UTC+2 is 22:00 UTC the previous day — 2h EARLIER than the naive
+    # UTC reading
+    st = FakeState()
+    list(_sessionize_group_fn(600_000, "Etc/GMT-2")((7,), iter([rows]), st))
+    assert st.timeout == base_utc - 2 * 3600 * 1000 + 600_000

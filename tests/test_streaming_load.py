@@ -298,3 +298,69 @@ def test_custom_sql_non_select_rejected(engine, tmp_path, queue_dir):
     with pytest.raises(ParameterError, match="must end with a SELECT"):
         loader.run_once()
     assert engine.table_exists("load_test") is False
+
+
+def test_parquet_format_loads(engine, tmp_path, queue_dir):
+    """format=parquet works: DataFrameReader.parquet is varargs-only and
+    must be splatted (a list crashes py4j)."""
+    import pandas as pd
+
+    for name, xs in (
+        ("20240101_0000_00.json", [1, 2]),   # queue pattern; content parquet
+        ("20240101_0100_00.json", [3]),
+    ):
+        pd.DataFrame({"x": xs}).to_parquet(queue_dir / name)
+    queue = FileQueue(
+        queue_path=str(queue_dir),
+        persistent_path=str(tmp_path / "arch"),
+        file_name="%Y%m%d_%H%M_%Q.json",
+    )
+    loader = StreamingLoader(
+        engine=engine,
+        queue=queue,
+        dest_table="pq_dest",
+        log_table="pq_dest_l",
+        work_table="pq_dest_wk",
+        fmt="parquet",
+    )
+    stats = loader.run_once()
+    assert stats["loaded_files"] == 2 and stats["rows"] == 3
+    assert {r.x for r in engine.table("pq_dest").collect()} == {1, 2, 3}
+
+
+def test_custom_sql_does_not_force_dest_schema_on_raw_files(
+    engine, tmp_path, queue_dir
+):
+    """With a custom SQL the dest table's schema describes TRANSFORMED
+    rows; forcing it onto the raw file reader would parse every field as
+    NULL and silently commit garbage under exactly-once."""
+    from pyspark.sql import functions as F
+
+    # dest pre-exists with the AGGREGATED shape (user, total)
+    seed = engine.spark.createDataFrame([(0, 0.0)], "user long, total double")
+    engine.save_table(seed.limit(0), "agg_dest", mode="overwrite")
+    write_files(queue_dir, {
+        "20240101_0000_00.json": [
+            '{"user": 1, "amount": 2.5}', '{"user": 1, "amount": 1.5}',
+            '{"user": 2, "amount": 4.0}',
+        ],
+    })
+    queue = FileQueue(
+        queue_path=str(queue_dir),
+        persistent_path=str(tmp_path / "arch2"),
+        file_name="%Y%m%d_%H%M_%Q.json",
+    )
+    loader = StreamingLoader(
+        engine=engine,
+        queue=queue,
+        dest_table="agg_dest",
+        log_table="agg_dest_l",
+        work_table="agg_wk",
+        fmt="json",
+        sql="insert into agg_dest select user, sum(amount) as total "
+            "from agg_wk group by user",
+    )
+    stats = loader.run_once()
+    assert stats["rows"] == 2
+    out = {r.user: r.total for r in engine.table("agg_dest").collect()}
+    assert out == {1: 4.0, 2: 4.0}

@@ -381,3 +381,54 @@ def test_streaming_foreachbatch_history_sink(spark, tmp_path):
     kept_ids = sorted(r.doc_id for r in engine.table("curated_corpus").collect())
     assert 1 in kept_ids and 11 in kept_ids
     assert 10 not in kept_ids  # near-dup of history: dropped by the probe
+
+
+def test_curate_batch_pre_label_history_survives_labeled_runs(spark, tmp_path):
+    """A registry written BEFORE snapshot labels existed (no snapshot
+    column, or NULL-labeled rows) must stay probe-visible and survive a
+    labeled run's insert-delta rewrite — and the schemas must align so
+    the snapshot column's existence never depends on which parquet
+    footer a reader picks."""
+    from bricolage_spark.engine import SparkEngine
+    from bricolage_spark.streaming.curation import curate_batch_against_history
+
+    engine = SparkEngine(spark, warehouse=str(tmp_path / "wh"))
+    base = "the quick brown fox jumps over the lazy dog tonight again"
+    other = "completely different words about sailing ships and distant harbors"
+
+    # run 1: UNLABELED (legacy) — registry has no snapshot column
+    kept1 = curate_batch_against_history(
+        spark.createDataFrame([(1, base)], "doc_id long, text string"),
+        engine,
+        "reg2",
+    ).collect()
+    assert [r.doc_id for r in kept1] == [1]
+    assert "snapshot" not in engine.table("reg2").columns
+
+    # run 2: labeled — the legacy history must still drop the dup, and
+    # the rewrite must keep it (as NULL-labeled rows, schema aligned)
+    kept2 = curate_batch_against_history(
+        spark.createDataFrame([(10, base), (11, other)], "doc_id long, text string"),
+        engine,
+        "reg2",
+        snapshot="s2",
+    )
+    assert {r.doc_id for r in kept2.collect()} == {11}
+    reg = engine.table("reg2")
+    assert "snapshot" in reg.columns
+    labels = {r.snapshot for r in reg.select("snapshot").distinct().collect()}
+    assert labels == {None, "s2"}
+    n_null = reg.where(reg.snapshot.isNull()).count()
+    assert n_null > 0  # legacy bands survived the labeled rewrite
+
+    # replaying the labeled run keeps the NULL-labeled history intact
+    total = reg.count()
+    curate_batch_against_history(
+        spark.createDataFrame([(10, base), (11, other)], "doc_id long, text string"),
+        engine,
+        "reg2",
+        snapshot="s2",
+    ).collect()
+    reg = engine.table("reg2")
+    assert reg.count() == total
+    assert reg.where(reg.snapshot.isNull()).count() == n_null
