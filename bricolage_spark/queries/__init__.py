@@ -164,6 +164,10 @@ _CLIP_LAST = [
     # new post-r7-window (no driver row yet; first row r8, see plan above):
     "q95_bpe_merges",
     "q96_semantic_decontamination",
+    # later post-window additions: first driver rows r8/r9 as slots allow
+    # (the r8 window is full at 48 clip-cohort + q95/q96; these follow in
+    # the r9 rotation with the q84-q94 single-green cohort)
+    "q97_host_pagerank",
 ]
 
 

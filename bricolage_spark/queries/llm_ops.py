@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from bricolage_spark.catalog import read_table, spread
 from bricolage_spark.operators import curation as C
 from bricolage_spark.operators import dedup as D
+from bricolage_spark.operators import graph as G
 from bricolage_spark.operators import multimodal as M
 from bricolage_spark.operators import similarity as S
 from bricolage_spark.operators import textual as T
@@ -4155,3 +4156,113 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.max_sim_to_reference(
         train, bench, "vec_id", "embedding", threshold=_SEMDECON_TAU
     )
+
+
+# --------------------------------------------------------------------------
+# q97 host-graph PageRank (crawl-source quality ranking)
+# --------------------------------------------------------------------------
+# NEW post-r7-window (same parking as q95/q96 — first driver row r8+).
+# The host-level link-graph ranking a crawl pipeline feeds into source
+# weighting (the public Common-Crawl host rank; CCNet/RefinedWeb keep
+# "head" hosts). The graph fixture is derived deterministically from the
+# corpus: every doc lives on host (doc_id % 48) and links to 3 hosts
+# hashed into a LARGER 64-host space, so hosts 48-63 appear only as link
+# TARGETS — real dangling nodes, putting the dangling-mass
+# redistribution path under the oracle, not just under pytest.
+_PR_SRC_HOSTS, _PR_HOSTS, _PR_LINKS = 48, 64, 3
+_PR_SEED, _PR_ITER, _PR_DAMP = 9731, 5, 0.85
+
+
+def _q97_oracle() -> str:
+    d = _PR_DAMP
+    link_expr = "doc_id::VARCHAR || ':' || j::VARCHAR"
+    dst = f"({_h32(link_expr, _PR_SEED)} % {_PR_HOSTS})"
+    links = ", ".join(str(j) for j in range(1, _PR_LINKS + 1))
+    parts = [
+        f"""
+    WITH raw AS (
+        SELECT CAST(doc_id % {_PR_SRC_HOSTS} AS BIGINT) AS s,
+               CAST({dst} AS BIGINT) AS t
+        FROM documents, UNNEST([{links}]) AS l(j)
+    ),
+    edges AS (SELECT DISTINCT s, t FROM raw WHERE s <> t),
+    nodes AS (SELECT s AS id FROM edges UNION SELECT t FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT s, COUNT(*) AS outdeg FROM edges GROUP BY s),
+    wedges AS (
+        SELECT e.s, e.t, CAST(1.0 AS DOUBLE) / g.outdeg AS w
+        FROM edges e JOIN deg g ON g.s = e.s
+    ),
+    dang AS (SELECT id FROM nodes WHERE id NOT IN (SELECT s FROM deg)),
+    r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for k in range(_PR_ITER):
+        parts.append(f""",
+    d{k} AS (
+        SELECT COALESCE(SUM(rank), 0) AS dm FROM r{k}
+        WHERE id IN (SELECT id FROM dang)
+    ),
+    r{k + 1} AS (
+        SELECT nd.id,
+               (CAST(1.0 AS DOUBLE) - {d}) / (SELECT n FROM nn)
+               + {d} * (COALESCE(c.contrib, 0)
+                        + (SELECT dm FROM d{k}) / (SELECT n FROM nn)) AS rank
+        FROM nodes nd
+        LEFT JOIN (
+            SELECT e.t AS id, SUM(r.rank * e.w) AS contrib
+            FROM wedges e JOIN r{k} r ON r.id = e.s
+            GROUP BY e.t
+        ) c ON c.id = nd.id
+    )""")
+    parts.append(f"""
+    SELECT id AS host_id, ROUND(rank, 6) AS pagerank
+    FROM r{_PR_ITER}
+    ORDER BY pagerank DESC, host_id""")
+    return "".join(parts)
+
+
+@register(
+    "q97_host_pagerank",
+    oracle=_q97_oracle(),
+    doc="Host-graph PageRank (operators/graph.py::pagerank): "
+    f"{_PR_ITER} damped rounds (d={_PR_DAMP}) with uniform teleport and "
+    "dangling-mass redistribution over the deterministic host link "
+    f"graph (src = doc_id % {_PR_SRC_HOSTS}, {_PR_LINKS} hashed targets "
+    f"in a {_PR_HOSTS}-host space — hosts {_PR_SRC_HOSTS}+ are real "
+    "dangling leaves). Per round: one hash join + one dst-keyed "
+    "groupBy-sum, lineage truncated per round; only per-round scalars "
+    "reach the driver. The crawl-curation source-quality signal "
+    "(Common-Crawl host ranking) feeding q62-style source weighting.",
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    link_cols = F.array(
+        *[
+            (
+                D.hash32(
+                    F.concat_ws(
+                        ":", F.col("doc_id").cast("string"), F.lit(str(j))
+                    ),
+                    _PR_SEED,
+                )
+                % _PR_HOSTS
+            ).cast("bigint")
+            for j in range(1, _PR_LINKS + 1)
+        ]
+    )
+    edges = (
+        spread(docs, "doc_id")
+        .select(
+            (F.col("doc_id") % _PR_SRC_HOSTS).cast("bigint").alias("src"),
+            F.explode(link_cols).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ranks = G.pagerank(
+        edges, "src", "dst", iterations=_PR_ITER, damping=_PR_DAMP
+    )
+    return ranks.select(
+        F.col("id").cast("bigint").alias("host_id"),
+        F.round("rank", 6).alias("pagerank"),
+    ).orderBy(F.desc("pagerank"), "host_id")

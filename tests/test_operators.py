@@ -423,6 +423,57 @@ def test_connected_components_star_fallback_handles_long_chains(spark):
     assert got == {i: 0 for i in range(31)} | {100: 100, 101: 100}
 
 
+def test_pagerank_matches_power_iteration_mirror(spark):
+    """pagerank == an independent NumPy power-iteration mirror (same
+    teleport + dangling redistribution), to 1e-12 — including a node
+    (5) that only ever appears as a link TARGET (dangling leaf)."""
+    import numpy as np
+
+    from bricolage_spark.operators.graph import pagerank
+
+    raw = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (4, 5), (2, 5)]
+    edges = spark.createDataFrame(raw, "src bigint, dst bigint")
+    got = {
+        r.id: r.rank
+        for r in pagerank(edges, iterations=5, damping=0.85).collect()
+    }
+
+    ids = sorted({v for e in raw for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n, d = len(ids), 0.85
+    out: dict[int, list[int]] = {}
+    for s, t in raw:
+        out.setdefault(s, []).append(t)
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        nxt = np.full(n, (1.0 - d) / n)
+        dangling = sum(r[idx[v]] for v in ids if v not in out)
+        nxt += d * dangling / n
+        for s, ts in out.items():
+            for t in ts:
+                nxt[idx[t]] += d * r[idx[s]] / len(ts)
+        r = nxt
+    for v in ids:
+        assert abs(got[v] - r[idx[v]]) < 1e-12, (v, got[v], r[idx[v]])
+    # dangling redistribution conserves total rank mass
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # the hub (2: three in-links incl. from the cycle) outranks the leaf 3
+    assert got[2] > got[3]
+
+
+def test_pagerank_uniform_cycle_is_uniform(spark):
+    """A directed cycle is perfectly symmetric: every node's rank is
+    exactly 1/n at every iteration count (no dangling, outdeg 1)."""
+    from bricolage_spark.operators.graph import pagerank
+
+    n = 6
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src bigint, dst bigint"
+    )
+    for r in pagerank(edges, iterations=3).collect():
+        assert abs(r.rank - 1.0 / n) < 1e-12
+
+
 def test_connected_components_star_matches_label_propagation(spark):
     """Both algorithms agree on a mixed graph (chain + triangle + pair +
     arbitrary edge orientations)."""
