@@ -519,6 +519,24 @@ def _weights_lit() -> Column:
     return _WEIGHTS_COL
 
 
+def gram_array(text_col: str) -> Column:
+    """Word unigrams + bigrams WITH multiplicity, as one array Column.
+
+    The shared gram definition for every hashed-ngram surface (the q83
+    classifier, DSIR importance weighting): normalized words
+    concatenated with space-joined adjacent pairs. Pure Catalyst HOFs —
+    callers decide whether to keep it row-local (aggregate over the
+    array) or explode it for a distribution fit.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.concat(words, bigrams)
+
+
 def hashed_ngram_keep(text_col: str, threshold: float = 0.5) -> Column:
     """Row-local boolean: would ``hashed_ngram_score`` keep this doc?
 
@@ -531,13 +549,7 @@ def hashed_ngram_keep(text_col: str, threshold: float = 0.5) -> Column:
     hashed_ngram_score needs does not apply here.
     """
     wtab = _weights_lit()
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    bigrams = F.zip_with(
-        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
-        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
-    grams = F.concat(words, bigrams)
+    grams = gram_array(text_col)
     total = F.aggregate(
         grams,
         F.lit(0).cast("bigint"),
@@ -581,16 +593,10 @@ def hashed_ngram_score(
     # >= cores (a single-row-group input file scans as ONE task and
     # would serialize the scoring onto one core; no-op at corpus scale)
     df = spread(df.where(F.col(text_col).isNotNull()), id_col)
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    bigrams = F.zip_with(
-        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
-        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
     # materialize grams in their own projection (CollapseProject keeps it:
     # the array is referenced twice and split/zip_with are not cheap), so
     # the gram pipeline runs once, not once per consumer
-    gdf = df.select(F.col(id_col), F.concat(words, bigrams).alias("_grams"))
+    gdf = df.select(F.col(id_col), gram_array(text_col).alias("_grams"))
     # project the aggregate ONCE, then derive score/keep from the column:
     # referencing the HOF expression from both `score` and `keep` would
     # re-run the whole per-gram aggregation per reference (interpreted
@@ -615,6 +621,109 @@ def hashed_ngram_score(
         F.col("n_grams"),
         F.col("score"),
         (F.col("score") >= F.lit(threshold)).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (targeted data selection)
+# ---------------------------------------------------------------------------
+# Data Selection with Importance Resampling (Xie et al., NeurIPS 2023):
+# fit hashed-ngram bag-of-words distributions over a small TARGET sample
+# and the RAW pool, then weight every raw doc by its target/raw
+# log-likelihood ratio — docs that "read like" the target domain get
+# positive weight. The public, cheap alternative to training a quality
+# classifier when what you have is an exemplar corpus, not labels.
+#
+# Scale shape: the fit is ONE corpus pass collapsing to a
+# ``buckets``-row table (broadcast-sized forever — in production a
+# staged artifact, refit only when the target changes); scoring is one
+# raw-pool pass — explode to hashed buckets, broadcast-join the ratio
+# table, doc-keyed partial-agg sum. Nothing driver-side, no all-pairs,
+# no Python.
+
+DSIR_BUCKETS = 1024
+DSIR_SEED = 5151
+
+
+def dsir_log_ratio_table(
+    df: DataFrame,
+    text_col: str,
+    is_target: Column,
+    buckets: int = DSIR_BUCKETS,
+    seed: int = DSIR_SEED,
+) -> DataFrame:
+    """(bucket, log_ratio): add-one-smoothed hashed-ngram log-likelihood
+    ratio ln(p_target/p_raw) per feature bucket.
+
+    ``is_target`` is any boolean Column over ``df``'s rows splitting the
+    corpus into the target exemplar sample (true) and the raw pool
+    (false). Buckets no gram hashed into carry no row — scoring joins
+    only buckets that occur, and every scorable gram's bucket occurs by
+    construction.
+    """
+    gb = df.where(F.col(text_col).isNotNull()).select(
+        is_target.alias("_t"),
+        F.explode(gram_array(text_col)).alias("_g"),
+    )
+    dist = gb.select(
+        "_t", (hash32(F.col("_g"), seed) % buckets).alias("bucket")
+    ).groupBy("bucket").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("_ct"),
+        F.sum(F.when(F.col("_t"), 0).otherwise(1)).alias("_cr"),
+    )
+    totals = dist.agg(
+        F.sum("_ct").cast("double").alias("_T"),
+        F.sum("_cr").cast("double").alias("_R"),
+    )
+    b = F.lit(float(buckets))
+    return dist.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("_ct") + F.lit(1.0)) / (F.col("_T") + b))
+            - F.log((F.col("_cr") + F.lit(1.0)) / (F.col("_R") + b))
+        ).alias("log_ratio"),
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    buckets: int = DSIR_BUCKETS,
+    seed: int = DSIR_SEED,
+    ratio_table: DataFrame | None = None,
+) -> DataFrame:
+    """Score every RAW-pool doc (``is_target`` false) by its summed
+    hashed-ngram log importance ratio: (id, n_grams, dsir_logweight,
+    keep) with keep = weight above 0 (more target-like than raw-like).
+
+    Pass ``ratio_table`` (a persisted :func:`dsir_log_ratio_table`
+    result) to skip the fit pass — the staged-artifact shape a pipeline
+    uses; omitted, the fit runs inline over the same frame. The weight
+    is rounded to 4dp BEFORE the keep comparison so the verdict is
+    reproducible across engines (double sums are order-sensitive at the
+    ulp level; the rounded value is not).
+    """
+    if ratio_table is None:
+        ratio_table = dsir_log_ratio_table(df, text_col, is_target, buckets, seed)
+    raw = spread(
+        df.where(F.col(text_col).isNotNull() & ~is_target), id_col
+    ).select(F.col(id_col), F.explode(gram_array(text_col)).alias("_g"))
+    scored = (
+        raw.select(id_col, (hash32(F.col("_g"), seed) % buckets).alias("bucket"))
+        .join(F.broadcast(ratio_table), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.round(F.sum("log_ratio"), 4).alias("dsir_logweight"),
+        )
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_grams",
+        "dsir_logweight",
+        (F.col("dsir_logweight") > F.lit(0.0)).alias("keep"),
     )
 
 

@@ -168,6 +168,7 @@ _CLIP_LAST = [
     # (the r8 window is full at 48 clip-cohort + q95/q96; these follow in
     # the r9 rotation with the q84-q94 single-green cohort)
     "q97_host_pagerank",
+    "q98_dsir_importance",
 ]
 
 

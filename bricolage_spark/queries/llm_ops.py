@@ -1215,6 +1215,7 @@ def release_caches() -> None:
     release_spans()
     release_sem_assignment()
     release_bm25()
+    release_dsir()
     _SEM_CENT_CACHE.clear()
     relational._PCT_CACHE.clear()
     patterns._HOT_KEY_CACHE.clear()
@@ -1277,6 +1278,8 @@ def stage_artifacts(spark: SparkSession, sf_dir: str) -> list[str]:
     p.count()
     c.count()
     built.append("bm25_index")
+    _dsir_ratio(spark, sf_dir)  # fits + materializes the ratio table
+    built.append("dsir_ratio")
     return built
 
 
@@ -4266,3 +4269,109 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("bigint").alias("host_id"),
         F.round("rank", 6).alias("pagerank"),
     ).orderBy(F.desc("pagerank"), "host_id")
+
+
+# --------------------------------------------------------------------------
+# q98 DSIR importance weighting (targeted data selection)
+# --------------------------------------------------------------------------
+# Same post-window parking as q95-q97. Data Selection with Importance
+# Resampling (Xie et al., NeurIPS 2023): the target "domain exemplar"
+# sample is doc_id % 7 == 0; every raw-pool doc gets the add-one-smoothed
+# hashed-ngram log-likelihood ratio of target vs raw. The ratio table is
+# a STAGED artifact (1024 rows — broadcast-sized at any corpus scale,
+# refit only when the target changes); scoring is one raw-pool pass.
+_DSIR_MOD = 7
+_DSIR_CACHE: dict = {}
+
+
+def _dsir_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged bucket -> log_ratio table (persisted, session-keyed)."""
+    key = (session_token(spark), sf_dir)
+    entry = _DSIR_CACHE.get(key)
+    if entry is None:
+        docs = read_table(spark, sf_dir, "documents")
+        lr = T.dsir_log_ratio_table(
+            spread(docs, "doc_id"),
+            "text",
+            F.col("doc_id") % _DSIR_MOD == 0,
+        ).persist()
+        lr.count()
+        entry = _DSIR_CACHE[key] = lr
+    return entry
+
+
+def release_dsir(sf_dir: str | None = None) -> None:
+    """Drop cached DSIR ratio tables (all, or one corpus')."""
+    live = session_token()
+    for key in [k for k in _DSIR_CACHE if sf_dir is None or k[1] == sf_dir]:
+        lr = _DSIR_CACHE.pop(key)
+        if key[0] == live:
+            lr.unpersist(blocking=False)
+
+
+def _q98_oracle() -> str:
+    B, seed, mod = T.DSIR_BUCKETS, T.DSIR_SEED, _DSIR_MOD
+    bucket = f"({_h32('g', seed)} % {B})"
+    return f"""
+    WITH {_DOCS_CTE},
+    grams AS (
+        SELECT doc_id, words[i] AS g
+        FROM docs, UNNEST(range(1, len(words) + 1)) AS t(i)
+        UNION ALL
+        SELECT doc_id, words[i] || ' ' || words[i + 1] AS g
+        FROM docs, UNNEST(range(1, len(words))) AS t(i)
+    ),
+    gb AS (SELECT doc_id, {bucket} AS bucket FROM grams),
+    dist AS (
+        SELECT bucket,
+               SUM(CASE WHEN doc_id % {mod} = 0 THEN 1 ELSE 0 END) AS ct,
+               SUM(CASE WHEN doc_id % {mod} <> 0 THEN 1 ELSE 0 END) AS cr
+        FROM gb GROUP BY bucket
+    ),
+    tot AS (
+        SELECT CAST(SUM(ct) AS DOUBLE) AS t, CAST(SUM(cr) AS DOUBLE) AS r
+        FROM dist
+    ),
+    lr AS (
+        SELECT bucket,
+               ln((ct + CAST(1.0 AS DOUBLE)) / (t + {B}))
+               - ln((cr + CAST(1.0 AS DOUBLE)) / (r + {B})) AS log_ratio
+        FROM dist, tot
+    ),
+    scored AS (
+        SELECT gb.doc_id,
+               CAST(COUNT(*) AS BIGINT)      AS n_grams,
+               ROUND(SUM(lr.log_ratio), 4)   AS dsir_logweight
+        FROM gb JOIN lr USING (bucket)
+        WHERE gb.doc_id % {mod} <> 0
+        GROUP BY gb.doc_id
+    )
+    SELECT doc_id, n_grams, dsir_logweight,
+           dsir_logweight > 0 AS keep
+    FROM scored
+    """
+
+
+@register(
+    "q98_dsir_importance",
+    oracle=_q98_oracle(),
+    doc="DSIR importance weighting (operators/textual.py::"
+    "dsir_importance, Xie et al. NeurIPS 2023): hashed uni+bigram "
+    f"bag-of-words distributions fit over the target exemplar slice "
+    f"(doc_id % {_DSIR_MOD} == 0) vs the raw pool, add-one smoothed; "
+    "every raw doc scored by its summed log-likelihood ratio, "
+    "keep = more target-like than raw-like. The ratio table is a "
+    f"staged {T.DSIR_BUCKETS}-row broadcast artifact; scoring is one "
+    "raw-pool pass (explode -> broadcast join -> doc-keyed partial "
+    "agg). Weight rounded to 4dp before the keep comparison on both "
+    "engines.",
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.dsir_importance(
+        docs,
+        "doc_id",
+        "text",
+        F.col("doc_id") % _DSIR_MOD == 0,
+        ratio_table=_dsir_ratio(spark, sf_dir),
+    )

@@ -1131,6 +1131,89 @@ def test_shard_assignment_is_deterministic_and_balancedish(spark):
     assert all(again[r.doc_id] == (r.shard_id, r.sort_key) for r in out)
 
 
+def test_dsir_importance_matches_python_mirror(spark):
+    """dsir_importance == an independent pure-Python mirror of the DSIR
+    recipe (hashed uni+bigram counts, add-one smoothing, summed log
+    ratio), and the staged ratio-table path equals the inline-fit path."""
+    import hashlib
+    import math
+    import re
+
+    from bricolage_spark.operators.textual import (
+        DSIR_BUCKETS,
+        DSIR_SEED,
+        dsir_importance,
+        dsir_log_ratio_table,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),      # target
+        (1, "buy cheap pills now buy cheap pills now"),
+        (2, "the quick brown fox naps under the old tree"),
+        (3, "completely different words about sailing ships"),
+        (4, "THE  Quick   brown fox"),                           # target
+        (5, "fox and dog stories the quick collection"),
+    ]
+    targets = {0, 4}
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    is_target = F.col("doc_id").isin(*targets)
+
+    def grams(text: str) -> list[str]:
+        ws = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def bucket(g: str) -> int:
+        h = hashlib.md5(f"{DSIR_SEED}|{g}".encode()).hexdigest()[:8]
+        return int(h, 16) % DSIR_BUCKETS
+
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    for i, t in rows:
+        for g in grams(t):
+            d = ct if i in targets else cr
+            d[bucket(g)] = d.get(bucket(g), 0) + 1
+    t_tot, r_tot = sum(ct.values()), sum(cr.values())
+
+    def lr(b: int) -> float:
+        return math.log((ct.get(b, 0) + 1.0) / (t_tot + DSIR_BUCKETS)) - math.log(
+            (cr.get(b, 0) + 1.0) / (r_tot + DSIR_BUCKETS)
+        )
+
+    expect = {}
+    for i, t in rows:
+        if i in targets:
+            continue
+        gs = grams(t)
+        w = round(sum(lr(bucket(g)) for g in gs), 4)
+        expect[i] = (len(gs), w, w > 0)
+
+    got = {
+        r.doc_id: (r.n_grams, r.dsir_logweight, r.keep)
+        for r in dsir_importance(df, "doc_id", "text", is_target).collect()
+    }
+    assert set(got) == set(expect)
+    for i in expect:
+        assert got[i][0] == expect[i][0], i
+        assert abs(got[i][1] - expect[i][1]) < 1e-9, i
+        assert got[i][2] == expect[i][2], i
+    # direction: docs sharing target vocabulary ("the quick brown fox")
+    # outweigh the unrelated ones (absolute sign depends on smoothing
+    # mass with a 2-doc target, so assert ordering, not the keep flag)
+    assert got[2][1] > got[3][1] and got[5][1] > got[1][1]
+
+    staged = dsir_log_ratio_table(df, "text", is_target).persist()
+    try:
+        via_staged = {
+            r.doc_id: (r.n_grams, r.dsir_logweight, r.keep)
+            for r in dsir_importance(
+                df, "doc_id", "text", is_target, ratio_table=staged
+            ).collect()
+        }
+        assert via_staged == got
+    finally:
+        staged.unpersist(blocking=False)
+
+
 def test_hashed_ngram_keep_matches_score_keep(spark):
     """The filter-predicate form must agree with the scoring form doc by
     doc at any threshold (same weights, same gram pipeline)."""
