@@ -206,6 +206,117 @@ def registry_compact(job: Job) -> JobResult:
 
 
 @jobclass(
+    "dsir-select",
+    schema=ParamSchema(
+        [
+            TableParam("dest-table"),
+            TableParam("src-table"),
+            TableParam("target-table"),
+            TableParam("ratio-table", optional=True),
+            StringParam("id-column", optional=True),
+            StringParam("text-column", optional=True),
+            StringParam("min-weight", optional=True),
+            StringParam("keep-fraction", optional=True),
+            StringParam("reuse-ratio", optional=True),
+        ]
+    ),
+)
+def dsir_select(job: Job) -> JobResult:
+    """Targeted data selection stage (q98, DSIR — Xie et al. 2023):
+    keep the ``src-table`` docs that read like the ``target-table``
+    exemplar corpus, by hashed-ngram target/raw log-likelihood ratio.
+
+    The fit collapses ONE pass over target ∪ raw into a 1024-row ratio
+    table; scoring is one raw pass (broadcast join + doc-keyed agg).
+    With ``ratio-table`` set the fitted table is published there
+    (stage-and-swap) for audit and reuse; ``reuse-ratio: true`` loads
+    an existing ratio table instead of refitting — the staged-artifact
+    path for a raw pool that re-scores against an unchanged target
+    (refit only when the target corpus changes).
+
+    Selection: ``keep-fraction`` F keeps the top F of the pool by
+    weight (DSIR's importance-resampling shape with a selection
+    budget — the head is taken distributed, TakeOrdered, ties to the
+    smaller id, never a global sort); otherwise ``min-weight``
+    (default 0.0) thresholds the per-doc summed log ratio — 0.0 keeps
+    docs more target-like than raw-like (absolute weights sit well
+    below 0 when the target sample is small relative to smoothing
+    mass, so budgeted selection is the form a real pipeline runs).
+    """
+    from bricolage_spark.operators.textual import (
+        dsir_importance,
+        dsir_log_ratio_table,
+    )
+
+    dest = job.require("dest-table")
+    src = job.require("src-table")
+    target_t = job.require("target-table")
+    ratio_t = job.param("ratio-table")
+    id_col = str(job.param("id-column", "doc_id"))
+    text_col = str(job.param("text-column", "text"))
+    min_w = float(job.param("min-weight", 0.0))
+
+    if job.bool_param("reuse-ratio") and ratio_t and job.engine.table_exists(
+        ratio_t
+    ):
+        ratio = job.engine.table(ratio_t)
+        fitted = "reused"
+    else:
+        fit = job.engine.table(target_t).select(
+            F.col(text_col), F.lit(True).alias("_t")
+        ).unionByName(
+            job.engine.table(src).select(
+                F.col(text_col), F.lit(False).alias("_t")
+            )
+        )
+        ratio = dsir_log_ratio_table(fit, text_col, F.col("_t"))
+        if ratio_t:
+            # publish, then score from the WRITTEN table: the fit plan
+            # is not recomputed for scoring, and what scored is exactly
+            # what auditors read
+            job.engine.save_table(ratio, ratio_t, mode="overwrite")
+            ratio = job.engine.table(ratio_t)
+        fitted = "fitted"
+
+    scored = dsir_importance(
+        job.engine.table(src).withColumn("_t", F.lit(False)),
+        id_col,
+        text_col,
+        F.col("_t"),
+        ratio_table=ratio,
+    )
+    frac = job.param("keep-fraction")
+    if frac is not None:
+        frac = float(frac)
+        if not 0.0 < frac <= 1.0:
+            raise ParameterError(
+                f"dsir-select: keep-fraction must be in (0, 1]: {frac}"
+            )
+        pool = job.engine.table(src).count()
+        k = max(1, int(pool * frac))
+        keep_ids = (
+            scored.orderBy(F.desc("dsir_logweight"), F.col(id_col))
+            .limit(k)
+            .select(id_col)
+        )
+        rule = f"top {frac:g} of {pool} = {k}"
+    else:
+        keep_ids = scored.where(
+            F.col("dsir_logweight") >= F.lit(min_w)
+        ).select(id_col)
+        rule = f"min-weight {min_w}"
+    kept = job.engine.table(src).join(keep_ids, id_col, "left_semi")
+    n = job.engine.save_table(kept, dest, mode="overwrite")
+    return JobResult(
+        message=(
+            f"DSIR kept {n} docs from {src} into {dest} "
+            f"(ratio {fitted}, {rule})"
+        ),
+        rows=n,
+    )
+
+
+@jobclass(
     "semantic-decon",
     schema=ParamSchema(
         [

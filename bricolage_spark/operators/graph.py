@@ -143,12 +143,15 @@ def pagerank(
 
     Per round the work is one hash join (ranks ⨝ out-edges) + one
     groupBy-sum keyed on the destination node — both shuffle on node id
-    and scale like any aggregation; nothing is ever collected except
-    two scalars per round (the dangling mass and nothing else) and the
-    one-time node count, all metadata-scale. Lineage is truncated every
-    round (localCheckpoint), same discipline as connected_components:
-    an iterative plan that doubles per round dies of planning before it
-    dies of data. The out-degree-weighted edge list is checkpointed
+    and scale like any aggregation. Nothing data-scale ever reaches the
+    driver: the one-time node count is the only collected scalar, and
+    the per-round dangling mass stays IN the plan as a 1-row aggregate
+    broadcast-cross-joined into the rank update (a driver-side
+    ``.first()`` per round would double the job count — each round is
+    exactly ONE job). Lineage is truncated every round (localCheckpoint,
+    same discipline as connected_components: ranks feed two consumers
+    per round, so an unmaterialized chain re-expands 2^rounds in the
+    physical tree). The out-degree-weighted edge list is checkpointed
     once and reused by every round — the single big artifact in the
     computation, scanned ``iterations`` times but built once.
 
@@ -190,10 +193,9 @@ def pagerank(
         eager=True
     )
     for _ in range(iterations):
-        dangling_mass = (
+        dm = (
             ranks.join(dangling_ids, "id", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         )
         contribs = (
             w_edges.join(ranks.select(F.col("id").alias("s"), "rank"), "s")
@@ -202,6 +204,7 @@ def pagerank(
         )
         ranks = (
             nodes.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dm))
             .select(
                 "id",
                 (
@@ -209,7 +212,7 @@ def pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.lit(dangling_mass / n)
+                        + F.col("_dm") / F.lit(float(n))
                     )
                 ).alias("rank"),
             )

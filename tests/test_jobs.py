@@ -436,6 +436,20 @@ def test_example_curation_home_runs_end_to_end(engine, tmp_path):
         for r in engine.table("corpus_stats").collect()
     }
     assert sum(stats.values()) == capped
+    # DSIR selection branch: the published ratio table is bucket-keyed,
+    # and the selected pool is the keep-fraction (0.5) head of capped
+    selected = engine.table("selected_documents").count()
+    assert selected == max(1, capped // 2)
+    ratio = engine.table("dsir_ratio")
+    assert set(ratio.columns) == {"bucket", "log_ratio"}
+    assert ratio.count() == ratio.select("bucket").distinct().count()
+    # every selected doc came from the capped pool
+    assert (
+        engine.table("selected_documents")
+        .join(engine.table("capped_documents"), "doc_id", "left_anti")
+        .count()
+        == 0
+    )
 
 
 def test_load_maxerror_quarantines_bad_rows(engine, home, tmp_path):
@@ -990,6 +1004,63 @@ def test_classifier_filter_job_honors_threshold(engine, home, spark):
         if row.keep
     }
     assert got == want and 3 not in got
+
+
+def test_dsir_select_job_modes(engine, home, spark):
+    """dsir-select: keep-fraction takes the exact top-k head by weight,
+    the published ratio table is reusable (reuse-ratio skips the refit
+    and yields identical selection), min-weight thresholds instead when
+    no fraction is given, and a bad fraction is a ParameterError."""
+    from bricolage_spark.exception import ParameterError
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox naps under the old tree"),
+        (3, "buy cheap pills now buy cheap pills now"),
+        (4, "completely different words about sailing ships"),
+        (5, "fox and dog stories the quick collection"),
+        (6, "unrelated industrial shipping manifest entries"),
+    ]
+    engine.save_table(
+        spark.createDataFrame(rows, "doc_id long, text string"), "ds_pool"
+    )
+    engine.save_table(
+        spark.createDataFrame(rows[:2], "doc_id long, text string"), "ds_target"
+    )
+    spec = (
+        "class: dsir-select\ndest-table: ds_out\nsrc-table: ds_pool\n"
+        "target-table: ds_target\nratio-table: ds_ratio\n"
+        "keep-fraction: 0.5\n"
+    )
+    r = run_job(engine, home, "ds.job", spec)
+    assert r.success and r.rows == 3
+    first = {row.doc_id for row in engine.table("ds_out").collect()}
+    assert len(first) == 3
+    # target-like docs (shared fox/quick vocabulary) win the head
+    assert {1, 2} <= first
+
+    # reuse the published ratio table: same selection, no refit
+    r2 = run_job(
+        engine, home, "ds2.job", spec.replace("ds_out", "ds_out2")
+        + "reuse-ratio: true\n",
+    )
+    assert r2.success and "reused" in r2.message
+    assert {row.doc_id for row in engine.table("ds_out2").collect()} == first
+
+    # min-weight mode: a floor low enough keeps the whole pool
+    r3 = run_job(
+        engine, home, "ds3.job",
+        "class: dsir-select\ndest-table: ds_out3\nsrc-table: ds_pool\n"
+        "target-table: ds_target\nmin-weight: -1000000\n",
+    )
+    assert r3.success and r3.rows == len(rows)
+
+    with pytest.raises(ParameterError):
+        run_job(
+            engine, home, "ds4.job",
+            "class: dsir-select\ndest-table: ds_out4\nsrc-table: ds_pool\n"
+            "target-table: ds_target\nkeep-fraction: 1.5\n",
+        )
 
 
 def test_assert_job_gates_on_violations(engine, home):
