@@ -728,6 +728,75 @@ def dsir_importance(
 
 
 # ---------------------------------------------------------------------------
+# distribution drift between snapshots (training-mix monitoring)
+# ---------------------------------------------------------------------------
+
+
+def unigram_js_drift(
+    df: DataFrame, group_col: str, text_col: str, in_a: Column
+) -> DataFrame:
+    """Per-group Jensen-Shannon divergence between the unigram
+    distributions of two corpus slices: (group, n_vocab, n_a, n_b,
+    js_divergence).
+
+    The drift monitor a recurring crawl runs per source: q72 tells you
+    WHICH documents changed between snapshots; this tells you whether
+    the LANGUAGE changed — a feed whose JS jumps between crawls has
+    shifted topic/template/spam mix even if document membership looks
+    routine, and its sampling weight deserves review before the next
+    training run. ``in_a`` is any boolean Column assigning each row to
+    slice A (true) or B (false).
+
+    Distributions are add-one smoothed over the group's union
+    vocabulary, so both sides are true probability distributions (sum
+    exactly 1) and JS lands in [0, ln 2] with no zero-probability
+    traps. Scale shape: ONE corpus pass melts words into a
+    (group, word)-keyed count agg (map-side combine — word strings
+    cross the wire once, counted), materialized via localCheckpoint —
+    the count table feeds both the totals aggregate and the JS terms,
+    and without the truncation Catalyst expands it into repeated
+    corpus scans (measured: 3 scans; the branches' differing
+    projections defeat exchange reuse). Everything after is
+    vocab-scale; the |groups|-row totals join is broadcast, and the
+    output collapses in one group-keyed partial agg. Rounded to 6dp
+    (double sums are order-sensitive at the ulp level across engines).
+    """
+    words = df.where(F.col(text_col).isNotNull()).select(
+        F.col(group_col),
+        in_a.alias("_a"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_w"),
+    )
+    counts = (
+        words.groupBy(group_col, "_w")
+        .agg(
+            F.sum(F.when(F.col("_a"), 1).otherwise(0)).alias("_ca"),
+            F.sum(F.when(F.col("_a"), 0).otherwise(1)).alias("_cb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    totals = counts.groupBy(group_col).agg(
+        F.sum("_ca").alias("_ta"),
+        F.sum("_cb").alias("_tb"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    j = counts.join(F.broadcast(totals), group_col)
+    p = (F.col("_ca") + F.lit(1.0)) / (F.col("_ta") + F.col("_v"))
+    q = (F.col("_cb") + F.lit(1.0)) / (F.col("_tb") + F.col("_v"))
+    m = (p + q) / F.lit(2.0)
+    term = F.lit(0.5) * p * F.log(p / m) + F.lit(0.5) * q * F.log(q / m)
+    return (
+        j.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+            F.max("_ta").cast("bigint").alias("n_a"),
+            F.max("_tb").cast("bigint").alias("n_b"),
+            F.round(F.sum(term), 6).alias("js_divergence"),
+        )
+        .orderBy(group_col)
+    )
+
+
+# ---------------------------------------------------------------------------
 # code/markup detection (corpus-composition signal)
 # ---------------------------------------------------------------------------
 # Training mixes track how much of the corpus is code/markup vs prose.

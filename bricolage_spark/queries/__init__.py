@@ -169,6 +169,7 @@ _CLIP_LAST = [
     # the r9 rotation with the q84-q94 single-green cohort)
     "q97_host_pagerank",
     "q98_dsir_importance",
+    "q99_snapshot_drift",
 ]
 
 

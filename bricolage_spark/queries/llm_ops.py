@@ -4375,3 +4375,69 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % _DSIR_MOD == 0,
         ratio_table=_dsir_ratio(spark, sf_dir),
     )
+
+
+# --------------------------------------------------------------------------
+# q99 per-source snapshot drift (unigram-distribution JS divergence)
+# --------------------------------------------------------------------------
+# Same post-window parking as q95-q98. q72 reports WHICH documents
+# changed between snapshots; this reports whether each source's LANGUAGE
+# changed — JS divergence between the two snapshot halves' unigram
+# distributions (doc_id parity stands in for consecutive crawls), the
+# drift alarm that triggers a sampling-weight review before the next
+# training run.
+
+
+@register(
+    "q99_snapshot_drift",
+    oracle=f"""
+    WITH {_DOCS_CTE},
+    words AS (
+        SELECT t.source, d.doc_id % 2 = 0 AS a, unnest(d.words) AS w
+        FROM docs d JOIN documents t USING (doc_id)
+    ),
+    counts AS (
+        SELECT source, w,
+               SUM(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+        FROM words GROUP BY source, w
+    ),
+    totals AS (
+        SELECT source, SUM(ca) AS ta, SUM(cb) AS tb, COUNT(*) AS v
+        FROM counts GROUP BY source
+    ),
+    terms AS (
+        SELECT c.source,
+               (c.ca + 1.0) / (t.ta + t.v) AS p,
+               (c.cb + 1.0) / (t.tb + t.v) AS q
+        FROM counts c JOIN totals t USING (source)
+    ),
+    js AS (
+        SELECT source,
+               ROUND(SUM(0.5 * p * ln(p / ((p + q) / 2.0))
+                         + 0.5 * q * ln(q / ((p + q) / 2.0))), 6)
+                   AS js_divergence
+        FROM terms GROUP BY source
+    )
+    SELECT t.source,
+           CAST(t.v AS BIGINT)  AS n_vocab,
+           CAST(t.ta AS BIGINT) AS n_a,
+           CAST(t.tb AS BIGINT) AS n_b,
+           js.js_divergence
+    FROM totals t JOIN js USING (source)
+    ORDER BY t.source
+    """,
+    doc="Per-source snapshot drift (operators/textual.py::"
+    "unigram_js_drift): Jensen-Shannon divergence between the unigram "
+    "distributions of two snapshot halves (doc_id parity), add-one "
+    "smoothed over each source's union vocabulary so both sides are "
+    "true distributions and JS lands in [0, ln 2]. One corpus pass to "
+    "(source, word) counts with map-side combine; everything after is "
+    "vocab-scale with a broadcast totals join. The language-drift "
+    "complement of q72's membership diff.",
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.unigram_js_drift(
+        spread(docs, "doc_id"), "source", "text", F.col("doc_id") % 2 == 0
+    )

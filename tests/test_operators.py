@@ -1214,6 +1214,58 @@ def test_dsir_importance_matches_python_mirror(spark):
         staged.unpersist(blocking=False)
 
 
+def test_unigram_js_drift_matches_python_mirror(spark):
+    """unigram_js_drift == an independent Python mirror (smoothed
+    distributions over the union vocab, JS formula); identical halves
+    give exactly 0; values stay within [0, ln 2]."""
+    import math
+    import re
+
+    from bricolage_spark.operators.textual import unigram_js_drift
+
+    rows = [
+        # source s1: half A talks about foxes, half B about ships (drift)
+        (0, "s1", "the quick brown fox jumps the fox"),
+        (2, "s1", "fox dens and fox trails in the woods"),
+        (1, "s1", "cargo ships sail the harbor routes tonight"),
+        (3, "s1", "the harbor masters log every cargo manifest"),
+        # source s2: both halves identical text (zero drift)
+        (4, "s2", "steady unchanged feed content here"),
+        (5, "s2", "steady unchanged feed content here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.source: (r.n_vocab, r.n_a, r.n_b, r.js_divergence)
+        for r in unigram_js_drift(
+            df, "source", "text", F.col("doc_id") % 2 == 0
+        ).collect()
+    }
+
+    def dist(texts: list[str]) -> dict[str, int]:
+        c: dict[str, int] = {}
+        for t in texts:
+            for w in re.sub(r"\s+", " ", t.lower()).strip().split(" "):
+                c[w] = c.get(w, 0) + 1
+        return c
+
+    for src in ("s1", "s2"):
+        a = dist([t for i, s, t in rows if s == src and i % 2 == 0])
+        b = dist([t for i, s, t in rows if s == src and i % 2 == 1])
+        vocab = set(a) | set(b)
+        ta, tb, v = sum(a.values()), sum(b.values()), len(vocab)
+        js = 0.0
+        for w in vocab:
+            p = (a.get(w, 0) + 1.0) / (ta + v)
+            q = (b.get(w, 0) + 1.0) / (tb + v)
+            m = (p + q) / 2.0
+            js += 0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
+        nv, na, nb, got_js = got[src]
+        assert (nv, na, nb) == (v, ta, tb), src
+        assert abs(got_js - round(js, 6)) < 1e-9, src
+    assert got["s2"][3] == 0.0                       # identical halves
+    assert 0.0 < got["s1"][3] <= math.log(2) + 1e-9  # drifted, bounded
+
+
 def test_hashed_ngram_keep_matches_score_keep(spark):
     """The filter-predicate form must agree with the scoring form doc by
     doc at any threshold (same weights, same gram pipeline)."""

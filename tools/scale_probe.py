@@ -64,6 +64,9 @@ PROBE_QUERIES = (
     # post-r7-window additions (first driver row r8):
     "q95_bpe_merges",
     "q96_semantic_decontamination",
+    "q97_host_pagerank",
+    "q98_dsir_importance",
+    "q99_snapshot_drift",
 )
 
 
