@@ -727,6 +727,49 @@ def dsir_importance(
     )
 
 
+def dsir_keep_expr(
+    ratio_table: DataFrame,
+    text_col: str,
+    min_weight: float = 0.0,
+    buckets: int = DSIR_BUCKETS,
+    seed: int = DSIR_SEED,
+) -> Column:
+    """Row-local DSIR keep predicate from a fitted ratio table — the
+    STREAMING serve form of :func:`dsir_importance`.
+
+    A micro-batch scan can't afford a join per gram, and a stream-side
+    aggregate-then-join would add state; instead the (at most
+    ``buckets``-row) ratio table is collected ONCE at query-build time
+    into an array literal — the same materialized-table discipline as
+    the q83 classifier weights — and the keep decision becomes a pure
+    Catalyst ``aggregate`` over the row's grams: zero joins, zero
+    state, fused into the scan of every micro-batch.
+
+    Buckets absent from the fitted table contribute 0.0 (a stream can
+    carry grams whose bucket no fit-time doc touched; neutral is the
+    only weight the fit can justify — batch scoring's inner join never
+    meets such buckets, so batch/stream verdicts agree on any doc whose
+    gram buckets were all seen at fit time). NULL text scores NULL and
+    is filtered, matching dsir_importance's dropped-doc semantics.
+    """
+    import numpy as np
+
+    table = np.zeros(buckets, dtype=np.float64)
+    for r in ratio_table.select("bucket", "log_ratio").collect():
+        table[int(r["bucket"])] = float(r["log_ratio"])
+    wtab = F.lit(table)
+    grams = gram_array(text_col)
+    total = F.aggregate(
+        grams,
+        F.lit(0.0),
+        lambda acc, g: acc
+        + F.element_at(
+            wtab, ((hash32(g, seed) % buckets) + 1).cast("int")
+        ),
+    )
+    return F.round(total, 4) >= F.lit(min_weight)
+
+
 # ---------------------------------------------------------------------------
 # distribution drift between snapshots (training-mix monitoring)
 # ---------------------------------------------------------------------------

@@ -62,9 +62,17 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # _CLIP_LAST below will have r6 as their newest row — in r8 they MUST
 # take the window, and q95/q96 (registered late in r7, never
 # driver-attested, parked in _CLIP_LAST to keep the committed r7 window
-# intact) take the two spare slots: 48 + 2 = exactly 50.  Everything
-# r7-green moves to the clip; the r7 additions q84–q94 will then be
-# single-green and rotate back in r9.
+# intact) take the two spare slots: 48 + 2 = exactly 50.
+#
+# ROUND-9 PLAN: candidates are q97/q98/q99 (never driver-attested —
+# highest priority), the 11 r7 additions q84–q94 and the 39-query r7
+# evidence cohort (newest row r7, two rounds stale by r9) — 53 for 50
+# slots. With 103 queries and a 50-slot window, "no older than two
+# rounds" can no longer hold for every query (103 > 2x50); the overflow
+# rule is: clip the entries with the DEEPEST multi-round green history
+# (the r4-cohort core-SQL trio q03/q05/q06 has r4+r7 rows plus judge
+# selfchecks every round) and list them explicitly at rotation time so
+# the deferral is visible, never implicit.
 _EVIDENCE_FIRST = [
     # newest driver row r4 — 35 queries, the whole stale cohort:
     "q03_group_aggregate",

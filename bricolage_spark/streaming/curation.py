@@ -38,6 +38,8 @@ def curate_stream(
     ts_col: str = "ts",
     watermark: str = "1 hour",
     classifier_threshold: float | None = 0.5,
+    dsir_ratio: DataFrame | None = None,
+    dsir_min_weight: float = 0.0,
 ) -> DataFrame:
     """Quality-filter, classify, redact, and first-seen-dedup a document
     stream.
@@ -48,18 +50,28 @@ def curate_stream(
     spam blasts differing only in the scrubbed email address collapse to
     one kept document. All quality gates — repetition, char entropy, and
     the hashed-ngram quality classifier (q83's keep verdict; disable
-    with ``classifier_threshold=None``) — are row-local Catalyst
-    predicates fused into the micro-batch scan: zero streaming state
-    beyond the watermark-bounded dedup. The classifier scores the
+    with ``classifier_threshold=None``), and optionally DSIR targeted
+    selection (pass a fitted ``dsir_ratio`` table, q98's batch
+    artifact — it collapses to an array-literal predicate, the
+    streaming serve form) — are row-local Catalyst predicates fused
+    into the micro-batch scan: zero streaming state beyond the
+    watermark-bounded dedup. The classifier and DSIR gates score the
     PRE-redaction text (redaction replaces PII with fixed tags that
     would perturb the gram distribution).
     """
-    from bricolage_spark.operators.textual import hashed_ngram_keep
+    from bricolage_spark.operators.textual import (
+        dsir_keep_expr,
+        hashed_ngram_keep,
+    )
 
     curated = entropy_filter(repetition_filter(docs, text_col), text_col)
     if classifier_threshold is not None:
         curated = curated.where(
             hashed_ngram_keep(text_col, classifier_threshold)
+        )
+    if dsir_ratio is not None:
+        curated = curated.where(
+            dsir_keep_expr(dsir_ratio, text_col, dsir_min_weight)
         )
     curated = curated.withColumn(
         text_col, redact_pii(F.col(text_col))

@@ -1266,6 +1266,53 @@ def test_unigram_js_drift_matches_python_mirror(spark):
     assert 0.0 < got["s1"][3] <= math.log(2) + 1e-9  # drifted, bounded
 
 
+def test_dsir_keep_expr_matches_batch_scoring(spark):
+    """The streaming serve predicate (ratio table collapsed to an array
+    literal) keeps exactly the docs batch dsir_importance keeps at the
+    same min-weight, for docs whose gram buckets were seen at fit time
+    (here: fit over the same corpus)."""
+    from bricolage_spark.operators.textual import (
+        dsir_importance,
+        dsir_keep_expr,
+        dsir_log_ratio_table,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox naps under the old tree"),
+        (3, "buy cheap pills now buy cheap pills now"),
+        (4, "completely different words about sailing ships"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    is_target = F.col("doc_id") == 1
+    ratio = dsir_log_ratio_table(df, "text", is_target).persist()
+    try:
+        scored = dsir_importance(
+            df, "doc_id", "text", is_target, ratio_table=ratio
+        )
+        for min_w in (-50.0, -10.0, 0.0):
+            want = {
+                r.doc_id
+                for r in scored.where(
+                    F.col("dsir_logweight") >= min_w
+                ).collect()
+            }
+            got = {
+                r.doc_id
+                for r in df.where(F.col("doc_id") != 1)
+                .where(dsir_keep_expr(ratio, "text", min_w))
+                .collect()
+            }
+            assert got == want, min_w
+        # NULL text never passes the predicate
+        assert not df.where(F.col("doc_id") == 5).where(
+            dsir_keep_expr(ratio, "text", -1e9)
+        ).collect()
+    finally:
+        ratio.unpersist(blocking=False)
+
+
 def test_hashed_ngram_keep_matches_score_keep(spark):
     """The filter-predicate form must agree with the scoring form doc by
     doc at any threshold (same weights, same gram pipeline)."""

@@ -218,6 +218,72 @@ def test_curate_stream_filters_redacts_and_dedups(spark, tmp_path):
     assert len(bout) == 1 and bout[0].content_digest == kept.content_digest
 
 
+def test_curate_stream_dsir_gate_over_real_stream(spark, tmp_path):
+    """The DSIR gate runs INSIDE the micro-batch scan (array-literal
+    predicate, no stream-side join/state) and keeps exactly the docs
+    the batch path keeps at the same min-weight."""
+    from bricolage_spark.operators.textual import dsir_log_ratio_table
+    from bricolage_spark.streaming.curation import curate_stream
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    target_like = GOOD  # fit target = the GOOD exemplar text
+    other = "completely different words about sailing ships and distant harbors tonight"
+    fit = spark.createDataFrame(
+        [(0, target_like), (1, other)], "doc_id long, text string"
+    )
+    ratio = dsir_log_ratio_table(fit, "text", F.col("doc_id") == 0).persist()
+    try:
+        src = tmp_path / "dsir_in"
+        src.mkdir()
+        rows = [
+            {"doc_id": 10, "ts": "2024-01-01T00:00:00", "text": target_like},
+            {"doc_id": 11, "ts": "2024-01-01T00:01:00", "text": other},
+        ]
+        with open(src / "b1.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.schema(doc_schema).json(str(src))
+        curated = curate_stream(
+            stream,
+            watermark="1 hour",
+            classifier_threshold=None,
+            dsir_ratio=ratio,
+            dsir_min_weight=0.0,
+        )
+        q = (
+            curated.writeStream.format("memory")
+            .queryName("dsir_curated")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "dsir_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got = {r.doc_id for r in spark.sql("select * from dsir_curated").collect()}
+        assert got == {10}  # target-like kept, raw-like dropped
+
+        batch = spark.createDataFrame(
+            [(r["doc_id"], r["ts"].replace("T", " "), r["text"]) for r in rows],
+            "doc_id long, ts string, text string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        bout = curate_stream(
+            batch,
+            watermark="1 hour",
+            classifier_threshold=None,
+            dsir_ratio=ratio,
+            dsir_min_weight=0.0,
+        )
+        assert {r.doc_id for r in bout.collect()} == got
+    finally:
+        ratio.unpersist(blocking=False)
+
+
 def test_interval_join_batch_values(spark, events):
     """Batch check of interval_join_stream values: points within
     [start, start+10min) of each interval event match."""
