@@ -317,6 +317,64 @@ def dsir_select(job: Job) -> JobResult:
 
 
 @jobclass(
+    "drift-report",
+    schema=ParamSchema(
+        [
+            TableParam("dest-table"),
+            TableParam("src-table"),
+            StringParam("current-snapshot"),
+            StringParam("snapshot-column", optional=True),
+            StringParam("group-column", optional=True),
+            StringParam("text-column", optional=True),
+        ]
+    ),
+)
+def drift_report(job: Job) -> JobResult:
+    """Per-group language-drift report for one crawl snapshot (q99):
+    JS divergence between the CURRENT snapshot's unigram distributions
+    and everything previously published, per ``group-column``.
+
+    The observability stage a recurring crawl runs right after publish:
+    q72-style membership diffs say WHICH documents changed; a JS jump
+    says the feed's LANGUAGE changed (template flip, spam burst, topic
+    shift) and its sampling weight needs review before the next
+    training run. On the FIRST snapshot there is no history — drift is
+    then measured against the smoothed-uniform floor (every word count
+    0 on the B side), a well-defined but semantically empty number; read
+    the report from snapshot two onward. The write is idempotent per
+    snapshot (current rows replaced, prior snapshots' rows kept —
+    null-safe, insert-delta style), so a resumed jobnet never
+    double-appends.
+    """
+    from bricolage_spark.operators.textual import unigram_js_drift
+
+    dest = job.require("dest-table")
+    src = job.require("src-table")
+    cur = str(job.require("current-snapshot"))
+    snap_col = str(job.param("snapshot-column", "snapshot"))
+    group_col = str(job.param("group-column", "source"))
+    text_col = str(job.param("text-column", "text"))
+
+    corpus = job.engine.table(src)
+    for c in (snap_col, group_col, text_col):
+        if c not in corpus.columns:
+            raise ParameterError(f"drift-report: no such column: {c}")
+    report = unigram_js_drift(
+        corpus, group_col, text_col, F.col(snap_col).eqNullSafe(F.lit(cur))
+    ).withColumn(snap_col, F.lit(cur))
+    if job.engine.table_exists(dest):
+        prior = job.engine.table(dest).where(
+            ~F.col(snap_col).eqNullSafe(F.lit(cur))
+        )
+        report = prior.unionByName(report)
+    n = job.engine.save_table(report, dest, mode="overwrite")
+    return JobResult(
+        message=f"drift report for snapshot {cur}: {n} rows in {dest}",
+        rows=n,
+    )
+
+
+@jobclass(
     "semantic-decon",
     schema=ParamSchema(
         [

@@ -1152,13 +1152,33 @@ def test_example_crawl_home_three_snapshots(engine, tmp_path):
     # per-snapshot accounting exists for all three crawls
     assert engine.table("corpus_report").count() == 3
 
-    # idempotent re-run of the last snapshot: corpus unchanged
+    # drift report: one row set per (snapshot, source), JS within
+    # [0, ln 2], and snapshots beyond the first measured against real
+    # history
+    import math
+
+    drift = engine.table("drift_report")
+    assert set(drift.columns) == {
+        "source", "n_vocab", "n_a", "n_b", "js_divergence", "snapshot",
+    }
+    assert {r.snapshot for r in drift.select("snapshot").distinct().collect()} == {
+        "2024-01-01", "2024-01-02", "2024-01-03",
+    }
+    assert drift.where(
+        (SF.col("js_divergence") < 0)
+        | (SF.col("js_divergence") > math.log(2) + 1e-9)
+    ).count() == 0
+    assert drift.where("snapshot = '2024-01-02' and n_b = 0").count() == 0
+    n_drift = drift.count()
+
+    # idempotent re-run of the last snapshot: corpus and drift unchanged
     report = runner.run(
         net, cmd_variables={"snap": "2", "data_date": "2024-01-03"},
         clear_queue=True,
     )
     assert report.success
     assert engine.table("corpus").count() == sizes["2024-01-03"]
+    assert engine.table("drift_report").count() == n_drift
 
 
 def test_load_json_failfast_without_maxerror(engine, home, tmp_path):
