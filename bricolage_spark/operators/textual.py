@@ -775,8 +775,34 @@ def dsir_keep_expr(
 # ---------------------------------------------------------------------------
 
 
-def unigram_js_drift(
+def split_word_counts(
     df: DataFrame, group_col: str, text_col: str, in_a: Column
+) -> DataFrame:
+    """(group, _w, _ca, _cb): per-group word counts split by the ``in_a``
+    slice flag — ONE corpus pass (melt → hash-agg with map-side
+    combine), the shared substrate for distribution diagnostics
+    (:func:`unigram_js_drift` consumes the split; a salient-terms
+    report consumes _ca+_cb). Callers that serve several reports stage
+    THIS frame once (persist/checkpoint) instead of re-melting the
+    corpus per report.
+    """
+    words = df.where(F.col(text_col).isNotNull()).select(
+        F.col(group_col),
+        in_a.alias("_a"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_w"),
+    )
+    return words.groupBy(group_col, "_w").agg(
+        F.sum(F.when(F.col("_a"), 1).otherwise(0)).alias("_ca"),
+        F.sum(F.when(F.col("_a"), 0).otherwise(1)).alias("_cb"),
+    )
+
+
+def unigram_js_drift(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    in_a: Column,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-group Jensen-Shannon divergence between the unigram
     distributions of two corpus slices: (group, n_vocab, n_a, n_b,
@@ -803,20 +829,15 @@ def unigram_js_drift(
     vocab-scale; the |groups|-row totals join is broadcast, and the
     output collapses in one group-keyed partial agg. Rounded to 6dp
     (double sums are order-sensitive at the ulp level across engines).
+
+    Pass ``counts`` (a MATERIALIZED :func:`split_word_counts` frame —
+    persisted or checkpointed) to serve from a staged artifact shared
+    with other reports; built inline otherwise.
     """
-    words = df.where(F.col(text_col).isNotNull()).select(
-        F.col(group_col),
-        in_a.alias("_a"),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_w"),
-    )
-    counts = (
-        words.groupBy(group_col, "_w")
-        .agg(
-            F.sum(F.when(F.col("_a"), 1).otherwise(0)).alias("_ca"),
-            F.sum(F.when(F.col("_a"), 0).otherwise(1)).alias("_cb"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    if counts is None:
+        counts = split_word_counts(
+            df, group_col, text_col, in_a
+        ).localCheckpoint(eager=True)
     totals = counts.groupBy(group_col).agg(
         F.sum("_ca").alias("_ta"),
         F.sum("_cb").alias("_tb"),
@@ -836,6 +857,58 @@ def unigram_js_drift(
             F.round(F.sum(term), 6).alias("js_divergence"),
         )
         .orderBy(group_col)
+    )
+
+
+def salient_terms(
+    counts: DataFrame, group_col: str, top_n: int = 5
+) -> DataFrame:
+    """Per-group most-distinctive terms by TF-IDF over the group axis:
+    (group, term, tf, n_groups_with_term, tfidf, rank).
+
+    "What does each feed talk about" — the topic observability report
+    next to q99's drift number: IDF is taken across GROUPS (sources),
+    so terms shared by every source score exactly 0 and each source's
+    list surfaces what distinguishes it. Input is the staged
+    :func:`split_word_counts` frame (tf = _ca + _cb); everything here
+    is vocab-scale — a word-keyed doc-frequency agg, a broadcast 1-row
+    group count, and a group-partitioned rank window (bounded by
+    per-group vocab, never a global sort). Ties rank by term so the
+    report is deterministic.
+    """
+    tf = counts.select(
+        group_col, "_w", (F.col("_ca") + F.col("_cb")).alias("_tf")
+    )
+    dfw = tf.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
+    ng = tf.select(group_col).distinct().agg(
+        F.count(F.lit(1)).alias("_ng")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(dfw, "_w")
+        .crossJoin(F.broadcast(ng))
+        .select(
+            group_col,
+            F.col("_w").alias("term"),
+            F.col("_tf").cast("bigint").alias("tf"),
+            F.col("_df").cast("bigint").alias("n_groups_with_term"),
+            F.round(
+                F.col("_tf")
+                * F.log(
+                    F.col("_ng").cast("double") / F.col("_df").cast("double")
+                ),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("tfidf"), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_n)
+        .orderBy(group_col, "rank")
     )
 
 

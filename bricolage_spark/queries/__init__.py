@@ -178,6 +178,7 @@ _CLIP_LAST = [
     "q97_host_pagerank",
     "q98_dsir_importance",
     "q99_snapshot_drift",
+    "q100_salient_terms",
 ]
 
 

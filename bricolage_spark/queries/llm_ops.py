@@ -1216,6 +1216,7 @@ def release_caches() -> None:
     release_sem_assignment()
     release_bm25()
     release_dsir()
+    release_swc()
     _SEM_CENT_CACHE.clear()
     relational._PCT_CACHE.clear()
     patterns._HOT_KEY_CACHE.clear()
@@ -1280,6 +1281,8 @@ def stage_artifacts(spark: SparkSession, sf_dir: str) -> list[str]:
     built.append("bm25_index")
     _dsir_ratio(spark, sf_dir)  # fits + materializes the ratio table
     built.append("dsir_ratio")
+    _swc_counts(spark, sf_dir)  # melts + materializes source-word counts
+    built.append("source_word_counts")
     return built
 
 
@@ -4388,6 +4391,34 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training run.
 
 
+# Staged (source, word) split-count table — ONE corpus melt serving both
+# distribution reports (q99 drift, q100 salient terms): the
+# compose-don't-recompute discipline (q88/q73, q93/q50).
+_SWC_CACHE: dict = {}
+
+
+def _swc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (session_token(spark), sf_dir)
+    entry = _SWC_CACHE.get(key)
+    if entry is None:
+        docs = read_table(spark, sf_dir, "documents")
+        c = T.split_word_counts(
+            spread(docs, "doc_id"), "source", "text", F.col("doc_id") % 2 == 0
+        ).persist()
+        c.count()
+        entry = _SWC_CACHE[key] = c
+    return entry
+
+
+def release_swc(sf_dir: str | None = None) -> None:
+    """Drop cached source-word count tables (all, or one corpus')."""
+    live = session_token()
+    for key in [k for k in _SWC_CACHE if sf_dir is None or k[1] == sf_dir]:
+        c = _SWC_CACHE.pop(key)
+        if key[0] == live:
+            c.unpersist(blocking=False)
+
+
 @register(
     "q99_snapshot_drift",
     oracle=f"""
@@ -4439,5 +4470,68 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return T.unigram_js_drift(
-        spread(docs, "doc_id"), "source", "text", F.col("doc_id") % 2 == 0
+        spread(docs, "doc_id"),
+        "source",
+        "text",
+        F.col("doc_id") % 2 == 0,
+        counts=_swc_counts(spark, sf_dir),
+    )
+
+
+# --------------------------------------------------------------------------
+# q100 per-source salient terms (TF-IDF topic report)
+# --------------------------------------------------------------------------
+# Same post-window parking as q95-q99. The topic observability report
+# next to q99's drift NUMBER: which terms distinguish each source (IDF
+# across sources — a term every feed uses scores exactly 0). Served from
+# the same staged (source, word) count table as q99.
+_SALIENT_TOP = 5
+
+
+@register(
+    "q100_salient_terms",
+    oracle=f"""
+    WITH {_DOCS_CTE},
+    words AS (
+        SELECT t.source, unnest(d.words) AS w
+        FROM docs d JOIN documents t USING (doc_id)
+    ),
+    tf AS (SELECT source, w, COUNT(*) AS tf FROM words GROUP BY source, w),
+    dfw AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    ng AS (SELECT COUNT(DISTINCT source) AS ng FROM tf),
+    scored AS (
+        SELECT tf.source, tf.w AS term, tf.tf, dfw.df,
+               ROUND(tf.tf * ln(CAST(ng.ng AS DOUBLE) / CAST(dfw.df AS DOUBLE)), 4)
+                   AS tfidf
+        FROM tf JOIN dfw USING (w) CROSS JOIN ng
+    ),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY tfidf DESC, term
+               ) AS rank
+        FROM scored
+    )
+    SELECT source, term,
+           CAST(tf AS BIGINT)   AS tf,
+           CAST(df AS BIGINT)   AS n_groups_with_term,
+           tfidf,
+           CAST(rank AS INT)    AS rank
+    FROM r WHERE rank <= {_SALIENT_TOP}
+    ORDER BY source, rank
+    """,
+    doc="Per-source salient terms (operators/textual.py::salient_terms): "
+    f"top-{_SALIENT_TOP} terms per source by TF-IDF with IDF taken "
+    "across SOURCES, so universally-shared terms score exactly 0 and "
+    "each feed's list shows what distinguishes it — the topic report "
+    "behind q99's drift number. Serves from the same staged "
+    "(source, word) count artifact as q99 (one corpus melt for both); "
+    "everything downstream is vocab-scale, the rank window is "
+    "source-partitioned (never a global sort), ties rank by term, and "
+    "the rank compares the ROUNDED score so both engines order "
+    "identically.",
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.salient_terms(
+        _swc_counts(spark, sf_dir), "source", top_n=_SALIENT_TOP
     )

@@ -1313,6 +1313,44 @@ def test_dsir_keep_expr_matches_batch_scoring(spark):
         ratio.unpersist(blocking=False)
 
 
+def test_salient_terms_tfidf_and_ranking(spark):
+    """salient_terms: IDF across groups (a term every group uses scores
+    exactly 0), tf = both slices summed, deterministic tie-break by
+    term, top_n enforced per group."""
+    import math
+
+    from bricolage_spark.operators.textual import (
+        salient_terms,
+        split_word_counts,
+    )
+
+    rows = [
+        (0, "g1", "shared alpha alpha beta"),
+        (1, "g1", "shared alpha"),
+        (2, "g2", "shared gamma gamma gamma delta"),
+        (3, "g2", "shared delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    counts = split_word_counts(
+        df, "source", "text", F.col("doc_id") % 2 == 0
+    ).persist()
+    try:
+        out = salient_terms(counts, "source", top_n=2).collect()
+        got = {(r.source, r.rank): (r.term, r.tf, r.tfidf) for r in out}
+        ln2 = math.log(2.0)
+        # g1: alpha tf=3 (both slices), unique to g1 -> 3*ln(2/1)
+        assert got[("g1", 1)] == ("alpha", 3, round(3 * ln2, 4))
+        assert got[("g1", 2)][0] == "beta"
+        assert got[("g2", 1)] == ("gamma", 3, round(3 * ln2, 4))
+        assert got[("g2", 2)][0] == "delta"
+        # 'shared' is in every group -> tfidf exactly 0, never ranks
+        # above distinctive terms
+        assert all(r.term != "shared" for r in out)
+        assert all(r.rank <= 2 for r in out)
+    finally:
+        counts.unpersist(blocking=False)
+
+
 def test_hashed_ngram_keep_matches_score_keep(spark):
     """The filter-predicate form must agree with the scoring form doc by
     doc at any threshold (same weights, same gram pipeline)."""

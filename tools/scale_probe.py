@@ -67,6 +67,7 @@ PROBE_QUERIES = (
     "q97_host_pagerank",
     "q98_dsir_importance",
     "q99_snapshot_drift",
+    "q100_salient_terms",
 )
 
 
