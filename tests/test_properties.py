@@ -722,3 +722,168 @@ def test_max_sim_to_reference_matches_python_mirror(spark, corpus, ref):
         if all(abs(best - s) > 3e-4 for s, j in sims if j != nn):
             assert r.nn_ref_id == nn
         assert r.keep == (r.max_sim < 0.5)
+
+
+# ---------------------------------------------------------------------------
+# round-7 post-window operators: pagerank, DSIR, drift, salient terms
+# ---------------------------------------------------------------------------
+
+edge_st = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)),
+    min_size=1,
+    max_size=16,
+).map(lambda es: [(a, b) for a, b in es if a != b])
+
+
+@pytest.mark.spark
+@given(edge_st, st.integers(1, 4))
+@settings(max_examples=6, deadline=None)
+def test_pagerank_matches_numpy_on_random_graphs(spark, edges, iters):
+    """On arbitrary digraphs (self-loops stripped, dangling nodes
+    common), pagerank equals an independent power-iteration mirror to
+    1e-12 and conserves total rank mass exactly."""
+    if not edges:
+        return
+    from bricolage_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r.id: r.rank for r in pagerank(df, iterations=iters).collect()
+    }
+
+    ids = sorted({v for e in edges for v in e})
+    n, d = len(ids), 0.85
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    r = {v: 1.0 / n for v in ids}
+    for _ in range(iters):
+        dang = sum(r[v] for v in ids if v not in out)
+        nxt = {v: (1.0 - d) / n + d * dang / n for v in ids}
+        for s, ts in out.items():
+            w = r[s] / len(ts)
+            for t in ts:
+                nxt[t] += d * w
+        r = nxt
+    assert set(got) == set(ids)
+    for v in ids:
+        assert abs(got[v] - r[v]) < 1e-12, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+@pytest.mark.spark
+@given(st.lists(words_st, min_size=2, max_size=8))
+@settings(max_examples=6, deadline=None)
+def test_dsir_importance_matches_python_mirror_random(spark, docs_words):
+    """DSIR weights on arbitrary corpora match the pure-Python recipe
+    (hashed uni+bigram counts, add-one smoothing, summed log ratio);
+    target docs never appear in the output."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bricolage_spark.operators.textual import (
+        DSIR_BUCKETS,
+        DSIR_SEED,
+        dsir_importance,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    targets = {i for i, _ in rows if i % 2 == 0}
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.dsir_logweight)
+        for r in dsir_importance(
+            df, "doc_id", "text", F.col("doc_id") % 2 == 0
+        ).collect()
+    }
+    assert set(got).isdisjoint(targets)
+
+    def grams(ws):
+        return list(ws) + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def bucket(g):
+        h = hashlib.md5(f"{DSIR_SEED}|{g}".encode()).hexdigest()[:8]
+        return int(h, 16) % DSIR_BUCKETS
+
+    ct, cr = {}, {}
+    for i, ws in enumerate(docs_words):
+        d = ct if i in targets else cr
+        for g in grams(ws):
+            d[bucket(g)] = d.get(bucket(g), 0) + 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+    for i, ws in enumerate(docs_words):
+        if i in targets:
+            continue
+        gs = grams(ws)
+        w = sum(
+            math.log((ct.get(bucket(g), 0) + 1.0) / (tt + DSIR_BUCKETS))
+            - math.log((cr.get(bucket(g), 0) + 1.0) / (tr + DSIR_BUCKETS))
+            for g in gs
+        )
+        assert got[i][0] == len(gs), i
+        assert abs(got[i][1] - round(w, 4)) < 1e-9, i
+
+
+@pytest.mark.spark
+@given(st.lists(words_st, min_size=2, max_size=8))
+@settings(max_examples=6, deadline=None)
+def test_unigram_js_drift_symmetry_and_bounds(spark, docs_words):
+    """JS divergence is SYMMETRIC: swapping the slice flag leaves
+    js_divergence identical (n_a/n_b swap), and every value lands in
+    [0, ln 2]."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bricolage_spark.operators.textual import unigram_js_drift
+
+    rows = [(i, "g", " ".join(ws)) for i, ws in enumerate(docs_words)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = unigram_js_drift(df, "source", "text", F.col("doc_id") % 2 == 0).collect()
+    b = unigram_js_drift(df, "source", "text", F.col("doc_id") % 2 != 0).collect()
+    (ra,), (rb,) = a, b
+    assert ra.js_divergence == rb.js_divergence
+    assert (ra.n_a, ra.n_b) == (rb.n_b, rb.n_a)
+    assert 0.0 <= ra.js_divergence <= math.log(2) + 1e-9
+
+
+@pytest.mark.spark
+@given(st.lists(words_st, min_size=2, max_size=6), st.integers(1, 4))
+@settings(max_examples=6, deadline=None)
+def test_salient_terms_rank_invariants(spark, docs_words, top_n):
+    """Ranks are contiguous 1..k per group (k <= top_n), scores are
+    non-increasing within a group, ties ordered by term, and terms
+    present in EVERY group score exactly 0."""
+    from pyspark.sql import functions as F
+
+    from bricolage_spark.operators.textual import (
+        salient_terms,
+        split_word_counts,
+    )
+
+    rows = [(i, f"g{i % 2}", " ".join(ws)) for i, ws in enumerate(docs_words)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    counts = split_word_counts(
+        df, "source", "text", F.col("doc_id") % 2 == 0
+    ).persist()
+    try:
+        out = salient_terms(counts, "source", top_n=top_n).collect()
+        n_groups = counts.select("source").distinct().count()
+        by_group: dict = {}
+        for r in out:
+            by_group.setdefault(r.source, []).append(r)
+        for g, rs in by_group.items():
+            rs.sort(key=lambda r: r.rank)
+            assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+            assert len(rs) <= top_n
+            for x, y in zip(rs, rs[1:]):
+                assert x.tfidf > y.tfidf or (
+                    x.tfidf == y.tfidf and x.term < y.term
+                )
+            for r in rs:
+                if r.n_groups_with_term == n_groups:
+                    assert r.tfidf == 0.0
+    finally:
+        counts.unpersist(blocking=False)
