@@ -317,6 +317,57 @@ def dsir_select(job: Job) -> JobResult:
 
 
 @jobclass(
+    "pagerank",
+    schema=ParamSchema(
+        [
+            TableParam("dest-table"),
+            TableParam("edges-table"),
+            StringParam("src-column", optional=True),
+            StringParam("dst-column", optional=True),
+            StringParam("iterations", optional=True),
+            StringParam("damping", optional=True),
+        ]
+    ),
+)
+def pagerank_job(job: Job) -> JobResult:
+    """Rank a link graph (q97's operator as a jobnet stage): damped
+    PageRank with dangling-mass redistribution over ``edges-table``,
+    published to ``dest-table`` as (id, rank).
+
+    The crawl pipeline shape: an extractor stage builds the host/domain
+    edge table from fetched pages, this stage ranks it, and a
+    downstream source-weighting stage (q62-style caps, q84-style
+    mixture rates) joins the ranks in. Fixed iteration count — the
+    rank table is a reproducible artifact, not a convergence outcome.
+    """
+    from bricolage_spark.operators.graph import pagerank
+
+    dest = job.require("dest-table")
+    edges_t = job.require("edges-table")
+    src_c = str(job.param("src-column", "src"))
+    dst_c = str(job.param("dst-column", "dst"))
+    iters = int(job.param("iterations", 5))
+    damping = float(job.param("damping", 0.85))
+    if not 0.0 < damping < 1.0:
+        raise ParameterError(f"pagerank: damping must be in (0, 1): {damping}")
+    if iters < 1:
+        raise ParameterError(f"pagerank: iterations must be >= 1: {iters}")
+    edges = job.engine.table(edges_t)
+    for c in (src_c, dst_c):
+        if c not in edges.columns:
+            raise ParameterError(f"pagerank: no such column: {c}")
+    ranks = pagerank(edges, src_c, dst_c, iterations=iters, damping=damping)
+    n = job.engine.save_table(ranks, dest, mode="overwrite")
+    return JobResult(
+        message=(
+            f"ranked {n} nodes from {edges_t} into {dest} "
+            f"({iters} iterations, d={damping})"
+        ),
+        rows=n,
+    )
+
+
+@jobclass(
     "drift-report",
     schema=ParamSchema(
         [

@@ -1063,6 +1063,41 @@ def test_dsir_select_job_modes(engine, home, spark):
         )
 
 
+def test_pagerank_job_ranks_edge_table(engine, home, spark):
+    """pagerank job class: publishes (id, rank) summing to 1, hub
+    outranks leaf, and bad params raise upfront."""
+    from bricolage_spark.exception import ParameterError
+
+    engine.save_table(
+        spark.createDataFrame(
+            [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)], "src bigint, dst bigint"
+        ),
+        "links",
+    )
+    r = run_job(
+        engine, home, "pr.job",
+        "class: pagerank\ndest-table: host_rank\nedges-table: links\n"
+        "iterations: 4\n",
+    )
+    assert r.success and r.rows == 4
+    got = {row.id: row.rank for row in engine.table("host_rank").collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[2] > got[3]  # three in-links vs none
+
+    with pytest.raises(ParameterError):
+        run_job(
+            engine, home, "pr2.job",
+            "class: pagerank\ndest-table: x\nedges-table: links\n"
+            "damping: 1.5\n",
+        )
+    with pytest.raises(ParameterError):
+        run_job(
+            engine, home, "pr3.job",
+            "class: pagerank\ndest-table: x\nedges-table: links\n"
+            "src-column: nope\n",
+        )
+
+
 def test_assert_job_gates_on_violations(engine, home):
     """assert job class: clean data passes, violations fail the job with
     offending rows quoted, max-violations tolerates a budget, and
