@@ -107,6 +107,9 @@ STAGED = (
     "q78_span_coverage",
     "q80_curation_verdicts",
     "q81_zipf_fit",
+    "q98_dsir_importance",
+    "q99_snapshot_drift",
+    "q100_salient_terms",
 )
 
 
