@@ -1206,6 +1206,19 @@ def test_example_crawl_home_three_snapshots(engine, tmp_path):
     assert drift.where("snapshot = '2024-01-02' and n_b = 0").count() == 0
     n_drift = drift.count()
 
+    # host ranking branch: every host in the link graph is ranked and
+    # total rank mass is conserved
+    links = engine.table("host_links")
+    hosts = (
+        links.select(SF.col("src").alias("id"))
+        .union(links.select(SF.col("dst").alias("id")))
+        .distinct()
+        .count()
+    )
+    rank = engine.table("host_rank")
+    assert rank.count() == hosts
+    assert abs(rank.agg(SF.sum("rank")).first()[0] - 1.0) < 1e-9
+
     # idempotent re-run of the last snapshot: corpus and drift unchanged
     report = runner.run(
         net, cmd_variables={"snap": "2", "data_date": "2024-01-03"},
