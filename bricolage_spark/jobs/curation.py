@@ -317,6 +317,77 @@ def dsir_select(job: Job) -> JobResult:
 
 
 @jobclass(
+    "semantic-neardup-history",
+    schema=ParamSchema(
+        [
+            TableParam("dest-table"),
+            TableParam("src-table"),
+            TableParam("embeddings-table"),
+            TableParam("registry-table"),
+            StringParam("id-column", optional=True),
+            StringParam("vec-id-column", optional=True),
+            StringParam("vec-column", optional=True),
+            StringParam("snapshot", optional=True),
+            StringParam("n-planes", optional=True),
+            StringParam("bands", optional=True),
+        ]
+    ),
+)
+def semantic_neardup_history(job: Job) -> JobResult:
+    """Cross-snapshot SEMANTIC near-dedup stage (q101): drop batch docs
+    whose EMBEDDING near-duplicates any previously ingested snapshot,
+    via the SRP band-signature registry — the paraphrase-level
+    complement of ``neardup-history`` (rewrites evade MinHash shingles
+    but not their embeddings; q96's decon catches the FIXED benchmark,
+    this catches the growing history).
+
+    The probe touches only ~20-byte (band_id, band_hash) registry rows
+    — history vectors are never rescanned, O(batch) per snapshot — and
+    the registry write carries the same snapshot discipline as the
+    lexical stage (insert-delta labeled rewrites, NULL-label history
+    preserved; shared ``probe_and_update_registry``). Docs with no
+    embedding row pass through untouched, same contract as
+    ``semantic-decon``.
+    """
+    from bricolage_spark.operators.similarity import srp_band_buckets
+    from bricolage_spark.streaming.curation import probe_and_update_registry
+
+    dest = job.require("dest-table")
+    src = job.require("src-table")
+    emb_t = job.require("embeddings-table")
+    reg_t = job.require("registry-table")
+    id_col = str(job.param("id-column", "doc_id"))
+    vid = str(job.param("vec-id-column", "vec_id"))
+    vec = str(job.param("vec-column", "embedding"))
+    n_planes = int(job.param("n-planes", 15))
+    n_bands = int(job.param("bands", 3))
+
+    bands = srp_band_buckets(
+        job.engine.table(emb_t).withColumnRenamed(vid, id_col),
+        id_col,
+        vec,
+        n_planes=n_planes,
+        bands=n_bands,
+    )
+    keep_ids = probe_and_update_registry(
+        bands, job.engine, reg_t, id_col, snapshot=job.param("snapshot")
+    )
+    # embedded ids NOT kept are the semantic dups; unembedded docs pass
+    dup_ids = (
+        bands.select(id_col).distinct().join(keep_ids, id_col, "left_anti")
+    )
+    kept = job.engine.table(src).join(dup_ids, id_col, "left_anti")
+    n = job.engine.save_table(kept, dest, mode="overwrite")
+    return JobResult(
+        message=(
+            f"{n} docs survive semantic history near-dedup into {dest}; "
+            f"SRP bands appended to {reg_t}"
+        ),
+        rows=n,
+    )
+
+
+@jobclass(
     "pagerank",
     schema=ParamSchema(
         [

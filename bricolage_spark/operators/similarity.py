@@ -212,6 +212,55 @@ def srp_bucket(vec: str, n_planes: int = 8, dims: int = 64) -> Column:
     )
 
 
+def srp_band_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 15,
+    bands: int = 3,
+    dims: int = 64,
+) -> DataFrame:
+    """Melt SRP bit-signatures into an LSH banding table
+    (id, band_id, band_hash) — the EMBEDDING-SPACE analog of
+    ``dedup.band_buckets``'s MinHash rows, and the registry format for
+    cross-snapshot SEMANTIC near-dedup: history is represented by
+    ~20-byte (band_id, small-int) rows, vectors never rescanned.
+
+    Banding math (rows R = n_planes/bands bits per band): two vectors at
+    angle θ agree per bit w.p. 1 − θ/π, so a band matches w.p.
+    (1 − θ/π)^R and "any band matches" is 1 − (1 − (1 − θ/π)^R)^bands.
+    At the defaults (R=5, 3 bands): cosine 0.9 collides ≥1 band ~84% of
+    the time, orthogonal vectors ~9% — a candidate FLAG for a dedup
+    registry probe, tuned like MinHash banding via (bands, R).
+
+    The full signature is computed ONCE in its own projection (the
+    per-plane dot products are the expensive part); per-band hashes are
+    then plain shift/mask bit extractions — row-local, zero shuffle.
+    """
+    if n_planes % bands:
+        raise ValueError(
+            f"srp_band_buckets: n_planes ({n_planes}) must divide evenly "
+            f"into bands ({bands})"
+        )
+    r = n_planes // bands
+    sig = df.select(
+        F.col(id_col), srp_bucket(vec_col, n_planes, dims).alias("_sig")
+    )
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftright(F.col("_sig"), b * r)
+            .bitwiseAND(F.lit((1 << r) - 1))
+            .cast("bigint")
+            .alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_rows)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — trained coarse quantizer, the FAISS-style layout
 # ---------------------------------------------------------------------------

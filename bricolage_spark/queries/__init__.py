@@ -179,6 +179,7 @@ _CLIP_LAST = [
     "q98_dsir_importance",
     "q99_snapshot_drift",
     "q100_salient_terms",
+    "q101_semantic_neardup_history",
 ]
 
 

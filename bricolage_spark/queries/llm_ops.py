@@ -4535,3 +4535,84 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.salient_terms(
         _swc_counts(spark, sf_dir), "source", top_n=_SALIENT_TOP
     )
+
+
+# --------------------------------------------------------------------------
+# q101 semantic near-dup vs history (SRP band registry probe)
+# --------------------------------------------------------------------------
+# Completes the cross-snapshot dedup matrix: q67 probes an exact-digest
+# registry, q82 a lexical MinHash band registry, q96 a FIXED benchmark
+# set — this probes the accumulated SEMANTIC history: a new snapshot's
+# embeddings against the SRP band-signature registry of everything
+# already ingested. History vectors are never rescanned (the registry is
+# ~20-byte (band_id, small-int) rows), so the paraphrase-level analog of
+# q82's probe stays O(batch) per snapshot.
+_SEMREG_PLANES, _SEMREG_BANDS = 15, 3
+
+
+def _q101_oracle() -> str:
+    n, bands = _SEMREG_PLANES, _SEMREG_BANDS
+    r = n // bands
+    plane = lambda p: (
+        "[" + ", ".join(repr(c) for c in S.plane_components(p, 64)) + "]"
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {plane(p)}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n)
+    )
+    band_ids = ", ".join(str(b) for b in range(bands))
+    return f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    sig AS (SELECT vec_id, CAST({bucket} AS BIGINT) AS s FROM v),
+    bands AS (
+        SELECT vec_id, b.band_id,
+               CAST((s >> (b.band_id * {r})) & {(1 << r) - 1} AS BIGINT)
+                   AS band_hash
+        FROM sig, (SELECT UNNEST([{band_ids}]) AS band_id) b
+    ),
+    reg AS (
+        SELECT DISTINCT band_id, band_hash FROM bands WHERE vec_id % 3 <> 0
+    ),
+    batch AS (SELECT * FROM bands WHERE vec_id % 3 = 0),
+    hits AS (
+        SELECT b.vec_id, COUNT(*) AS n_hit_bands
+        FROM batch b JOIN reg r USING (band_id, band_hash)
+        GROUP BY b.vec_id
+    )
+    SELECT d.vec_id,
+           CAST(COALESCE(h.n_hit_bands, 0) AS BIGINT) AS n_hit_bands,
+           (h.vec_id IS NOT NULL) AS hist_neardup
+    FROM (SELECT DISTINCT vec_id FROM batch) d
+    LEFT JOIN hits h USING (vec_id)
+    """
+
+
+@register(
+    "q101_semantic_neardup_history",
+    oracle=_q101_oracle(),
+    doc="Cross-snapshot SEMANTIC near-dedup (operators/similarity.py::"
+    "srp_band_buckets + operators/dedup.py::incremental_neardup_flags): "
+    "the new batch (vec_id % 3 == 0) probes the SRP band-signature "
+    f"registry of all ingested history ({_SEMREG_PLANES} md5-derived "
+    f"hyperplanes split into {_SEMREG_BANDS} bands — cosine 0.9 collides "
+    "~84%, orthogonal ~9%). One semi-join of ~20-byte band rows + an "
+    "id-keyed count; history VECTORS are never rescanned — q82's "
+    "registry contract lifted to embedding space (paraphrases evade "
+    "MinHash shingles but not their embeddings).",
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    bands = S.srp_band_buckets(
+        spread(emb, "vec_id"),
+        "vec_id",
+        "embedding",
+        n_planes=_SEMREG_PLANES,
+        bands=_SEMREG_BANDS,
+    )
+    registry = bands.filter(F.col("vec_id") % 3 != 0).select(
+        "band_id", "band_hash"
+    )
+    batch = bands.filter(F.col("vec_id") % 3 == 0)
+    return D.incremental_neardup_flags(batch, registry, "vec_id")

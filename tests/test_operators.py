@@ -1442,6 +1442,67 @@ def test_max_sim_to_reference_zero_norm_scores_zero(spark):
     assert out[2].max_sim == 1.0 and not out[2].keep and out[2].nn_ref_id == 200
 
 
+def test_srp_band_registry_semantic_history_probe(spark):
+    """Semantic history probe: an identical vector re-ingested in a new
+    snapshot hits EVERY band; its exact negation flips every SRP bit so
+    NO band can match — both outcomes deterministic. Band hashes match
+    a pure-Python mirror of the hyperplane signs."""
+    import hashlib
+
+    from bricolage_spark.operators.dedup import incremental_neardup_flags
+    from bricolage_spark.operators.similarity import (
+        plane_components,
+        srp_band_buckets,
+    )
+
+    dims, planes, bands = 8, 6, 3
+    base = [0.3, -1.2, 0.7, 0.1, -0.5, 2.0, -0.9, 0.4]
+    hist = [(1, base), (2, [1.0] * dims)]
+    batch = [(10, base), (11, [-x for x in base])]
+    df = spark.createDataFrame(
+        hist + batch, "vec_id long, embedding array<double>"
+    )
+    bt = srp_band_buckets(
+        df, "vec_id", "embedding", n_planes=planes, bands=bands, dims=dims
+    )
+
+    # python mirror of the banding table
+    def sig(v):
+        s = 0
+        for p in range(planes):
+            comps = plane_components(p, dims)
+            if sum(x * y for x, y in zip(v, comps)) >= 0:
+                s |= 1 << p
+        return s
+
+    r = planes // bands
+    want = {
+        (i, b, (sig(v) >> (b * r)) & ((1 << r) - 1))
+        for i, v in hist + batch
+        for b in range(bands)
+    }
+    got = {(x.vec_id, x.band_id, x.band_hash) for x in bt.collect()}
+    assert got == want
+
+    flags = {
+        x.vec_id: (x.n_hit_bands, x.hist_neardup)
+        for x in incremental_neardup_flags(
+            bt.where(F.col("vec_id") >= 10),
+            bt.where(F.col("vec_id") < 10).select("band_id", "band_hash"),
+            "vec_id",
+        ).collect()
+    }
+    assert flags[10] == (bands, True)   # identical re-ingest: all bands hit
+    # the negation flips every bit; a band matches only if some OTHER
+    # history vector shares it — never the original
+    neg_bands = {(b, (sig([-x for x in base]) >> (b * r)) & ((1 << r) - 1))
+                 for b in range(bands)}
+    hist_bands = {(b, (sig(v) >> (b * r)) & ((1 << r) - 1))
+                  for _, v in hist for b in range(bands)}
+    expected_neg_hits = len(neg_bands & hist_bands)
+    assert flags[11][0] == expected_neg_hits
+
+
 def test_salted_join_preserves_null_keys(spark):
     """The split path's hot/cold predicate is NULL-safe: NULL-key rows
     survive a left join (they used to vanish — isin() is NULL for NULL,
