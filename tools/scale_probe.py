@@ -68,6 +68,7 @@ PROBE_QUERIES = (
     "q98_dsir_importance",
     "q99_snapshot_drift",
     "q100_salient_terms",
+    "q101_semantic_neardup_history",
 )
 
 
