@@ -409,6 +409,7 @@ def test_example_curation_home_runs_end_to_end(engine, tmp_path):
     scored = engine.table("scored_documents").count()
     ded = engine.table("dedup_documents").count()
     fresh = engine.table("fresh_documents").count()
+    sem_fresh = engine.table("sem_fresh_documents").count()
     decon = engine.table("decon_documents").count()
     capped = engine.table("capped_documents").count()
     assert raw == 500
@@ -417,11 +418,18 @@ def test_example_curation_home_runs_end_to_end(engine, tmp_path):
     assert 0 < ded <= scored         # dedup never grows the corpus
     assert 0 < fresh <= ded          # history probe never grows the corpus
     assert fresh == ded              # first snapshot: empty registry keeps all
-    assert 0 < decon <= fresh        # semantic decon never grows the corpus
+    assert sem_fresh == fresh        # first snapshot: empty SRP registry too
+    # the SRP band registry was seeded, labeled with the snapshot
+    srp_reg = engine.table("srp_registry")
+    assert srp_reg.count() > 0
+    assert {r.snapshot for r in srp_reg.select("snapshot").distinct().collect()} == {
+        "snapshot0",
+    }
+    assert 0 < decon <= sem_fresh    # semantic decon never grows the corpus
     # benchmark members score 1.0 against themselves -> every bench-id doc
-    # that survived to fresh_documents is dropped by the decon stage
+    # that reached the decon input is dropped by the decon stage
     assert engine.table("decon_documents").filter("doc_id < 100").count() == 0
-    assert engine.table("fresh_documents").filter("doc_id < 100").count() > 0
+    assert engine.table("sem_fresh_documents").filter("doc_id < 100").count() > 0
     # the compacted band registry holds the surviving docs' bands, one
     # row per key, labeled with the snapshot variable
     reg = engine.table("band_registry")
