@@ -126,7 +126,15 @@ def curate_batch_against_history(
     keep_ids = probe_and_update_registry(
         bands, engine, registry_table, id_col, snapshot=snapshot
     )
-    return batch.join(keep_ids, id_col, "left_semi")
+    # drop the flagged dups rather than keep the survivors: a doc that
+    # produced NO bands (NULL/empty text) has nothing to judge and
+    # passes through — the same only-judge-what-has-a-signature
+    # contract as the semantic stage, and uniform across the
+    # empty-registry and probe paths
+    dup_ids = bands.select(id_col).distinct().join(
+        keep_ids, id_col, "left_anti"
+    )
+    return batch.join(dup_ids, id_col, "left_anti")
 
 
 def probe_and_update_registry(

@@ -498,3 +498,42 @@ def test_curate_batch_pre_label_history_survives_labeled_runs(spark, tmp_path):
     reg = engine.table("reg2")
     assert reg.count() == total
     assert reg.where(reg.snapshot.isNull()).count() == n_null
+
+
+def test_curate_batch_null_text_docs_dedup_as_empty_content(spark, tmp_path):
+    """NULL/empty text normalizes to the SAME empty shingle — so empty
+    docs are near-duplicates of EACH OTHER: the first one ingested
+    survives and seeds the registry, every later one is dropped as a
+    dup of that empty content (re-ingesting nothing is still a dup)."""
+    from bricolage_spark.engine import SparkEngine
+    from bricolage_spark.streaming.curation import curate_batch_against_history
+
+    engine = SparkEngine(spark, warehouse=str(tmp_path / "wh_nb"))
+    base = "the quick brown fox jumps over the lazy dog tonight again"
+
+    kept1 = {
+        r.doc_id
+        for r in curate_batch_against_history(
+            spark.createDataFrame(
+                [(1, base), (2, None)], "doc_id long, text string"
+            ),
+            engine,
+            "reg_nb",
+        ).collect()
+    }
+    assert kept1 == {1, 2}  # seeding run keeps both (2 seeds "empty")
+
+    kept2 = {
+        r.doc_id
+        for r in curate_batch_against_history(
+            spark.createDataFrame(
+                [(10, base), (11, None), (12, "completely different "
+                 "words about sailing ships and distant harbors")],
+                "doc_id long, text string",
+            ),
+            engine,
+            "reg_nb",
+        ).collect()
+    }
+    # 10 dups history text; 11 dups history EMPTY content; 12 is new
+    assert kept2 == {12}
