@@ -1327,3 +1327,22 @@ def test_insert_reports_written_rows_without_rescan(engine, home):
     assert r.success
     assert r.rows == 2                      # rows INSERTED, not table size
     assert engine.table("seed_dest").count() == 5
+
+
+def test_drift_report_rejects_unknown_columns(engine, home, spark):
+    """drift-report validates its column parameters upfront."""
+    from bricolage_spark.exception import ParameterError
+
+    engine.save_table(
+        spark.createDataFrame(
+            [(1, "s", "t", "2024-01-01")],
+            "doc_id long, source string, text string, snapshot string",
+        ),
+        "dr_src",
+    )
+    with pytest.raises(ParameterError, match="no such column"):
+        run_job(
+            engine, home, "drbad.job",
+            "class: drift-report\ndest-table: dr_out\nsrc-table: dr_src\n"
+            "current-snapshot: 2024-01-01\ngroup-column: nope\n",
+        )

@@ -537,3 +537,45 @@ def test_curate_batch_null_text_docs_dedup_as_empty_content(spark, tmp_path):
     }
     # 10 dups history text; 11 dups history EMPTY content; 12 is new
     assert kept2 == {12}
+
+
+def test_probe_and_update_registry_labeled_replay_idempotent(spark, tmp_path):
+    """The band-family-generic registry half: a labeled run re-executed
+    with the SAME snapshot returns the same keep set and leaves the
+    registry byte-identical (insert-delta rewrite), for an arbitrary
+    synthetic band table (no text/embedding derivation involved)."""
+    from bricolage_spark.engine import SparkEngine
+    from bricolage_spark.streaming.curation import probe_and_update_registry
+
+    engine = SparkEngine(spark, warehouse=str(tmp_path / "wh_pr"))
+
+    def bands_df(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, band_id int, band_hash string"
+        )
+
+    # snapshot A seeds buckets x/y
+    k1 = probe_and_update_registry(
+        bands_df([(1, 0, "x"), (1, 1, "y"), (2, 0, "z")]),
+        engine, "generic_reg", "doc_id", snapshot="A",
+    )
+    assert {r.doc_id for r in k1.collect()} == {1, 2}
+
+    # snapshot B: doc 10 hits bucket x -> dropped; doc 11 is new
+    b2 = bands_df([(10, 0, "x"), (11, 0, "w")])
+    k2 = {r.doc_id for r in probe_and_update_registry(
+        b2, engine, "generic_reg", "doc_id", snapshot="B").collect()}
+    assert k2 == {11}
+    reg_rows = sorted(
+        (r.band_id, r.band_hash, r.snapshot)
+        for r in engine.table("generic_reg").collect()
+    )
+
+    # replay snapshot B: identical keeps, identical registry
+    k3 = {r.doc_id for r in probe_and_update_registry(
+        b2, engine, "generic_reg", "doc_id", snapshot="B").collect()}
+    assert k3 == k2
+    assert sorted(
+        (r.band_id, r.band_hash, r.snapshot)
+        for r in engine.table("generic_reg").collect()
+    ) == reg_rows
