@@ -51,83 +51,49 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # not theme: queries that have never / only stale-ly received a driver row
 # come right after the core, and the clip falls on queries that are already
 # driver-green in multiple rounds (listed in ``_CLIP_LAST``).
-# Round-7 rotation: the 35-query cohort whose newest driver row is r4
-# (two rounds stale after being clipped in r5 AND r6 — including q57/q58,
-# twice-deferred) takes the window, followed by q72/q73 (newest row r5)
-# and q82/q83 (single-green r6, need a second row).  New round-7 queries
-# register outside both lists and land at the head automatically.
 #
-# ROUND-8 ROTATION PLAN (the standing rule: no query's newest driver row
-# older than two rounds): after r7 the 48 r5+r6-green queries in
-# _CLIP_LAST below will have r6 as their newest row — in r8 they MUST
-# take the window, and q95/q96 (registered late in r7, never
-# driver-attested, parked in _CLIP_LAST to keep the committed r7 window
-# intact) take the two spare slots: 48 + 2 = exactly 50.
+# ROUND-8 ROTATION (driver window = first 50). Candidates were 55 for 50
+# slots — the standing rule ("no query's newest driver row older than two
+# rounds") can no longer hold for every query now that the inventory
+# (105 + this round's additions) exceeds 2x the window. Applied overflow
+# rule: never/latest-attested first, then clip the entries with the
+# DEEPEST multi-round green history and list them explicitly.
+#   In the window (50):
+#   - q95-q101 (7): registered in round 7 AFTER the committed window,
+#     never driver-attested — first driver rows this round.
+#   - q102/q103 (2): NEW this round (BPE-apply encode, span-removal
+#     apply) — pre-listed; the ``if name in QUERIES`` guard skips them
+#     until their modules register.
+#   - 41 of the 48-query r5+r6 double-green cohort (newest row r6, two
+#     rounds stale) — everything except the 7 deferred below.
+#   EXPLICITLY DEFERRED to round 9 (the visible clip, per the round-7
+#   verdict's overflow rule): q01 q02 q04 q12 q12b q12c q17 — the
+#   deepest-history rows in the stale cohort (each driver-green in
+#   rounds 1,2,3,5,6 — five rows — plus the judge's r7 oracle selfcheck
+#   this cycle), all elementary core-SQL operators additionally covered
+#   by pytest every round. They are listed FIRST in _CLIP_LAST so any
+#   window widening re-admits them before the r7-green cohort.
 #
-# ROUND-9 PLAN: candidates are q97/q98/q99 (never driver-attested —
-# highest priority), the 11 r7 additions q84–q94 and the 39-query r7
-# evidence cohort (newest row r7, two rounds stale by r9) — 53 for 50
-# slots. With 103 queries and a 50-slot window, "no older than two
-# rounds" can no longer hold for every query (103 > 2x50); the overflow
-# rule is: clip the entries with the DEEPEST multi-round green history
-# (the r4-cohort core-SQL trio q03/q05/q06 has r4+r7 rows plus judge
-# selfchecks every round) and list them explicitly at rotation time so
-# the deferral is visible, never implicit.
+# ROUND-9 PLAN: must-attest = the 7 deferred above; then the 11 r7
+# additions q84-q94 (single-green r7) and the 39-query r7 evidence
+# cohort (newest row r7, two rounds stale by r9) — 57 for 50 slots;
+# clip 7 more of the deepest-green (the r4-cohort core-SQL rows
+# q03/q05/q06-class, r4+r7 rows plus judge selfchecks) under the same
+# explicit-list discipline.
 _EVIDENCE_FIRST = [
-    # newest driver row r4 — 35 queries, the whole stale cohort:
-    "q03_group_aggregate",
-    "q05_tpch_q1",
-    "q06_inner_join",
-    "q07_broadcast_join",
-    "q08_outer_join",
-    "q09_semi_anti_join",
-    "q10_cross_theta_join",
-    "q11_tpch_q3",
-    "q12d_unpivot",
-    "q13_window_rank",
-    "q14_window_analytic",
-    "q15_topk_per_group",
-    "q16_global_topk",
-    "q26_distinct_percentiles",
-    "q26b_approx_aggregates",
-    "q28_insert_delta",
-    "q29_rebuild",
-    "q30_streaming_load_dedup",
-    "q41_multimodal_features",
-    "q43_asof_join",
-    "q44_tumbling_window",
-    "q45_sliding_window",
-    "q46_salted_aggregate",
-    "q47_salted_join",
-    "q48_ngram_jaccard_neardup",
-    "q49_ann_ivf",
-    "q50_dedup_clusters",
-    "q51_contamination",
-    "q52_stratified_sample",
-    "q53_boilerplate_ngrams",
-    "q54_sequence_packing",
-    "q55_sessionization",
-    "q56_pii_redaction",
-    "q57_quality_repetition",
-    "q58_doc_top_word",
-    # newest driver row r5 (clipped r6 by the q82/q83 additions):
-    "q72_snapshot_diff",
-    "q73_pmi_collocations",
-    # single-green (first rows r6) — second consecutive row:
-    "q82_incremental_neardup",
-    "q83_hashed_ngram_classifier",
-]
-
-# Explicitly demoted to the tail (absorb the driver's >50 clip): every
-# entry is r5+r6 double-green on the driver (48 queries).
-_CLIP_LAST = [
-    "q01_scan_projection",
-    "q02_filter_predicates",
-    "q04_global_aggregate",
-    "q12_rollup",
-    "q12b_cube",
-    "q12c_pivot",
-    "q17_set_ops",
+    # never driver-attested (registered post-window in r7) — 7 queries:
+    "q95_bpe_merges",
+    "q96_semantic_decontamination",
+    "q97_host_pagerank",
+    "q98_dsir_importance",
+    "q99_snapshot_drift",
+    "q100_salient_terms",
+    "q101_semantic_neardup_history",
+    # NEW in round 8 (skipped by the in-QUERIES guard until registered):
+    "q102_bpe_encode",
+    "q103_span_removal",
+    # newest driver row r6 (r5+r6 double-green, two rounds stale) —
+    # 41 queries, the stale cohort minus the 7 deferred (see above):
     "q18_subqueries",
     "q19_case_coalesce_cast",
     "q20_string_functions",
@@ -169,17 +135,73 @@ _CLIP_LAST = [
     "q79_winnowing_fingerprints",
     "q80_curation_verdicts",
     "q81_zipf_fit",
-    # new post-r7-window (no driver row yet; first row r8, see plan above):
-    "q95_bpe_merges",
-    "q96_semantic_decontamination",
-    # later post-window additions: first driver rows r8/r9 as slots allow
-    # (the r8 window is full at 48 clip-cohort + q95/q96; these follow in
-    # the r9 rotation with the q84-q94 single-green cohort)
-    "q97_host_pagerank",
-    "q98_dsir_importance",
-    "q99_snapshot_drift",
-    "q100_salient_terms",
-    "q101_semantic_neardup_history",
+]
+
+# Explicitly demoted to the tail (absorb the driver's >50 clip).
+_CLIP_LAST = [
+    # the round-8 EXPLICIT DEFERRAL (see rotation note above): deepest
+    # driver-green history (rounds 1,2,3,5,6 + judge r7 selfcheck),
+    # re-admitted first if the window ever widens:
+    "q01_scan_projection",
+    "q02_filter_predicates",
+    "q04_global_aggregate",
+    "q12_rollup",
+    "q12b_cube",
+    "q12c_pivot",
+    "q17_set_ops",
+    # the 39-query round-7 evidence cohort — newest driver row r7, the
+    # freshest rows in the inventory:
+    "q03_group_aggregate",
+    "q05_tpch_q1",
+    "q06_inner_join",
+    "q07_broadcast_join",
+    "q08_outer_join",
+    "q09_semi_anti_join",
+    "q10_cross_theta_join",
+    "q11_tpch_q3",
+    "q12d_unpivot",
+    "q13_window_rank",
+    "q14_window_analytic",
+    "q15_topk_per_group",
+    "q16_global_topk",
+    "q26_distinct_percentiles",
+    "q26b_approx_aggregates",
+    "q28_insert_delta",
+    "q29_rebuild",
+    "q30_streaming_load_dedup",
+    "q41_multimodal_features",
+    "q43_asof_join",
+    "q44_tumbling_window",
+    "q45_sliding_window",
+    "q46_salted_aggregate",
+    "q47_salted_join",
+    "q48_ngram_jaccard_neardup",
+    "q49_ann_ivf",
+    "q50_dedup_clusters",
+    "q51_contamination",
+    "q52_stratified_sample",
+    "q53_boilerplate_ngrams",
+    "q54_sequence_packing",
+    "q55_sessionization",
+    "q56_pii_redaction",
+    "q57_quality_repetition",
+    "q58_doc_top_word",
+    "q72_snapshot_diff",
+    "q73_pmi_collocations",
+    "q82_incremental_neardup",
+    "q83_hashed_ngram_classifier",
+    # round-7 additions, single-green r7:
+    "q84_temperature_mixture",
+    "q85_ann_recall",
+    "q86_sentence_dedup",
+    "q87_code_detection",
+    "q88_oov_rate",
+    "q89_shard_assignment",
+    "q90_decontamination_apply",
+    "q91_embedding_hygiene",
+    "q92_boilerplate_removal",
+    "q93_cluster_size_histogram",
+    "q94_dedup_audit",
 ]
 
 
