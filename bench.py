@@ -282,11 +282,15 @@ def main() -> None:
         # so the ratio compares like with like.
         out["duckdb_total"] = round(sum(out["duckdb_queries"].values()), 3)
     print(json.dumps(out))
+    sys.stdout.flush()
+    print(json.dumps(build_summary(out, mode)), flush=True)
 
-    # COMPACT summary as the FINAL line: the driver records only a small
-    # stdout tail, which the full detail line above can overflow. Short
-    # per-query keys (qNN) keep this line well under 2 kB for the whole
-    # inventory.
+
+def build_summary(out: dict, mode: str, base_path: str | None = None) -> dict:
+    """The COMPACT final stdout line: the driver records only a small
+    stdout tail, which the full detail line above can overflow. Short
+    per-query keys (qNN) keep this line well under 2 kB for the whole
+    inventory."""
     summary: dict = {
         "metric": out.get("metric", "bench"),
         "value": out.get("value"),
@@ -301,7 +305,8 @@ def main() -> None:
     # times, so the comparison would mix configs — skip it there.
     if "queries" in out and mode in ("default", "both"):
         reg = baseline_regressions(
-            out["queries"], out["sf"], out.get("duckdb_total")
+            out["queries"], out["sf"], out.get("duckdb_total"),
+            base_path=base_path,
         )
         summary["regressions"] = {_short(k): v for k, v in sorted(reg.items())}
     if "tuned" in out:
@@ -315,8 +320,7 @@ def main() -> None:
                 summary["ratio_tuned"] = round(
                     out["tuned"]["total"] / out["duckdb_total"], 3
                 )
-    sys.stdout.flush()
-    print(json.dumps(summary), flush=True)
+    return summary
 
 
 if __name__ == "__main__":

@@ -74,3 +74,40 @@ def test_absolute_excess_floor_and_sf_mismatch(tmp_path):
         b.baseline_regressions({"q1": 9.9}, 0.1, base_path=str(tmp_path / "nope"))
         == {}
     )
+
+
+def test_tuned_mode_summary_skips_regressions(tmp_path, monkeypatch):
+    """Regression (round-7 advice): in SPARK_GRAFT_BENCH_MODE=tuned the
+    summary's ``queries`` hold TUNED-conf times; comparing them against
+    BASELINE.json's default-conf column would mix configs and flag
+    phantom regressions (or hide real ones). The summary must omit the
+    field entirely in tuned mode and compute it in default/both."""
+    b = _bench()
+    base = _baseline(tmp_path, {"q1_x": 0.5})
+    out = {
+        "sf": 0.1,
+        "value": 5.0,
+        "queries": {"q1_x": 5.0},  # 10x the baseline: a flaggable delta
+        "duckdb_total": 10.0,
+    }
+    tuned = b.build_summary(out, "tuned", base_path=base)
+    assert "regressions" not in tuned
+    for mode in ("default", "both"):
+        s = b.build_summary(out, mode, base_path=base)
+        assert s["regressions"] == {"q1": [0.5, 5.0]}
+
+
+def test_summary_ratios_and_query_key_shortening(tmp_path):
+    b = _bench()
+    out = {
+        "sf": 0.1,
+        "value": 12.0,
+        "queries": {"q33_minhash_lsh_pairs": 12.0},
+        "duckdb_total": 10.0,
+        "tuned": {"total": 8.0},
+    }
+    s = b.build_summary(out, "both", base_path=str(tmp_path / "nope"))
+    assert s["queries"] == {"q33": 12.0}
+    assert s["ratio_default"] == 1.2
+    assert s["ratio_tuned"] == 0.8
+    assert s["tuned_total"] == 8.0

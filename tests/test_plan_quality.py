@@ -141,17 +141,36 @@ def _is_unpartitioned(line: str) -> bool:
     return all(" ASC " in a or " DESC " in a for a in exprs)
 
 
+def _window_input_is_bounded(lines: list[str], i: int) -> bool:
+    """True iff the window node at ``lines[i]`` sits over a bounded
+    input: a limit node (TakeOrderedAndProject / GlobalLimit /
+    CollectLimit) on its FIRST-CHILD SPINE. The walk follows only the
+    chain of first children (indent strictly increasing) and STOPS at
+    any multi-input node (join/union): a limit inside one branch of a
+    join bounds that branch, not the window's input."""
+    prev = _indent(lines[i])
+    for sub in lines[i + 1 :]:
+        if not sub.strip():
+            continue
+        ind = _indent(sub)
+        if ind <= prev:
+            return False  # sibling branch: left the first-child spine
+        if any(b in sub for b in _BOUNDED_NODES):
+            return True
+        if any(m in sub for m in ("Join", "Union", "CartesianProduct")):
+            return False  # multi-input: a limit below bounds one branch only
+        prev = ind
+    return False
+
+
 def test_no_unbounded_single_partition_window(simple_plans):
     """No Window without PARTITION BY over unbounded input, anywhere in
     the inventory (no allowlist): such a window funnels the full input
     through a single task — the one plan shape that cannot survive a
     100x scale-up. A single-partition window is acceptable ONLY when its
-    INPUT SPINE contains a limit (TakeOrderedAndProject / GlobalLimit),
+    INPUT SPINE contains a limit (see ``_window_input_is_bounded``),
     i.e. the head was taken distributed first and the window ranks a
-    bounded row set (q81's shape). The walk follows only the chain of
-    first children (indent strictly increasing) and STOPS at any
-    multi-input node (join/union): a limit inside one branch of a join
-    bounds that branch, not the window's input."""
+    bounded row set (q81's shape)."""
     offenders = []
     for name, plan in simple_plans.items():
         lines = plan.splitlines()
@@ -160,22 +179,34 @@ def test_no_unbounded_single_partition_window(simple_plans):
                 continue
             if not _is_unpartitioned(ln):
                 continue
-            prev = _indent(ln)
-            bounded = False
-            for sub in lines[i + 1 :]:
-                if not sub.strip():
-                    continue
-                ind = _indent(sub)
-                if ind <= prev:
-                    break  # sibling branch: left the first-child spine
-                if any(b in sub for b in _BOUNDED_NODES):
-                    bounded = True
-                    break
-                if any(
-                    m in sub for m in ("Join", "Union", "CartesianProduct")
-                ):
-                    break  # multi-input: a limit below bounds one branch only
-                prev = ind
-            if not bounded:
+            if not _window_input_is_bounded(lines, i):
                 offenders.append((name, ln.strip()[:120]))
     assert not offenders, f"unbounded single-partition window in: {offenders}"
+
+
+def test_window_bound_walk_stays_on_first_child_spine():
+    """Regression (round-7 advice): a limit in ONE branch of a join
+    below the window must NOT count as bounding the window's input —
+    the walk stops at the first multi-input node. A limit ON the spine
+    (above the join, or in a join-free chain) does bound it."""
+    limited_join_branch = [
+        "Window [row_number() windowspecdefinition(x ASC NULLS FIRST)]",
+        "+- SortMergeJoin [a], [b], Inner",
+        "   :- GlobalLimit 10",
+        "   :  +- Exchange",
+        "   +- Scan parquet",
+    ]
+    assert not _window_input_is_bounded(limited_join_branch, 0)
+    limit_on_spine = [
+        "Window [row_number() windowspecdefinition(x ASC NULLS FIRST)]",
+        "+- TakeOrderedAndProject(limit=100)",
+        "   +- SortMergeJoin [a], [b], Inner",
+    ]
+    assert _window_input_is_bounded(limit_on_spine, 0)
+    sibling_not_descendant = [
+        "Union",
+        ":- Window [row_number() windowspecdefinition(x ASC NULLS FIRST)]",
+        ":  +- Exchange SinglePartition",
+        "+- GlobalLimit 10",
+    ]
+    assert not _window_input_is_bounded(sibling_not_descendant, 1)

@@ -887,3 +887,23 @@ def test_salient_terms_rank_invariants(spark, docs_words, top_n):
                     assert r.tfidf == 0.0
     finally:
         counts.unpersist(blocking=False)
+
+
+@pytest.mark.spark
+def test_hashed_ngram_score_null_text_parity(spark):
+    """Regression (round-7 advice): NULL-text docs must be DROPPED by
+    hashed_ngram_score — the q83 DuckDB oracle's UNNEST over a NULL word
+    list yields no rows, so a Spark row for a NULL doc would be a latent
+    hash-parity divergence the moment a fixture gains NULL text. Empty
+    (non-NULL) text still scores: split('') is [''], one gram."""
+    from bricolage_spark.operators import textual as T
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    out = T.hashed_ngram_score(df, "doc_id", "text")
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 3]
+    keep = df.where(T.hashed_ngram_keep("text")).collect()
+    assert all(r.doc_id != 2 for r in keep)
