@@ -110,6 +110,7 @@ STAGED = (
     "q98_dsir_importance",
     "q99_snapshot_drift",
     "q100_salient_terms",
+    "q102_bpe_encode",
 )
 
 

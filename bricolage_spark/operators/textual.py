@@ -1016,3 +1016,193 @@ def bpe_merge_candidates(
         F.sum("wc").cast("bigint").alias("pair_count")
     )
     return agg.orderBy(F.desc("pair_count"), "s1", "s2").limit(top_n)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge APPLICATION (tokenizer-encode primitive, the q95 dual)
+# ---------------------------------------------------------------------------
+# q95 (bpe_merge_candidates) INDUCES a merge table; these operators APPLY
+# one to encode text into BPE tokens — closing the train/apply pair the
+# way q86 (detect) / q92 (apply) close sentence dedup. Reference scope:
+# the reference engine ships no tokenizer; this is part of the
+# training-pipeline extension surface (SURVEY.md §2.7).
+#
+# Representation: a document is ONE sentinel-delimited symbol string
+#     \x01h\x01e\x01l\x01l\x01o\x01</w>\x01w\x01o\x01r\x01l\x01d\x01</w>\x01
+# (every symbol wrapped in \x01; each word ends with the </w> marker, so
+# merges can never cross word boundaries — first-round merge tables never
+# contain </w> as a LEFT element). Applying merge (s1, s2) is then ONE
+# left-to-right non-overlapping replace of \x01s1\x01s2\x01 with
+# \x01s1s2\x01 — the exact greedy-scan semantics of Sennrich et al.'s
+# per-merge step, and a plain string op both Spark (codegen'd
+# StringReplace) and any SQL oracle evaluate identically. The whole
+# encode is a single projection: no explode, no shuffle, no Python —
+# embarrassingly parallel over document partitions at 100 TB. The merge
+# table itself is tokenizer-vocabulary metadata (tens to a few thousand
+# rows), collected once on the driver like the IVF centroids
+# (similarity.py) and unrolled into the expression tree.
+
+BPE_SEP = "\x01"  # unit separator: absent from real text; parity-safe
+                  # regardless (the oracle applies the same string ops)
+
+
+def bpe_symbol_string(text_col: Column, eow: str = "</w>") -> Column:
+    """Normalized text as one sentinel-delimited BPE symbol string.
+
+    Chars become \x01-wrapped symbols; the single space normalize_text
+    leaves between words becomes the end-of-word marker. Empty text
+    encodes as the lone </w> symbol (one token), NULL stays NULL.
+    """
+    norm = normalize_text(text_col)
+    melted = F.concat(
+        F.lit(BPE_SEP), F.regexp_replace(norm, "(.)", "$1" + BPE_SEP)
+    )
+    worded = F.replace(
+        melted,
+        F.lit(BPE_SEP + " " + BPE_SEP),
+        F.lit(BPE_SEP + eow + BPE_SEP),
+    )
+    return F.concat(worded, F.lit(eow + BPE_SEP))
+
+
+def bpe_apply_merges(sym_col: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply a ranked merge table to a symbol string: one replace per
+    merge, in rank order, each a greedy left-to-right non-overlapping
+    pass (consecutive occurrences share a sentinel, so ``aaa`` under
+    merge (a,a) becomes ``aa a`` — the classical BPE scan). Unrolled
+    into nested StringReplace nodes: whole-stage codegen, no Python."""
+    out = sym_col
+    for s1, s2 in merges:
+        out = F.replace(
+            out,
+            F.lit(BPE_SEP + s1 + BPE_SEP + s2 + BPE_SEP),
+            F.lit(BPE_SEP + s1 + s2 + BPE_SEP),
+        )
+    return out
+
+
+def bpe_symbol_count(sym_col: Column) -> Column:
+    """Token count of a symbol string: sentinels minus one."""
+    return (
+        F.length(sym_col)
+        - F.length(F.replace(sym_col, F.lit(BPE_SEP), F.lit("")))
+        - 1
+    ).cast("bigint")
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    *,
+    preview_n: int = 8,
+) -> DataFrame:
+    """Encode documents with a BPE merge table: per doc, the pre-merge
+    symbol count, the post-merge token count, how many merges landed,
+    and the first ``preview_n`` tokens (space-joined — symbols never
+    contain spaces) as a value witness that the MERGES applied, not
+    just that counts moved. NULL-text docs are dropped (no symbols to
+    encode — same contract as hashed_ngram_score). One projection."""
+    base = bpe_symbol_string(F.col(text_col))
+    df = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), base.alias("_base")
+    )
+    # materialize the merge chain in its own projection (CollapseProject
+    # keeps it: referenced 3x below and StringReplace chains aren't
+    # cheap), so the unrolled replaces run once per row, not per consumer
+    df = df.select(
+        F.col(id_col),
+        F.col("_base"),
+        bpe_apply_merges(F.col("_base"), merges).alias("_enc"),
+    )
+    enc = F.col("_enc")
+    out = df.select(
+        F.col(id_col),
+        bpe_symbol_count(F.col("_base")).alias("n_symbols"),
+        bpe_symbol_count(enc).alias("n_tokens"),
+        # split() sees the sentinel as a (meta-free) regex; the empty
+        # strings outside the wrapping sentinels are filtered (a short
+        # final doc would otherwise carry one into the preview)
+        F.concat_ws(
+            " ",
+            F.filter(
+                F.slice(F.split(enc, BPE_SEP), 2, preview_n),
+                lambda t: t != F.lit(""),
+            ),
+        ).alias("token_preview"),
+    )
+    return out.withColumn(
+        "n_merged", (F.col("n_symbols") - F.col("n_tokens")).cast("bigint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-budget packing / length histogram over ANY token-count column
+# ---------------------------------------------------------------------------
+# Extracted from q54/q70 so the token statistic is a caller-supplied
+# Column: the queries keep their ceil(chars/4) estimator (fixed oracle
+# contract), a post-BPE pipeline passes bpe_symbol_count() of its
+# encoded docs instead — same plan shape either way.
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: Column,
+    *,
+    budget: int,
+    partition_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Assign rows to fixed token-budget bins in deterministic
+    ``order_col`` order — the batch-construction step of a pretraining
+    data loader. The running sum is windowed PER ``partition_col`` (a
+    natural shard key: language, source, shard id), never a global
+    ORDER BY window, which would serialize the corpus through one task;
+    each partition packs independently, exactly how a per-shard packer
+    runs at scale. Appends (n_tokens, bin_id)."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_col).over(w)
+    return df.select(
+        "*",
+        token_col.alias("n_tokens"),
+        F.floor((cum - token_col) / budget).cast("bigint").alias("bin_id"),
+    )
+
+
+def length_histogram(df: DataFrame, token_col: Column, group_col: str) -> DataFrame:
+    """Per-group histogram of token counts in power-of-two buckets — the
+    length-distribution report that drives packing budgets and
+    truncation policy. Row-local bucket arithmetic + one (group, bucket)
+    hash-agg with map-side combine; output is |groups|·|buckets| rows
+    (metadata-scale). Counts are clamped to >= 1 so log2 is defined."""
+    n_tokens = F.greatest(token_col.cast("bigint"), F.lit(1))
+    bucket = F.floor(F.log2(n_tokens)).cast("bigint")
+    return (
+        df.select(
+            F.col(group_col), n_tokens.alias("n_tokens"), bucket.alias("bucket")
+        )
+        .groupBy(group_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            group_col,
+            "bucket",
+            # SQL shiftleft takes a column bit count (the pyspark wrapper
+            # only accepts a literal int) — 2^bucket, integer-exact;
+            # BIGINT 1 so bucket >= 31 doesn't wrap
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))")
+            .cast("bigint")
+            .alias("bucket_lo"),
+            "n_docs",
+            "total_tokens",
+        )
+    )

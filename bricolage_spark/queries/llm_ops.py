@@ -1182,22 +1182,14 @@ _PACK_BUDGET = 2048
     "parallel, exactly how a per-shard packer runs at scale.",
 )
 def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    # token statistic is caller-supplied: the fixed oracle contract uses
+    # the ceil(chars/4) estimator; a post-BPE pipeline passes
+    # bpe_symbol_count() of its encoded docs instead (see q102 + tests)
     tok = F.ceil(F.col("n_chars") / 4.0).cast("bigint")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = F.sum(tok).over(w)
-    return docs.select(
-        "doc_id",
-        "lang",
-        tok.alias("n_tokens"),
-        F.floor((cum - tok) / _PACK_BUDGET).cast("bigint").alias("bin_id"),
-    )
+    return T.pack_sequences(
+        docs, tok, budget=_PACK_BUDGET, partition_col="lang", order_col="doc_id"
+    ).drop("n_chars")
 
 
 def release_caches() -> None:
@@ -1217,6 +1209,7 @@ def release_caches() -> None:
     release_bm25()
     release_dsir()
     release_swc()
+    release_bpe()
     _SEM_CENT_CACHE.clear()
     relational._PCT_CACHE.clear()
     patterns._HOT_KEY_CACHE.clear()
@@ -1283,6 +1276,8 @@ def stage_artifacts(spark: SparkSession, sf_dir: str) -> list[str]:
     built.append("dsir_ratio")
     _swc_counts(spark, sf_dir)  # melts + materializes source-word counts
     built.append("source_word_counts")
+    _bpe_merges(spark, sf_dir)  # induces + collects the merge table
+    built.append("bpe_merges")
     return built
 
 
@@ -1997,32 +1992,10 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    n_tokens = F.greatest(
-        F.ceil(F.col("n_chars") / 4.0).cast("bigint"), F.lit(1)
-    )
-    bucket = F.floor(F.log2(n_tokens)).cast("bigint")
-    return (
-        docs.select(F.col("lang"), n_tokens.alias("n_tokens"), bucket.alias("bucket"))
-        .groupBy("lang", "bucket")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-        )
-        .select(
-            "lang",
-            "bucket",
-            # SQL shiftleft takes a column bit count (the pyspark wrapper
-            # only accepts a literal int) — 2^bucket, integer-exact.
-            # BIGINT 1, not int: a 32-bit base wraps at bucket >= 31
-            # (docs with ~2^31+ estimated tokens), diverging from the
-            # oracle's POWER(2, bucket)
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))"
-            ).cast("bigint").alias("bucket_lo"),
-            "n_docs",
-            "total_tokens",
-        )
-    )
+    # estimator column by oracle contract; BPE counts plug in the same
+    # way (operators/textual.py::length_histogram)
+    est = F.ceil(F.col("n_chars") / 4.0).cast("bigint")
+    return T.length_histogram(docs, est, "lang")
 
 
 # --------------------------------------------------------------------------
@@ -4616,3 +4589,122 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = bands.filter(F.col("vec_id") % 3 == 0)
     return D.incremental_neardup_flags(batch, registry, "vec_id")
+
+
+# --------------------------------------------------------------------------
+# q102 BPE encode (the q95 APPLY stage: merge table -> tokenized docs)
+# --------------------------------------------------------------------------
+# q95 induces merge candidates; q102 applies the induced table to encode
+# the corpus — closing the train/apply pair like q86 (detect) -> q92
+# (apply) did for sentence dedup. The merge table is tokenizer-vocab
+# metadata (top-30 pairs here; a few thousand in production): collected
+# ONCE per corpus on the driver (like the IVF centroids) and unrolled
+# into nested StringReplace literals, so encoding is a single
+# whole-stage-codegen projection — no explode, no shuffle, no Python.
+_BPE_MERGES_CACHE: dict = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    """Staged ranked merge table: q95's top candidates, driver-collected
+    (30 tuples — vocabulary metadata, not data)."""
+    key = (session_token(spark), sf_dir, _BPE_TOP)
+    merges = _BPE_MERGES_CACHE.get(key)
+    if merges is None:
+        docs = read_table(spark, sf_dir, "documents")
+        rows = T.bpe_merge_candidates(
+            docs, "doc_id", "text", top_n=_BPE_TOP
+        ).collect()
+        merges = _BPE_MERGES_CACHE[key] = [(r.s1, r.s2) for r in rows]
+    return merges
+
+
+def release_bpe(sf_dir: str | None = None) -> None:
+    """Drop cached BPE merge tables (all, or one corpus')."""
+    for key in [k for k in _BPE_MERGES_CACHE if sf_dir is None or k[1] == sf_dir]:
+        _BPE_MERGES_CACHE.pop(key)
+
+
+def _q102_oracle() -> str:
+    """Mirror: induce the SAME ranked merges (q95's CTEs + row_number),
+    build the SAME sentinel symbol string per doc, then apply merges
+    rank-by-rank with a recursive CTE — one replace() per step, the
+    identical greedy left-to-right scan Spark's StringReplace does."""
+    sep = "chr(1)"
+    return f"""
+    WITH RECURSIVE {_DOCS_CTE},
+    vocab AS (
+        SELECT word, COUNT(*) AS wc
+        FROM (SELECT unnest(words) AS word FROM docs)
+        WHERE word <> ''
+        GROUP BY word
+    ),
+    syms AS (
+        SELECT wc, list_append(string_split(word, ''), '</w>') AS s
+        FROM vocab
+    ),
+    pairs AS (
+        SELECT s[i] AS s1, s[i + 1] AS s2, SUM(wc) AS pair_count
+        FROM syms, UNNEST(range(1, len(s))) AS t(i)
+        GROUP BY 1, 2
+    ),
+    merges AS (
+        SELECT s1, s2,
+               ROW_NUMBER() OVER (ORDER BY pair_count DESC, s1, s2) AS rnk
+        FROM (SELECT * FROM pairs
+              ORDER BY pair_count DESC, s1, s2 LIMIT {_BPE_TOP})
+    ),
+    base AS (
+        SELECT doc_id,
+               replace({sep} || regexp_replace(norm, '(.)', '\\1' || {sep}, 'g'),
+                       {sep} || ' ' || {sep},
+                       {sep} || '</w>' || {sep}) || '</w>' || {sep} AS s
+        FROM (SELECT doc_id, norm FROM docs
+              JOIN documents USING (doc_id) WHERE text IS NOT NULL) b
+    ),
+    enc(doc_id, s, step) AS (
+        SELECT doc_id, s, 0 FROM base
+        UNION ALL
+        SELECT e.doc_id,
+               replace(e.s, {sep} || m.s1 || {sep} || m.s2 || {sep},
+                       {sep} || m.s1 || m.s2 || {sep}),
+               e.step + 1
+        FROM enc e JOIN merges m ON m.rnk = e.step + 1
+    ),
+    fin AS (SELECT doc_id, s FROM enc
+            WHERE step = (SELECT COUNT(*) FROM merges)),
+    n AS (
+        SELECT b.doc_id,
+               length(b.s) - length(replace(b.s, {sep}, '')) - 1 AS n_symbols,
+               length(f.s) - length(replace(f.s, {sep}, '')) - 1 AS n_tokens,
+               array_to_string(
+                   list_filter(list_slice(string_split(f.s, {sep}), 2, 9),
+                               x -> x <> ''), ' '
+               ) AS token_preview
+        FROM base b JOIN fin f ON f.doc_id = b.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_symbols AS BIGINT) AS n_symbols,
+           CAST(n_tokens AS BIGINT)  AS n_tokens,
+           token_preview,
+           CAST(n_symbols - n_tokens AS BIGINT) AS n_merged
+    FROM n
+    """
+
+
+@register(
+    "q102_bpe_encode",
+    oracle=_q102_oracle(),
+    doc="BPE merge APPLICATION (operators/textual.py::bpe_encode): "
+    f"encode every document with the corpus' own q95-induced top-{_BPE_TOP} "
+    "merge table. Per doc: pre-merge symbol count, post-merge token "
+    "count, merges landed, and the first 8 tokens as a value witness. "
+    "The merge table is driver-collected vocab metadata unrolled into "
+    "nested codegen'd StringReplace literals — encode itself is one "
+    "shuffle-free projection, embarrassingly parallel at 100 TB.",
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    merges = _bpe_merges(spark, sf_dir)
+    return T.bpe_encode(
+        spread(docs, "doc_id"), "doc_id", "text", merges, preview_n=8
+    )
