@@ -111,6 +111,7 @@ STAGED = (
     "q99_snapshot_drift",
     "q100_salient_terms",
     "q102_bpe_encode",
+    "q103_span_removal",
 )
 
 

@@ -552,3 +552,79 @@ def semantic_decon(job: Job) -> JobResult:
         ),
         rows=n,
     )
+
+
+@jobclass(
+    "span-scrub",
+    schema=ParamSchema(
+        [
+            TableParam("dest-table"),
+            TableParam("src-table"),
+            StringParam("id-column", optional=True),
+            StringParam("text-column", optional=True),
+            StringParam("anchor-len", optional=True),
+            StringParam("min-span", optional=True),
+            StringParam("max-postings", optional=True),
+        ]
+    ),
+)
+def span_scrub(job: Job) -> JobResult:
+    """Substring-dedup APPLY as a pipeline stage (q74 -> q103): detect
+    cross-document duplicated word spans in ``src-table`` and rewrite it
+    with the NON-keeper occurrences stripped — keep-first, so exactly
+    one copy of every duplicated span survives (Lee et al. 2022's
+    removal step; the sentence analog is q92).
+
+    The doc's ``text-column`` is replaced by the scrubbed normalized
+    text; an ``n_chars`` column, when present, is refreshed to the new
+    length so downstream length reports see the corpus that was
+    actually published. NULL-text docs are dropped (nothing to
+    rebuild). Scrub totals come from ``df.observe`` during the write —
+    no extra corpus pass.
+    """
+    from pyspark.sql import Observation
+
+    from bricolage_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    dest = job.require("dest-table")
+    src = job.require("src-table")
+    id_col = str(job.param("id-column", "doc_id"))
+    text_col = str(job.param("text-column", "text"))
+    df = job.engine.table(src)
+    spans = duplicate_spans(
+        df,
+        id_col,
+        text_col,
+        anchor_len=int(job.param("anchor-len", 8)),
+        min_span=int(job.param("min-span", 12)),
+        max_postings=int(job.param("max-postings", 8)),
+    )
+    cleaned = remove_duplicate_spans(df, spans, id_col, text_col)
+    joined = df.drop(text_col).join(
+        cleaned.select(
+            id_col, F.col("clean_text").alias(text_col), "n_removed"
+        ),
+        id_col,
+    )
+    if "n_chars" in df.columns:
+        joined = joined.withColumn("n_chars", F.length(F.col(text_col)))
+    obs = Observation()
+    joined = joined.observe(
+        obs,
+        F.sum("n_removed").alias("words_removed"),
+        F.sum((F.col("n_removed") > 0).cast("long")).alias("docs_touched"),
+    )
+    out = joined.select(*df.columns)
+    n = job.engine.save_table(out, dest, mode="overwrite")
+    got = obs.get
+    return JobResult(
+        message=(
+            f"span-scrub {src} -> {dest}: {n} docs, "
+            f"{got.get('docs_touched') or 0} touched, "
+            f"{got.get('words_removed') or 0} duplicated words removed"
+        ),
+        rows=n,
+    )

@@ -634,3 +634,93 @@ def sentence_dedup_stats(
             F.col("n_shared").cast("double") / F.col("n_sents").cast("double"), 4
         ).alias("shared_frac"),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Keep-first substring-dedup APPLY: strip every duplicated span's
+    NON-keeper occurrence and rebuild the doc in word order — the Lee et
+    al. 2022 removal step over ``duplicate_spans``' detection table,
+    closing the detect (q74) / measure (q78) / apply triad the way q92
+    closed q86's for sentences.
+
+    ``spans`` rows are (doc_a < doc_b, a_start, b_start, span_len): the
+    lower doc_id is the keeper, so removal intervals are the b-side
+    occurrences only — a doc keeps text that later docs duplicated, and
+    loses text it duplicated from earlier ones (deterministic,
+    order-free, and exactly one surviving copy per pairwise span).
+
+    Scale shape: interval rows are 3 ints keyed by doc; the island merge
+    windows over ONE doc's intervals (bounded by its span count, never a
+    corpus-wide window); merged intervals collapse to a per-doc ARRAY
+    (collect_list bounded the same way) that joins the corpus once; the
+    rebuild is a row-local positional filter over the word array. Docs
+    never shuffle by anything but their id. NULL-text docs are dropped
+    (nothing to rebuild — bpe_encode's contract).
+
+    Returns (id, n_words, n_removed, clean_text) with clean_text the
+    normalized surviving words space-joined ('' if fully covered).
+    """
+    from pyspark.sql import Window
+
+    iv = spans.select(
+        F.col("doc_b").alias(id_col),
+        F.col("b_start").alias("s"),
+        (F.col("b_start") + F.col("span_len")).alias("e"),
+    ).distinct()  # distinct: same interval via different keepers must
+    #               collapse so (s, e) totally orders each doc's rows
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max = F.max("e").over(w_prev)
+    fl = iv.select(
+        F.col(id_col),
+        "s",
+        "e",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1)
+        .otherwise(0)
+        .alias("f"),
+    )
+    isl = fl.select(F.col(id_col), "s", "e", F.sum("f").over(w_run).alias("g"))
+    merged = isl.groupBy(id_col, "g").agg(
+        F.min("s").alias("mn"), F.max("e").alias("mx")
+    )
+    cuts = merged.groupBy(id_col).agg(
+        F.collect_list(F.struct("mn", "mx")).alias("_ivs")
+    )
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), words.alias("_w"))
+        .join(cuts, id_col, "left")
+    )
+    pos = lambda i: i + 1  # filter() indexes 0-based; spans are 1-based
+    kept = F.filter(
+        F.col("_w"),
+        lambda w, i: ~F.exists(
+            F.col("_ivs"),
+            lambda v: (pos(i) >= v["mn"]) & (pos(i) < v["mx"]),
+        ),
+    )
+    return base.select(
+        F.col(id_col),
+        F.size("_w").cast("bigint").alias("n_words"),
+        F.when(F.col("_ivs").isNull(), F.lit(0))
+        .otherwise(F.size("_w") - F.size(kept))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.when(F.col("_ivs").isNull(), F.array_join(F.col("_w"), " "))
+        .otherwise(F.array_join(kept, " "))
+        .alias("clean_text"),
+    )

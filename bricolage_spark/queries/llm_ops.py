@@ -4708,3 +4708,118 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bpe_encode(
         spread(docs, "doc_id"), "doc_id", "text", merges, preview_n=8
     )
+
+
+# --------------------------------------------------------------------------
+# q103 duplicated-span removal (the q74 APPLY stage, keep-first)
+# --------------------------------------------------------------------------
+# q74 detects cross-doc duplicated spans, q78 measures their coverage;
+# q103 strips the non-keeper occurrences and rebuilds the docs — the
+# Lee et al. removal step, completing the detect/measure/apply triad
+# like q86 -> q78-analog -> q92 did for sentence dedup. Serves from the
+# STAGED span table (q74's artifact; compose, don't recompute).
+
+
+@register(
+    "q103_span_removal",
+    oracle=f"""
+    WITH {_DOCS_CTE},
+    anch AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(words[i : i + {_SPAN_K - 1}], ' ') AS anchor
+        FROM docs,
+             UNNEST(range(1, greatest(len(words) - {_SPAN_K - 1}, 0) + 1)) AS t(i)
+    ),
+    keep AS (
+        SELECT anchor FROM anch
+        GROUP BY anchor HAVING COUNT(*) BETWEEN 2 AND {_SPAN_MAXPOST}
+    ),
+    p AS (SELECT a.* FROM anch a JOIN keep USING (anchor)),
+    m AS (
+        SELECT p1.doc_id AS doc_a, p2.doc_id AS doc_b,
+               p1.pos AS pos_a, p2.pos AS pos_b,
+               p1.pos - p2.pos AS diff
+        FROM p p1
+        JOIN p p2 ON p1.anchor = p2.anchor AND p1.doc_id < p2.doc_id
+    ),
+    spi AS (
+        SELECT *,
+               pos_a - ROW_NUMBER() OVER (
+                   PARTITION BY doc_a, doc_b, diff ORDER BY pos_a) AS grp
+        FROM m
+    ),
+    spans AS (
+        SELECT doc_a, doc_b,
+               MIN(pos_a) AS a_start, MIN(pos_b) AS b_start,
+               MAX(pos_a) - MIN(pos_a) + {_SPAN_K} AS span_len
+        FROM spi GROUP BY doc_a, doc_b, diff, grp
+        HAVING MAX(pos_a) - MIN(pos_a) + {_SPAN_K} >= {_SPAN_MIN}
+    ),
+    -- keep-first: removal intervals are the b-side (non-keeper)
+    -- occurrences only; DISTINCT so (s, e) totally orders each doc's
+    -- rows (q78's island-merge discipline)
+    iv AS (
+        SELECT DISTINCT doc_b AS doc_id, b_start AS s,
+               b_start + span_len AS e
+        FROM spans
+    ),
+    fl AS (
+        SELECT doc_id, s, e,
+               CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                    OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS f
+        FROM iv
+    ),
+    isl AS (
+        SELECT *, SUM(f) OVER (PARTITION BY doc_id ORDER BY s, e
+                    ROWS UNBOUNDED PRECEDING) AS g
+        FROM fl
+    ),
+    merged AS (
+        SELECT doc_id, g, MIN(s) AS mn, MAX(e) AS mx
+        FROM isl GROUP BY doc_id, g
+    ),
+    posw AS (
+        SELECT d.doc_id, CAST(t.i AS BIGINT) AS pos, d.words[t.i] AS w
+        FROM docs d, UNNEST(range(1, len(d.words) + 1)) AS t(i)
+        WHERE d.norm IS NOT NULL
+    ),
+    kept AS (
+        SELECT k.doc_id, k.pos, k.w
+        FROM posw k
+        WHERE NOT EXISTS (
+            SELECT 1 FROM merged mm
+            WHERE mm.doc_id = k.doc_id AND k.pos >= mm.mn AND k.pos < mm.mx
+        )
+    ),
+    reb AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(w, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.words) AS BIGINT)                       AS n_words,
+           CAST(len(d.words) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.clean_text, '')                         AS clean_text
+    FROM docs d LEFT JOIN reb r ON r.doc_id = d.doc_id
+    WHERE d.norm IS NOT NULL
+    """,
+    doc="Duplicated-span removal (operators/dedup.py::"
+    "remove_duplicate_spans): strip the NON-keeper (higher doc_id) "
+    "occurrence of every staged q74 span and rebuild each doc from its "
+    "surviving words, in order — keep-first substring dedup, the apply "
+    "step of Lee et al. 2022. Interval island-merge windows over one "
+    "doc's spans; merged cuts join the corpus once as per-doc arrays; "
+    "the rebuild is a row-local positional filter. clean_text is the "
+    "full surviving text: a value witness that the right WORDS were "
+    "cut, not just the right counts.",
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    spans = _staged_spans(spark, sf_dir)
+    return D.remove_duplicate_spans(
+        spread(docs, "doc_id"), spans, "doc_id", "text"
+    )

@@ -386,7 +386,7 @@ def test_runner_queue_path_and_db_dsn_selection(engine, home, tmp_path):
 
 def test_example_curation_home_runs_end_to_end(engine, tmp_path):
     """The shipped examples/curation_home jobnet (load → quality filter →
-    classifier filter → dedup → history near-dedup + registry compaction
+    classifier filter → dedup → span scrub → history near-dedup + registry compaction
     → semantic decon (concurrent embeddings/bench branch) → domain caps
     → two parallel report branches → stats) runs green against the
     sf0.001 testdata under --parallel 2."""
@@ -408,6 +408,7 @@ def test_example_curation_home_runs_end_to_end(engine, tmp_path):
     clean = engine.table("clean_documents").count()
     scored = engine.table("scored_documents").count()
     ded = engine.table("dedup_documents").count()
+    scrubbed = engine.table("scrubbed_documents").count()
     fresh = engine.table("fresh_documents").count()
     sem_fresh = engine.table("sem_fresh_documents").count()
     decon = engine.table("decon_documents").count()
@@ -416,8 +417,12 @@ def test_example_curation_home_runs_end_to_end(engine, tmp_path):
     assert 0 < clean <= raw          # the repetition filter drops some docs
     assert 0 < scored <= clean       # classifier keeps a subset
     assert 0 < ded <= scored         # dedup never grows the corpus
-    assert 0 < fresh <= ded          # history probe never grows the corpus
-    assert fresh == ded              # first snapshot: empty registry keeps all
+    assert scrubbed == ded           # span-scrub rewrites text, drops no doc
+    # the scrub refreshed n_chars to the published (scrubbed) lengths
+    sc = engine.table("scrubbed_documents")
+    assert sc.filter("n_chars <> length(text)").count() == 0
+    assert 0 < fresh <= scrubbed     # history probe never grows the corpus
+    assert fresh == scrubbed         # first snapshot: empty registry keeps all
     assert sem_fresh == fresh        # first snapshot: empty SRP registry too
     # the SRP band registry was seeded, labeled with the snapshot
     srp_reg = engine.table("srp_registry")

@@ -1596,3 +1596,68 @@ def test_asof_join_ties_are_deterministic(spark):
             left.repartition(4), right.repartition(4), on="ts", by="k"
         ).collect()[0]
         assert r.px_right == 9.0
+
+
+@pytest.mark.spark
+def test_remove_duplicate_spans_keep_first(spark):
+    """q74 -> q103 apply contract: the LOWER doc_id keeps every
+    duplicated span; the higher doc_id loses exactly the span words and
+    keeps its unique prefix/suffix; untouched docs round-trip their
+    normalized text."""
+    from pyspark.sql import functions as F
+
+    from bricolage_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    shared = " ".join(f"tok{i}" for i in range(15))  # >= min_span of 12
+    rows = [
+        (1, f"alpha beta {shared} gamma"),
+        (2, f"{shared} delta epsilon zeta"),
+        (3, "totally unrelated words only here"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicate_spans(
+        df, "doc_id", "text", anchor_len=8, min_span=12, max_postings=8
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(df, spans, "doc_id", "text").collect()
+    }
+    assert set(out) == {1, 2, 3}  # NULL text dropped
+    assert out[1].n_removed == 0
+    assert out[1].clean_text == f"alpha beta {shared} gamma"
+    assert out[2].n_removed == 15
+    assert out[2].clean_text == "delta epsilon zeta"
+    assert out[2].n_words == 18
+    assert out[3].n_removed == 0
+    assert out[3].clean_text == "totally unrelated words only here"
+
+
+@pytest.mark.spark
+def test_remove_duplicate_spans_merges_overlaps(spark):
+    """Two overlapping b-side intervals on one doc merge before the cut
+    (no double counting), and a fully-covered doc rebuilds to ''."""
+    from bricolage_spark.operators.dedup import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(7, " ".join(f"w{i}" for i in range(20))), (8, "a b c")],
+        "doc_id long, text string",
+    )
+    spans = df.sparkSession.createDataFrame(
+        [
+            (1, 7, 1, 1, 10),   # covers positions 1..10 of doc 7
+            (2, 7, 1, 6, 10),   # covers 6..15 (overlaps) -> union 1..15
+            (3, 8, 1, 1, 3),    # covers all of doc 8
+        ],
+        "doc_a long, doc_b long, a_start long, b_start long, span_len long",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(df, spans, "doc_id", "text").collect()
+    }
+    assert out[7].n_removed == 15
+    assert out[7].clean_text == " ".join(f"w{i}" for i in range(15, 20))
+    assert out[8].n_removed == 3 and out[8].clean_text == ""
