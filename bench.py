@@ -112,6 +112,9 @@ STAGED = (
     "q100_salient_terms",
     "q102_bpe_encode",
     "q103_span_removal",
+    "q86_sentence_dedup",
+    "q92_boilerplate_removal",
+    "q101_semantic_neardup_history",
 )
 
 

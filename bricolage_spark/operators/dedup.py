@@ -388,7 +388,11 @@ def lsh_candidate_pairs(
 
 
 def incremental_neardup_flags(
-    batch_bands: DataFrame, registry_bands: DataFrame, id_col: str
+    batch_bands: DataFrame,
+    registry_bands: DataFrame,
+    id_col: str,
+    *,
+    registry_distinct: bool = False,
 ) -> DataFrame:
     """Flag NEW-batch docs that near-duplicate the already-ingested
     corpus, using only its band-signature registry — the MinHash
@@ -403,22 +407,33 @@ def incremental_neardup_flags(
 
     Scale design — what a recurring 100 TB crawl actually runs:
     history is represented by ~40-byte band rows, never rescanned; the
-    probe is one semi-join of batch bands against registry buckets
-    (hashes shuffle, bodies never move) + a doc-keyed count. New
-    batches append their own bands to the registry afterwards, so cost
-    stays O(batch) per snapshot, not O(corpus).
+    probe is ONE left join of batch bands against the deduplicated
+    registry buckets with a hit mark + a doc-keyed count (hashes
+    shuffle, bodies never move). Zero-hit docs ride the same left join
+    — no separate id spine, no join-back (the former semi-join +
+    outer-join shape scanned the batch bands twice and paid two extra
+    stage materializations per probe). New batches append their own
+    bands to the registry afterwards, so cost stays O(batch) per
+    snapshot, not O(corpus).
+
+    ``registry_distinct=True`` skips the defensive key dedup: a
+    registry maintained by ``registry-compact`` (jobs/curation.py)
+    already holds one row per (band_id, band_hash), so re-aggregating
+    it per probe is a wasted stage. Leave False for raw append-only
+    registries, where duplicate keys would multiply the left join.
     """
-    reg = registry_bands.select("band_id", "band_hash").distinct()
-    hits = (
-        batch_bands.join(reg, ["band_id", "band_hash"], "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hit_bands"))
+    reg = registry_bands.select("band_id", "band_hash")
+    if not registry_distinct:
+        reg = reg.distinct()
+    reg = reg.withColumn("_hit", F.lit(1))
+    joined = batch_bands.join(reg, ["band_id", "band_hash"], "left")
+    hits = joined.groupBy(id_col).agg(
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_n")
     )
-    all_ids = batch_bands.select(id_col).distinct()
-    return all_ids.join(hits, id_col, "left").select(
+    return hits.select(
         F.col(id_col),
-        F.coalesce(F.col("n_hit_bands"), F.lit(0)).cast("bigint").alias("n_hit_bands"),
-        (F.coalesce(F.col("n_hit_bands"), F.lit(0)) > 0).alias("hist_neardup"),
+        F.col("_n").cast("bigint").alias("n_hit_bands"),
+        (F.col("_n") > 0).alias("hist_neardup"),
     )
 
 
@@ -579,8 +594,28 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     return sums.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
 
 
-def sentence_dedup_stats(
+def sentence_digest_melt(
     df: DataFrame, id_col: str, text_col: str, min_len: int = 20
+) -> DataFrame:
+    """Per-doc DISTINCT eligible-sentence digests (id, sd): sentences
+    split on '. ', normalized, md5-hashed, length-filtered. The shared
+    melt both the q86 profile and the q92 apply key on; its groupBy
+    over ``sd`` is the sentence-digest doc-frequency artifact."""
+    sents = F.split(normalize_text(F.col(text_col)), r"\. ")
+    return (
+        df.select(F.col(id_col), F.explode(sents).alias("sent"))
+        .where(F.length("sent") >= min_len)
+        .select(id_col, F.md5(F.col("sent")).alias("sd"))
+        .dropDuplicates([id_col, "sd"])
+    )
+
+
+def sentence_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 20,
+    digest_df: DataFrame | None = None,
 ) -> DataFrame:
     """Sentence-level duplication profile: per doc, how many of its
     sentences also appear (normalized-exact) in OTHER documents.
@@ -606,20 +641,30 @@ def sentence_dedup_stats(
     shuffled three times and computed the melt twice). The only other
     shuffle is the final per-doc rollup of (id, two counts) rows; at
     100 TB nothing wider than (digest, id) ever moves.
+
+    ``digest_df``: a prebuilt (sd, n_docs_with) doc-frequency table —
+    the STAGED artifact q86 and q92 share. When given, the window pass
+    is replaced by one digest-keyed join against it (broadcast when the
+    distinct-digest table is small enough, AQE's call), and the melt is
+    one pass with no forced repartition.
     """
     from pyspark.sql import Window
 
-    sents = F.split(normalize_text(F.col(text_col)), r"\. ")
-    melted = (
-        df.select(F.col(id_col), F.explode(sents).alias("sent"))
-        .where(F.length("sent") >= min_len)
-        .select(id_col, F.md5(F.col("sent")).alias("sd"))
-        .repartition(F.col("sd"))
-        .dropDuplicates([id_col, "sd"])
-    )
-    counted = melted.withColumn(
-        "n_docs_with", F.count(F.lit(1)).over(Window.partitionBy("sd"))
-    )
+    if digest_df is not None:
+        melted = sentence_digest_melt(df, id_col, text_col, min_len)
+        counted = melted.join(digest_df, "sd")
+    else:
+        sents = F.split(normalize_text(F.col(text_col)), r"\. ")
+        melted = (
+            df.select(F.col(id_col), F.explode(sents).alias("sent"))
+            .where(F.length("sent") >= min_len)
+            .select(id_col, F.md5(F.col("sent")).alias("sd"))
+            .repartition(F.col("sd"))
+            .dropDuplicates([id_col, "sd"])
+        )
+        counted = melted.withColumn(
+            "n_docs_with", F.count(F.lit(1)).over(Window.partitionBy("sd"))
+        )
     per_doc = counted.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_sents"),
         F.sum(
