@@ -13,7 +13,7 @@ shuffle each, partitioned by the group key; no corpus-wide window.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -145,6 +145,7 @@ def write_packed_shards(
     group_col: str,
     budget: int = 2048,
     sep: str = "\n\n",
+    token_col: Column | None = None,
 ) -> DataFrame:
     """Materialize sequence-packed training shards: concatenate documents
     into ~``budget``-token rows and write them partitioned by group.
@@ -162,8 +163,16 @@ def write_packed_shards(
     (bins are budget-bounded, so rows stay small), and ``partitionBy``
     on the write maps each group to its own output directory — the
     standard shard layout. Deterministic: same input → same shards.
+
+    ``token_col``: the per-doc token statistic to budget on. Default is
+    the ceil(chars/4) estimator; pass ``bpe_symbol_count`` of a
+    bpe-encoded column (textual.py, q102) to pack on REAL token counts.
     """
-    tokens = F.ceil(F.length(F.col(text_col)) / 4.0).cast("bigint")
+    tokens = (
+        token_col.cast("bigint")
+        if token_col is not None
+        else F.ceil(F.length(F.col(text_col)) / 4.0).cast("bigint")
+    )
     w = (
         Window.partitionBy(group_col)
         .orderBy(id_col)
