@@ -115,6 +115,9 @@ STAGED = (
     "q86_sentence_dedup",
     "q92_boilerplate_removal",
     "q101_semantic_neardup_history",
+    "q79_winnowing_fingerprints",
+    "q90_decontamination_apply",
+    "q74_duplicate_spans",
 )
 
 
