@@ -1661,3 +1661,39 @@ def test_remove_duplicate_spans_merges_overlaps(spark):
     assert out[7].n_removed == 15
     assert out[7].clean_text == " ".join(f"w{i}" for i in range(15, 20))
     assert out[8].n_removed == 3 and out[8].clean_text == ""
+
+
+@pytest.mark.spark
+def test_incremental_neardup_flags_registry_dedup_contract(spark):
+    """The probe's left-join+mark shape (round-8 rewrite): duplicate
+    registry keys must NOT multiply per-doc hit counts by default, and
+    registry_distinct=True (the compacted-registry fast path) must give
+    identical results when the registry really is distinct."""
+    from bricolage_spark.operators.dedup import incremental_neardup_flags
+
+    batch = spark.createDataFrame(
+        [(1, 0, 11), (1, 1, 22), (2, 0, 33), (2, 1, 44), (3, 0, 11)],
+        "doc_id long, band_id int, band_hash long",
+    )
+    # key (0,11) appears 3x (a band shared by many history docs), (1,22) 1x
+    registry_dup = spark.createDataFrame(
+        [(0, 11), (0, 11), (0, 11), (1, 22)], "band_id int, band_hash long"
+    )
+    out = {
+        r.doc_id: r
+        for r in incremental_neardup_flags(batch, registry_dup, "doc_id").collect()
+    }
+    assert set(out) == {1, 2, 3}          # zero-hit docs still emit rows
+    assert out[1].n_hit_bands == 2 and out[1].hist_neardup
+    assert out[2].n_hit_bands == 0 and not out[2].hist_neardup
+    assert out[3].n_hit_bands == 1 and out[3].hist_neardup
+    compacted = registry_dup.distinct()
+    fast = {
+        r.doc_id: (r.n_hit_bands, r.hist_neardup)
+        for r in incremental_neardup_flags(
+            batch, compacted, "doc_id", registry_distinct=True
+        ).collect()
+    }
+    assert fast == {
+        d: (r.n_hit_bands, r.hist_neardup) for d, r in out.items()
+    }

@@ -69,6 +69,9 @@ PROBE_QUERIES = (
     "q99_snapshot_drift",
     "q100_salient_terms",
     "q101_semantic_neardup_history",
+    # round-8 additions (apply stages; both data-proportional):
+    "q102_bpe_encode",
+    "q103_span_removal",
 )
 
 
