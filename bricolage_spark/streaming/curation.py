@@ -40,6 +40,7 @@ def curate_stream(
     classifier_threshold: float | None = 0.5,
     dsir_ratio: DataFrame | None = None,
     dsir_min_weight: float = 0.0,
+    bpe_merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Quality-filter, classify, redact, and first-seen-dedup a document
     stream.
@@ -57,7 +58,10 @@ def curate_stream(
     into the micro-batch scan: zero streaming state beyond the
     watermark-bounded dedup. The classifier and DSIR gates score the
     PRE-redaction text (redaction replaces PII with fixed tags that
-    would perturb the gram distribution).
+    would perturb the gram distribution). ``bpe_merges`` (a q95-induced
+    merge table, q102's batch artifact) additionally annotates each
+    kept doc with its real BPE token count ``n_tokens`` — the same
+    offline-fitted-metadata-as-expression discipline as the DSIR gate.
     """
     from bricolage_spark.operators.textual import (
         dsir_keep_expr,
@@ -76,6 +80,25 @@ def curate_stream(
     curated = curated.withColumn(
         text_col, redact_pii(F.col(text_col))
     ).withColumn("content_digest", F.md5(normalize_text(F.col(text_col))))
+    if bpe_merges is not None:
+        # real token accounting on the stream (q102's serve form): the
+        # induced merge table — tokenizer metadata fitted offline, like
+        # the DSIR ratio above — unrolls to a row-local replace chain,
+        # so the count is one more fused expression, zero stream state.
+        # Counted on the PUBLISHED (post-redaction) text: packing
+        # budgets downstream bin what is actually written.
+        from bricolage_spark.operators.textual import (
+            bpe_apply_merges,
+            bpe_symbol_count,
+            bpe_symbol_string,
+        )
+
+        curated = curated.withColumn(
+            "n_tokens",
+            bpe_symbol_count(
+                bpe_apply_merges(bpe_symbol_string(F.col(text_col)), bpe_merges)
+            ),
+        )
     return dedup_within_watermark(
         curated, ["content_digest"], ts_col=ts_col, watermark=watermark
     )

@@ -579,3 +579,71 @@ def test_probe_and_update_registry_labeled_replay_idempotent(spark, tmp_path):
         (r.band_id, r.band_hash, r.snapshot)
         for r in engine.table("generic_reg").collect()
     ) == reg_rows
+
+
+def test_curate_stream_bpe_token_counts_over_real_stream(spark, tmp_path):
+    """With a q95-induced merge table, curate_stream annotates each kept
+    doc with its real BPE token count — a row-local expression fused
+    into the micro-batch scan (zero stream state), matching the batch
+    path's bpe_encode count on the SAME published (post-redaction)
+    text."""
+    from bricolage_spark.operators.textual import (
+        bpe_encode,
+        bpe_merge_candidates,
+    )
+    from bricolage_spark.streaming.curation import curate_stream
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows = [
+        {"doc_id": 20, "ts": "2024-01-01T00:00:00", "text": GOOD},
+        {"doc_id": 21, "ts": "2024-01-01T00:01:00", "text": GOOD + " extra tail words here"},
+    ]
+    fit = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    )
+    merges = [
+        (r.s1, r.s2)
+        for r in bpe_merge_candidates(fit, "doc_id", "text", top_n=10).collect()
+    ]
+    src = tmp_path / "bpe_in"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema(doc_schema).json(str(src))
+    curated = curate_stream(
+        stream,
+        watermark="1 hour",
+        classifier_threshold=None,
+        bpe_merges=merges,
+    )
+    q = (
+        curated.writeStream.format("memory")
+        .queryName("bpe_curated")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "bpe_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r.doc_id: (r.n_tokens, r.text)
+        for r in spark.sql("select * from bpe_curated").collect()
+    }
+    assert set(got) == {20, 21}
+    # batch mirror: encode the PUBLISHED text with the same table
+    pub = spark.createDataFrame(
+        [(d, t) for d, (_n, t) in got.items()], "doc_id long, text string"
+    )
+    mirror = {
+        r.doc_id: r.n_tokens
+        for r in bpe_encode(pub, "doc_id", "text", merges).collect()
+    }
+    assert {d: n for d, (n, _t) in got.items()} == mirror
+    assert got[21][0] > got[20][0]  # longer doc, more tokens
