@@ -118,6 +118,8 @@ STAGED = (
     "q79_winnowing_fingerprints",
     "q90_decontamination_apply",
     "q74_duplicate_spans",
+    "q104_tokenizer_fertility",
+    "q105_span_contamination",
 )
 
 

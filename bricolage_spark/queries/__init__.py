@@ -74,9 +74,10 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 #   by pytest every round. They are listed FIRST in _CLIP_LAST so any
 #   window widening re-admits them before the r7-green cohort.
 #
-# ROUND-9 PLAN: must-attest = the 7 deferred above; then the 11 r7
+# ROUND-9 PLAN: must-attest = the 7 deferred above + q104/q105
+# (registered post-window in r8, never attested); then the 11 r7
 # additions q84-q94 (single-green r7) and the 39-query r7 evidence
-# cohort (newest row r7, two rounds stale by r9) — 57 for 50 slots;
+# cohort (newest row r7, two rounds stale by r9) — 59 for 50 slots;
 # clip 7 more of the deepest-green (the r4-cohort core-SQL rows
 # q03/q05/q06-class, r4+r7 rows plus judge selfchecks) under the same
 # explicit-list discipline.
@@ -202,6 +203,10 @@ _CLIP_LAST = [
     "q92_boilerplate_removal",
     "q93_cluster_size_histogram",
     "q94_dedup_audit",
+    # round-8 post-window additions (the committed r8 window stays
+    # intact; first driver rows r9 with the deferred cohort):
+    "q104_tokenizer_fertility",
+    "q105_span_contamination",
 ]
 
 

@@ -4990,3 +4990,287 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.remove_duplicate_spans(
         spread(docs, "doc_id"), spans, "doc_id", "text"
     )
+
+
+# --------------------------------------------------------------------------
+# q104 tokenizer fertility report (per-source BPE compression health)
+# --------------------------------------------------------------------------
+# The dashboard row a tokenizer owner watches per corpus slice: how many
+# base symbols per emitted token (compression), how many chars per token
+# (fertility) — a source whose fertility is far off the corpus norm is
+# in the wrong language/script for the merge table, or is junk that the
+# tokenizer fragments. Composes q102's encode (staged merge table) with
+# a source-keyed aggregate: corpus touched once, output |sources| rows.
+
+
+@register(
+    "q104_tokenizer_fertility",
+    oracle=f"""
+    WITH RECURSIVE {_DOCS_CTE},
+    vocab AS (
+        SELECT word, COUNT(*) AS wc
+        FROM (SELECT unnest(words) AS word FROM docs)
+        WHERE word <> ''
+        GROUP BY word
+    ),
+    syms AS (
+        SELECT wc, list_append(string_split(word, ''), '</w>') AS s
+        FROM vocab
+    ),
+    pairs AS (
+        SELECT s[i] AS s1, s[i + 1] AS s2, SUM(wc) AS pair_count
+        FROM syms, UNNEST(range(1, len(s))) AS t(i)
+        GROUP BY 1, 2
+    ),
+    merges AS (
+        SELECT s1, s2,
+               ROW_NUMBER() OVER (ORDER BY pair_count DESC, s1, s2) AS rnk
+        FROM (SELECT * FROM pairs
+              ORDER BY pair_count DESC, s1, s2 LIMIT {_BPE_TOP})
+    ),
+    base AS (
+        SELECT doc_id,
+               replace(chr(1) || regexp_replace(norm, '(.)', '\\1' || chr(1), 'g'),
+                       chr(1) || ' ' || chr(1),
+                       chr(1) || '</w>' || chr(1)) || '</w>' || chr(1) AS s
+        FROM (SELECT doc_id, norm FROM docs
+              JOIN documents USING (doc_id) WHERE text IS NOT NULL) b
+    ),
+    enc(doc_id, s, step) AS (
+        SELECT doc_id, s, 0 FROM base
+        UNION ALL
+        SELECT e.doc_id,
+               replace(e.s, chr(1) || m.s1 || chr(1) || m.s2 || chr(1),
+                       chr(1) || m.s1 || m.s2 || chr(1)),
+               e.step + 1
+        FROM enc e JOIN merges m ON m.rnk = e.step + 1
+    ),
+    fin AS (SELECT doc_id, s FROM enc
+            WHERE step = (SELECT COUNT(*) FROM merges)),
+    per_doc AS (
+        SELECT b.doc_id,
+               length(b.s) - length(replace(b.s, chr(1), '')) - 1 AS n_symbols,
+               length(f.s) - length(replace(f.s, chr(1), '')) - 1 AS n_tokens,
+               length(d.norm) AS n_norm_chars
+        FROM base b
+        JOIN fin f ON f.doc_id = b.doc_id
+        JOIN docs d ON d.doc_id = b.doc_id
+    )
+    SELECT dd.source,
+           CAST(COUNT(*) AS BIGINT)          AS n_docs,
+           CAST(SUM(p.n_tokens) AS BIGINT)   AS total_tokens,
+           CAST(SUM(p.n_symbols) AS BIGINT)  AS total_symbols,
+           ROUND(CAST(SUM(p.n_symbols) AS DOUBLE) / SUM(p.n_tokens), 4)
+                                             AS compression,
+           ROUND(CAST(SUM(p.n_norm_chars) AS DOUBLE) / SUM(p.n_tokens), 4)
+                                             AS chars_per_token
+    FROM per_doc p JOIN documents dd ON dd.doc_id = p.doc_id
+    GROUP BY dd.source
+    """,
+    doc="Per-source tokenizer fertility report (composes q102's encode "
+    "with the staged merge table): base symbols and emitted tokens per "
+    "source, compression (symbols/token) and fertility (normalized "
+    "chars/token). A source far off the corpus norm is in the wrong "
+    "script for the merge table or fragments into junk — the tokenizer-"
+    "health dashboard row. One encode projection + one source-keyed "
+    "aggregate; output is |sources| rows.",
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    merges = _bpe_merges(spark, sf_dir)
+    enc = T.bpe_encode(spread(docs, "doc_id"), "doc_id", "text", merges)
+    norm_len = F.length(D.normalize_text(F.col("text")))
+    per_doc = enc.join(
+        docs.select("doc_id", "source", norm_len.alias("n_norm_chars")),
+        "doc_id",
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_symbols").cast("bigint").alias("total_symbols"),
+        F.sum("n_norm_chars").alias("_nc"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "total_symbols",
+        F.round(
+            F.col("total_symbols").cast("double") / F.col("total_tokens"), 4
+        ).alias("compression"),
+        F.round(F.col("_nc").cast("double") / F.col("total_tokens"), 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q105 span-level contamination (substring eval-leak, the q51 analog)
+# --------------------------------------------------------------------------
+# q51 catches benchmark leakage at shingle-overlap granularity; q105
+# measures the duplicated SPANS a training doc shares with the
+# benchmark slice — verbatim eval text embedded inside a longer
+# training doc is exactly the case coverage fractions catch and shingle
+# containment understates. Serves entirely from the STAGED q74 span
+# table: pairs with one benchmark-side endpoint project their TRAIN-
+# side intervals, which island-merge per doc (q78's pattern).
+_SPANC_MOD, _SPANC_MAX = 20, 0.05
+
+
+@register(
+    "q105_span_contamination",
+    oracle=f"""
+    WITH {_DOCS_CTE},
+    anch AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(words[i : i + {_SPAN_K - 1}], ' ') AS anchor
+        FROM docs,
+             UNNEST(range(1, greatest(len(words) - {_SPAN_K - 1}, 0) + 1)) AS t(i)
+    ),
+    keep AS (
+        SELECT anchor FROM anch
+        GROUP BY anchor HAVING COUNT(*) BETWEEN 2 AND {_SPAN_MAXPOST}
+    ),
+    p AS (SELECT a.* FROM anch a JOIN keep USING (anchor)),
+    m AS (
+        SELECT p1.doc_id AS doc_a, p2.doc_id AS doc_b,
+               p1.pos AS pos_a, p2.pos AS pos_b,
+               p1.pos - p2.pos AS diff
+        FROM p p1
+        JOIN p p2 ON p1.anchor = p2.anchor AND p1.doc_id < p2.doc_id
+    ),
+    spi AS (
+        SELECT *,
+               pos_a - ROW_NUMBER() OVER (
+                   PARTITION BY doc_a, doc_b, diff ORDER BY pos_a) AS grp
+        FROM m
+    ),
+    spans AS (
+        SELECT doc_a, doc_b,
+               MIN(pos_a) AS a_start, MIN(pos_b) AS b_start,
+               MAX(pos_a) - MIN(pos_a) + {_SPAN_K} AS span_len
+        FROM spi GROUP BY doc_a, doc_b, diff, grp
+        HAVING MAX(pos_a) - MIN(pos_a) + {_SPAN_K} >= {_SPAN_MIN}
+    ),
+    -- TRAIN-side intervals of pairs whose OTHER endpoint is benchmark
+    -- (doc_id % {_SPANC_MOD} = 0); DISTINCT for the total window order
+    iv AS (
+        SELECT DISTINCT doc_a AS doc_id, a_start AS s,
+               a_start + span_len AS e
+        FROM spans
+        WHERE doc_b % {_SPANC_MOD} = 0 AND doc_a % {_SPANC_MOD} <> 0
+        UNION
+        SELECT DISTINCT doc_b, b_start, b_start + span_len
+        FROM spans
+        WHERE doc_a % {_SPANC_MOD} = 0 AND doc_b % {_SPANC_MOD} <> 0
+    ),
+    fl AS (
+        SELECT doc_id, s, e,
+               CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                    OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS f
+        FROM iv
+    ),
+    isl AS (
+        SELECT *, SUM(f) OVER (PARTITION BY doc_id ORDER BY s, e
+                    ROWS UNBOUNDED PRECEDING) AS g
+        FROM fl
+    ),
+    cov AS (
+        SELECT doc_id, SUM(mx - mn) AS covered FROM (
+            SELECT doc_id, g, MAX(e) AS mx, MIN(s) AS mn
+            FROM isl GROUP BY doc_id, g
+        ) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.words) AS BIGINT)           AS n_words,
+           CAST(COALESCE(c.covered, 0) AS BIGINT) AS bench_span_tokens,
+           ROUND(COALESCE(c.covered, 0)
+                 / CAST(len(d.words) AS DOUBLE), 4) AS bench_frac,
+           ROUND(COALESCE(c.covered, 0)
+                 / CAST(len(d.words) AS DOUBLE), 4) >= {_SPANC_MAX}
+                                                   AS flagged
+    FROM docs d LEFT JOIN cov c ON c.doc_id = d.doc_id
+    WHERE d.doc_id % {_SPANC_MOD} <> 0
+    """,
+    doc="Span-level contamination: per TRAINING doc, the token coverage "
+    f"of duplicated spans shared with the benchmark slice (doc_id % "
+    f"{_SPANC_MOD} = 0) — verbatim eval text embedded in a longer "
+    "training doc, the case shingle containment (q51) understates. "
+    "Serves from the STAGED span table: benchmark-paired pairs project "
+    "their train-side intervals, which island-merge per doc (q78's "
+    f"pattern); flagged at >= {_SPANC_MAX} coverage. Interval rows are "
+    "3 ints; the doc join is the only corpus-sized movement.",
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    spans = _staged_spans(spark, sf_dir)
+    is_bench = lambda c: F.col(c) % _SPANC_MOD == 0
+    iv = (
+        spans.where(is_bench("doc_b") & ~is_bench("doc_a"))
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("a_start").alias("s"),
+            (F.col("a_start") + F.col("span_len")).alias("e"),
+        )
+        .unionAll(
+            spans.where(is_bench("doc_a") & ~is_bench("doc_b")).select(
+                F.col("doc_b").alias("doc_id"),
+                F.col("b_start").alias("s"),
+                (F.col("b_start") + F.col("span_len")).alias("e"),
+            )
+        )
+        .distinct()
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max = F.max("e").over(w_prev)
+    fl = iv.select(
+        "doc_id",
+        "s",
+        "e",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1)
+        .otherwise(0)
+        .alias("f"),
+    )
+    isl = fl.select("doc_id", "s", "e", F.sum("f").over(w_run).alias("g"))
+    cov = (
+        isl.groupBy("doc_id", "g")
+        .agg((F.max("e") - F.min("s")).alias("_c"))
+        .groupBy("doc_id")
+        .agg(F.sum("_c").alias("covered"))
+    )
+    words = F.split(D.normalize_text(F.col("text")), " ")
+    train = (
+        spread(docs, "doc_id")
+        .where(~is_bench("doc_id"))
+        .select("doc_id", F.size(words).alias("n_words"))
+    )
+    j = train.join(cov, "doc_id", "left")
+    frac = F.round(
+        F.coalesce(F.col("covered"), F.lit(0)).cast("double")
+        / F.col("n_words").cast("double"),
+        4,
+    )
+    return j.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.coalesce(F.col("covered"), F.lit(0))
+        .cast("bigint")
+        .alias("bench_span_tokens"),
+        frac.alias("bench_frac"),
+        (frac >= F.lit(_SPANC_MAX)).alias("flagged"),
+    )
