@@ -15,8 +15,12 @@ full filter reconstruction, 8-bit gray/RGB/palette/alpha) and PCM WAV
 bytes.  Payloads that are none of these (e.g. the utf-8 text adapters
 used with the container's test data, which has no media assets) fall
 back to a clearly-marked deterministic digest-based stand-in with the
-same shape/schema; heavier codecs (JPEG/MP4 via PIL/ffmpeg) are not in
-this container and would slot into the same dispatch table.
+same shape/schema.  MP4/ISO-BMFF video gets real CONTAINER-level
+support (``parse_mp4_samples``/``split_mp4_frames``: sample tables ->
+per-frame byte ranges, timing, keyframes), so frame counting/sampling
+operate on true coded access units; only pixel decode (H.264 et al.)
+sits behind the documented codec stub, as progressive-JPEG does on the
+image side.
 """
 
 from __future__ import annotations
@@ -505,13 +509,17 @@ def split_apng_frames(payload: bytes) -> list[bytes]:
 def sample_frames(media: DataFrame, every_n: int = 1, max_frames: int = 0) -> DataFrame:
     """Arrow-batched frame-sampling stage: one output row per sampled frame.
 
-    Real for APNG (``split_apng_frames``); a still image is its own
-    single frame.  Container video (MP4/WebM — no codec libs here) and
-    non-media payloads emit ONE row with the original payload and
-    ``decoded = false``, so downstream stages can route them without the
-    batch failing.  ``every_n`` keeps every n-th frame; ``max_frames``
-    caps the per-payload fan-out (0 = no cap) — the fan-out bound that
-    keeps a pathological million-frame payload from skewing a partition.
+    Real for APNG (``split_apng_frames``) and for MP4/ISO-BMFF
+    containers (``split_mp4_frames``: the sample tables give every
+    coded frame's byte range, so frame counts, indices and the sampled
+    payloads are real access units — ``decoded`` stays false for them
+    because pixel decode needs the absent codec); a still image is its
+    own single frame.  Other payloads emit ONE row with the original
+    payload and ``decoded = false``, so downstream stages can route
+    them without the batch failing.  ``every_n`` keeps every n-th
+    frame; ``max_frames`` caps the per-payload fan-out (0 = no cap) —
+    the fan-out bound that keeps a pathological million-frame payload
+    from skewing a partition.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -520,10 +528,14 @@ def sample_frames(media: DataFrame, every_n: int = 1, max_frames: int = 0) -> Da
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(p)
                 try:
+                    pixel_frames = True
                     if raw.startswith(_PNG_MAGIC):
                         frames = split_apng_frames(raw)
                     elif raw[:2] in (b"BM", b"\xff\xd8"):
                         frames = [raw]  # still image: its own single frame
+                    elif raw[4:8] == b"ftyp":
+                        frames = split_mp4_frames(raw)
+                        pixel_frames = False  # coded units, codec absent
                     else:
                         raise ValueError("not a frame-decodable payload")
                     keep = frames[::every_n]
@@ -534,7 +546,7 @@ def sample_frames(media: DataFrame, every_n: int = 1, max_frames: int = 0) -> Da
                         idxs.append(i * every_n)
                         totals.append(len(frames))
                         payloads.append(fp)
-                        decoded.append(True)
+                        decoded.append(pixel_frames)
                 except (ValueError, zlib.error, struct.error, IndexError):
                     ids.append(mid)
                     idxs.append(0)
@@ -558,10 +570,222 @@ def decode_stub(*_args, **_kwargs):  # pragma: no cover - documented stub
     """Placeholder for codec-backed decoding (JPEG/MP4/…).
 
     Raises so nobody mistakes the digest fallback for real features;
-    BMP, PNG and WAV payloads DO get real decodes via ``decode_media``.
+    BMP, PNG and WAV payloads DO get real decodes via ``decode_media``,
+    and MP4 containers get real sample-table parsing (frame ranges,
+    timing, keyframes) via ``parse_mp4_samples`` — this stub covers
+    only the PIXEL decode of coded bitstreams (H.264/progressive JPEG).
     """
     raise NotImplementedError(
         "media codecs (PIL/ffmpeg) are not installed in this environment; "
-        "only BMP/PNG/WAV decode natively — other formats use the "
+        "BMP/PNG/WAV decode natively and MP4 containers parse to coded "
+        "frames — pixel decode of coded bitstreams uses the "
         "deterministic digest-based stand-in"
     )
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF container parsing (sample tables, no codec)
+# ---------------------------------------------------------------------------
+# Real container-level support for video columns: walk the ISO base
+# media file format box tree (ISO/IEC 14496-12, public spec) and decode
+# the sample tables — stsd (codec fourcc), stts (timing), stsz (sizes),
+# stsc (sample->chunk mapping), stco/co64 (chunk offsets), stss (sync
+# samples) — into absolute per-frame byte ranges. That makes frame
+# COUNTING, frame SAMPLING and keyframe selection real Spark-side
+# operations on coded access units; only pixel decode (H.264 et al.)
+# remains behind the documented codec stub. Pure stdlib struct walking,
+# a few hundred bytes of tables per payload — Arrow batches are touched
+# once, same as the image path.
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each box in range."""
+    pos = start
+    while pos + 8 <= end:
+        size, btype = struct.unpack_from(">I4s", buf, pos)
+        header = 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                break
+            (size,) = struct.unpack_from(">Q", buf, pos + 8)
+            header = 16
+        elif size == 0:  # box runs to end of enclosing scope
+            size = end - pos
+        if size < header or pos + size > end:
+            break  # malformed: stop rather than mis-slice
+        yield btype, pos + header, pos + size
+        pos += size
+
+
+def _find_box(buf: bytes, start: int, end: int, path: list[bytes]):
+    """Payload range of the first box at a nested type path."""
+    if not path:
+        return start, end
+    for btype, ps, pe in _iter_boxes(buf, start, end):
+        if btype == path[0]:
+            return _find_box(buf, ps, pe, path[1:])
+    return None
+
+
+def parse_mp4_samples(payload: bytes) -> dict | None:
+    """Decode an MP4/ISO-BMFF payload's video sample tables.
+
+    Returns None unless the payload leads with a valid ``ftyp`` box and
+    contains a parseable track. Otherwise a dict with: ``codec`` (stsd
+    fourcc), ``timescale``, ``n_samples``, ``ranges`` [(offset, size)]
+    — absolute byte ranges of each coded frame — ``durations`` (per
+    sample, in timescale units) and ``sync`` (1-based keyframe indices;
+    every frame when no stss box is present, per spec).
+    """
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    end = len(payload)
+    moov = _find_box(payload, 0, end, [b"moov"])
+    if moov is None:
+        return None
+    # first track whose handler is video; else the first track at all
+    stbl = None
+    codec = None
+    timescale = 0
+    fallback = None
+    for btype, ps, pe in _iter_boxes(payload, *moov):
+        if btype != b"trak":
+            continue
+        mdia = _find_box(payload, ps, pe, [b"mdia"])
+        if mdia is None:
+            continue
+        this_stbl = _find_box(payload, *mdia, [b"minf", b"stbl"])
+        if this_stbl is None:
+            continue
+        mdhd = _find_box(payload, *mdia, [b"mdhd"])
+        ts = 0
+        if mdhd is not None:
+            ver = payload[mdhd[0]]
+            off = mdhd[0] + (20 if ver == 1 else 12)
+            if off + 4 <= mdhd[1]:
+                (ts,) = struct.unpack_from(">I", payload, off)
+        hdlr = _find_box(payload, *mdia, [b"hdlr"])
+        is_video = (
+            hdlr is not None
+            and payload[hdlr[0] + 8 : hdlr[0] + 12] == b"vide"
+        )
+        if fallback is None:
+            fallback = (this_stbl, ts)
+        if is_video:
+            stbl, timescale = this_stbl, ts
+            break
+    if stbl is None:
+        if fallback is None:
+            return None
+        stbl, timescale = fallback
+
+    tables: dict[bytes, tuple[int, int]] = {}
+    for btype, ps, pe in _iter_boxes(payload, *stbl):
+        tables[btype] = (ps, pe)
+
+    def full(box: bytes):
+        """(entry_count_offset) past the FullBox version/flags word."""
+        if box not in tables:
+            return None
+        ps, pe = tables[box]
+        return ps + 4, pe
+
+    # stsd: first entry's fourcc is the coded format
+    if b"stsd" in tables:
+        ps, pe = tables[b"stsd"]
+        if ps + 16 <= pe:
+            codec = payload[ps + 12 : ps + 16].decode("latin-1")
+
+    # stsz: per-sample sizes (or one constant size)
+    r = full(b"stsz")
+    if r is None:
+        return None
+    ps, pe = r
+    const_size, n_samples = struct.unpack_from(">II", payload, ps)
+    if const_size:
+        sizes = [const_size] * n_samples
+    else:
+        sizes = list(
+            struct.unpack_from(f">{n_samples}I", payload, ps + 8)
+        )
+
+    # chunk offsets: stco (32-bit) or co64
+    if b"stco" in tables:
+        ps, pe = full(b"stco")
+        (n_chunks,) = struct.unpack_from(">I", payload, ps)
+        chunk_offs = list(struct.unpack_from(f">{n_chunks}I", payload, ps + 4))
+    elif b"co64" in tables:
+        ps, pe = full(b"co64")
+        (n_chunks,) = struct.unpack_from(">I", payload, ps)
+        chunk_offs = list(struct.unpack_from(f">{n_chunks}Q", payload, ps + 4))
+    else:
+        return None
+
+    # stsc: runs of (first_chunk, samples_per_chunk); expand per chunk
+    r = full(b"stsc")
+    if r is None:
+        return None
+    ps, pe = r
+    (n_runs,) = struct.unpack_from(">I", payload, ps)
+    runs = [
+        struct.unpack_from(">III", payload, ps + 4 + 12 * i)[:2]
+        for i in range(n_runs)
+    ]
+    per_chunk: list[int] = []
+    for i, (first, spc) in enumerate(runs):
+        last = runs[i + 1][0] - 1 if i + 1 < len(runs) else len(chunk_offs)
+        per_chunk.extend([spc] * (last - first + 1))
+
+    ranges: list[tuple[int, int]] = []
+    si = 0
+    for ci, coff in enumerate(chunk_offs):
+        if ci >= len(per_chunk) or si >= n_samples:
+            break
+        off = coff
+        for _ in range(per_chunk[ci]):
+            if si >= n_samples:
+                break
+            ranges.append((off, sizes[si]))
+            off += sizes[si]
+            si += 1
+
+    durations: list[int] = []
+    r = full(b"stts")
+    if r is not None:
+        ps, pe = r
+        (n_ent,) = struct.unpack_from(">I", payload, ps)
+        for i in range(n_ent):
+            cnt, delta = struct.unpack_from(">II", payload, ps + 4 + 8 * i)
+            durations.extend([delta] * cnt)
+
+    sync: list[int] = list(range(1, n_samples + 1))  # spec: no stss = all sync
+    r = full(b"stss")
+    if r is not None:
+        ps, pe = r
+        (n_ent,) = struct.unpack_from(">I", payload, ps)
+        sync = list(struct.unpack_from(f">{n_ent}I", payload, ps + 4))
+
+    return {
+        "codec": codec,
+        "timescale": timescale,
+        "n_samples": n_samples,
+        "ranges": ranges,
+        "durations": durations[:n_samples],
+        "sync": sync,
+    }
+
+
+def split_mp4_frames(payload: bytes) -> list[bytes]:
+    """Coded video frames (access units) of an MP4 payload, in sample
+    order — the container-level dual of ``split_apng_frames``. Raises
+    ValueError when the payload is not parseable BMFF (the sample_frames
+    dispatcher routes it to the opaque fallback)."""
+    info = parse_mp4_samples(payload)
+    if info is None or not info["ranges"]:
+        raise ValueError("not a parseable MP4 payload")
+    out = []
+    for off, size in info["ranges"]:
+        if off + size > len(payload):
+            raise ValueError("MP4 sample range outside payload")
+        out.append(payload[off : off + size])
+    return out

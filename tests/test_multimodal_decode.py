@@ -301,3 +301,115 @@ def test_resize_and_sample_stages_through_spark(spark):
     assert all(r.n_frames == 4 for r in ap)
     means = [M.decode_png(bytes(r.payload))[4] for r in ap]
     assert means == [pytest.approx(0.0), pytest.approx(120.0)]
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    import struct as _s
+
+    return _s.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _full(btype: bytes, payload: bytes, version: int = 0) -> bytes:
+    import struct as _s
+
+    return _box(btype, _s.pack(">B3x", version) + payload)
+
+
+def _tiny_mp4(samples, chunks, stsc_runs, sync=None, timescale=600):
+    """Hand-assemble a minimal ISO-BMFF file: ftyp + mdat carrying the
+    coded samples laid out per ``chunks`` (list of sample-index lists),
+    followed by moov with real stsd/stts/stsc/stsz/stco/stss tables."""
+    import struct as _s
+
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    # lay out mdat: chunks in order, samples contiguous within a chunk
+    mdat_payload = bytearray()
+    chunk_offsets = []
+    base = len(ftyp) + 8  # mdat payload starts after its own header
+    for ch in chunks:
+        chunk_offsets.append(base + len(mdat_payload))
+        for si in ch:
+            mdat_payload += samples[si]
+    mdat = _box(b"mdat", bytes(mdat_payload))
+
+    n = len(samples)
+    stsd = _full(b"stsd", _s.pack(">I", 1) + _box(b"avc1", b"\x00" * 8))
+    stts = _full(b"stts", _s.pack(">III", 1, n, 100))
+    stsc = _full(
+        b"stsc",
+        _s.pack(">I", len(stsc_runs))
+        + b"".join(_s.pack(">III", fc, spc, 1) for fc, spc in stsc_runs),
+    )
+    stsz = _full(
+        b"stsz",
+        _s.pack(">II", 0, n) + b"".join(_s.pack(">I", len(x)) for x in samples),
+    )
+    stco = _full(
+        b"stco",
+        _s.pack(">I", len(chunk_offsets))
+        + b"".join(_s.pack(">I", o) for o in chunk_offsets),
+    )
+    boxes = stsd + stts + stsc + stsz + stco
+    if sync is not None:
+        boxes += _full(
+            b"stss",
+            _s.pack(">I", len(sync)) + b"".join(_s.pack(">I", i) for i in sync),
+        )
+    stbl = _box(b"stbl", boxes)
+    minf = _box(b"minf", stbl)
+    mdhd = _full(
+        b"mdhd", _s.pack(">IIII", 0, 0, timescale, n * 100) + b"\x00" * 4
+    )
+    hdlr = _full(b"hdlr", _s.pack(">I", 0) + b"vide" + b"\x00" * 12)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", mdia)
+    moov = _box(b"moov", trak)
+    return ftyp + mdat + moov
+
+
+def test_mp4_sample_table_parsing_and_frame_split():
+    """The BMFF walker decodes real sample tables: uneven chunk layout
+    (stsc runs), per-sample sizes, sync list, codec fourcc — and
+    split_mp4_frames recovers the exact coded frame bytes."""
+    samples = [b"frameAA", b"frB", b"frameCCCC", b"frD", b"frameEE"]
+    # chunk 1: samples 0,1; chunk 2: samples 2,3; chunk 3: sample 4
+    mp4 = _tiny_mp4(
+        samples,
+        chunks=[[0, 1], [2, 3], [4]],
+        stsc_runs=[(1, 2), (3, 1)],  # chunks 1-2 carry 2 samples, 3 carries 1
+        sync=[1, 4],
+    )
+    info = M.parse_mp4_samples(mp4)
+    assert info is not None
+    assert info["codec"] == "avc1"
+    assert info["timescale"] == 600
+    assert info["n_samples"] == 5
+    assert info["durations"] == [100] * 5
+    assert info["sync"] == [1, 4]
+    assert M.split_mp4_frames(mp4) == samples
+    # no stss box -> every sample is a sync sample (spec default)
+    mp4_all = _tiny_mp4(samples, [[0, 1, 2, 3, 4]], [(1, 5)])
+    assert M.parse_mp4_samples(mp4_all)["sync"] == [1, 2, 3, 4, 5]
+    # malformed payloads refuse instead of mis-slicing
+    assert M.parse_mp4_samples(b"\x00\x00\x00\x08free") is None
+    with pytest.raises(ValueError):
+        M.split_mp4_frames(mp4[: len(mp4) // 2] )
+
+
+@pytest.mark.spark
+def test_sample_frames_extracts_mp4_access_units(spark):
+    """sample_frames emits one row per sampled CODED frame for MP4
+    payloads — real count/index/payload from the container tables,
+    decoded=false because pixel decode needs the absent codec."""
+    samples = [b"k0-frame", b"d1", b"d2-bigger", b"k3f", b"d4-last"]
+    mp4 = _tiny_mp4(samples, [[0, 1, 2], [3, 4]], [(1, 3), (2, 2)])
+    rows = [(9, bytearray(mp4), "video/mp4", len(mp4))]
+    media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    out = sorted(
+        M.sample_frames(media, every_n=2).collect(),
+        key=lambda r: r.frame_index,
+    )
+    assert [r.frame_index for r in out] == [0, 2, 4]
+    assert all(r.n_frames == 5 for r in out)
+    assert [bytes(r.payload) for r in out] == [samples[0], samples[2], samples[4]]
+    assert all(not r.decoded for r in out)  # coded access units, no codec
