@@ -120,6 +120,7 @@ STAGED = (
     "q74_duplicate_spans",
     "q104_tokenizer_fertility",
     "q105_span_contamination",
+    "q107_split_leakage",
 )
 
 

@@ -74,10 +74,10 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 #   by pytest every round. They are listed FIRST in _CLIP_LAST so any
 #   window widening re-admits them before the r7-green cohort.
 #
-# ROUND-9 PLAN: must-attest = the 7 deferred above + q104/q105
+# ROUND-9 PLAN: must-attest = the 7 deferred above + q104-q107
 # (registered post-window in r8, never attested); then the 11 r7
 # additions q84-q94 (single-green r7) and the 39-query r7 evidence
-# cohort (newest row r7, two rounds stale by r9) — 59 for 50 slots;
+# cohort (newest row r7, two rounds stale by r9) — 61 for 50 slots;
 # clip 7 more of the deepest-green (the r4-cohort core-SQL rows
 # q03/q05/q06-class, r4+r7 rows plus judge selfchecks) under the same
 # explicit-list discipline.
@@ -207,6 +207,8 @@ _CLIP_LAST = [
     # intact; first driver rows r9 with the deferred cohort):
     "q104_tokenizer_fertility",
     "q105_span_contamination",
+    "q106_eval_split",
+    "q107_split_leakage",
 ]
 
 

@@ -5274,3 +5274,141 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac.alias("bench_frac"),
         (frac >= F.lit(_SPANC_MAX)).alias("flagged"),
     )
+
+
+# --------------------------------------------------------------------------
+# q106 content-keyed eval split (train/val/test with dedup-safe keying)
+# --------------------------------------------------------------------------
+# The split assignment a training pipeline runs LAST: deterministic
+# train/val/test buckets, stratified per source, keyed by the CONTENT
+# DIGEST — not the doc id — so byte-identical documents can never
+# straddle splits (id-keyed splits leak every duplicate pair across the
+# train/test boundary; splitting on content identity is the standard
+# guard). Pure row-local hash arithmetic: zero shuffle, trivially
+# parallel at 100 TB, and re-runs (or re-crawls of the same text) land
+# in the same bucket forever.
+_SPLIT_SEED, _SPLIT_VAL_PCT, _SPLIT_TEST_PCT = 424242, 5, 5
+
+
+@register(
+    "q106_eval_split",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS ch
+        FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (
+        SELECT doc_id, source, ch,
+               {_h32("ch", _SPLIT_SEED)} % 100 AS bucket
+        FROM d
+    )
+    SELECT doc_id, source,
+           CASE WHEN bucket < {_SPLIT_TEST_PCT} THEN 'test'
+                WHEN bucket < {_SPLIT_TEST_PCT + _SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'train' END AS split,
+           CAST(bucket AS BIGINT) AS split_bucket
+    FROM b
+    """,
+    doc="Deterministic train/val/test assignment keyed by the CONTENT "
+    "digest (q31's normalization), so byte-identical docs co-assign by "
+    f"construction — the dedup-safe split guard. {_SPLIT_TEST_PCT}% "
+    f"test / {_SPLIT_VAL_PCT}% val via one md5-derived hash bucket; "
+    "row-local, zero shuffle, stable across re-runs and re-crawls of "
+    "the same text. q107 audits the residual NEAR-dup leakage this "
+    "exact-content keying cannot see.",
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    ch = D.content_hash(F.col("text"))
+    bucket = D.hash32(ch, _SPLIT_SEED) % 100
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.when(bucket < _SPLIT_TEST_PCT, F.lit("test"))
+            .when(bucket < _SPLIT_TEST_PCT + _SPLIT_VAL_PCT, F.lit("val"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+            bucket.cast("bigint").alias("split_bucket"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q107 split-leakage audit (near-dup pairs straddling the eval split)
+# --------------------------------------------------------------------------
+# q106's content keying kills EXACT-dup leakage by construction; what
+# remains is near-duplicate leakage — a train doc whose near-twin sits
+# in test inflates every benchmark number. This is the report an eval
+# owner signs off on: the staged Jaccard-verified pair table (q33's
+# artifact) joined with the split assignment, counted by split pair.
+# Pair-table-scale work (|pairs| rows), two broadcast-able split joins.
+
+
+_SPLIT_CH_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+@register(
+    "q107_split_leakage",
+    oracle=f"""
+    WITH {_lsh_pair_ctes()},
+    sp AS (
+        SELECT doc_id,
+               CASE WHEN {_h32(_SPLIT_CH_SQL, _SPLIT_SEED)} % 100
+                         < {_SPLIT_TEST_PCT} THEN 'test'
+                    WHEN {_h32(_SPLIT_CH_SQL, _SPLIT_SEED)} % 100
+                         < {_SPLIT_TEST_PCT + _SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'train' END AS split
+        FROM documents WHERE text IS NOT NULL
+    ),
+    pairs AS (
+        SELECT LEAST(sa.split, sb.split) AS split_a,
+               GREATEST(sa.split, sb.split) AS split_b,
+               v.jaccard
+        FROM verified v
+        JOIN sp sa ON sa.doc_id = v.id_a
+        JOIN sp sb ON sb.doc_id = v.id_b
+    )
+    SELECT split_a, split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaking,
+           ROUND(AVG(jaccard), 4) AS avg_jaccard
+    FROM pairs
+    GROUP BY split_a, split_b
+    """,
+    doc="Split-leakage audit: the Jaccard-verified near-dup pairs (the "
+    "STAGED q33 artifact) joined against q106's content-keyed split, "
+    "counted per (split, split) cell — cross-split rows are the "
+    "benchmark-inflating leaks q106's exact keying cannot prevent. "
+    "Pair-table-scale: |pairs| rows through two doc-keyed joins and a "
+    "9-cell aggregate; at 100 TB the pair table is the small side by "
+    "orders of magnitude.",
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _verified_pairs(spark, sf_dir)
+    sp = QUERIES["q106_eval_split"].fn(spark, sf_dir).select("doc_id", "split")
+    j = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("_sb")),
+            "id_b",
+        )
+        .select(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+            "jaccard",
+        )
+    )
+    return j.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_leaking"),
+        F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+    )
