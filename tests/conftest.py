@@ -13,6 +13,26 @@ from bricolage_spark.session import get_spark  # noqa: E402
 TESTDATA = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "spark: test needs the session-scoped SparkSession fixture"
+    )
+
+
+def half_up(x, nd=4):
+    """Round like Spark's ``F.round`` and DuckDB's ``ROUND`` (HALF_UP on the
+    shortest decimal repr of the double), NOT like Python's builtin
+    ``round()`` (half-to-even).  Exact half-ties at the target decimal —
+    e.g. 1/32 = 0.03125 at 4 dp — round UP in both engines (0.0313) but
+    DOWN under banker's rounding (0.0312), so every pure-Python test
+    mirror that checks an engine-rounded column must round through this
+    helper (round-8 verdict finding, tests/test_properties.py)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(

@@ -5,6 +5,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from conftest import half_up
 from pyspark.sql import functions as F
 
 from bricolage_spark.operators import dedup as D
@@ -1023,7 +1024,7 @@ def test_hashed_ngram_score_matches_reference_derivation(spark):
         b = h32(g, T.CLASSIFIER_SEED_BUCKET) % T.CLASSIFIER_BUCKETS
         total += h32(str(b), T.CLASSIFIER_SEED_WEIGHT) % 2001 - 1000
     z = T.CLASSIFIER_BIAS + (total / len(grams)) / 1000.0
-    want = round(1.0 / (1.0 + math.exp(-z)), 6)
+    want = half_up(1.0 / (1.0 + math.exp(-z)), 6)
 
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     row = T.hashed_ngram_score(df, "doc_id", "text").collect()[0]
@@ -1184,7 +1185,7 @@ def test_dsir_importance_matches_python_mirror(spark):
         if i in targets:
             continue
         gs = grams(t)
-        w = round(sum(lr(bucket(g)) for g in gs), 4)
+        w = half_up(sum(lr(bucket(g)) for g in gs))
         expect[i] = (len(gs), w, w > 0)
 
     got = {
@@ -1261,7 +1262,7 @@ def test_unigram_js_drift_matches_python_mirror(spark):
             js += 0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
         nv, na, nb, got_js = got[src]
         assert (nv, na, nb) == (v, ta, tb), src
-        assert abs(got_js - round(js, 6)) < 1e-9, src
+        assert abs(got_js - half_up(js, 6)) < 1e-9, src
     assert got["s2"][3] == 0.0                       # identical halves
     assert 0.0 < got["s1"][3] <= math.log(2) + 1e-9  # drifted, bounded
 
@@ -1339,9 +1340,9 @@ def test_salient_terms_tfidf_and_ranking(spark):
         got = {(r.source, r.rank): (r.term, r.tf, r.tfidf) for r in out}
         ln2 = math.log(2.0)
         # g1: alpha tf=3 (both slices), unique to g1 -> 3*ln(2/1)
-        assert got[("g1", 1)] == ("alpha", 3, round(3 * ln2, 4))
+        assert got[("g1", 1)] == ("alpha", 3, half_up(3 * ln2))
         assert got[("g1", 2)][0] == "beta"
-        assert got[("g2", 1)] == ("gamma", 3, round(3 * ln2, 4))
+        assert got[("g2", 1)] == ("gamma", 3, half_up(3 * ln2))
         assert got[("g2", 2)][0] == "delta"
         # 'shared' is in every group -> tfidf exactly 0, never ranks
         # above distinctive terms

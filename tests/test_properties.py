@@ -10,6 +10,8 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from conftest import half_up
+
 from bricolage_spark.engine import split_statements
 from bricolage_spark.exception import ParameterError
 from bricolage_spark.sqltext import Variables, expand_string, list_variables
@@ -145,14 +147,14 @@ def test_repetition_stats_matches_python_mirror(spark, docs_words):
         tri = list(zip(ws, ws[1:], ws[2:]))
         r = out[i]
         assert r.n_words == n
-        assert r.dup_word_frac == round(1.0 - len(set(ws)) / n, 4)
+        assert r.dup_word_frac == half_up(1.0 - len(set(ws)) / n)
         assert r.dup_bigram_frac == (
-            round(1.0 - len(set(bi)) / len(bi), 4) if bi else 0.0
+            half_up(1.0 - len(set(bi)) / len(bi)) if bi else 0.0
         )
         assert r.dup_trigram_frac == (
-            round(1.0 - len(set(tri)) / len(tri), 4) if tri else 0.0
+            half_up(1.0 - len(set(tri)) / len(tri)) if tri else 0.0
         )
-        assert r.mean_word_len == round(sum(map(len, ws)) / n, 4)
+        assert r.mean_word_len == half_up(sum(map(len, ws)) / n)
         assert 0.0 <= r.dup_word_frac <= 1.0
 
 
@@ -180,7 +182,7 @@ def test_top_word_matches_python_mirror(spark, docs_words):
         best_word = max(w for w, k in c.items() if k == best_cnt)
         r = out[i]
         assert (r.top_word, r.top_cnt, r.n_words) == (best_word, best_cnt, len(ws))
-        assert r.top_share == round(best_cnt / len(ws), 4)
+        assert r.top_share == half_up(best_cnt / len(ws))
 
 
 # ---------------------------------------------------------------------------
@@ -206,7 +208,7 @@ def _bm25_mirror(docs_words, terms, k1=1.2, b=0.75):
             idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
             s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(ws) / avgdl))
         if hit:
-            scores[i] = (round(s, 4), hit)
+            scores[i] = (half_up(s), hit)
     return scores
 
 
@@ -339,7 +341,7 @@ def test_uniform_char_entropy_is_log2_k(spark, k, reps):
         "doc_id",
         "text",
     ).collect()[0]
-    assert r.char_entropy == round(_m.log2(k), 4)
+    assert r.char_entropy == half_up(_m.log2(k))
     assert r.n_distinct_chars == k
 
 
@@ -573,7 +575,7 @@ def test_hashed_ngram_score_matches_python_mirror(spark, docs_words):
             for g in grams
         )
         z = T.CLASSIFIER_BIAS + (total / len(grams)) / 1000.0
-        want = round(1.0 / (1.0 + math.exp(-z)), 6)
+        want = half_up(1.0 / (1.0 + math.exp(-z)), 6)
         assert out[i].n_grams == len(grams)
         assert abs(out[i].score - want) < 1e-9
 
@@ -628,7 +630,7 @@ def test_code_signals_matches_python_mirror(spark, docs_words):
     for i, text in rows:
         n = len(text)
         cc = sum(text.count(ch) for ch in T.CODE_CHARS)
-        want = round(cc / n, 6) if n else 0.0
+        want = half_up(cc / n, 6) if n else 0.0
         assert out[i].n_chars == n
         assert out[i].code_char_ratio == want
         assert out[i].is_code == (want > T.CODE_RATIO_THRESHOLD)
@@ -697,7 +699,7 @@ def test_max_sim_to_reference_matches_python_mirror(spark, corpus, ref):
         d = sum(x * y for x, y in zip(a, b))
         na = math.sqrt(sum(x * x for x in a))
         nb = math.sqrt(sum(x * x for x in b))
-        return round(d / (na * nb), 4)
+        return half_up(d / (na * nb))
 
     cdf = spark.createDataFrame(
         [(i, v) for i, v in enumerate(corpus)],
@@ -823,7 +825,7 @@ def test_dsir_importance_matches_python_mirror_random(spark, docs_words):
             for g in gs
         )
         assert got[i][0] == len(gs), i
-        assert abs(got[i][1] - round(w, 4)) < 1e-9, i
+        assert abs(got[i][1] - half_up(w)) < 1e-9, i
 
 
 @pytest.mark.spark
