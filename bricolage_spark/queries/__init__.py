@@ -52,37 +52,108 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # come right after the core, and the clip falls on queries that are already
 # driver-green in multiple rounds (listed in ``_CLIP_LAST``).
 #
-# ROUND-8 ROTATION (driver window = first 50). Candidates were 55 for 50
-# slots — the standing rule ("no query's newest driver row older than two
-# rounds") can no longer hold for every query now that the inventory
-# (105 + this round's additions) exceeds 2x the window. Applied overflow
-# rule: never/latest-attested first, then clip the entries with the
-# DEEPEST multi-round green history and list them explicitly.
+# ROUND-9 ROTATION (driver window = first 50).  Candidates = everything
+# NOT attested in round 8: the 7 rows round 8 explicitly deferred
+# (q01/q02/q04/q12/q12b/q12c/q17, each driver-green in rounds 1,2,3,5,6),
+# q104-q107 (registered post-window in r8, NEVER driver-attested), the
+# 11 round-7 additions q84-q94 (single driver row, r7), and the 39-query
+# r7 evidence cohort (newest row r7, two rounds stale) — 61 candidates
+# for 50 slots.  (The round-8 plan note said "clip 7 more"; the correct
+# arithmetic is 61 - 50 = 11.)  Applied overflow rule, unchanged:
+# never/oldest-attested first, clip the DEEPEST multi-round green
+# history and list it explicitly.
 #   In the window (50):
-#   - q95-q101 (7): registered in round 7 AFTER the committed window,
-#     never driver-attested — first driver rows this round.
-#   - q102/q103 (2): NEW this round (BPE-apply encode, span-removal
-#     apply) — pre-listed; the ``if name in QUERIES`` guard skips them
-#     until their modules register.
-#   - 41 of the 48-query r5+r6 double-green cohort (newest row r6, two
-#     rounds stale) — everything except the 7 deferred below.
-#   EXPLICITLY DEFERRED to round 9 (the visible clip, per the round-7
-#   verdict's overflow rule): q01 q02 q04 q12 q12b q12c q17 — the
-#   deepest-history rows in the stale cohort (each driver-green in
-#   rounds 1,2,3,5,6 — five rows — plus the judge's r7 oracle selfcheck
-#   this cycle), all elementary core-SQL operators additionally covered
-#   by pytest every round. They are listed FIRST in _CLIP_LAST so any
-#   window widening re-admits them before the r7-green cohort.
+#   - the 7 round-8 deferrals — listed first, per the standing promise;
+#   - q104-q107 (4) — first driver rows ever;
+#   - q84-q94 (11) — second driver rows;
+#   - 28 of the 39-query r7 cohort — everything except the 11 clipped.
+#   EXPLICITLY CLIPPED this round (61 - 50 = 11): q03 q05 q06 q07 q08
+#   q09 q10 q11 q12d q13 q14 — the deepest-history rows remaining
+#   (elementary core-SQL scans/joins/windows, driver-green in rounds
+#   1/2/3/4/7-class histories plus the judge's r8 oracle selfcheck, all
+#   pytest-covered every round).  Listed FIRST in _CLIP_LAST so any
+#   window widening re-admits them before the r8-green cohort.
 #
-# ROUND-9 PLAN: must-attest = the 7 deferred above + q104-q107
-# (registered post-window in r8, never attested); then the 11 r7
-# additions q84-q94 (single-green r7) and the 39-query r7 evidence
-# cohort (newest row r7, two rounds stale by r9) — 61 for 50 slots;
-# clip 7 more of the deepest-green (the r4-cohort core-SQL rows
-# q03/q05/q06-class, r4+r7 rows plus judge selfchecks) under the same
-# explicit-list discipline.
+# ROUND-10 PLAN: must-attest = the 11 clipped above (their newest driver
+# row will be r7, two rounds stale by r10); then rotate the r8-attested
+# cohort (q95-q103 + the 41-query stale block, newest row r8) ahead of
+# this round's 50 fresh rows, same explicit-clip discipline on whatever
+# exceeds the window.
 _EVIDENCE_FIRST = [
-    # never driver-attested (registered post-window in r7) — 7 queries:
+    # the round-8 explicit deferral — first driver rows since r6:
+    "q01_scan_projection",
+    "q02_filter_predicates",
+    "q04_global_aggregate",
+    "q12_rollup",
+    "q12b_cube",
+    "q12c_pivot",
+    "q17_set_ops",
+    # registered post-window in round 8, never driver-attested:
+    "q104_tokenizer_fertility",
+    "q105_span_contamination",
+    "q106_eval_split",
+    "q107_split_leakage",
+    # round-7 additions, single driver row (r7):
+    "q84_temperature_mixture",
+    "q85_ann_recall",
+    "q86_sentence_dedup",
+    "q87_code_detection",
+    "q88_oov_rate",
+    "q89_shard_assignment",
+    "q90_decontamination_apply",
+    "q91_embedding_hygiene",
+    "q92_boilerplate_removal",
+    "q93_cluster_size_histogram",
+    "q94_dedup_audit",
+    # r7 evidence cohort (newest driver row r7), minus the 11 clipped:
+    "q15_topk_per_group",
+    "q16_global_topk",
+    "q26_distinct_percentiles",
+    "q26b_approx_aggregates",
+    "q28_insert_delta",
+    "q29_rebuild",
+    "q30_streaming_load_dedup",
+    "q41_multimodal_features",
+    "q43_asof_join",
+    "q44_tumbling_window",
+    "q45_sliding_window",
+    "q46_salted_aggregate",
+    "q47_salted_join",
+    "q48_ngram_jaccard_neardup",
+    "q49_ann_ivf",
+    "q50_dedup_clusters",
+    "q51_contamination",
+    "q52_stratified_sample",
+    "q53_boilerplate_ngrams",
+    "q54_sequence_packing",
+    "q55_sessionization",
+    "q56_pii_redaction",
+    "q57_quality_repetition",
+    "q58_doc_top_word",
+    "q72_snapshot_diff",
+    "q73_pmi_collocations",
+    "q82_incremental_neardup",
+    "q83_hashed_ngram_classifier",
+]
+
+# Explicitly demoted to the tail (absorb the driver's >50 clip).
+_CLIP_LAST = [
+    # the ROUND-9 EXPLICIT CLIP (see rotation note above): deepest
+    # remaining driver-green history (core-SQL, many rounds + judge r8
+    # selfcheck), re-admitted first if the window ever widens:
+    "q03_group_aggregate",
+    "q05_tpch_q1",
+    "q06_inner_join",
+    "q07_broadcast_join",
+    "q08_outer_join",
+    "q09_semi_anti_join",
+    "q10_cross_theta_join",
+    "q11_tpch_q3",
+    "q12d_unpivot",
+    "q13_window_rank",
+    "q14_window_analytic",
+    # the round-8 attested cohort — newest driver row r8, the freshest
+    # rows in the inventory (q95-q103 + the 41-query r8 window block):
     "q95_bpe_merges",
     "q96_semantic_decontamination",
     "q97_host_pagerank",
@@ -90,11 +161,8 @@ _EVIDENCE_FIRST = [
     "q99_snapshot_drift",
     "q100_salient_terms",
     "q101_semantic_neardup_history",
-    # NEW in round 8 (skipped by the in-QUERIES guard until registered):
     "q102_bpe_encode",
     "q103_span_removal",
-    # newest driver row r6 (r5+r6 double-green, two rounds stale) —
-    # 41 queries, the stale cohort minus the 7 deferred (see above):
     "q18_subqueries",
     "q19_case_coalesce_cast",
     "q20_string_functions",
@@ -136,79 +204,6 @@ _EVIDENCE_FIRST = [
     "q79_winnowing_fingerprints",
     "q80_curation_verdicts",
     "q81_zipf_fit",
-]
-
-# Explicitly demoted to the tail (absorb the driver's >50 clip).
-_CLIP_LAST = [
-    # the round-8 EXPLICIT DEFERRAL (see rotation note above): deepest
-    # driver-green history (rounds 1,2,3,5,6 + judge r7 selfcheck),
-    # re-admitted first if the window ever widens:
-    "q01_scan_projection",
-    "q02_filter_predicates",
-    "q04_global_aggregate",
-    "q12_rollup",
-    "q12b_cube",
-    "q12c_pivot",
-    "q17_set_ops",
-    # the 39-query round-7 evidence cohort — newest driver row r7, the
-    # freshest rows in the inventory:
-    "q03_group_aggregate",
-    "q05_tpch_q1",
-    "q06_inner_join",
-    "q07_broadcast_join",
-    "q08_outer_join",
-    "q09_semi_anti_join",
-    "q10_cross_theta_join",
-    "q11_tpch_q3",
-    "q12d_unpivot",
-    "q13_window_rank",
-    "q14_window_analytic",
-    "q15_topk_per_group",
-    "q16_global_topk",
-    "q26_distinct_percentiles",
-    "q26b_approx_aggregates",
-    "q28_insert_delta",
-    "q29_rebuild",
-    "q30_streaming_load_dedup",
-    "q41_multimodal_features",
-    "q43_asof_join",
-    "q44_tumbling_window",
-    "q45_sliding_window",
-    "q46_salted_aggregate",
-    "q47_salted_join",
-    "q48_ngram_jaccard_neardup",
-    "q49_ann_ivf",
-    "q50_dedup_clusters",
-    "q51_contamination",
-    "q52_stratified_sample",
-    "q53_boilerplate_ngrams",
-    "q54_sequence_packing",
-    "q55_sessionization",
-    "q56_pii_redaction",
-    "q57_quality_repetition",
-    "q58_doc_top_word",
-    "q72_snapshot_diff",
-    "q73_pmi_collocations",
-    "q82_incremental_neardup",
-    "q83_hashed_ngram_classifier",
-    # round-7 additions, single-green r7:
-    "q84_temperature_mixture",
-    "q85_ann_recall",
-    "q86_sentence_dedup",
-    "q87_code_detection",
-    "q88_oov_rate",
-    "q89_shard_assignment",
-    "q90_decontamination_apply",
-    "q91_embedding_hygiene",
-    "q92_boilerplate_removal",
-    "q93_cluster_size_histogram",
-    "q94_dedup_audit",
-    # round-8 post-window additions (the committed r8 window stays
-    # intact; first driver rows r9 with the deferred cohort):
-    "q104_tokenizer_fertility",
-    "q105_span_contamination",
-    "q106_eval_split",
-    "q107_split_leakage",
 ]
 
 
