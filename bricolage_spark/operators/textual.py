@@ -1018,6 +1018,110 @@ def bpe_merge_candidates(
     return agg.orderBy(F.desc("pair_count"), "s1", "s2").limit(top_n)
 
 
+def bpe_learn_merges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_merges: int = 30,
+    eow: str = "</w>",
+    rematerialize_every: int = 24,
+) -> list[tuple[int, str, str, int]]:
+    """TRUE iterative BPE merge induction (Sennrich et al. 2016; the
+    subword-nmt / GPT-2 trainer loop): after every accepted merge, pair
+    frequencies are RE-COUNTED over the merged vocabulary, so merge t
+    sees the symbols merges 1..t-1 created — unlike
+    :func:`bpe_merge_candidates`, whose ranked list is first-round
+    counts only (merges beyond rank 1 there are approximations).
+
+    Scale shape — the corpus is touched ONCE; the loop is vocab-scale:
+
+    1. word frequencies: one corpus explode + hash-agg (map-side
+       combine), then each distinct word becomes a sentinel symbol
+       string (chars + ``eow``) — this (string, count) table is
+       persisted and is the ONLY input the loop ever reads;
+    2. per round: the accepted merges so far apply as a chained
+       codegen'd StringReplace projection, adjacent pairs re-count via
+       the slice/arrays_zip construction, and exactly ONE row (the
+       argmax pair) is collected — the same driver-coordinated
+       iteration discipline as pagerank/connected-components
+       (operators/graph.py), with the vocab re-materialized every
+       ``rematerialize_every`` merges to bound the replace-chain depth
+       (a production 30k-merge run keeps codegen'd expression sizes
+       sane that way);
+    3. the loop stops early when no adjacent pair remains (every word
+       fused to a single symbol).
+
+    Tie-break, pinned across the Spark loop, the DuckDB oracle chain
+    and the pure-Python test mirror: highest count first, then (s1, s2)
+    lexicographically ASCENDING (binary collation both engines).
+
+    Returns ``[(merge_rank, s1, s2, pair_count)]`` in merge order;
+    ``pair_count`` is the pair's frequency AT THE TIME of its merge —
+    the trainer-log statistic, non-increasing down the table except
+    where a merge-created symbol spikes a successor pair.
+    """
+    from bricolage_spark.catalog import spread as _spread
+
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    vocab = (
+        _spread(df, id_col)
+        .select(F.explode(words).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    base = vocab.select(
+        F.concat(
+            F.lit(BPE_SEP),
+            F.regexp_replace(F.col("word"), "(.)", "$1" + BPE_SEP),
+            F.lit(eow + BPE_SEP),
+        ).alias("v"),
+        "wc",
+    ).persist()
+    merges: list[tuple[int, str, str, int]] = []
+    pending: list[tuple[str, str]] = []  # merges not yet folded into `base`
+    try:
+        for rank in range(1, n_merges + 1):
+            cur = base.select(bpe_apply_merges(F.col("v"), pending).alias("v"), "wc")
+            sy_full = F.split(F.col("v"), BPE_SEP)
+            # the wrapping sentinels make the first/last split elements
+            # empty strings: symbols are the inner slice (no HOF filter)
+            sy = F.slice(sy_full, 2, F.size(sy_full) - 2)
+            sized = cur.select("wc", sy.alias("s"), F.size(sy).alias("n"))
+            pairs = sized.where(F.col("n") >= 2).select(
+                "wc",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("s"), 1, F.col("n") - 1).alias("s1"),
+                        F.slice(F.col("s"), 2, F.col("n") - 1).alias("s2"),
+                    )
+                ).alias("p"),
+            )
+            best = (
+                pairs.groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+                .agg(F.sum("wc").cast("bigint").alias("c"))
+                .orderBy(F.desc("c"), "s1", "s2")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            r = best[0]
+            merges.append((rank, r.s1, r.s2, r.c))
+            pending.append((r.s1, r.s2))
+            if len(pending) >= rematerialize_every:
+                folded = base.select(
+                    bpe_apply_merges(F.col("v"), pending).alias("v"), "wc"
+                ).persist()
+                folded.count()  # materialize before dropping the parent
+                base.unpersist(blocking=False)
+                base, pending = folded, []
+    finally:
+        base.unpersist(blocking=False)
+    return merges
+
+
 # ---------------------------------------------------------------------------
 # BPE merge APPLICATION (tokenizer-encode primitive, the q95 dual)
 # ---------------------------------------------------------------------------

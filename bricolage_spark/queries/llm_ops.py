@@ -4157,47 +4157,101 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q95 BPE merge induction (tokenizer-training primitive)
 # --------------------------------------------------------------------------
-# NEW post-r7-window: registered in _CLIP_LAST so the committed round-7
-# driver window stays intact; takes one of the two spare slots when the
-# r8 rotation swaps the lists (first driver row r8).
+# ROUND 9: upgraded from first-round pair ranking to TRUE ITERATIVE
+# induction (the round-8 verdict's ask): pair frequencies are
+# RE-COUNTED after every merge, so the table matches what the
+# subword-nmt / GPT-2 trainer loop produces (merge t sees the symbols
+# merges 1..t-1 created). The corpus is still touched once; the T-round
+# re-count loop is vocab-scale (operators/textual.py::bpe_learn_merges,
+# driver-coordinated like pagerank). The oracle unrolls the same loop
+# into a T-stage CTE chain with the identical pinned tie-break.
 _BPE_TOP = 30
+
+_BPE_VOCAB_CTE = """vocab AS MATERIALIZED (
+        SELECT word, COUNT(*) AS wc
+        FROM (SELECT unnest(words) AS word FROM docs)
+        WHERE word <> ''
+        GROUP BY word
+    )"""
+
+
+def _bpe_iter_merge_ctes(n: int) -> str:
+    """CTE chain for TRUE iterative BPE induction, unrolled to ``n``
+    rounds (mirrors operators/textual.py::bpe_learn_merges): v0 melts
+    the vocab into sentinel symbol strings; round t re-counts adjacent
+    pairs over the MERGED vocab (p{t}), takes the argmax under the
+    pinned tie-break (b{t}: count DESC, then s1/s2 ASC — binary
+    collation both engines), and applies the merge as one left-to-right
+    non-overlapping replace (v{t}). An exhausted vocab empties b{t} and
+    the cross join poisons every later stage to empty — exactly the
+    Spark loop's break. ``merges`` = union of the b's, rnk = merge
+    order."""
+    sep = "chr(1)"
+    # every stage is MATERIALIZED: DuckDB inlines CTEs by default, and
+    # with v{t-1} referenced twice per round the inlined tree doubles
+    # every stage - 2^n scans of the parquet leaf ("too many open
+    # files" at n=30). Materialization keeps the chain linear.
+    parts = [
+        f"""v0 AS MATERIALIZED (
+        SELECT {sep} || array_to_string(string_split(word, ''), {sep})
+               || {sep} || '</w>' || {sep} AS v, wc
+        FROM vocab
+    )"""
+    ]
+    for t in range(1, n + 1):
+        parts.append(
+            f"""p{t} AS MATERIALIZED (
+        SELECT sy[i] AS s1, sy[i + 1] AS s2, SUM(wc) AS c
+        FROM (SELECT wc,
+                     list_slice(string_split(v, {sep}), 2,
+                                len(string_split(v, {sep})) - 1) AS sy
+              FROM v{t - 1}),
+             UNNEST(range(1, len(sy))) AS u(i)
+        GROUP BY 1, 2
+    ),
+    b{t} AS MATERIALIZED (SELECT {t} AS rnk, s1, s2, c FROM p{t}
+             ORDER BY c DESC, s1, s2 LIMIT 1),
+    v{t} AS MATERIALIZED (SELECT replace(w.v, {sep} || b.s1 || {sep} || b.s2 || {sep},
+                            {sep} || b.s1 || b.s2 || {sep}) AS v, w.wc
+             FROM v{t - 1} w, b{t} b)"""
+        )
+    union = "\n        UNION ALL ".join(
+        f"SELECT rnk, s1, s2, c FROM b{t}" for t in range(1, n + 1)
+    )
+    parts.append(f"""merges AS MATERIALIZED (
+        {union}
+    )""")
+    return ",\n    ".join(parts)
+
+
+_BPE_ITER_CTES = _bpe_iter_merge_ctes(_BPE_TOP)
 
 
 @register(
     "q95_bpe_merges",
     oracle=f"""
     WITH {_DOCS_CTE},
-    vocab AS (
-        SELECT word, COUNT(*) AS wc
-        FROM (SELECT unnest(words) AS word FROM docs)
-        WHERE word <> ''
-        GROUP BY word
-    ),
-    syms AS (
-        SELECT wc, list_append(string_split(word, ''), '</w>') AS s
-        FROM vocab
-    ),
-    pairs AS (
-        SELECT s[i] AS s1, s[i + 1] AS s2, SUM(wc) AS pair_count
-        FROM syms, UNNEST(range(1, len(s))) AS t(i)
-        GROUP BY 1, 2
-    )
-    SELECT s1, s2, CAST(pair_count AS BIGINT) AS pair_count
-    FROM pairs
-    ORDER BY pair_count DESC, s1, s2
-    LIMIT {_BPE_TOP}
+    {_BPE_VOCAB_CTE},
+    {_BPE_ITER_CTES}
+    SELECT CAST(rnk AS BIGINT) AS merge_rank, s1, s2,
+           CAST(c AS BIGINT) AS pair_count
+    FROM merges
+    ORDER BY merge_rank
     """,
-    doc="First-round BPE merge induction (operators/textual.py::"
-    "bpe_merge_candidates): adjacent symbol-pair frequencies (chars + "
-    "end-of-word marker) weighted by word frequency — the statistic a "
-    "BPE tokenizer trainer maximizes per merge. The corpus is touched "
-    "once (word-count hash-agg); symbol melting and pair aggregation "
-    "are VOCAB-scale, which is why real trainers count words first. "
-    "Deterministic top-n via TakeOrderedAndProject, ties by pair.",
+    doc="TRUE iterative BPE merge induction (operators/textual.py::"
+    "bpe_learn_merges — Sennrich et al. 2016): pair frequencies are "
+    "re-counted after every accepted merge, so merge t is chosen over "
+    "the symbols merges 1..t-1 created (subword-nmt/GPT-2 trainer "
+    "semantics), not first-round counts. Corpus touched once (word-"
+    "count hash-agg); the T-round argmax loop is vocab-scale and "
+    "driver-coordinated like pagerank. pair_count is the frequency AT "
+    "merge time. Tie-break pinned: count DESC, then (s1, s2) ASC.",
 )
 def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    return T.bpe_merge_candidates(docs, "doc_id", "text", top_n=_BPE_TOP)
+    return spark.createDataFrame(
+        _bpe_merge_table(spark, sf_dir),
+        "merge_rank bigint, s1 string, s2 string, pair_count bigint",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -4761,28 +4815,35 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q102 BPE encode (the q95 APPLY stage: merge table -> tokenized docs)
 # --------------------------------------------------------------------------
-# q95 induces merge candidates; q102 applies the induced table to encode
-# the corpus — closing the train/apply pair like q86 (detect) -> q92
-# (apply) did for sentence dedup. The merge table is tokenizer-vocab
-# metadata (top-30 pairs here; a few thousand in production): collected
-# ONCE per corpus on the driver (like the IVF centroids) and unrolled
+# q95 induces the merge table; q102 applies it to encode the corpus —
+# closing the train/apply pair like q86 (detect) -> q92 (apply) did for
+# sentence dedup. The merge table is tokenizer-vocab metadata (top-30
+# pairs here; a few thousand in production): induced ONCE per corpus by
+# the iterative trainer loop (like the IVF centroids build) and unrolled
 # into nested StringReplace literals, so encoding is a single
 # whole-stage-codegen projection — no explode, no shuffle, no Python.
 _BPE_MERGES_CACHE: dict = {}
 
 
-def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
-    """Staged ranked merge table: q95's top candidates, driver-collected
-    (30 tuples — vocabulary metadata, not data)."""
+def _bpe_merge_table(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, int]]:
+    """Staged iterative merge table (merge_rank, s1, s2, pair_count):
+    q95's trainer-loop output, cached per corpus (30 tuples —
+    vocabulary metadata, not data)."""
     key = (session_token(spark), sf_dir, _BPE_TOP)
-    merges = _BPE_MERGES_CACHE.get(key)
-    if merges is None:
+    table = _BPE_MERGES_CACHE.get(key)
+    if table is None:
         docs = read_table(spark, sf_dir, "documents")
-        rows = T.bpe_merge_candidates(
-            docs, "doc_id", "text", top_n=_BPE_TOP
-        ).collect()
-        merges = _BPE_MERGES_CACHE[key] = [(r.s1, r.s2) for r in rows]
-    return merges
+        table = _BPE_MERGES_CACHE[key] = T.bpe_learn_merges(
+            docs, "doc_id", "text", n_merges=_BPE_TOP
+        )
+    return table
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    """The staged merge table as apply-ready (s1, s2) pairs in rank order."""
+    return [(s1, s2) for _, s1, s2, _ in _bpe_merge_table(spark, sf_dir)]
 
 
 def release_bpe(sf_dir: str | None = None) -> None:
@@ -4792,34 +4853,16 @@ def release_bpe(sf_dir: str | None = None) -> None:
 
 
 def _q102_oracle() -> str:
-    """Mirror: induce the SAME ranked merges (q95's CTEs + row_number),
-    build the SAME sentinel symbol string per doc, then apply merges
-    rank-by-rank with a recursive CTE — one replace() per step, the
-    identical greedy left-to-right scan Spark's StringReplace does."""
+    """Mirror: induce the SAME iterative merge table (q95's unrolled
+    trainer-loop CTE chain), build the SAME sentinel symbol string per
+    doc, then apply merges rank-by-rank with a recursive CTE — one
+    replace() per step, the identical greedy left-to-right scan Spark's
+    StringReplace does."""
     sep = "chr(1)"
     return f"""
     WITH RECURSIVE {_DOCS_CTE},
-    vocab AS (
-        SELECT word, COUNT(*) AS wc
-        FROM (SELECT unnest(words) AS word FROM docs)
-        WHERE word <> ''
-        GROUP BY word
-    ),
-    syms AS (
-        SELECT wc, list_append(string_split(word, ''), '</w>') AS s
-        FROM vocab
-    ),
-    pairs AS (
-        SELECT s[i] AS s1, s[i + 1] AS s2, SUM(wc) AS pair_count
-        FROM syms, UNNEST(range(1, len(s))) AS t(i)
-        GROUP BY 1, 2
-    ),
-    merges AS (
-        SELECT s1, s2,
-               ROW_NUMBER() OVER (ORDER BY pair_count DESC, s1, s2) AS rnk
-        FROM (SELECT * FROM pairs
-              ORDER BY pair_count DESC, s1, s2 LIMIT {_BPE_TOP})
-    ),
+    {_BPE_VOCAB_CTE},
+    {_BPE_ITER_CTES},
     base AS (
         SELECT doc_id,
                replace({sep} || regexp_replace(norm, '(.)', '\\1' || {sep}, 'g'),
@@ -5007,27 +5050,8 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q104_tokenizer_fertility",
     oracle=f"""
     WITH RECURSIVE {_DOCS_CTE},
-    vocab AS (
-        SELECT word, COUNT(*) AS wc
-        FROM (SELECT unnest(words) AS word FROM docs)
-        WHERE word <> ''
-        GROUP BY word
-    ),
-    syms AS (
-        SELECT wc, list_append(string_split(word, ''), '</w>') AS s
-        FROM vocab
-    ),
-    pairs AS (
-        SELECT s[i] AS s1, s[i + 1] AS s2, SUM(wc) AS pair_count
-        FROM syms, UNNEST(range(1, len(s))) AS t(i)
-        GROUP BY 1, 2
-    ),
-    merges AS (
-        SELECT s1, s2,
-               ROW_NUMBER() OVER (ORDER BY pair_count DESC, s1, s2) AS rnk
-        FROM (SELECT * FROM pairs
-              ORDER BY pair_count DESC, s1, s2 LIMIT {_BPE_TOP})
-    ),
+    {_BPE_VOCAB_CTE},
+    {_BPE_ITER_CTES},
     base AS (
         SELECT doc_id,
                replace(chr(1) || regexp_replace(norm, '(.)', '\\1' || chr(1), 'g'),

@@ -1379,7 +1379,8 @@ def test_hashed_ngram_keep_matches_score_keep(spark):
 
 
 def test_bpe_merge_candidates(spark):
-    """q95: pair counts are word-frequency weighted; eow marker pairs
+    """First-round candidate ranking (the q95 trainer's round-1
+    statistic): pair counts are word-frequency weighted; eow marker pairs
     counted; top row is the most frequent adjacent pair."""
     from bricolage_spark.operators.textual import bpe_merge_candidates
 

@@ -675,6 +675,61 @@ def test_bpe_merges_match_python_mirror(spark, docs_words):
     assert keys == sorted(expect, key=lambda k: (-expect[k], k))
 
 
+def _bpe_train_mirror(docs_words, n_merges):
+    """Independent reference ITERATIVE BPE trainer (Sennrich et al.) in
+    plain Python: re-count pair frequencies after every merge; tie-break
+    pinned to count DESC then (s1, s2) ASC; merges apply as a greedy
+    left-to-right non-overlapping scan; stop early when no pair remains."""
+    from collections import Counter
+
+    wc = Counter(w for ws in docs_words for w in ws if w)
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in wc.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        bc = max(pairs.values())
+        best = min(k for k, v in pairs.items() if v == bc)
+        merges.append((rank, best[0], best[1], bc))
+        nv = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            nv[key] = nv.get(key, 0) + c
+        vocab = nv
+    return merges
+
+
+@pytest.mark.spark
+@given(st.lists(words_st, min_size=1, max_size=6), st.integers(1, 8))
+@settings(max_examples=5, deadline=None)
+def test_bpe_learn_merges_matches_reference_trainer(spark, docs_words, n_merges):
+    """TRUE iterative induction (q95, round-9): the Spark trainer loop
+    equals the independent pure-Python Sennrich trainer merge-for-merge
+    on arbitrary corpora — re-counted frequencies (merge t sees the
+    symbols merges 1..t-1 created), the pinned tie-break, and early
+    exhaustion; rematerialize_every=3 exercises the vocab re-fold path."""
+    from bricolage_spark.operators.textual import bpe_learn_merges
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bpe_learn_merges(
+        df, "doc_id", "text", n_merges=n_merges, rematerialize_every=3
+    )
+    assert got == _bpe_train_mirror(docs_words, n_merges)
+
+
 vec_st = st.lists(
     st.floats(min_value=-4, max_value=4, allow_nan=False).map(
         lambda x: round(x, 2)
