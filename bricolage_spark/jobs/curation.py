@@ -15,7 +15,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from bricolage_spark.exception import ParameterError
+from bricolage_spark.exception import JobFailure, ParameterError
 from bricolage_spark.jobs import Job, JobResult, jobclass
 from bricolage_spark.parameters import ParamSchema, StringParam, TableParam
 
@@ -625,6 +625,177 @@ def span_scrub(job: Job) -> JobResult:
             f"span-scrub {src} -> {dest}: {n} docs, "
             f"{got.get('docs_touched') or 0} touched, "
             f"{got.get('words_removed') or 0} duplicated words removed"
+        ),
+        rows=n,
+    )
+
+
+@jobclass(
+    "eval-split",
+    schema=ParamSchema(
+        [
+            TableParam("dest-table"),
+            TableParam("src-table"),
+            StringParam("text-column", optional=True),
+            StringParam("seed", optional=True),
+            StringParam("val-pct", optional=True),
+            StringParam("test-pct", optional=True),
+        ]
+    ),
+)
+def eval_split(job: Job) -> JobResult:
+    """Assign deterministic train/val/test splits to a curated corpus
+    (q106): the stage a training pipeline runs LAST, after dedup, so
+    the published shards carry their split. Keyed by the CONTENT digest
+    — byte-identical docs can never straddle splits — via row-local
+    hash arithmetic (zero shuffle, stable across re-runs and re-crawls
+    of the same text).
+
+    NULL-``text-column`` rows are KEPT with a NULL split (they have no
+    content identity to key on; bucketing them into train would
+    co-train unidentifiable bytes) and their count is reported — a
+    non-zero count this late in the pipeline means an upstream filter
+    leaked. Pair with ``leakage-audit`` as the publish gate for the
+    residual NEAR-dup leakage content keying cannot see.
+    """
+    from pyspark.sql import Observation
+
+    from bricolage_spark.operators.curation import assign_eval_split
+
+    dest = job.require("dest-table")
+    src = job.require("src-table")
+    text_col = str(job.param("text-column", "text"))
+    val_pct = int(job.param("val-pct", 5))
+    test_pct = int(job.param("test-pct", 5))
+    if val_pct < 0 or test_pct < 0 or val_pct + test_pct >= 100:
+        raise ParameterError(
+            f"eval-split: percentages out of range: val {val_pct}, test {test_pct}"
+        )
+    df = job.engine.table(src)
+    if text_col not in df.columns:
+        raise ParameterError(f"eval-split: no such column: {text_col}")
+    out = assign_eval_split(
+        df,
+        text_col,
+        seed=int(job.param("seed", 424242)),
+        val_pct=val_pct,
+        test_pct=test_pct,
+    )
+    obs = Observation()
+    out = out.observe(
+        obs,
+        *[
+            F.sum((F.col("split") == s).cast("long")).alias(f"n_{s}")
+            for s in ("train", "val", "test")
+        ],
+        F.sum(F.col("split").isNull().cast("long")).alias("n_null"),
+    )
+    n = job.engine.save_table(out, dest, mode="overwrite")
+    got = obs.get
+    return JobResult(
+        message=(
+            f"eval-split {src} -> {dest}: {n} docs "
+            f"(train {got.get('n_train') or 0} / val {got.get('n_val') or 0} "
+            f"/ test {got.get('n_test') or 0}; "
+            f"{got.get('n_null') or 0} NULL-text rows carry split NULL)"
+        ),
+        rows=n,
+    )
+
+
+@jobclass(
+    "leakage-audit",
+    schema=ParamSchema(
+        [
+            TableParam("dest-table"),
+            TableParam("src-table"),
+            TableParam("pairs-table", optional=True),
+            StringParam("id-column", optional=True),
+            StringParam("text-column", optional=True),
+            StringParam("split-column", optional=True),
+            StringParam("jaccard-threshold", optional=True),
+            StringParam("max-leaking", optional=True),
+        ]
+    ),
+)
+def leakage_audit(job: Job) -> JobResult:
+    """Audit a split-assigned corpus for near-dup pairs straddling the
+    eval split (q107) and publish the per-(split, split) report — the
+    sheet an eval owner signs off on before shards ship. With
+    ``max-leaking`` set the job is a PUBLISH GATE: more cross-split
+    verified pairs than allowed raises JobFailure, stopping the net
+    resumable at the audit, exactly like a failed ``assert`` stage.
+
+    Pairs come from ``pairs-table`` when the pipeline already staged a
+    verified pair artifact (columns id_a, id_b, jaccard — the q33
+    shape); otherwise they are computed here from ``src-table``'s text:
+    MinHash-LSH banding proposes candidates, exact shingle Jaccard
+    verifies (never all-pairs), keeping rows at or above
+    ``jaccard-threshold`` (default 0.2). Either way the audit itself is
+    pair-table-scale: two id-keyed joins and a <=9-cell aggregate.
+    """
+    from bricolage_spark.operators.curation import split_leakage_report
+    from bricolage_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        word_shingles,
+    )
+
+    dest = job.require("dest-table")
+    src = job.require("src-table")
+    id_col = str(job.param("id-column", "doc_id"))
+    split_col = str(job.param("split-column", "split"))
+    df = job.engine.table(src)
+    for c in (id_col, split_col):
+        if c not in df.columns:
+            raise ParameterError(f"leakage-audit: no such column: {c}")
+
+    pairs_t = job.param("pairs-table")
+    if pairs_t:
+        pairs = job.engine.table(pairs_t)
+        origin = f"staged pairs {pairs_t}"
+    else:
+        text_col = str(job.param("text-column", "text"))
+        if text_col not in df.columns:
+            raise ParameterError(f"leakage-audit: no such column: {text_col}")
+        tau = float(job.param("jaccard-threshold", 0.2))
+        sh = word_shingles(
+            df.withColumnRenamed(id_col, "id"), "id", text_col
+        )
+        cand = lsh_candidate_pairs(minhash_signatures(sh, "id"), "id")
+        pairs = ngram_jaccard_pairs(sh, cand, id_col="id").filter(
+            F.col("jaccard") >= tau
+        )
+        origin = f"computed (jaccard >= {tau})"
+
+    report = split_leakage_report(
+        pairs, df.select(id_col, split_col), id_col=id_col, split_col=split_col
+    )
+    n = job.engine.save_table(report, dest, mode="overwrite")
+    # the published report is <=9 rows — reading it back for the gate is
+    # metadata-scale and gates on exactly what auditors will see
+    cells = job.engine.table(dest).collect()
+    leaking = sum(
+        r.n_leaking for r in cells if r.split_a != r.split_b
+    )
+    max_leak = job.param("max-leaking")
+    if max_leak is not None and leaking > int(max_leak):
+        worst = sorted(
+            (r for r in cells if r.split_a != r.split_b),
+            key=lambda r: -r.n_pairs,
+        )[:3]
+        shown = "; ".join(
+            f"{r.split_a}/{r.split_b}: {r.n_pairs} pairs" for r in worst
+        )
+        raise JobFailure(
+            f"leakage-audit: {leaking} cross-split near-dup pair(s) exceed "
+            f"max-leaking {max_leak} ({origin}): {shown}"
+        )
+    return JobResult(
+        message=(
+            f"leakage audit {src} -> {dest}: {n} cells, {leaking} "
+            f"cross-split pair(s) ({origin})"
         ),
         rows=n,
     )

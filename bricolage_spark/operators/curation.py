@@ -313,3 +313,95 @@ def shard_assignment(
         F.pmod(hash32(sid, seed), F.lit(n_shards)).cast("bigint").alias("shard_id"),
         F.md5(F.concat_ws("|", F.lit(str(seed + 1)), sid)).alias("sort_key"),
     )
+
+
+def assign_eval_split(
+    df: DataFrame,
+    text_col: str,
+    *,
+    seed: int = 424242,
+    val_pct: int = 5,
+    test_pct: int = 5,
+) -> DataFrame:
+    """Append a deterministic train/val/test assignment keyed by the
+    CONTENT digest (q106's rule) — not the doc id, so byte-identical
+    documents can never straddle splits (id-keyed splits leak every
+    duplicate pair across the train/test boundary; content-identity
+    keying is the standard guard). Pure row-local hash arithmetic: zero
+    shuffle, stable across re-runs and re-crawls of the same text.
+
+    NULL-``text_col`` rows get a NULL ``split`` (they have no content
+    identity to key on): silently bucketing them into train would
+    co-train unidentifiable bytes, and dropping them here would hide a
+    feed problem — the caller decides (the ``eval-split`` job class
+    reports the count). Existing split/split_bucket columns are
+    overwritten (withColumn semantics), so re-splitting a staged table
+    never duplicates columns.
+    """
+    from bricolage_spark.operators.dedup import content_hash, hash32
+
+    if val_pct < 0 or test_pct < 0 or val_pct + test_pct >= 100:
+        raise ValueError(
+            f"eval split percentages out of range: val={val_pct} test={test_pct}"
+        )
+    bucket = hash32(content_hash(F.col(text_col)), seed) % 100
+    split = (
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split).withColumn(
+        "split_bucket",
+        F.when(F.col(text_col).isNotNull(), bucket).cast("bigint"),
+    )
+
+
+def split_leakage_report(
+    pairs: DataFrame,
+    splits: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    jaccard_col: str = "jaccard",
+) -> DataFrame:
+    """The split-leakage audit aggregate (q107): join a verified
+    near-dup pair table against a split assignment and count pairs per
+    unordered (split, split) cell — cross-split rows are the
+    benchmark-inflating leaks exact-content split keying cannot see.
+
+    Pair-table-scale: |pairs| rows through two id-keyed joins and a
+    ≤9-cell aggregate; at 100 TB the pair table is smaller than the
+    corpus by orders of magnitude and the split side projects to
+    (id, split) before joining. Returns (split_a, split_b, n_pairs,
+    n_leaking, avg_jaccard) with split_a <= split_b.
+    """
+    sp = splits.select(F.col(id_col), F.col(split_col))
+    j = (
+        pairs.join(
+            sp.select(
+                F.col(id_col).alias(a_col), F.col(split_col).alias("_sa")
+            ),
+            a_col,
+        )
+        .join(
+            sp.select(
+                F.col(id_col).alias(b_col), F.col(split_col).alias("_sb")
+            ),
+            b_col,
+        )
+        .select(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+            F.col(jaccard_col).alias("_j"),
+        )
+    )
+    return j.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_leaking"),
+        F.round(F.avg("_j"), 4).alias("avg_jaccard"),
+    )

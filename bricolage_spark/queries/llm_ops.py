@@ -5343,21 +5343,16 @@ _SPLIT_SEED, _SPLIT_VAL_PCT, _SPLIT_TEST_PCT = 424242, 5, 5
     "exact-content keying cannot see.",
 )
 def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bricolage_spark.operators.curation import assign_eval_split
+
     docs = read_table(spark, sf_dir, "documents")
-    ch = D.content_hash(F.col("text"))
-    bucket = D.hash32(ch, _SPLIT_SEED) % 100
-    return (
-        docs.where(F.col("text").isNotNull())
-        .select(
-            "doc_id",
-            "source",
-            F.when(bucket < _SPLIT_TEST_PCT, F.lit("test"))
-            .when(bucket < _SPLIT_TEST_PCT + _SPLIT_VAL_PCT, F.lit("val"))
-            .otherwise(F.lit("train"))
-            .alias("split"),
-            bucket.cast("bigint").alias("split_bucket"),
-        )
-    )
+    return assign_eval_split(
+        docs.where(F.col("text").isNotNull()),
+        "text",
+        seed=_SPLIT_SEED,
+        val_pct=_SPLIT_VAL_PCT,
+        test_pct=_SPLIT_TEST_PCT,
+    ).select("doc_id", "source", "split", "split_bucket")
 
 
 # --------------------------------------------------------------------------
@@ -5412,27 +5407,8 @@ _SPLIT_CH_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
     "orders of magnitude.",
 )
 def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bricolage_spark.operators.curation import split_leakage_report
+
     pairs = _verified_pairs(spark, sf_dir)
     sp = QUERIES["q106_eval_split"].fn(spark, sf_dir).select("doc_id", "split")
-    j = (
-        pairs.join(
-            sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("_sa")),
-            "id_a",
-        )
-        .join(
-            sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("_sb")),
-            "id_b",
-        )
-        .select(
-            F.least("_sa", "_sb").alias("split_a"),
-            F.greatest("_sa", "_sb").alias("split_b"),
-            "jaccard",
-        )
-    )
-    return j.groupBy("split_a", "split_b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.sum(F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_leaking"),
-        F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
-    )
+    return split_leakage_report(pairs, sp)

@@ -463,6 +463,27 @@ def test_example_curation_home_runs_end_to_end(engine, tmp_path):
         .count()
         == 0
     )
+    # split assignment (q106 stage): every selected doc got a split,
+    # byte-identical texts co-assign, and the publish gate saw zero
+    # cross-split near-dup pairs (max-leaking: 0 held, or the net would
+    # have failed at leakage_audit)
+    split_docs = engine.table("split_documents")
+    assert split_docs.count() == selected
+    assert split_docs.filter("split is null").count() == 0
+    assert (
+        split_docs.groupBy(
+            SF.md5(SF.trim(SF.regexp_replace(SF.lower("text"), r"\s+", " ")))
+        )
+        .agg(SF.countDistinct("split").alias("k"))
+        .filter("k > 1")
+        .count()
+        == 0
+    )
+    report = engine.table("leakage_report")
+    assert report.count() <= 9
+    assert report.filter("split_a <> split_b").agg(
+        SF.coalesce(SF.sum("n_leaking"), SF.lit(0))
+    ).first()[0] == 0
 
 
 def test_load_maxerror_quarantines_bad_rows(engine, home, tmp_path):
@@ -1161,6 +1182,127 @@ def test_pagerank_job_ranks_edge_table(engine, home, spark):
             "class: pagerank\ndest-table: x\nedges-table: links\n"
             "src-column: nope\n",
         )
+
+
+def test_eval_split_job_assigns_and_reports_nulls(engine, home, spark):
+    """eval-split job class: content-keyed deterministic splits —
+    byte-identical texts co-assign, NULL-text rows survive with split
+    NULL and are counted in the message, percentages validate."""
+    from bricolage_spark.exception import ParameterError
+
+    rows = [(i, f"document body number {i % 40}") for i in range(100)]
+    rows += [(100, None), (101, None)]
+    engine.save_table(
+        spark.createDataFrame(rows, "doc_id long, text string"), "pool"
+    )
+    r = run_job(
+        engine, home, "es.job",
+        "class: eval-split\ndest-table: pool_split\nsrc-table: pool\n"
+        "val-pct: 10\ntest-pct: 10\n",
+    )
+    assert r.success and r.rows == 102
+    assert "2 NULL-text rows" in r.message
+    out = engine.table("pool_split")
+    assert out.filter("split is null").count() == 2
+    assert out.filter("split is null and text is not null").count() == 0
+    # identical text (i % 40 collides) => identical split, always
+    from pyspark.sql import functions as SF
+
+    assert (
+        out.where("text is not null")
+        .groupBy("text")
+        .agg(SF.countDistinct("split").alias("k"))
+        .filter("k > 1")
+        .count()
+        == 0
+    )
+    # determinism: re-running over the published table (which already
+    # has split columns) overwrites them identically, never duplicates
+    r2 = run_job(
+        engine, home, "es2.job",
+        "class: eval-split\ndest-table: pool_split2\nsrc-table: pool_split\n"
+        "val-pct: 10\ntest-pct: 10\n",
+    )
+    assert r2.success
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in engine.table("pool_split2").collect()}
+    assert a == b
+    assert engine.table("pool_split2").columns.count("split") == 1
+
+    with pytest.raises(ParameterError):
+        run_job(
+            engine, home, "es3.job",
+            "class: eval-split\ndest-table: x\nsrc-table: pool\n"
+            "val-pct: 60\ntest-pct: 50\n",
+        )
+    with pytest.raises(ParameterError):
+        run_job(
+            engine, home, "es4.job",
+            "class: eval-split\ndest-table: x\nsrc-table: pool\n"
+            "text-column: nope\n",
+        )
+
+
+def test_leakage_audit_job_reports_and_gates(engine, home, spark):
+    """leakage-audit job class: publishes the per-(split,split) report
+    from a staged pair table, passes within max-leaking, FAILS the job
+    when cross-split pairs exceed it, and computes pairs from text when
+    no pairs-table is staged."""
+    # split corpus: 0/1 train, 2 test; near-dup pair (1,2) straddles
+    engine.save_table(
+        spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta", "train"),
+                (1, "the quick brown fox jumps over the lazy dog today", "train"),
+                (2, "the quick brown fox jumps over the lazy dog now", "test"),
+            ],
+            "doc_id long, text string, split string",
+        ),
+        "split_corpus",
+    )
+    engine.save_table(
+        spark.createDataFrame(
+            [(1, 2, 0.8)], "id_a long, id_b long, jaccard double"
+        ),
+        "staged_pairs",
+    )
+    # report-only (no max-leaking): publishes the cell, job succeeds
+    r = run_job(
+        engine, home, "la.job",
+        "class: leakage-audit\ndest-table: leak_report\n"
+        "src-table: split_corpus\npairs-table: staged_pairs\n",
+    )
+    assert r.success and "1 cross-split" in r.message
+    cells = {
+        (c.split_a, c.split_b): (c.n_pairs, c.n_leaking)
+        for c in engine.table("leak_report").collect()
+    }
+    assert cells == {("test", "train"): (1, 1)}
+    # permissive gate passes; zero-tolerance gate fails the job
+    assert run_job(
+        engine, home, "la2.job",
+        "class: leakage-audit\ndest-table: leak_report2\n"
+        "src-table: split_corpus\npairs-table: staged_pairs\n"
+        "max-leaking: 1\n",
+    ).success
+    with pytest.raises(JobFailure, match="cross-split"):
+        run_job(
+            engine, home, "la3.job",
+            "class: leakage-audit\ndest-table: leak_report3\n"
+            "src-table: split_corpus\npairs-table: staged_pairs\n"
+            "max-leaking: 0\n",
+        )
+    # computed-pairs path: MinHash-LSH + exact Jaccard finds the same
+    # straddling twin directly from the corpus text
+    with pytest.raises(JobFailure, match="cross-split"):
+        run_job(
+            engine, home, "la4.job",
+            "class: leakage-audit\ndest-table: leak_report4\n"
+            "src-table: split_corpus\njaccard-threshold: 0.5\n"
+            "max-leaking: 0\n",
+        )
+    leak4 = engine.table("leak_report4").collect()
+    assert any(c.split_a != c.split_b and c.n_pairs >= 1 for c in leak4)
 
 
 def test_assert_job_gates_on_violations(engine, home):
