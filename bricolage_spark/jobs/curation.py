@@ -575,12 +575,16 @@ def span_scrub(job: Job) -> JobResult:
     one copy of every duplicated span survives (Lee et al. 2022's
     removal step; the sentence analog is q92).
 
-    The doc's ``text-column`` is replaced by the scrubbed normalized
-    text; an ``n_chars`` column, when present, is refreshed to the new
-    length so downstream length reports see the corpus that was
-    actually published. NULL-text docs are dropped (nothing to
-    rebuild). Scrub totals come from ``df.observe`` during the write —
-    no extra corpus pass.
+    Only docs that actually LOST a span take the rewritten text (the
+    rebuild is normalized — lowercased, whitespace-collapsed — because
+    span positions are word offsets in normalized space); untouched
+    docs (n_removed == 0) keep their ORIGINAL casing and spacing, and
+    NULL-text rows pass through unmodified with n_removed 0 (round-8
+    advice: the old inner join normalized the whole corpus and silently
+    dropped NULL-text docs). An ``n_chars`` column, when present, is
+    refreshed so downstream length reports see the corpus that was
+    actually published. Scrub totals come from ``df.observe`` during
+    the write — no extra corpus pass.
     """
     from pyspark.sql import Observation
 
@@ -603,11 +607,22 @@ def span_scrub(job: Job) -> JobResult:
         max_postings=int(job.param("max-postings", 8)),
     )
     cleaned = remove_duplicate_spans(df, spans, id_col, text_col)
-    joined = df.drop(text_col).join(
-        cleaned.select(
-            id_col, F.col("clean_text").alias(text_col), "n_removed"
-        ),
-        id_col,
+    joined = (
+        df.join(
+            cleaned.select(
+                id_col, F.col("clean_text").alias("_clean"), "n_removed"
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn("n_removed", F.coalesce("n_removed", F.lit(0)))
+        .withColumn(
+            text_col,
+            F.when(F.col("n_removed") > 0, F.col("_clean")).otherwise(
+                F.col(text_col)
+            ),
+        )
+        .drop("_clean")
     )
     if "n_chars" in df.columns:
         joined = joined.withColumn("n_chars", F.length(F.col(text_col)))

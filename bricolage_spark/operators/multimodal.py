@@ -401,7 +401,8 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     payloads.append(out)
                     types.append("image/bmp")
                     ok.append(True)
-                except (ValueError, zlib.error, struct.error, IndexError):
+                except (ValueError, zlib.error, struct.error, IndexError,
+                        MemoryError):
                     payloads.append(raw)
                     types.append(mt)
                     ok.append(False)
@@ -547,7 +548,8 @@ def sample_frames(media: DataFrame, every_n: int = 1, max_frames: int = 0) -> Da
                         totals.append(len(frames))
                         payloads.append(fp)
                         decoded.append(pixel_frames)
-                except (ValueError, zlib.error, struct.error, IndexError):
+                except (ValueError, zlib.error, struct.error, IndexError,
+                        MemoryError):
                     ids.append(mid)
                     idxs.append(0)
                     totals.append(1)
@@ -702,9 +704,19 @@ def parse_mp4_samples(payload: bytes) -> dict | None:
         return None
     ps, pe = r
     const_size, n_samples = struct.unpack_from(">II", payload, ps)
+    # Untrusted 32-bit counts from crawled payloads must never drive an
+    # allocation: every real sample needs >= 1 byte at a distinct offset
+    # (so n <= len(payload)), and entry lists must FIT IN THEIR BOX.
+    # A count past either bound is a malformed/hostile container ->
+    # None, which routes the payload to the opaque fallback instead of
+    # a multi-GB list (and a MemoryError that would kill the batch).
+    if n_samples > len(payload):
+        return None
     if const_size:
         sizes = [const_size] * n_samples
     else:
+        if n_samples > (pe - ps - 8) // 4:
+            return None
         sizes = list(
             struct.unpack_from(f">{n_samples}I", payload, ps + 8)
         )
@@ -713,10 +725,14 @@ def parse_mp4_samples(payload: bytes) -> dict | None:
     if b"stco" in tables:
         ps, pe = full(b"stco")
         (n_chunks,) = struct.unpack_from(">I", payload, ps)
+        if n_chunks > (pe - ps - 4) // 4:
+            return None
         chunk_offs = list(struct.unpack_from(f">{n_chunks}I", payload, ps + 4))
     elif b"co64" in tables:
         ps, pe = full(b"co64")
         (n_chunks,) = struct.unpack_from(">I", payload, ps)
+        if n_chunks > (pe - ps - 4) // 8:
+            return None
         chunk_offs = list(struct.unpack_from(f">{n_chunks}Q", payload, ps + 4))
     else:
         return None
@@ -727,6 +743,8 @@ def parse_mp4_samples(payload: bytes) -> dict | None:
         return None
     ps, pe = r
     (n_runs,) = struct.unpack_from(">I", payload, ps)
+    if n_runs > (pe - ps - 4) // 12:
+        return None
     runs = [
         struct.unpack_from(">III", payload, ps + 4 + 12 * i)[:2]
         for i in range(n_runs)
@@ -754,15 +772,24 @@ def parse_mp4_samples(payload: bytes) -> dict | None:
     if r is not None:
         ps, pe = r
         (n_ent,) = struct.unpack_from(">I", payload, ps)
+        if n_ent > (pe - ps - 4) // 8:
+            return None
         for i in range(n_ent):
             cnt, delta = struct.unpack_from(">II", payload, ps + 4 + 8 * i)
+            # per-entry counts are untrusted too: only n_samples
+            # durations are ever consumed, so clamp the expansion there
+            cnt = min(cnt, n_samples - len(durations))
             durations.extend([delta] * cnt)
+            if len(durations) >= n_samples:
+                break
 
     sync: list[int] = list(range(1, n_samples + 1))  # spec: no stss = all sync
     r = full(b"stss")
     if r is not None:
         ps, pe = r
         (n_ent,) = struct.unpack_from(">I", payload, ps)
+        if n_ent > (pe - ps - 4) // 4:
+            return None
         sync = list(struct.unpack_from(f">{n_ent}I", payload, ps + 4))
 
     return {

@@ -1264,7 +1264,10 @@ def pack_sequences(
     natural shard key: language, source, shard id), never a global
     ORDER BY window, which would serialize the corpus through one task;
     each partition packs independently, exactly how a per-shard packer
-    runs at scale. Appends (n_tokens, bin_id)."""
+    runs at scale. Appends (n_tokens, bin_id) — with withColumn
+    semantics, so an input that already carries either column (e.g.
+    bpe_encode output re-packed) gets it OVERWRITTEN, never duplicated
+    into an ambiguous name (round-8 advice)."""
     from pyspark.sql.window import Window
 
     w = (
@@ -1272,11 +1275,18 @@ def pack_sequences(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(token_col).over(w)
-    return df.select(
-        "*",
-        token_col.alias("n_tokens"),
-        F.floor((cum - token_col) / budget).cast("bigint").alias("bin_id"),
+    # token_col may itself reference an existing n_tokens column:
+    # evaluate it ONCE into a temp before overwriting, or the window
+    # expression would re-resolve against the already-replaced value
+    tmp = df.withColumn("_pack_tokens", token_col)
+    cum = F.sum(F.col("_pack_tokens")).over(w)
+    return (
+        tmp.withColumn(
+            "bin_id",
+            F.floor((cum - F.col("_pack_tokens")) / budget).cast("bigint"),
+        )
+        .withColumn("n_tokens", F.col("_pack_tokens"))
+        .drop("_pack_tokens")
     )
 
 

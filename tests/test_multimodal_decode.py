@@ -413,3 +413,40 @@ def test_sample_frames_extracts_mp4_access_units(spark):
     assert all(r.n_frames == 5 for r in out)
     assert [bytes(r.payload) for r in out] == [samples[0], samples[2], samples[4]]
     assert all(not r.decoded for r in out)  # coded access units, no codec
+
+
+def test_mp4_hostile_counts_clamped():
+    """Crafted tiny payloads claiming ~2^32 samples/entries parse to
+    None (the opaque fallback), never attempt the allocation (round-8
+    advice: one hostile crawled payload would have MemoryError'd the
+    whole executor batch)."""
+    import struct as _s
+
+    samples = [b"frameAA", b"frB"]
+    base = _tiny_mp4(samples, chunks=[[0, 1]], stsc_runs=[(1, 2)])
+
+    def patch(buf: bytes, marker: bytes, off: int, val: int) -> bytes:
+        i = buf.index(marker)
+        return buf[: i + off] + _s.pack(">I", val) + buf[i + off + 4 :]
+
+    # stsz const-size path: n_samples drives [const] * n allocation
+    hostile = patch(patch(base, b"stsz", 8, 16), b"stsz", 12, 0xFFFF_FFF0)
+    assert M.parse_mp4_samples(hostile) is None
+    # stsz per-sample path: count past the box extent
+    assert M.parse_mp4_samples(patch(base, b"stsz", 12, 0xFFFF_FFF0)) is None
+    # stco chunk count / stsc run count / stts entry count
+    assert M.parse_mp4_samples(patch(base, b"stco", 8, 0xFFFF_FFF0)) is None
+    assert M.parse_mp4_samples(patch(base, b"stsc", 8, 0xFFFF_FFF0)) is None
+    assert M.parse_mp4_samples(patch(base, b"stts", 8, 0xFFFF_FFF0)) is None
+    # stts PER-ENTRY count is clamped to n_samples, not fatal: the
+    # table is still served, durations bounded
+    info = M.parse_mp4_samples(patch(base, b"stts", 12, 0xFFFF_FFF0))
+    assert info is not None and len(info["durations"]) == 2
+    # stss sync count past its box extent
+    base_sync = _tiny_mp4(
+        samples, chunks=[[0, 1]], stsc_runs=[(1, 2)], sync=[1]
+    )
+    assert M.parse_mp4_samples(patch(base_sync, b"stss", 8, 0xFFFF_FFF0)) is None
+    # the untouched fixture still parses fully after all that
+    ok = M.parse_mp4_samples(base)
+    assert ok is not None and ok["n_samples"] == 2

@@ -1699,3 +1699,27 @@ def test_incremental_neardup_flags_registry_dedup_contract(spark):
     assert fast == {
         d: (r.n_hit_bands, r.hist_neardup) for d, r in out.items()
     }
+
+
+def test_pack_sequences_overwrites_existing_n_tokens(spark):
+    """An input already carrying n_tokens (bpe_encode output — the
+    documented upstream) gets the column OVERWRITTEN, not duplicated
+    into an ambiguous pair (round-8 advice)."""
+    from pyspark.sql import functions as F
+
+    from bricolage_spark.operators import textual as T
+
+    df = spark.createDataFrame(
+        [(1, "g", 7), (2, "g", 9)], "doc_id long, lang string, n_tokens long"
+    )
+    out = T.pack_sequences(
+        df,
+        F.col("n_tokens") * 2,
+        budget=20,
+        partition_col="lang",
+        order_col="doc_id",
+    )
+    assert out.columns.count("n_tokens") == 1
+    rows = {r.doc_id: r for r in out.collect()}
+    assert (rows[1].n_tokens, rows[2].n_tokens) == (14, 18)
+    assert (rows[1].bin_id, rows[2].bin_id) == (0, 0)
