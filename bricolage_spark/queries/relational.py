@@ -1038,6 +1038,12 @@ def q26b(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (0.40 s vs 0.28 s at sf0.1) because the Expand doubles the rows the
     # partial aggregate must hash. Column pruning makes the extra scans
     # near-free (disjoint single-column reads).
+    # Round-9 variant also measured and REJECTED: union-tagging both key
+    # columns into one (tag, key) dedup + per-tag count (same shuffled
+    # bytes, one job instead of two) ran 0.478 s vs 0.381 s for these two
+    # branches at sf0.1/AQE-on — the union serializes through one shuffle
+    # what the branches run concurrently. Remaining wall is the
+    # lineitem-scan floor (BASELINE.md round-9 adjudication).
     nd_parts = li.select("l_partkey").distinct().agg(
         F.count(F.lit(1)).alias("nd_parts")
     )

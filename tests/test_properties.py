@@ -715,19 +715,29 @@ def _bpe_train_mirror(docs_words, n_merges):
 @given(st.lists(words_st, min_size=1, max_size=6), st.integers(1, 8))
 @settings(max_examples=5, deadline=None)
 def test_bpe_learn_merges_matches_reference_trainer(spark, docs_words, n_merges):
-    """TRUE iterative induction (q95, round-9): the Spark trainer loop
-    equals the independent pure-Python Sennrich trainer merge-for-merge
-    on arbitrary corpora — re-counted frequencies (merge t sees the
-    symbols merges 1..t-1 created), the pinned tie-break, and early
-    exhaustion; rematerialize_every=3 exercises the vocab re-fold path."""
+    """TRUE iterative induction (q95, round-9): BOTH trainer tiers —
+    the DISTRIBUTED Spark loop (driver_vocab_max=0 forces it;
+    rematerialize_every=3 exercises the vocab re-fold path) and the
+    metadata-sized driver tier — equal the independent pure-Python
+    Sennrich trainer merge-for-merge on arbitrary corpora: re-counted
+    frequencies (merge t sees the symbols merges 1..t-1 created), the
+    pinned tie-break, and early exhaustion."""
     from bricolage_spark.operators.textual import bpe_learn_merges
 
     rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = bpe_learn_merges(
-        df, "doc_id", "text", n_merges=n_merges, rematerialize_every=3
+    want = _bpe_train_mirror(docs_words, n_merges)
+    distributed = bpe_learn_merges(
+        df,
+        "doc_id",
+        "text",
+        n_merges=n_merges,
+        rematerialize_every=3,
+        driver_vocab_max=0,
     )
-    assert got == _bpe_train_mirror(docs_words, n_merges)
+    assert distributed == want
+    local = bpe_learn_merges(df, "doc_id", "text", n_merges=n_merges)
+    assert local == want
 
 
 vec_st = st.lists(

@@ -72,6 +72,12 @@ PROBE_QUERIES = (
     # round-8 additions (apply stages; both data-proportional):
     "q102_bpe_encode",
     "q103_span_removal",
+    # round-9 additions: encode+agg composition, span-pair contamination,
+    # row-local split assignment, pair-table split joins
+    "q104_tokenizer_fertility",
+    "q105_span_contamination",
+    "q106_eval_split",
+    "q107_split_leakage",
 )
 
 
@@ -133,6 +139,12 @@ def build_scaled(spark, k: int) -> str:
 def main() -> None:
     scales = [int(x) for x in _arg("--scales", "1,4,16").split(",")]
     runs = int(_arg("--runs", "2"))
+    only = _arg("--queries", "")
+    probe_queries = (
+        [q.strip() for q in only.split(",") if q.strip()]
+        if only
+        else list(PROBE_QUERIES)
+    )
     specs = load_all()
     spark = get_spark("scale-probe")
     out: dict = {"base": BASE_SF, "scales": scales, "queries": {}}
@@ -145,7 +157,7 @@ def main() -> None:
         specs["q31_dedup_exact"].fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
-        for name in PROBE_QUERIES:
+        for name in probe_queries:
             best = float("inf")
             for _ in range(runs):
                 t0 = time.perf_counter()
