@@ -121,6 +121,10 @@ STAGED = (
     "q104_tokenizer_fertility",
     "q105_span_contamination",
     "q107_split_leakage",
+    # round 9: q95's iterative trainer output IS the staged merge table
+    # (built by stage_artifacts, shared with q102/q104) — its best-of-N
+    # is the table-serve time, the induction cost sits in artifact_build
+    "q95_bpe_merges",
 )
 
 

@@ -1,11 +1,16 @@
-"""Baseline JPEG (JFIF) decoder — pure stdlib + numpy, no codec libs.
+"""Baseline + progressive JPEG (JFIF) decoder — pure stdlib + numpy.
 
-Implements the ITU-T T.81 baseline sequential DCT process: marker/segment
-parse (DQT/DHT/SOF0/DRI/SOS), canonical Huffman entropy decode with byte
-unstuffing and restart-marker resync, dequantize + dezigzag, 8×8 inverse
-DCT as two dense matmuls (numpy), chroma upsampling by sampling factor,
-and YCbCr→RGB conversion.  Progressive (SOF2), arithmetic coding, 12-bit
-precision and hierarchical modes raise ``ValueError`` so the multimodal
+Implements the ITU-T T.81 baseline sequential DCT process (SOF0):
+marker/segment parse (DQT/DHT/SOF/DRI/SOS), canonical Huffman entropy
+decode with byte unstuffing and restart-marker resync, dequantize +
+dezigzag, 8×8 inverse DCT as two dense matmuls (numpy), chroma
+upsampling by sampling factor, and YCbCr→RGB conversion — and, since
+round 9, the PROGRESSIVE DCT process (SOF2, annex G): spectral-selection
+bands and successive-approximation bit-planes accumulate across scans in
+per-component coefficient grids (DC first/refine, AC first/refine with
+EOB-run decoding and correction bits), rendered once at EOI with a
+vectorized whole-grid IDCT. Arithmetic coding, 12-bit precision,
+hierarchical and lossless modes raise ``ValueError`` so the multimodal
 dispatch (operators/multimodal.py) falls back to the labeled digest
 stand-in instead of crashing a batch.
 
@@ -140,6 +145,8 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
     frame = None  # (h, w, [(cid, hs, vs, tq)])
+    progressive = False
+    coefs = None  # per-component zigzag coefficient grids (progressive)
     restart_interval = 0
     pos = 2
     while pos + 4 <= len(payload):
@@ -168,7 +175,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 table = _HuffTable(counts, seg[off + 17 : off + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 off += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -177,9 +184,10 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError(f"non-baseline JPEG frame 0xFF{marker:02X}")
+            raise ValueError(f"unsupported JPEG frame type 0xFF{marker:02X}")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy-coded scan follows
@@ -187,16 +195,31 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             scan_tables = {}
+            scan_order = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan_tables[cs] = (tdta >> 4, tdta & 15)
-            return _decode_scan(
-                payload, pos + 2 + seglen, frame, scan_tables,
-                qt, huff_dc, huff_ac, restart_interval,
+                scan_order.append(cs)
+            if not progressive:
+                return _decode_scan(
+                    payload, pos + 2 + seglen, frame, scan_tables,
+                    qt, huff_dc, huff_ac, restart_interval,
+                )
+            if coefs is None:
+                coefs = _empty_coefs(frame)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = _decode_prog_scan(
+                payload, pos + 2 + seglen, frame, scan_order, scan_tables,
+                ss, se, ahal >> 4, ahal & 15, coefs,
+                huff_dc, huff_ac, restart_interval,
             )
-        elif marker == 0xD9:  # EOI before any scan
+            continue
+        elif marker == 0xD9:  # EOI
             break
         pos += 2 + seglen
+    if coefs is not None:
+        return _render_coefs(frame, coefs, qt)
     raise ValueError("JPEG contained no decodable scan")
 
 
@@ -253,7 +276,12 @@ def _decode_scan(
                     y0 = (my * vs + by) * 8
                     x0 = (mx * hs + bx) * 8
                     planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
-    # upsample each plane to full MCU-grid resolution, then crop
+    return _planes_to_rgb(h, w, comps, planes, hmax, vmax, mcus_x, mcus_y)
+
+
+def _planes_to_rgb(h, w, comps, planes, hmax, vmax, mcus_x, mcus_y) -> np.ndarray:
+    """Upsample component planes to the full MCU grid, crop, and convert
+    YCbCr→RGB (shared by the baseline and progressive paths)."""
     full_h, full_w = mcus_y * vmax * 8, mcus_x * hmax * 8
     up = []
     for (cid, hs, vs, tq), plane in zip(comps, planes):
@@ -270,6 +298,216 @@ def _decode_scan(
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.dstack([r, g, b]), 0, 255).round().astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive DCT (SOF2): spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+# T.81 annex G decoding procedures. Coefficients accumulate across scans
+# in per-component zigzag grids; each scan deposits one (band, bit-depth)
+# slice: DC first/refine scans may be interleaved, AC scans are
+# single-component by construction (G.1.1.1.1). Rendering happens once,
+# after the marker loop hits EOI — dequantize, dezigzag, IDCT (vectorized
+# over all blocks), then the shared upsample/color tail.
+
+
+def _frame_geometry(frame):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    return hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+
+def _empty_coefs(frame) -> list[np.ndarray]:
+    """Per-component (blocks_y, blocks_x, 64) zigzag coefficient grids,
+    sized to the padded (interleaved-MCU) grid."""
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
+    return [
+        np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int32)
+        for _, hs, vs, _ in frame[2]
+    ]
+
+
+def _comp_block_dims(frame, ci) -> tuple[int, int]:
+    """Non-interleaved block-grid dims of one component: ceil of the
+    component-resolution image over 8x8 blocks (T.81 A.2.2) — smaller
+    than the padded MCU grid whenever dimensions aren't MCU-aligned."""
+    h, w, comps = frame
+    _, hs, vs, _ = comps[ci]
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    ch = -(-(h * vs) // vmax)
+    cw = -(-(w * hs) // hmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _next_marker(payload: bytes, pos: int) -> int:
+    """Position of the next real marker at/after ``pos`` (skips stuffed
+    0xFF00, fill 0xFFs, and stray RSTn left after the last restart row)."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF:
+            nxt = payload[pos + 1]
+            if nxt == 0x00:
+                pos += 2
+                continue
+            if nxt == 0xFF:
+                pos += 1
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    raise ValueError("JPEG scan ran past end of payload")
+
+
+def _decode_prog_scan(
+    payload, start, frame, scan_order, scan_tables,
+    ss, se, ah, al, coefs, huff_dc, huff_ac, restart_interval,
+) -> int:
+    """Decode one progressive scan into ``coefs``; returns the payload
+    position of the marker that follows the entropy-coded data."""
+    h, w, comps = frame
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
+    comp_idx = {cid: i for i, (cid, *_rest) in enumerate(comps)}
+    scan_cis = [comp_idx[cs] for cs in scan_order]
+    if ss == 0 and se != 0:
+        raise ValueError("JPEG scan mixes DC and AC bands")
+    if ss > 0 and len(scan_cis) != 1:
+        raise ValueError("progressive AC scans must be single-component")
+
+    # T.81 A.2: a multi-component scan is MCU-interleaved; a single-
+    # component scan walks that component's own block raster
+    interleaved = len(scan_cis) > 1
+    reader = _BitReader(payload, start)
+    pred = {ci: 0 for ci in scan_cis}
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+
+    def dc_block(ci, zz):
+        nonlocal pred
+        if ah == 0:
+            t = reader.decode_huffman(huff_dc[scan_tables[comps[ci][0]][0]])
+            pred[ci] += _extend(reader.read_bits(t), t)
+            zz[0] = pred[ci] << al
+        elif reader.read_bits(1):
+            zz[0] |= p1
+
+    def ac_first(ci, zz):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        ac_t = huff_ac[scan_tables[comps[ci][0]][1]]
+        k = ss
+        while k <= se:
+            rs = reader.decode_huffman(ac_t)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC coefficient overflow")
+            zz[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine(ci, zz):
+        # T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine: newly-nonzero
+        # coefficients arrive as run+sign, already-nonzero ones receive
+        # one correction bit each as the scan passes over them
+        nonlocal eobrun
+        ac_t = huff_ac[scan_tables[comps[ci][0]][1]]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.decode_huffman(ac_t)
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    # ZRL: advance past 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("invalid AC refinement magnitude")
+                    val = p1 if reader.read_bits(1) else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        if reader.read_bits(1) and not (int(zz[k]) & p1):
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.read_bits(1) and not (int(zz[k]) & p1):
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+    if interleaved:
+        n_units = mcus_x * mcus_y
+    else:
+        bh, bw = _comp_block_dims(frame, scan_cis[0])
+        n_units = bh * bw
+
+    for unit in range(n_units):
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.sync_restart()
+            pred = {ci: 0 for ci in scan_cis}
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(unit, mcus_x)
+            for ci in scan_cis:
+                _, hs, vs, _ = comps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = coefs[ci][my * vs + by, mx * hs + bx]
+                        dc_block(ci, zz)
+        else:
+            ci = scan_cis[0]
+            zz = coefs[ci][unit // bw, unit % bw]
+            if ss == 0:
+                dc_block(ci, zz)
+            elif ah == 0:
+                ac_first(ci, zz)
+            else:
+                ac_refine(ci, zz)
+    return _next_marker(payload, reader.pos)
+
+
+def _render_coefs(frame, coefs, qt) -> np.ndarray:
+    """Dequantize + dezigzag + IDCT every accumulated block (vectorized
+    over the whole grid), then the shared upsample/color tail."""
+    h, w, comps = frame
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
+    planes = []
+    for (cid, hs, vs, tq), grid in zip(comps, coefs):
+        deq = grid.astype(np.float64) * qt[tq][None, None, :]
+        raster = np.zeros_like(deq)
+        raster[:, :, ZIGZAG] = deq
+        by, bx = grid.shape[:2]
+        blocks = raster.reshape(by, bx, 8, 8)
+        spatial = np.einsum("ij,abjk,kl->abil", _T.T, blocks, _T) + 128.0
+        planes.append(
+            spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+    return _planes_to_rgb(h, w, comps, planes, hmax, vmax, mcus_x, mcus_y)
 
 
 def decode_jpeg(payload: bytes) -> list[float]:

@@ -18,9 +18,10 @@ back to a clearly-marked deterministic digest-based stand-in with the
 same shape/schema.  MP4/ISO-BMFF video gets real CONTAINER-level
 support (``parse_mp4_samples``/``split_mp4_frames``: sample tables ->
 per-frame byte ranges, timing, keyframes), so frame counting/sampling
-operate on true coded access units; only pixel decode (H.264 et al.)
-sits behind the documented codec stub, as progressive-JPEG does on the
-image side.
+operate on true coded access units; only pixel decode of coded VIDEO
+bitstreams (H.264 et al.) sits behind the documented codec stub — the
+image side decodes natively end-to-end (BMP, PNG, WAV, baseline AND
+progressive JPEG since round 9).
 """
 
 from __future__ import annotations
@@ -575,7 +576,8 @@ def decode_stub(*_args, **_kwargs):  # pragma: no cover - documented stub
     BMP, PNG and WAV payloads DO get real decodes via ``decode_media``,
     and MP4 containers get real sample-table parsing (frame ranges,
     timing, keyframes) via ``parse_mp4_samples`` — this stub covers
-    only the PIXEL decode of coded bitstreams (H.264/progressive JPEG).
+    only the PIXEL decode of coded VIDEO bitstreams (H.264 et al.) —
+    baseline and progressive JPEG both decode natively (operators/jpeg.py).
     """
     raise NotImplementedError(
         "media codecs (PIL/ffmpeg) are not installed in this environment; "

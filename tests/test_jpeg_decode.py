@@ -265,12 +265,351 @@ def test_jpeg_lossy_quant_table():
 def test_jpeg_unsupported_falls_back():
     img = _smooth_image(8, 8)
     payload = bytearray(encode_jpeg(img))
-    # flip SOF0 (0xC0) to SOF2 progressive (0xC2) → ValueError → fallback
+    # flip SOF0 (0xC0) to SOF3 lossless (0xC3) → ValueError → fallback
+    # (SOF2 progressive is DECODED since round 9, so it no longer tests
+    # the unsupported-variant contract)
     idx = payload.index(bytes([0xFF, 0xC0]))
-    payload[idx + 1] = 0xC2
+    payload[idx + 1] = 0xC3
     payload = bytes(payload)
     with pytest.raises(ValueError):
         J.decode_jpeg_pixels(payload)
     assert M.decode_media(payload) == M._fake_feature(payload)
     # dispatch: a valid JPEG decodes as kind 4 through decode_media
     assert M.decode_media(encode_jpeg(img))[0] == 4.0
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) encoder: spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+# Independent dual of the decoder's annex-G procedures (T.81 G.1.2):
+# DC first/refine, AC first with accumulated EOB runs, AC refine with
+# newly-nonzero run/sign symbols and buffered correction bits.
+
+
+def _prog_planes(rgb, quant, subsample, grayscale):
+    """Color-convert, pad, and quantize to per-component zigzag grids
+    (same front half as encode_jpeg, returning grids instead of a scan)."""
+    h, w = rgb.shape[:2]
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    if grayscale:
+        comps = [(1, 1, 1, y)]
+    elif subsample:
+        def box2(p):
+            ph = p[: h + (h & 1), : w + (w & 1)]
+            if h & 1:
+                ph = np.vstack([p, p[-1:]])
+            if w & 1:
+                ph = np.hstack([ph, ph[:, -1:]])
+            return (ph[0::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 0::2] + ph[1::2, 1::2]) / 4.0
+        comps = [(1, 2, 2, y), (2, 1, 1, box2(cb)), (3, 1, 1, box2(cr))]
+    else:
+        comps = [(1, 1, 1, y), (2, 1, 1, cb), (3, 1, 1, cr)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    grids = []
+    meta = []
+    for cid, hs, vs, plane in comps:
+        th_, tw_ = mcus_y * vs * 8, mcus_x * hs * 8
+        ph, pw = plane.shape
+        p = np.zeros((th_, tw_))
+        p[:ph, :pw] = plane
+        if pw < tw_:
+            p[:, pw:] = p[:, pw - 1 : pw]
+        if ph < th_:
+            p[ph:, :] = p[ph - 1 : ph, :]
+        by_n, bx_n = th_ // 8, tw_ // 8
+        grid = np.zeros((by_n, bx_n, 64), dtype=np.int64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coefs = _fdct(blk).reshape(64)
+                grid[by, bx] = [
+                    int(np.floor(coefs[ZZ[i]] / quant[i] + 0.5)) for i in range(64)
+                ]
+        grids.append(grid)
+        meta.append((cid, hs, vs))
+    return h, w, meta, grids, hmax, vmax, mcus_x, mcus_y
+
+
+class _ProgScanWriter:
+    """One scan's entropy stream with EOB-run + correction-bit buffering."""
+
+    def __init__(self):
+        self.bw = _BitWriter()
+        self.eobrun = 0
+        self.br: list[int] = []  # correction bits pending with the EOB run
+
+    def flush_eobrun(self):
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            self.bw.put(*_ac_code(r << 4))
+            if r:
+                self.bw.put(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for bit in self.br:
+            self.bw.put(bit, 1)
+        self.br = []
+
+    def restart(self, rst_index):
+        self.flush_eobrun()
+        self.bw.align()
+        self.bw.out += bytes([0xFF, 0xD0 + (rst_index % 8)])
+
+    def finish(self) -> bytes:
+        self.flush_eobrun()
+        self.bw.align()
+        return bytes(self.bw.out)
+
+
+def _dc_first_bits(sw, grids, order, mcus_x, mcus_y, meta, al, restart_interval):
+    pred = {ci: 0 for ci in order}
+    rst = 0
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            sw.restart(rst)
+            rst += 1
+            pred = {ci: 0 for ci in order}
+        my, mx = divmod(mcu, mcus_x)
+        for ci in order:
+            _, hs, vs = meta[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    v = int(grids[ci][my * vs + by, mx * hs + bx, 0]) >> al
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    s = _size_of(diff)
+                    sw.bw.put(s, _DC_LEN)
+                    sw.bw.put(_mag_bits(diff, s), s)
+
+
+def _dc_refine_bits(sw, grids, order, mcus_x, mcus_y, meta, al, restart_interval):
+    rst = 0
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            sw.restart(rst)
+            rst += 1
+        my, mx = divmod(mcu, mcus_x)
+        for ci in order:
+            _, hs, vs = meta[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    v = int(grids[ci][my * vs + by, mx * hs + bx, 0])
+                    sw.bw.put((v >> al) & 1, 1)
+
+
+def _comp_blocks_dims(h, w, meta, ci, hmax, vmax):
+    _, hs, vs = meta[ci]
+    ch = -(-(h * vs) // vmax)
+    cw = -(-(w * hs) // hmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _ac_first_block(sw, zz, ss, se, al):
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        vals.append(-t if v < 0 else t)
+    last = -1
+    for i, v in enumerate(vals):
+        if v:
+            last = i
+    if last < 0:
+        sw.eobrun += 1
+        if sw.eobrun == 0x7FFF:
+            sw.flush_eobrun()
+        return
+    sw.flush_eobrun()
+    run = 0
+    for i in range(last + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            sw.bw.put(*_ac_code(0xF0))
+            run -= 16
+        s = _size_of(v)
+        sw.bw.put(*_ac_code((run << 4) | s))
+        sw.bw.put(_mag_bits(v, s), s)
+        run = 0
+    if last < se - ss:
+        sw.eobrun += 1
+        if sw.eobrun == 0x7FFF:
+            sw.flush_eobrun()
+
+
+def _ac_refine_block(sw, zz, ss, se, al):
+    absv, neg = [], []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        absv.append(abs(v) >> al)
+        neg.append(v < 0)
+    eob = -1  # index of the last NEWLY-nonzero coefficient
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i
+    run = 0
+    br: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob:
+            sw.flush_eobrun()
+            sw.bw.put(*_ac_code(0xF0))
+            for bit in br:
+                sw.bw.put(bit, 1)
+            br = []
+            run -= 16
+        if t > 1:
+            br.append(t & 1)  # history coefficient: one correction bit
+            continue
+        sw.flush_eobrun()
+        sw.bw.put(*_ac_code((run << 4) | 1))
+        sw.bw.put(0 if neg[i] else 1, 1)
+        for bit in br:
+            sw.bw.put(bit, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        sw.eobrun += 1
+        sw.br.extend(br)
+        if sw.eobrun == 0x7FFF:
+            sw.flush_eobrun()
+
+
+def _ac_scan_bits(sw, grid, h, w, meta, ci, hmax, vmax, ss, se, al,
+                  refine, restart_interval):
+    bh, bw_ = _comp_blocks_dims(h, w, meta, ci, hmax, vmax)
+    rst = 0
+    for unit in range(bh * bw_):
+        if restart_interval and unit and unit % restart_interval == 0:
+            sw.restart(rst)
+            rst += 1
+        zz = grid[unit // bw_, unit % bw_]
+        if refine:
+            _ac_refine_block(sw, zz, ss, se, al)
+        else:
+            _ac_first_block(sw, zz, ss, se, al)
+
+
+def encode_jpeg_progressive(
+    rgb: np.ndarray, quant: np.ndarray | None = None, subsample: bool = False,
+    grayscale: bool = False, restart_interval: int = 0,
+) -> bytes:
+    """Progressive JFIF encoder: the default scan script exercises every
+    annex-G decode path — interleaved DC first (Al=1) and refine, split
+    AC first bands at Al=2, then two AC refinement passes per component
+    down to full precision (so the decoded coefficients equal the
+    baseline encoder's exactly)."""
+    h, w = rgb.shape[:2]
+    quant = quant if quant is not None else np.ones(64, dtype=np.int32)
+    h, w, meta, grids, hmax, vmax, mcus_x, mcus_y = _prog_planes(
+        rgb, quant, subsample, grayscale
+    )
+    order = list(range(len(meta)))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(comp_cis, ss, se, ah, al, data: bytes) -> bytes:
+        body = bytes([len(comp_cis)])
+        for ci in comp_cis:
+            body += bytes([meta[ci][0], 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body) + data
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(int(x) for x in quant))
+    dc_counts = [0] * 16
+    dc_counts[_DC_LEN - 1] = 12
+    out += seg(0xC4, _dht(0, 0, dc_counts, list(range(12))))
+    ac_counts = [0] * 16
+    ac_counts[8], ac_counts[9] = 255, 1
+    out += seg(0xC4, _dht(1, 0, ac_counts, list(range(255)) + [255]))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(meta)])
+    for cid, hs, vs in meta:
+        sof += bytes([cid, (hs << 4) | vs, 0])
+    out += seg(0xC2, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    # scan script: DC first Al=1 (interleaved) -> AC first bands at Al=2
+    # (split band for comp 0: EOB runs + ZRL both get exercised) ->
+    # AC refine Al=2->1 -> DC refine -> AC refine Al=1->0
+    sw = _ProgScanWriter()
+    _dc_first_bits(sw, grids, order, mcus_x, mcus_y, meta, 1, restart_interval)
+    out += sos(order, 0, 0, 0, 1, sw.finish())
+    for ci in order:
+        bands = [(1, 5), (6, 63)] if ci == 0 else [(1, 63)]
+        for ss, se in bands:
+            sw = _ProgScanWriter()
+            _ac_scan_bits(sw, grids[ci], h, w, meta, ci, hmax, vmax,
+                          ss, se, 2, False, restart_interval)
+            out += sos([ci], ss, se, 0, 2, sw.finish())
+    for al in (1, 0):
+        for ci in order:
+            sw = _ProgScanWriter()
+            _ac_scan_bits(sw, grids[ci], h, w, meta, ci, hmax, vmax,
+                          1, 63, al, True, restart_interval)
+            out += sos([ci], 1, 63, al + 1, al, sw.finish())
+        if al == 1:
+            sw = _ProgScanWriter()
+            _dc_refine_bits(sw, grids, order, mcus_x, mcus_y, meta, 0,
+                            restart_interval)
+            out += sos(order, 0, 0, 1, 0, sw.finish())
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_progressive_matches_baseline_444():
+    """Full successive-approximation refinement reconstructs the EXACT
+    quantized coefficients, so progressive and baseline decodes of the
+    same image are bit-identical."""
+    img = _smooth_image(24, 16)
+    base = J.decode_jpeg_pixels(encode_jpeg(img))
+    prog = J.decode_jpeg_pixels(encode_jpeg_progressive(img))
+    assert np.array_equal(prog, base)
+
+
+def test_jpeg_progressive_odd_dims_and_grayscale():
+    img = _smooth_image(13, 10)
+    gray = np.dstack([img[..., 0]] * 3)
+    base = J.decode_jpeg_pixels(encode_jpeg(gray, grayscale=True))
+    prog = J.decode_jpeg_pixels(encode_jpeg_progressive(gray, grayscale=True))
+    assert np.array_equal(prog, base)
+
+
+def test_jpeg_progressive_420_subsampling():
+    """4:2:0: the interleaved DC scan walks the padded MCU grid while
+    single-component AC scans walk each component's OWN block raster —
+    the grid-mismatch case T.81 A.2.2 defines."""
+    img = _smooth_image(24, 40, seed=5)  # w%16 = 8: luma rasters differ
+    base = J.decode_jpeg_pixels(encode_jpeg(img, subsample=True))
+    prog = J.decode_jpeg_pixels(encode_jpeg_progressive(img, subsample=True))
+    assert np.array_equal(prog, base)
+
+
+def test_jpeg_progressive_lossy_quant_and_restart():
+    img = _smooth_image(16, 40)
+    quant = np.full(64, 16, dtype=np.int32)
+    quant[0] = 8
+    base = J.decode_jpeg_pixels(encode_jpeg(img, quant=quant))
+    prog = J.decode_jpeg_pixels(encode_jpeg_progressive(img, quant=quant))
+    assert np.array_equal(prog, base)
+    with_rst = J.decode_jpeg_pixels(
+        encode_jpeg_progressive(img, quant=quant, restart_interval=3)
+    )
+    assert np.array_equal(with_rst, base)
+
+
+def test_jpeg_progressive_through_media_dispatch():
+    img = _smooth_image(8, 8)
+    feat = M.decode_media(encode_jpeg_progressive(img))
+    assert feat[0] == 4.0 and feat[1:4] == [8.0, 8.0, 64.0]
