@@ -41,6 +41,10 @@ def curate_stream(
     dsir_ratio: DataFrame | None = None,
     dsir_min_weight: float = 0.0,
     bpe_merges: list[tuple[str, str]] | None = None,
+    eval_split: bool = False,
+    split_seed: int = 424242,
+    split_val_pct: int = 5,
+    split_test_pct: int = 5,
 ) -> DataFrame:
     """Quality-filter, classify, redact, and first-seen-dedup a document
     stream.
@@ -98,6 +102,21 @@ def curate_stream(
             bpe_symbol_count(
                 bpe_apply_merges(bpe_symbol_string(F.col(text_col)), bpe_merges)
             ),
+        )
+    if eval_split:
+        # q106's content-keyed train/val/test assignment fused into the
+        # same micro-batch scan (row-local hash arithmetic, zero state):
+        # keyed on the PUBLISHED (post-redaction) text, so a re-crawl of
+        # the same document always lands in the same bucket the batch
+        # eval-split job class assigns it.
+        from bricolage_spark.operators.curation import assign_eval_split
+
+        curated = assign_eval_split(
+            curated,
+            text_col,
+            seed=split_seed,
+            val_pct=split_val_pct,
+            test_pct=split_test_pct,
         )
     return dedup_within_watermark(
         curated, ["content_digest"], ts_col=ts_col, watermark=watermark

@@ -647,3 +647,67 @@ def test_curate_stream_bpe_token_counts_over_real_stream(spark, tmp_path):
     }
     assert {d: n for d, (n, _t) in got.items()} == mirror
     assert got[21][0] > got[20][0]  # longer doc, more tokens
+
+
+def test_curate_stream_eval_split_over_real_stream(spark, tmp_path):
+    """eval_split=True fuses q106's content-keyed split assignment into
+    the micro-batch scan (row-local, zero state): every kept doc carries
+    (split, split_bucket), and the assignment equals the batch
+    assign_eval_split operator's on the SAME published text — the
+    stream/batch co-assignment guarantee that makes re-crawled docs
+    land in the same bucket forever."""
+    from bricolage_spark.operators.curation import assign_eval_split
+    from bricolage_spark.streaming.curation import curate_stream
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows = [
+        {"doc_id": 30 + i, "ts": f"2024-01-01T00:0{i}:00",
+         "text": GOOD + f" variant tail {i}"}
+        for i in range(5)
+    ]
+    src = tmp_path / "split_in"
+    src.mkdir()
+    with open(src / "s1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema(doc_schema).json(str(src))
+    curated = curate_stream(
+        stream,
+        watermark="1 hour",
+        classifier_threshold=None,
+        eval_split=True,
+        split_val_pct=30,
+        split_test_pct=30,
+    )
+    q = (
+        curated.writeStream.format("memory")
+        .queryName("split_curated")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "split_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r.doc_id: (r.split, r.split_bucket, r.text)
+        for r in spark.sql("select * from split_curated").collect()
+    }
+    assert set(got) == {30, 31, 32, 33, 34}
+    assert all(s in ("train", "val", "test") for s, _b, _t in got.values())
+    # batch mirror on the published text: identical assignment
+    pub = spark.createDataFrame(
+        [(d, t) for d, (_s, _b, t) in got.items()], "doc_id long, text string"
+    )
+    mirror = {
+        r.doc_id: (r.split, r.split_bucket)
+        for r in assign_eval_split(
+            pub, "text", val_pct=30, test_pct=30
+        ).collect()
+    }
+    assert {d: (s, b) for d, (s, b, _t) in got.items()} == mirror
