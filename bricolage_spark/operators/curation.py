@@ -377,8 +377,18 @@ def split_leakage_report(
     corpus by orders of magnitude and the split side projects to
     (id, split) before joining. Returns (split_a, split_b, n_pairs,
     n_leaking, avg_jaccard) with split_a <= split_b.
+
+    A NULL split (eval-split's contract for NULL-text rows) maps to the
+    label ``unsplit`` BEFORE the cell assignment: Spark's least/greatest
+    skip NULLs, which would silently fold a pair with one unsplit side
+    into a same-split cell and let it past a zero-tolerance gate — a
+    near-dup pair touching an unassigned doc is at best unknown and must
+    surface as a leaking (split, unsplit) cell.
     """
-    sp = splits.select(F.col(id_col), F.col(split_col))
+    sp = splits.select(
+        F.col(id_col),
+        F.coalesce(F.col(split_col), F.lit("unsplit")).alias(split_col),
+    )
     j = (
         pairs.join(
             sp.select(

@@ -1135,9 +1135,8 @@ def bpe_learn_merges(
             )
         base = vocab.select(
             F.concat(
-                F.lit(BPE_SEP),
-                F.regexp_replace(F.col("word"), "(.)", "$1" + BPE_SEP),
-                F.lit(eow + BPE_SEP),
+                F.regexp_replace(F.col("word"), "(.)", BPE_SEP + "$1" + BPE_SEP),
+                F.lit(BPE_SEP + eow + BPE_SEP),
             ).alias("v"),
             "wc",
         ).persist()
@@ -1149,10 +1148,11 @@ def bpe_learn_merges(
     try:
         for rank in range(1, n_merges + 1):
             cur = base.select(bpe_apply_merges(F.col("v"), pending).alias("v"), "wc")
-            sy_full = F.split(F.col("v"), BPE_SEP)
-            # the wrapping sentinels make the first/last split elements
-            # empty strings: symbols are the inner slice (no HOF filter)
-            sy = F.slice(sy_full, 2, F.size(sy_full) - 2)
+            # strip the outer sentinel of the first/last symbol, then the
+            # DOUBLED sentinels between symbols are exact split points
+            # (no HOF filter, no per-element lambda)
+            inner = F.substring(F.col("v"), F.lit(2), F.length(F.col("v")) - 2)
+            sy = F.split(inner, BPE_SEP + BPE_SEP)
             sized = cur.select("wc", sy.alias("s"), F.size(sy).alias("n"))
             pairs = sized.where(F.col("n") >= 2).select(
                 "wc",
@@ -1196,15 +1196,21 @@ def bpe_learn_merges(
 # the reference engine ships no tokenizer; this is part of the
 # training-pipeline extension surface (SURVEY.md §2.7).
 #
-# Representation: a document is ONE sentinel-delimited symbol string
-#     \x01h\x01e\x01l\x01l\x01o\x01</w>\x01w\x01o\x01r\x01l\x01d\x01</w>\x01
-# (every symbol wrapped in \x01; each word ends with the </w> marker, so
-# merges can never cross word boundaries — first-round merge tables never
-# contain </w> as a LEFT element). Applying merge (s1, s2) is then ONE
-# left-to-right non-overlapping replace of \x01s1\x01s2\x01 with
-# \x01s1s2\x01 — the exact greedy-scan semantics of Sennrich et al.'s
-# per-merge step, and a plain string op both Spark (codegen'd
-# StringReplace) and any SQL oracle evaluate identically. The whole
+# Representation: a document is ONE symbol string with every symbol
+# carrying its OWN sentinel pair:
+#     \x01h\x01\x01e\x01...\x01o\x01\x01</w>\x01\x01w\x01...\x01</w>\x01
+# (each word ends with the </w> marker, so merges can never cross word
+# boundaries — first-round merge tables never contain </w> as a LEFT
+# element). Applying merge (s1, s2) is then ONE left-to-right
+# non-overlapping replace of \x01s1\x01\x01s2\x01 with \x01s1s2\x01.
+# Symbols do NOT share boundary sentinels — that is load-bearing: with a
+# single shared sentinel, replacing one occurrence consumes the boundary
+# the NEXT occurrence needs, so consecutive pair repeats ('banana' under
+# merge (a,n)) merge only once per pass while Sennrich et al.'s greedy
+# symbol scan merges every non-overlapping occurrence (round-9 review
+# finding; regression-tested). With the doubled sentinels, plain
+# string replace IS the greedy scan, and both Spark (codegen'd
+# StringReplace) and any SQL oracle evaluate it identically. The whole
 # encode is a single projection: no explode, no shuffle, no Python —
 # embarrassingly parallel over document partitions at 100 TB. The merge
 # table itself is tokenizer-vocabulary metadata (tens to a few thousand
@@ -1216,46 +1222,50 @@ BPE_SEP = "\x01"  # unit separator: absent from real text; parity-safe
 
 
 def bpe_symbol_string(text_col: Column, eow: str = "</w>") -> Column:
-    """Normalized text as one sentinel-delimited BPE symbol string.
+    """Normalized text as one BPE symbol string, every symbol wrapped in
+    its OWN sentinel pair (see the representation note above).
 
-    Chars become \x01-wrapped symbols; the single space normalize_text
+    Chars become \x01c\x01 symbols; the single space normalize_text
     leaves between words becomes the end-of-word marker. Empty text
     encodes as the lone </w> symbol (one token), NULL stays NULL.
     """
     norm = normalize_text(text_col)
-    melted = F.concat(
-        F.lit(BPE_SEP), F.regexp_replace(norm, "(.)", "$1" + BPE_SEP)
-    )
+    melted = F.regexp_replace(norm, "(.)", BPE_SEP + "$1" + BPE_SEP)
     worded = F.replace(
         melted,
         F.lit(BPE_SEP + " " + BPE_SEP),
         F.lit(BPE_SEP + eow + BPE_SEP),
     )
-    return F.concat(worded, F.lit(eow + BPE_SEP))
+    return F.concat(worded, F.lit(BPE_SEP + eow + BPE_SEP))
 
 
 def bpe_apply_merges(sym_col: Column, merges: list[tuple[str, str]]) -> Column:
     """Apply a ranked merge table to a symbol string: one replace per
     merge, in rank order, each a greedy left-to-right non-overlapping
-    pass (consecutive occurrences share a sentinel, so ``aaa`` under
-    merge (a,a) becomes ``aa a`` — the classical BPE scan). Unrolled
-    into nested StringReplace nodes: whole-stage codegen, no Python."""
+    pass over the double-sentinel representation — EXACTLY the classical
+    BPE symbol scan: ``aaa`` under merge (a,a) becomes ``aa a``, and
+    both (a,n) pairs in ``banana`` merge in one pass (no shared boundary
+    to consume). Unrolled into nested StringReplace nodes: whole-stage
+    codegen, no Python."""
     out = sym_col
     for s1, s2 in merges:
         out = F.replace(
             out,
-            F.lit(BPE_SEP + s1 + BPE_SEP + s2 + BPE_SEP),
+            F.lit(BPE_SEP + s1 + BPE_SEP + BPE_SEP + s2 + BPE_SEP),
             F.lit(BPE_SEP + s1 + s2 + BPE_SEP),
         )
     return out
 
 
 def bpe_symbol_count(sym_col: Column) -> Column:
-    """Token count of a symbol string: sentinels minus one."""
+    """Token count of a symbol string: half the sentinel count (every
+    symbol carries exactly two)."""
     return (
-        F.length(sym_col)
-        - F.length(F.replace(sym_col, F.lit(BPE_SEP), F.lit("")))
-        - 1
+        (
+            F.length(sym_col)
+            - F.length(F.replace(sym_col, F.lit(BPE_SEP), F.lit("")))
+        )
+        / 2
     ).cast("bigint")
 
 
@@ -1290,13 +1300,14 @@ def bpe_encode(
         F.col(id_col),
         bpe_symbol_count(F.col("_base")).alias("n_symbols"),
         bpe_symbol_count(enc).alias("n_tokens"),
-        # split() sees the sentinel as a (meta-free) regex; the empty
-        # strings outside the wrapping sentinels are filtered (a short
-        # final doc would otherwise carry one into the preview)
+        # split() sees the sentinel as a (meta-free) regex; symbols sit
+        # at even 1-based positions (empty strings at the boundaries and
+        # between each symbol's closing and the next one's opening
+        # sentinel are filtered out)
         F.concat_ws(
             " ",
             F.filter(
-                F.slice(F.split(enc, BPE_SEP), 2, preview_n),
+                F.slice(F.split(enc, BPE_SEP), 2, 2 * preview_n),
                 lambda t: t != F.lit(""),
             ),
         ).alias("token_preview"),

@@ -4193,8 +4193,8 @@ def _bpe_iter_merge_ctes(n: int) -> str:
     # files" at n=30). Materialization keeps the chain linear.
     parts = [
         f"""v0 AS MATERIALIZED (
-        SELECT {sep} || array_to_string(string_split(word, ''), {sep})
-               || {sep} || '</w>' || {sep} AS v, wc
+        SELECT {sep} || array_to_string(string_split(word, ''), {sep} || {sep})
+               || {sep} || {sep} || '</w>' || {sep} AS v, wc
         FROM vocab
     )"""
     ]
@@ -4203,15 +4203,15 @@ def _bpe_iter_merge_ctes(n: int) -> str:
             f"""p{t} AS MATERIALIZED (
         SELECT sy[i] AS s1, sy[i + 1] AS s2, SUM(wc) AS c
         FROM (SELECT wc,
-                     list_slice(string_split(v, {sep}), 2,
-                                len(string_split(v, {sep})) - 1) AS sy
+                     string_split(v[2 : length(v) - 1], {sep} || {sep}) AS sy
               FROM v{t - 1}),
              UNNEST(range(1, len(sy))) AS u(i)
         GROUP BY 1, 2
     ),
     b{t} AS MATERIALIZED (SELECT {t} AS rnk, s1, s2, c FROM p{t}
              ORDER BY c DESC, s1, s2 LIMIT 1),
-    v{t} AS MATERIALIZED (SELECT replace(w.v, {sep} || b.s1 || {sep} || b.s2 || {sep},
+    v{t} AS MATERIALIZED (SELECT replace(w.v,
+                            {sep} || b.s1 || {sep} || {sep} || b.s2 || {sep},
                             {sep} || b.s1 || b.s2 || {sep}) AS v, w.wc
              FROM v{t - 1} w, b{t} b)"""
         )
@@ -4865,9 +4865,9 @@ def _q102_oracle() -> str:
     {_BPE_ITER_CTES},
     base AS (
         SELECT doc_id,
-               replace({sep} || regexp_replace(norm, '(.)', '\\1' || {sep}, 'g'),
+               replace(regexp_replace(norm, '(.)', {sep} || '\\1' || {sep}, 'g'),
                        {sep} || ' ' || {sep},
-                       {sep} || '</w>' || {sep}) || '</w>' || {sep} AS s
+                       {sep} || '</w>' || {sep}) || {sep} || '</w>' || {sep} AS s
         FROM (SELECT doc_id, norm FROM docs
               JOIN documents USING (doc_id) WHERE text IS NOT NULL) b
     ),
@@ -4875,7 +4875,7 @@ def _q102_oracle() -> str:
         SELECT doc_id, s, 0 FROM base
         UNION ALL
         SELECT e.doc_id,
-               replace(e.s, {sep} || m.s1 || {sep} || m.s2 || {sep},
+               replace(e.s, {sep} || m.s1 || {sep} || {sep} || m.s2 || {sep},
                        {sep} || m.s1 || m.s2 || {sep}),
                e.step + 1
         FROM enc e JOIN merges m ON m.rnk = e.step + 1
@@ -4884,10 +4884,10 @@ def _q102_oracle() -> str:
             WHERE step = (SELECT COUNT(*) FROM merges)),
     n AS (
         SELECT b.doc_id,
-               length(b.s) - length(replace(b.s, {sep}, '')) - 1 AS n_symbols,
-               length(f.s) - length(replace(f.s, {sep}, '')) - 1 AS n_tokens,
+               (length(b.s) - length(replace(b.s, {sep}, ''))) // 2 AS n_symbols,
+               (length(f.s) - length(replace(f.s, {sep}, ''))) // 2 AS n_tokens,
                array_to_string(
-                   list_filter(list_slice(string_split(f.s, {sep}), 2, 9),
+                   list_filter(list_slice(string_split(f.s, {sep}), 2, 17),
                                x -> x <> ''), ' '
                ) AS token_preview
         FROM base b JOIN fin f ON f.doc_id = b.doc_id
@@ -5054,9 +5054,9 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_BPE_ITER_CTES},
     base AS (
         SELECT doc_id,
-               replace(chr(1) || regexp_replace(norm, '(.)', '\\1' || chr(1), 'g'),
+               replace(regexp_replace(norm, '(.)', chr(1) || '\\1' || chr(1), 'g'),
                        chr(1) || ' ' || chr(1),
-                       chr(1) || '</w>' || chr(1)) || '</w>' || chr(1) AS s
+                       chr(1) || '</w>' || chr(1)) || chr(1) || '</w>' || chr(1) AS s
         FROM (SELECT doc_id, norm FROM docs
               JOIN documents USING (doc_id) WHERE text IS NOT NULL) b
     ),
@@ -5064,7 +5064,7 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, s, 0 FROM base
         UNION ALL
         SELECT e.doc_id,
-               replace(e.s, chr(1) || m.s1 || chr(1) || m.s2 || chr(1),
+               replace(e.s, chr(1) || m.s1 || chr(1) || chr(1) || m.s2 || chr(1),
                        chr(1) || m.s1 || m.s2 || chr(1)),
                e.step + 1
         FROM enc e JOIN merges m ON m.rnk = e.step + 1
@@ -5073,8 +5073,8 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE step = (SELECT COUNT(*) FROM merges)),
     per_doc AS (
         SELECT b.doc_id,
-               length(b.s) - length(replace(b.s, chr(1), '')) - 1 AS n_symbols,
-               length(f.s) - length(replace(f.s, chr(1), '')) - 1 AS n_tokens,
+               (length(b.s) - length(replace(b.s, chr(1), ''))) // 2 AS n_symbols,
+               (length(f.s) - length(replace(f.s, chr(1), ''))) // 2 AS n_tokens,
                length(d.norm) AS n_norm_chars
         FROM base b
         JOIN fin f ON f.doc_id = b.doc_id

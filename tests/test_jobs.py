@@ -1303,6 +1303,37 @@ def test_leakage_audit_job_reports_and_gates(engine, home, spark):
         )
     leak4 = engine.table("leak_report4").collect()
     assert any(c.split_a != c.split_b and c.n_pairs >= 1 for c in leak4)
+    # a pair with one UNSPLIT side must surface as leaking, never fold
+    # into a same-split cell (least/greatest skip NULLs — round-9
+    # review finding): doc 5 has no split, its near-twin sits in test
+    engine.save_table(
+        spark.createDataFrame(
+            [
+                (5, "the quick brown fox jumps over the lazy dog soon", None),
+                (2, "the quick brown fox jumps over the lazy dog now", "test"),
+            ],
+            "doc_id long, text string, split string",
+        ),
+        "split_corpus_null",
+    )
+    engine.save_table(
+        spark.createDataFrame(
+            [(2, 5, 0.9)], "id_a long, id_b long, jaccard double"
+        ),
+        "null_pairs",
+    )
+    with pytest.raises(JobFailure, match="cross-split"):
+        run_job(
+            engine, home, "la5.job",
+            "class: leakage-audit\ndest-table: leak_report5\n"
+            "src-table: split_corpus_null\npairs-table: null_pairs\n"
+            "max-leaking: 0\n",
+        )
+    cells5 = {
+        (c.split_a, c.split_b): c.n_leaking
+        for c in engine.table("leak_report5").collect()
+    }
+    assert cells5 == {("test", "unsplit"): 1}
 
 
 def test_assert_job_gates_on_violations(engine, home):

@@ -1723,3 +1723,29 @@ def test_pack_sequences_overwrites_existing_n_tokens(spark):
     rows = {r.doc_id: r for r in out.collect()}
     assert (rows[1].n_tokens, rows[2].n_tokens) == (14, 18)
     assert (rows[1].bin_id, rows[2].bin_id) == (0, 0)
+
+
+def test_bpe_consecutive_pair_repeats_merge_like_sennrich(spark):
+    """Round-9 review regression: 'banana' under merge (a,n) must merge
+    BOTH (a,n) occurrences in one pass (greedy symbol scan), which the
+    old shared-sentinel replace could not (the first replacement
+    consumed the boundary the second needed). Pins the local trainer,
+    the forced distributed trainer, and bpe_encode to the same answer."""
+    from bricolage_spark.operators.textual import bpe_encode, bpe_learn_merges
+
+    df = spark.createDataFrame(
+        [(1, "banana banana bandana")], "doc_id long, text string"
+    )
+    local = bpe_learn_merges(df, "doc_id", "text", n_merges=6)
+    dist = bpe_learn_merges(
+        df, "doc_id", "text", n_merges=6, driver_vocab_max=0
+    )
+    assert local == dist
+    # rank 1 is (a, n) with count 6; after it merges, (a, n) is GONE —
+    # no later rank may re-find it (the old representation did)
+    assert local[0][1:] == ("a", "n", 6)
+    assert all((s1, s2) != ("a", "n") for _, s1, s2, _ in local[1:])
+    enc = bpe_encode(df, "doc_id", "text", [("a", "n")]).collect()[0]
+    # banana: b an an a </w> (5 tokens) x2; bandana: b an d an a </w> (6)
+    assert enc.n_tokens == 5 + 5 + 6
+    assert enc.token_preview == "b an an a </w> b an an"

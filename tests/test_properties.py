@@ -711,8 +711,17 @@ def _bpe_train_mirror(docs_words, n_merges):
     return merges
 
 
+# words up to 6 chars over a 2-letter alphabet: maximizes consecutive
+# pair repeats (banana/abab-class words), where single-sentinel replace
+# application diverged from the greedy symbol scan (round-9 review
+# finding — the ≤3-char words_st could never generate the pattern)
+bpe_words_st = st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=6), min_size=1, max_size=6
+)
+
+
 @pytest.mark.spark
-@given(st.lists(words_st, min_size=1, max_size=6), st.integers(1, 8))
+@given(bpe_words_st, st.integers(1, 8))
 @settings(max_examples=5, deadline=None)
 def test_bpe_learn_merges_matches_reference_trainer(spark, docs_words, n_merges):
     """TRUE iterative induction (q95, round-9): BOTH trainer tiers —
@@ -977,31 +986,33 @@ def test_hashed_ngram_score_null_text_parity(spark):
 
 
 def _bpe_mirror_sym(words):
-    """Python mirror of bpe_symbol_string over a word list."""
+    """Python mirror of bpe_symbol_string over a word list (the
+    double-sentinel representation: every symbol wrapped in its own
+    sentinel pair, so replace == the greedy symbol scan)."""
     from bricolage_spark.operators.textual import BPE_SEP as P
 
     norm = " ".join(words)
-    s = P + "".join(ch + P for ch in norm)
+    s = "".join(P + ch + P for ch in norm)
     s = s.replace(P + " " + P, P + "</w>" + P)
-    return s + "</w>" + P
+    return s + P + "</w>" + P
 
 
 def _bpe_mirror_apply(s, merges):
     from bricolage_spark.operators.textual import BPE_SEP as P
 
     for a, b in merges:
-        s = s.replace(P + a + P + b + P, P + a + b + P)
+        s = s.replace(P + a + P + P + b + P, P + a + b + P)
     return s
 
 
 def _bpe_mirror_count(s):
     from bricolage_spark.operators.textual import BPE_SEP as P
 
-    return s.count(P) - 1
+    return s.count(P) // 2
 
 
 @pytest.mark.spark
-@given(st.lists(words_st, min_size=1, max_size=6))
+@given(bpe_words_st)
 @settings(max_examples=6, deadline=None)
 def test_bpe_roundtrip_induce_then_encode(spark, docs_words):
     """q95 -> q102 round trip on arbitrary word lists: induce merges
