@@ -415,3 +415,67 @@ def split_leakage_report(
         .alias("n_leaking"),
         F.round(F.avg("_j"), 4).alias("avg_jaccard"),
     )
+
+
+def epoch_plan(
+    df: DataFrame,
+    group_col: str,
+    token_col: Column,
+    *,
+    budget_tokens: int,
+    alpha: float = 0.5,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Token-budget epoch planning — the "how many epochs of each source
+    at this budget" table a pretraining run fixes before launch (the
+    data-card companion of :func:`temperature_mixture`): per source, the
+    available token mass, its temperature weight (tokens^alpha / Σ,
+    alpha < 1 upweights small sources), the token target the budget
+    allocates, the implied epoch count, and an ``oversampled`` flag when
+    the plan repeats a source past ``max_epochs`` (the repetition-harm
+    threshold the mixture literature warns on — a flagged source needs
+    more data or a smaller share, not silent extra epochs).
+
+    Numeric discipline follows q84's oracle-pinned pattern: the raw
+    weight is rounded to 12 decimals FIRST and every derived column
+    (floor target, epochs, flag) computes from that rounded value, so
+    engine-to-engine pow/summation ULP drift cannot flip a floor or a
+    flag. One corpus aggregation; everything after is |sources| rows of
+    metadata with a broadcast total — nothing here grows with 100 TB.
+    """
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_col).cast("bigint").alias("n_tokens"),
+    )
+    tot = counts.agg(
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("z")
+    )
+    w12 = F.round(
+        F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("z"), 12
+    )
+    plan = counts.crossJoin(F.broadcast(tot)).select(
+        F.col(group_col),
+        "n_docs",
+        "n_tokens",
+        w12.alias("_w"),
+    )
+    target = F.floor(F.col("_w") * F.lit(float(budget_tokens))).cast("bigint")
+    plan = plan.select(
+        F.col(group_col),
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("_w"), 6).alias("weight"),
+        target.alias("target_tokens"),
+    )
+    epochs_raw = F.col("target_tokens").cast("double") / F.col(
+        "n_tokens"
+    ).cast("double")
+    return plan.select(
+        F.col(group_col),
+        "n_docs",
+        "n_tokens",
+        "weight",
+        "target_tokens",
+        F.round(epochs_raw, 4).alias("epochs"),
+        (epochs_raw > F.lit(max_epochs)).alias("oversampled"),
+    )

@@ -204,6 +204,10 @@ _CLIP_LAST = [
     "q79_winnowing_fingerprints",
     "q80_curation_verdicts",
     "q81_zipf_fit",
+    # round-9 post-window additions (the committed r9 window stays
+    # intact; first driver rows r10 with the clipped core-SQL cohort):
+    "q108_epoch_plan",
+    "q109_classifier_calibration",
 ]
 
 

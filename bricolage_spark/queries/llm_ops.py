@@ -5412,3 +5412,136 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _verified_pairs(spark, sf_dir)
     sp = QUERIES["q106_eval_split"].fn(spark, sf_dir).select("doc_id", "split")
     return split_leakage_report(pairs, sp)
+
+
+# --------------------------------------------------------------------------
+# q108 token-budget epoch plan (training-mix allocation)
+# --------------------------------------------------------------------------
+# NEW post-r9-window (registered in _CLIP_LAST so the committed round-9
+# driver window stays intact; first driver rows round 10). q84 decides a
+# per-source SAMPLING mix; this is the other half every pretraining run
+# fixes before launch: given a total token budget, how many tokens each
+# source contributes and how many EPOCHS of it that implies — with the
+# over-repetition flag the mixture literature warns on.
+_PLAN_BUDGET, _PLAN_ALPHA, _PLAN_MAX_EPOCHS = 500_000, 0.5, 4.0
+
+
+@register(
+    "q108_epoch_plan",
+    oracle=f"""
+    WITH c AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+        GROUP BY source
+    ),
+    z AS (
+        SELECT SUM(POW(CAST(n_tokens AS DOUBLE), {_PLAN_ALPHA})) AS z FROM c
+    ),
+    w AS (
+        SELECT c.source, c.n_docs, c.n_tokens,
+               ROUND(POW(CAST(c.n_tokens AS DOUBLE), {_PLAN_ALPHA}) / z.z, 12)
+                   AS w12
+        FROM c, z
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(w12, 6) AS weight,
+           CAST(FLOOR(w12 * {_PLAN_BUDGET}) AS BIGINT) AS target_tokens,
+           ROUND(CAST(FLOOR(w12 * {_PLAN_BUDGET}) AS BIGINT)
+                 / CAST(n_tokens AS DOUBLE), 4) AS epochs,
+           CAST(FLOOR(w12 * {_PLAN_BUDGET}) AS BIGINT)
+               / CAST(n_tokens AS DOUBLE) > {_PLAN_MAX_EPOCHS} AS oversampled
+    FROM w
+    """,
+    doc="Token-budget epoch plan (operators/curation.py::epoch_plan): "
+    f"per source, available tokens (the fixed ceil(chars/4) estimator), "
+    f"temperature weight (tokens^{_PLAN_ALPHA} share), the token target a "
+    f"{_PLAN_BUDGET}-token budget allocates, implied epochs, and an "
+    f"oversampled flag past {_PLAN_MAX_EPOCHS} epochs (the repetition-harm "
+    "line — a flagged source needs more data or a smaller share). One "
+    "corpus aggregation; the plan itself is |sources| rows with a "
+    "broadcast total. Weight rounded to 12 dp FIRST and every derived "
+    "column computed from it (q84's numeric discipline), so pow/sum ULP "
+    "drift can never flip a floor or a flag between engines.",
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bricolage_spark.operators.curation import epoch_plan
+
+    docs = read_table(spark, sf_dir, "documents")
+    return epoch_plan(
+        docs,
+        "source",
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint"),
+        budget_tokens=_PLAN_BUDGET,
+        alpha=_PLAN_ALPHA,
+        max_epochs=_PLAN_MAX_EPOCHS,
+    )
+
+
+# --------------------------------------------------------------------------
+# q109 quality-classifier calibration report (q83 x q57 cross-check)
+# --------------------------------------------------------------------------
+# The sanity sheet an eval owner reads before trusting a learned quality
+# filter: bucket the corpus by classifier score and report INDEPENDENT
+# quality signals per bucket (Gopher repetition fractions, doc length,
+# the rule-based keep rate). A sane classifier shows monotone-ish
+# signals across buckets; a flat or inverted column means the filter is
+# keying on something else. Composes two already-oracle-verified
+# row-local operators; the per-doc metric join is what a production run
+# stages once as its metrics table, here joined doc-keyed in-plan.
+_CAL_BUCKETS = 10
+
+
+def _q109_oracle() -> str:
+    cls = QUERIES["q83_hashed_ngram_classifier"].oracle
+    rep = QUERIES["q57_quality_repetition"].oracle
+    return f"""
+    WITH cls AS ({cls}),
+    rep AS ({rep})
+    SELECT CAST(FLOOR(cls.score * {_CAL_BUCKETS}) AS BIGINT) AS score_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(cls.score), 4) AS avg_score,
+           ROUND(AVG(rep.dup_word_frac), 4) AS avg_dup_word_frac,
+           ROUND(AVG(rep.dup_trigram_frac), 4) AS avg_dup_trigram_frac,
+           ROUND(AVG(CAST(rep.n_words AS DOUBLE)), 2) AS avg_n_words,
+           ROUND(SUM(CASE WHEN rep.keep THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS gopher_keep_rate
+    FROM cls JOIN rep USING (doc_id)
+    GROUP BY score_bucket
+    """
+
+
+@register(
+    "q109_classifier_calibration",
+    oracle=_q109_oracle(),
+    doc="Classifier calibration report: corpus bucketed by the q83 "
+    f"hashed-ngram score (fixed-width, {_CAL_BUCKETS} buckets — row-local "
+    "arithmetic, never a global ntile window), with per-bucket means of "
+    "the INDEPENDENT q57 Gopher repetition signals, document length, and "
+    "the rule-based keep rate — the 'is my quality filter keying on "
+    "quality' sheet read before a filter gates a 100 TB corpus. Two "
+    "row-local metric projections joined doc-keyed + one <=10-row "
+    "aggregate; a production pipeline stages the per-doc metrics table "
+    "once and this report is then metadata-scale.",
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    cls = T.hashed_ngram_score(docs, "doc_id", "text").select("doc_id", "score")
+    rep = T.repetition_stats(docs, "doc_id", "text")
+    j = cls.join(rep, "doc_id")
+    bucket = F.floor(F.col("score") * _CAL_BUCKETS).cast("bigint")
+    n = F.count(F.lit(1))
+    return j.groupBy(bucket.alias("score_bucket")).agg(
+        n.cast("bigint").alias("n_docs"),
+        F.round(F.avg("score"), 4).alias("avg_score"),
+        F.round(F.avg("dup_word_frac"), 4).alias("avg_dup_word_frac"),
+        F.round(F.avg("dup_trigram_frac"), 4).alias("avg_dup_trigram_frac"),
+        F.round(F.avg(F.col("n_words").cast("double")), 2).alias("avg_n_words"),
+        F.round(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            / n.cast("double"),
+            4,
+        ).alias("gopher_keep_rate"),
+    )

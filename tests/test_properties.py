@@ -1106,3 +1106,48 @@ def test_pack_and_histogram_accept_bpe_token_counts(spark):
     for h in hist:
         assert h.bucket_lo == 2 ** h.bucket
         assert h.total_tokens >= h.n_docs * h.bucket_lo
+
+
+@pytest.mark.spark
+@given(
+    st.lists(st.integers(1, 2000), min_size=1, max_size=8),
+    st.integers(1_000, 200_000),
+)
+@settings(max_examples=6, deadline=None)
+def test_epoch_plan_invariants(spark, source_sizes, budget):
+    """q108's allocation on arbitrary source shapes: weights sum to ~1,
+    floor'd targets never exceed the budget in total, epochs equal
+    target/available, the oversampled flag fires exactly past the
+    threshold, and equal-sized sources get equal allocations."""
+    from pyspark.sql import functions as F
+
+    from bricolage_spark.operators.curation import epoch_plan
+
+    rows = []
+    doc_id = 0
+    for s, n in enumerate(source_sizes):
+        for _ in range(n):
+            rows.append((doc_id, f"src{s}", 40))  # 10 tokens per doc
+            doc_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars int")
+    out = epoch_plan(
+        df,
+        "source",
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint"),
+        budget_tokens=budget,
+        max_epochs=4.0,
+    ).collect()
+    assert len(out) == len(source_sizes)
+    assert abs(sum(r.weight for r in out) - 1.0) < 1e-4
+    assert sum(r.target_tokens for r in out) <= budget
+    by_src = {r.source: r for r in out}
+    for s, n in enumerate(source_sizes):
+        r = by_src[f"src{s}"]
+        assert r.n_docs == n and r.n_tokens == 10 * n
+        assert r.epochs == pytest.approx(r.target_tokens / r.n_tokens, abs=5e-5)
+        assert r.oversampled == (r.target_tokens / r.n_tokens > 4.0)
+    sizes = {}
+    for r in out:
+        sizes.setdefault(r.n_tokens, set()).add(r.target_tokens)
+    for targets in sizes.values():
+        assert len(targets) == 1  # equal sources, equal allocation

@@ -78,6 +78,10 @@ PROBE_QUERIES = (
     "q105_span_contamination",
     "q106_eval_split",
     "q107_split_leakage",
+    # round-9 post-window additions: corpus agg -> metadata plan; two
+    # row-local metric projections joined doc-keyed + tiny agg
+    "q108_epoch_plan",
+    "q109_classifier_calibration",
 )
 
 
