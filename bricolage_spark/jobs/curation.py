@@ -814,3 +814,145 @@ def leakage_audit(job: Job) -> JobResult:
         ),
         rows=n,
     )
+
+
+@jobclass(
+    "epoch-plan",
+    schema=ParamSchema(
+        [
+            TableParam("dest-table"),
+            TableParam("src-table"),
+            StringParam("budget-tokens"),
+            StringParam("group-column", optional=True),
+            StringParam("chars-column", optional=True),
+            StringParam("token-column", optional=True),
+            StringParam("alpha", optional=True),
+            StringParam("max-epochs", optional=True),
+            StringParam("fail-on-oversampled", optional=True),
+        ]
+    ),
+)
+def epoch_plan_job(job: Job) -> JobResult:
+    """Publish the token-budget epoch plan for a curated corpus (q108):
+    per source, available tokens, temperature weight, the budget's token
+    target, implied epochs, and the over-repetition flag — the data-card
+    table a pretraining run fixes before launch.
+
+    Tokens come from ``token-column`` when the pipeline staged real
+    counts (a bpe-encoded table's n_tokens), else the ceil(chars/4)
+    estimator over ``chars-column`` (default n_chars). With
+    ``fail-on-oversampled: true`` the job is a LAUNCH GATE: any source
+    whose plan repeats it past ``max-epochs`` raises JobFailure with the
+    offending rows quoted — the signal to get more data or shrink the
+    share, not to silently over-epoch. One corpus aggregation; the plan
+    is |sources| rows.
+    """
+    from bricolage_spark.operators.curation import epoch_plan
+
+    dest = job.require("dest-table")
+    src = job.require("src-table")
+    budget = int(job.param("budget-tokens"))
+    group_col = str(job.param("group-column", "source"))
+    alpha = float(job.param("alpha", 0.5))
+    max_epochs = float(job.param("max-epochs", 4.0))
+    if budget <= 0:
+        raise ParameterError(f"epoch-plan: budget-tokens must be > 0: {budget}")
+    if not 0.0 < alpha <= 1.0:
+        raise ParameterError(f"epoch-plan: alpha must be in (0, 1]: {alpha}")
+    df = job.engine.table(src)
+    tok_c = job.param("token-column")
+    if tok_c:
+        if str(tok_c) not in df.columns:
+            raise ParameterError(f"epoch-plan: no such column: {tok_c}")
+        token_col = F.col(str(tok_c)).cast("bigint")
+    else:
+        chars_c = str(job.param("chars-column", "n_chars"))
+        if chars_c not in df.columns:
+            raise ParameterError(f"epoch-plan: no such column: {chars_c}")
+        token_col = F.ceil(F.col(chars_c) / 4.0).cast("bigint")
+    if group_col not in df.columns:
+        raise ParameterError(f"epoch-plan: no such column: {group_col}")
+    plan = epoch_plan(
+        df, group_col, token_col,
+        budget_tokens=budget, alpha=alpha, max_epochs=max_epochs,
+    )
+    n = job.engine.save_table(plan, dest, mode="overwrite")
+    rows = job.engine.table(dest).collect()  # |sources| rows of metadata
+    over = [r for r in rows if r.oversampled]
+    if over and job.bool_param("fail-on-oversampled"):
+        worst = sorted(over, key=lambda r: -r.epochs)[:3]
+        shown = "; ".join(
+            f"{getattr(r, group_col)}: {r.epochs} epochs of "
+            f"{r.n_tokens} tokens" for r in worst
+        )
+        raise JobFailure(
+            f"epoch-plan: {len(over)} source(s) over {max_epochs} "
+            f"epochs at budget {budget}: {shown}"
+        )
+    return JobResult(
+        message=(
+            f"epoch plan {src} -> {dest}: {n} sources, budget {budget} "
+            f"tokens, {len(over)} oversampled"
+        ),
+        rows=n,
+    )
+
+
+@jobclass(
+    "calibration-report",
+    schema=ParamSchema(
+        [
+            TableParam("dest-table"),
+            TableParam("src-table"),
+            StringParam("id-column", optional=True),
+            StringParam("text-column", optional=True),
+            StringParam("buckets", optional=True),
+        ]
+    ),
+)
+def calibration_report(job: Job) -> JobResult:
+    """Publish the quality-classifier calibration sheet (q109): the
+    corpus bucketed by the hashed-ngram classifier score, with
+    per-bucket means of the INDEPENDENT Gopher repetition signals and
+    the rule-based keep rate. Run it on the PRE-filter corpus so both
+    sides of the classifier's verdict appear — a flat or inverted
+    column means the filter is keying on something other than quality.
+    Two row-local metric projections, one doc-keyed join, a
+    |buckets|-row publish.
+    """
+    from bricolage_spark.operators.textual import (
+        hashed_ngram_score,
+        repetition_stats,
+    )
+
+    dest = job.require("dest-table")
+    src = job.require("src-table")
+    id_col = str(job.param("id-column", "doc_id"))
+    text_col = str(job.param("text-column", "text"))
+    n_buckets = int(job.param("buckets", 10))
+    if n_buckets < 2:
+        raise ParameterError(f"calibration-report: buckets must be >= 2: {n_buckets}")
+    df = job.engine.table(src)
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise ParameterError(f"calibration-report: no such column: {c}")
+    cls = hashed_ngram_score(df, id_col, text_col).select(id_col, "score")
+    rep = repetition_stats(df, id_col, text_col)
+    j = cls.join(rep, id_col)
+    bucket = F.floor(F.col("score") * n_buckets).cast("bigint")
+    n = F.count(F.lit(1))
+    report = j.groupBy(bucket.alias("score_bucket")).agg(
+        n.cast("bigint").alias("n_docs"),
+        F.round(F.avg("score"), 4).alias("avg_score"),
+        F.round(F.avg("dup_word_frac"), 4).alias("avg_dup_word_frac"),
+        F.round(F.avg("dup_trigram_frac"), 4).alias("avg_dup_trigram_frac"),
+        F.round(F.avg(F.col("n_words").cast("double")), 2).alias("avg_n_words"),
+        F.round(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)) / n.cast("double"), 4
+        ).alias("gopher_keep_rate"),
+    )
+    rows = job.engine.save_table(report, dest, mode="overwrite")
+    return JobResult(
+        message=f"calibration report {src} -> {dest}: {rows} score buckets",
+        rows=rows,
+    )

@@ -484,6 +484,16 @@ def test_example_curation_home_runs_end_to_end(engine, tmp_path):
     assert report.filter("split_a <> split_b").agg(
         SF.coalesce(SF.sum("n_leaking"), SF.lit(0))
     ).first()[0] == 0
+    # data-card branches: the epoch plan covers every selected source
+    # within the budget; the calibration sheet partitions the pre-filter
+    # corpus across score buckets
+    plan = engine.table("epoch_plan")
+    assert plan.count() == engine.table("selected_documents").select(
+        "source"
+    ).distinct().count()
+    assert plan.agg(SF.sum("target_tokens")).first()[0] <= 500000
+    cal = engine.table("calibration_report")
+    assert cal.agg(SF.sum("n_docs")).first()[0] == clean
 
 
 def test_load_maxerror_quarantines_bad_rows(engine, home, tmp_path):
@@ -1334,6 +1344,85 @@ def test_leakage_audit_job_reports_and_gates(engine, home, spark):
         for c in engine.table("leak_report5").collect()
     }
     assert cells5 == {("test", "unsplit"): 1}
+
+
+def test_epoch_plan_job_reports_and_gates(engine, home, spark):
+    """epoch-plan job class: publishes the |sources| data-card table,
+    the launch gate fires on oversampled sources only when asked, and
+    parameters validate."""
+    from bricolage_spark.exception import ParameterError
+
+    rows = [(i, "big" if i < 90 else "small", 400) for i in range(100)]
+    engine.save_table(
+        spark.createDataFrame(rows, "doc_id long, source string, n_chars int"),
+        "plan_pool",
+    )
+    # 100 tokens/doc: big=9000 tokens, small=1000. A 12k budget splits
+    # by sqrt share (~9.0k/3.0k): small implies 3 epochs -> under 4.
+    r = run_job(
+        engine, home, "ep.job",
+        "class: epoch-plan\ndest-table: plan_out\nsrc-table: plan_pool\n"
+        "budget-tokens: 12000\nmax-epochs: 4\n",
+    )
+    assert r.success and r.rows == 2
+    plan = {p.source: p for p in engine.table("plan_out").collect()}
+    assert plan["big"].n_tokens == 9000 and plan["small"].n_tokens == 1000
+    assert sum(p.target_tokens for p in plan.values()) <= 12000
+    assert not any(p.oversampled for p in plan.values())
+    # a 40k budget over-epochs the small source -> gate fires when asked
+    r2 = run_job(
+        engine, home, "ep2.job",
+        "class: epoch-plan\ndest-table: plan_out2\nsrc-table: plan_pool\n"
+        "budget-tokens: 40000\nmax-epochs: 4\n",
+    )
+    assert r2.success and "1 oversampled" in r2.message
+    with pytest.raises(JobFailure, match="oversampled|epochs"):
+        run_job(
+            engine, home, "ep3.job",
+            "class: epoch-plan\ndest-table: plan_out3\nsrc-table: plan_pool\n"
+            "budget-tokens: 40000\nmax-epochs: 4\nfail-on-oversampled: true\n",
+        )
+    # the gate still PUBLISHED the plan before failing (auditors read it)
+    assert engine.table("plan_out3").count() == 2
+    with pytest.raises(ParameterError):
+        run_job(
+            engine, home, "ep4.job",
+            "class: epoch-plan\ndest-table: x\nsrc-table: plan_pool\n"
+            "budget-tokens: 0\n",
+        )
+    with pytest.raises(ParameterError):
+        run_job(
+            engine, home, "ep5.job",
+            "class: epoch-plan\ndest-table: x\nsrc-table: plan_pool\n"
+            "budget-tokens: 100\ntoken-column: nope\n",
+        )
+
+
+def test_calibration_report_job(engine, home, spark):
+    """calibration-report job class: publishes per-bucket means over the
+    independent repetition signals; repetitive docs show a higher
+    dup_word_frac column than clean docs wherever both buckets exist."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta " * 3)
+            for i in range(20)]
+    rows += [(100 + i, "spam spam spam spam spam spam spam spam " * 3)
+             for i in range(20)]
+    engine.save_table(
+        spark.createDataFrame(rows, "doc_id long, text string"), "cal_pool"
+    )
+    r = run_job(
+        engine, home, "cal.job",
+        "class: calibration-report\ndest-table: cal_out\n"
+        "src-table: cal_pool\nbuckets: 5\n",
+    )
+    assert r.success and 1 <= r.rows <= 5
+    cells = engine.table("cal_out").collect()
+    assert sum(c.n_docs for c in cells) == 40
+    for c in cells:
+        assert 0 <= c.score_bucket <= 4
+        assert 0.0 <= c.gopher_keep_rate <= 1.0
+        # the spam docs carry dup_word_frac ~0.96, clean ~0.67: any
+        # bucket holding only spam shows the higher mean
+        assert 0.0 <= c.avg_dup_word_frac <= 1.0
 
 
 def test_assert_job_gates_on_violations(engine, home):
