@@ -791,26 +791,27 @@ def leakage_audit(job: Job) -> JobResult:
     # the published report is <=9 rows — reading it back for the gate is
     # metadata-scale and gates on exactly what auditors will see
     cells = job.engine.table(dest).collect()
-    leaking = sum(
-        r.n_leaking for r in cells if r.split_a != r.split_b
-    )
+    # n_leaking already covers cross-split cells AND any cell touching
+    # unsplit docs (operator contract) — the gate sums it directly
+    leaking = sum(r.n_leaking for r in cells)
     max_leak = job.param("max-leaking")
     if max_leak is not None and leaking > int(max_leak):
         worst = sorted(
-            (r for r in cells if r.split_a != r.split_b),
+            (r for r in cells if r.n_leaking > 0),
             key=lambda r: -r.n_pairs,
         )[:3]
         shown = "; ".join(
-            f"{r.split_a}/{r.split_b}: {r.n_pairs} pairs" for r in worst
+            f"{r.split_a}/{r.split_b}: {r.n_leaking} pairs" for r in worst
         )
         raise JobFailure(
-            f"leakage-audit: {leaking} cross-split near-dup pair(s) exceed "
-            f"max-leaking {max_leak} ({origin}): {shown}"
+            f"leakage-audit: {leaking} leaking near-dup pair(s) "
+            f"(cross-split or unsplit) exceed max-leaking {max_leak} "
+            f"({origin}): {shown}"
         )
     return JobResult(
         message=(
             f"leakage audit {src} -> {dest}: {n} cells, {leaking} "
-            f"cross-split pair(s) ({origin})"
+            f"leaking pair(s) ({origin})"
         ),
         rows=n,
     )
@@ -920,10 +921,7 @@ def calibration_report(job: Job) -> JobResult:
     Two row-local metric projections, one doc-keyed join, a
     |buckets|-row publish.
     """
-    from bricolage_spark.operators.textual import (
-        hashed_ngram_score,
-        repetition_stats,
-    )
+    from bricolage_spark.operators.textual import calibration_table
 
     dest = job.require("dest-table")
     src = job.require("src-table")
@@ -936,21 +934,7 @@ def calibration_report(job: Job) -> JobResult:
     for c in (id_col, text_col):
         if c not in df.columns:
             raise ParameterError(f"calibration-report: no such column: {c}")
-    cls = hashed_ngram_score(df, id_col, text_col).select(id_col, "score")
-    rep = repetition_stats(df, id_col, text_col)
-    j = cls.join(rep, id_col)
-    bucket = F.floor(F.col("score") * n_buckets).cast("bigint")
-    n = F.count(F.lit(1))
-    report = j.groupBy(bucket.alias("score_bucket")).agg(
-        n.cast("bigint").alias("n_docs"),
-        F.round(F.avg("score"), 4).alias("avg_score"),
-        F.round(F.avg("dup_word_frac"), 4).alias("avg_dup_word_frac"),
-        F.round(F.avg("dup_trigram_frac"), 4).alias("avg_dup_trigram_frac"),
-        F.round(F.avg(F.col("n_words").cast("double")), 2).alias("avg_n_words"),
-        F.round(
-            F.sum(F.when(F.col("keep"), 1).otherwise(0)) / n.cast("double"), 4
-        ).alias("gopher_keep_rate"),
-    )
+    report = calibration_table(df, id_col, text_col, n_buckets=n_buckets)
     rows = job.engine.save_table(report, dest, mode="overwrite")
     return JobResult(
         message=f"calibration report {src} -> {dest}: {rows} score buckets",

@@ -381,9 +381,12 @@ def split_leakage_report(
     A NULL split (eval-split's contract for NULL-text rows) maps to the
     label ``unsplit`` BEFORE the cell assignment: Spark's least/greatest
     skip NULLs, which would silently fold a pair with one unsplit side
-    into a same-split cell and let it past a zero-tolerance gate — a
-    near-dup pair touching an unassigned doc is at best unknown and must
-    surface as a leaking (split, unsplit) cell.
+    into a same-split cell and let it past a zero-tolerance gate. A
+    near-dup pair touching an unassigned doc — EITHER side, including
+    both — is at best unknown and counts as leaking: ``n_leaking``
+    covers cross-split cells and every ``unsplit`` cell, so the
+    (unsplit, unsplit) diagonal cannot hide from the gate either
+    (round-9 review, second pass).
     """
     sp = splits.select(
         F.col(id_col),
@@ -408,11 +411,12 @@ def split_leakage_report(
             F.col(jaccard_col).alias("_j"),
         )
     )
+    leaking = (F.col("split_a") != F.col("split_b")) | (
+        F.col("split_b") == "unsplit"
+    )
     return j.groupBy("split_a", "split_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.sum(F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_leaking"),
+        F.sum(F.when(leaking, 1).otherwise(0)).cast("bigint").alias("n_leaking"),
         F.round(F.avg("_j"), 4).alias("avg_jaccard"),
     )
 
@@ -436,11 +440,21 @@ def epoch_plan(
     threshold the mixture literature warns on — a flagged source needs
     more data or a smaller share, not silent extra epochs).
 
-    Numeric discipline follows q84's oracle-pinned pattern: the raw
-    weight is rounded to 12 decimals FIRST and every derived column
-    (floor target, epochs, flag) computes from that rounded value, so
-    engine-to-engine pow/summation ULP drift cannot flip a floor or a
-    flag. One corpus aggregation; everything after is |sources| rows of
+    Numeric discipline extends q84's oracle-pinned pattern: the raw
+    weight is truncated to 12 decimals FIRST — floor(w·10¹²)/10¹², a
+    DOWNWARD grid snap, not HALF_UP — and every derived column (floor
+    target, epochs, flag) computes from that snapped value. Downward
+    matters at production budgets: HALF_UP can push each weight up by
+    5e-13, so Σw could exceed 1 by k·5e-13 and a 10¹²-token budget would
+    over-allocate by thousands of tokens; truncation keeps Σw ≤ Σraw ≈ 1
+    (± k ULP), so Σ floor(w·B) ≤ B holds as an integer inequality for
+    any real budget (round-9 review finding; the property test drives
+    budgets to 10¹³). The grid snap also keeps engine-to-engine pow/sum
+    ULP drift from flipping a floor or a flag, same as q84's rounding.
+    Zero-token sources (all-empty docs) get weight/target/epochs 0 and
+    ``oversampled`` false — never a 0/0, which Spark's non-ANSI division
+    turns into NULL while DuckDB makes it NaN (> any threshold).
+    One corpus aggregation; everything after is |sources| rows of
     metadata with a broadcast total — nothing here grows with 100 TB.
     """
     counts = df.groupBy(group_col).agg(
@@ -450,9 +464,10 @@ def epoch_plan(
     tot = counts.agg(
         F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("z")
     )
-    w12 = F.round(
-        F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("z"), 12
-    )
+    raw = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("z")
+    w12 = F.when(
+        F.col("z") > 0, F.floor(raw * F.lit(1e12)) / F.lit(1e12)
+    ).otherwise(F.lit(0.0))
     plan = counts.crossJoin(F.broadcast(tot)).select(
         F.col(group_col),
         "n_docs",
@@ -467,9 +482,10 @@ def epoch_plan(
         F.round(F.col("_w"), 6).alias("weight"),
         target.alias("target_tokens"),
     )
-    epochs_raw = F.col("target_tokens").cast("double") / F.col(
-        "n_tokens"
-    ).cast("double")
+    epochs_raw = F.when(
+        F.col("n_tokens") > 0,
+        F.col("target_tokens").cast("double") / F.col("n_tokens").cast("double"),
+    ).otherwise(F.lit(0.0))
     return plan.select(
         F.col(group_col),
         "n_docs",

@@ -1317,6 +1317,35 @@ def bpe_encode(
     )
 
 
+def calibration_table(
+    df: DataFrame, id_col: str, text_col: str, *, n_buckets: int = 10
+) -> DataFrame:
+    """Quality-classifier calibration sheet (q109, shared with the
+    ``calibration-report`` job class): the corpus bucketed by the
+    hashed-ngram score (fixed-width buckets — row-local arithmetic,
+    never a global ntile window), with per-bucket means of the
+    INDEPENDENT Gopher repetition signals, document length, and the
+    rule-based keep rate. Two row-local metric projections, one
+    doc-keyed join, a |buckets|-row aggregate; a production pipeline
+    stages the per-doc metrics table once and the report is then
+    metadata-scale."""
+    cls = hashed_ngram_score(df, id_col, text_col).select(id_col, "score")
+    rep = repetition_stats(df, id_col, text_col)
+    j = cls.join(rep, id_col)
+    bucket = F.floor(F.col("score") * n_buckets).cast("bigint")
+    n = F.count(F.lit(1))
+    return j.groupBy(bucket.alias("score_bucket")).agg(
+        n.cast("bigint").alias("n_docs"),
+        F.round(F.avg("score"), 4).alias("avg_score"),
+        F.round(F.avg("dup_word_frac"), 4).alias("avg_dup_word_frac"),
+        F.round(F.avg("dup_trigram_frac"), 4).alias("avg_dup_trigram_frac"),
+        F.round(F.avg(F.col("n_words").cast("double")), 2).alias("avg_n_words"),
+        F.round(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)) / n.cast("double"), 4
+        ).alias("gopher_keep_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # token-budget packing / length histogram over ANY token-count column
 # ---------------------------------------------------------------------------

@@ -5442,18 +5442,27 @@ _PLAN_BUDGET, _PLAN_ALPHA, _PLAN_MAX_EPOCHS = 500_000, 0.5, 4.0
     ),
     w AS (
         SELECT c.source, c.n_docs, c.n_tokens,
-               ROUND(POW(CAST(c.n_tokens AS DOUBLE), {_PLAN_ALPHA}) / z.z, 12)
-                   AS w12
+               CASE WHEN z.z > 0
+                    THEN FLOOR(POW(CAST(c.n_tokens AS DOUBLE), {_PLAN_ALPHA})
+                               / z.z * 1e12) / 1e12
+                    ELSE 0.0 END AS w12
         FROM c, z
+    ),
+    t AS (
+        SELECT source, n_docs, n_tokens, w12,
+               CAST(FLOOR(w12 * {_PLAN_BUDGET}) AS BIGINT) AS target_tokens,
+               CASE WHEN n_tokens > 0
+                    THEN CAST(FLOOR(w12 * {_PLAN_BUDGET}) AS BIGINT)
+                         / CAST(n_tokens AS DOUBLE)
+                    ELSE 0.0 END AS epochs_raw
+        FROM w
     )
     SELECT source, n_docs, n_tokens,
            ROUND(w12, 6) AS weight,
-           CAST(FLOOR(w12 * {_PLAN_BUDGET}) AS BIGINT) AS target_tokens,
-           ROUND(CAST(FLOOR(w12 * {_PLAN_BUDGET}) AS BIGINT)
-                 / CAST(n_tokens AS DOUBLE), 4) AS epochs,
-           CAST(FLOOR(w12 * {_PLAN_BUDGET}) AS BIGINT)
-               / CAST(n_tokens AS DOUBLE) > {_PLAN_MAX_EPOCHS} AS oversampled
-    FROM w
+           target_tokens,
+           ROUND(epochs_raw, 4) AS epochs,
+           epochs_raw > {_PLAN_MAX_EPOCHS} AS oversampled
+    FROM t
     """,
     doc="Token-budget epoch plan (operators/curation.py::epoch_plan): "
     f"per source, available tokens (the fixed ceil(chars/4) estimator), "
@@ -5462,9 +5471,12 @@ _PLAN_BUDGET, _PLAN_ALPHA, _PLAN_MAX_EPOCHS = 500_000, 0.5, 4.0
     f"oversampled flag past {_PLAN_MAX_EPOCHS} epochs (the repetition-harm "
     "line — a flagged source needs more data or a smaller share). One "
     "corpus aggregation; the plan itself is |sources| rows with a "
-    "broadcast total. Weight rounded to 12 dp FIRST and every derived "
-    "column computed from it (q84's numeric discipline), so pow/sum ULP "
-    "drift can never flip a floor or a flag between engines.",
+    "broadcast total. Weight TRUNCATED to 12 dp first (downward grid "
+    "snap — sum of weights stays <= 1, so the floor'd targets can never "
+    "over-allocate even a trillion-token budget) and every derived "
+    "column computed from it, so pow/sum ULP drift can never flip a "
+    "floor or a flag between engines; zero-token sources plan to 0 "
+    "(never a 0/0, which Spark NULLs and DuckDB NaNs apart).",
 )
 def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bricolage_spark.operators.curation import epoch_plan
@@ -5528,20 +5540,4 @@ def _q109_oracle() -> str:
 )
 def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    cls = T.hashed_ngram_score(docs, "doc_id", "text").select("doc_id", "score")
-    rep = T.repetition_stats(docs, "doc_id", "text")
-    j = cls.join(rep, "doc_id")
-    bucket = F.floor(F.col("score") * _CAL_BUCKETS).cast("bigint")
-    n = F.count(F.lit(1))
-    return j.groupBy(bucket.alias("score_bucket")).agg(
-        n.cast("bigint").alias("n_docs"),
-        F.round(F.avg("score"), 4).alias("avg_score"),
-        F.round(F.avg("dup_word_frac"), 4).alias("avg_dup_word_frac"),
-        F.round(F.avg("dup_trigram_frac"), 4).alias("avg_dup_trigram_frac"),
-        F.round(F.avg(F.col("n_words").cast("double")), 2).alias("avg_n_words"),
-        F.round(
-            F.sum(F.when(F.col("keep"), 1).otherwise(0))
-            / n.cast("double"),
-            4,
-        ).alias("gopher_keep_rate"),
-    )
+    return T.calibration_table(docs, "doc_id", "text", n_buckets=_CAL_BUCKETS)

@@ -1282,7 +1282,7 @@ def test_leakage_audit_job_reports_and_gates(engine, home, spark):
         "class: leakage-audit\ndest-table: leak_report\n"
         "src-table: split_corpus\npairs-table: staged_pairs\n",
     )
-    assert r.success and "1 cross-split" in r.message
+    assert r.success and "1 leaking" in r.message
     cells = {
         (c.split_a, c.split_b): (c.n_pairs, c.n_leaking)
         for c in engine.table("leak_report").collect()
@@ -1295,7 +1295,7 @@ def test_leakage_audit_job_reports_and_gates(engine, home, spark):
         "src-table: split_corpus\npairs-table: staged_pairs\n"
         "max-leaking: 1\n",
     ).success
-    with pytest.raises(JobFailure, match="cross-split"):
+    with pytest.raises(JobFailure, match="leaking"):
         run_job(
             engine, home, "la3.job",
             "class: leakage-audit\ndest-table: leak_report3\n"
@@ -1304,7 +1304,7 @@ def test_leakage_audit_job_reports_and_gates(engine, home, spark):
         )
     # computed-pairs path: MinHash-LSH + exact Jaccard finds the same
     # straddling twin directly from the corpus text
-    with pytest.raises(JobFailure, match="cross-split"):
+    with pytest.raises(JobFailure, match="leaking"):
         run_job(
             engine, home, "la4.job",
             "class: leakage-audit\ndest-table: leak_report4\n"
@@ -1332,7 +1332,7 @@ def test_leakage_audit_job_reports_and_gates(engine, home, spark):
         ),
         "null_pairs",
     )
-    with pytest.raises(JobFailure, match="cross-split"):
+    with pytest.raises(JobFailure, match="leaking"):
         run_job(
             engine, home, "la5.job",
             "class: leakage-audit\ndest-table: leak_report5\n"
@@ -1344,6 +1344,37 @@ def test_leakage_audit_job_reports_and_gates(engine, home, spark):
         for c in engine.table("leak_report5").collect()
     }
     assert cells5 == {("test", "unsplit"): 1}
+    # BOTH sides unsplit: the (unsplit, unsplit) diagonal counts as
+    # leaking too (second-pass review: it used to hide as a same-split
+    # cell and slip a zero-tolerance gate)
+    engine.save_table(
+        spark.createDataFrame(
+            [
+                (8, "the quick brown fox jumps over the lazy dog one", None),
+                (9, "the quick brown fox jumps over the lazy dog two", None),
+            ],
+            "doc_id long, text string, split string",
+        ),
+        "split_corpus_null2",
+    )
+    engine.save_table(
+        spark.createDataFrame(
+            [(8, 9, 0.9)], "id_a long, id_b long, jaccard double"
+        ),
+        "null_pairs2",
+    )
+    with pytest.raises(JobFailure, match="leaking"):
+        run_job(
+            engine, home, "la6.job",
+            "class: leakage-audit\ndest-table: leak_report6\n"
+            "src-table: split_corpus_null2\npairs-table: null_pairs2\n"
+            "max-leaking: 0\n",
+        )
+    cells6 = {
+        (c.split_a, c.split_b): c.n_leaking
+        for c in engine.table("leak_report6").collect()
+    }
+    assert cells6 == {("unsplit", "unsplit"): 1}
 
 
 def test_epoch_plan_job_reports_and_gates(engine, home, spark):

@@ -1111,14 +1111,21 @@ def test_pack_and_histogram_accept_bpe_token_counts(spark):
 @pytest.mark.spark
 @given(
     st.lists(st.integers(1, 2000), min_size=1, max_size=8),
-    st.integers(1_000, 200_000),
+    st.one_of(
+        st.integers(1_000, 200_000),
+        # production-scale budgets: the downward 12-dp weight snap is
+        # what keeps sum(floor(w*B)) <= B here — HALF_UP rounding could
+        # overshoot by k*5e-13*B (~thousands of tokens at 10^13)
+        st.integers(10**11, 10**13),
+    ),
 )
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=8, deadline=None)
 def test_epoch_plan_invariants(spark, source_sizes, budget):
-    """q108's allocation on arbitrary source shapes: weights sum to ~1,
-    floor'd targets never exceed the budget in total, epochs equal
-    target/available, the oversampled flag fires exactly past the
-    threshold, and equal-sized sources get equal allocations."""
+    """q108's allocation on arbitrary source shapes AND budgets up to
+    10^13 tokens: weights sum to ~1, floor'd targets never exceed the
+    budget in total, epochs equal target/available, the oversampled
+    flag fires exactly past the threshold, and equal-sized sources get
+    equal allocations."""
     from pyspark.sql import functions as F
 
     from bricolage_spark.operators.curation import epoch_plan
