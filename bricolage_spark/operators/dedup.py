@@ -769,3 +769,54 @@ def remove_duplicate_spans(
         .otherwise(F.array_join(kept, " "))
         .alias("clean_text"),
     )
+
+
+def span_registry_probe(
+    batch_anchors: DataFrame,
+    registry: DataFrame,
+    id_col: str,
+    *,
+    anchor_len: int = 8,
+    min_span: int = 12,
+) -> DataFrame:
+    """Cross-snapshot SPAN-level dedup probe: flag the token spans of a
+    NEW batch that verbatim-duplicate any previously ingested history —
+    the substring-granularity member of the incremental-dedup registry
+    family (doc digests :func:`incremental_dedup`/q67, MinHash bands
+    :func:`incremental_neardup_flags`/q82, SRP bands/q101; spans here).
+
+    ``batch_anchors``: the batch's positional anchor postings
+    (id, pos, ahash) — :func:`positional_anchors` output with the
+    anchor digested (md5: 16-byte registry keys, collision-safe at any
+    corpus size). ``registry``: the history's DISTINCT anchor digests —
+    an append-only table a recurring crawl maintains exactly like the
+    band registries (one append per snapshot, ``registry-compact``
+    dedups; history TEXT is never rescanned, so a snapshot pays
+    O(batch) anchors probed against ~16-byte rows).
+
+    One left-semi join on the digest, then gaps-and-islands per doc
+    (q74's pos − row_number trick; the window partitions by doc and is
+    bounded by its hit count): a duplicated span of L tokens appears as
+    L−k+1 consecutive hit positions and collapses to one maximal span.
+    Returns (id, span_start, span_len, n_anchors) for spans of at least
+    ``min_span`` tokens.
+    """
+    from pyspark.sql import Window
+
+    hits = batch_anchors.join(
+        registry.select("ahash").distinct(), "ahash", "left_semi"
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") - F.min("pos") + anchor_len)
+            .cast("bigint")
+            .alias("span_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+        )
+        .where(F.col("span_len") >= min_span)
+        .drop("grp")
+    )

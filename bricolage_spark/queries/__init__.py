@@ -208,6 +208,7 @@ _CLIP_LAST = [
     # intact; first driver rows r10 with the clipped core-SQL cohort):
     "q108_epoch_plan",
     "q109_classifier_calibration",
+    "q110_span_registry_probe",
 ]
 
 

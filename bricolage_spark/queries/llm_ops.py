@@ -5541,3 +5541,90 @@ def _q109_oracle() -> str:
 def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return T.calibration_table(docs, "doc_id", "text", n_buckets=_CAL_BUCKETS)
+
+
+# --------------------------------------------------------------------------
+# q110 cross-snapshot span-registry probe (incremental substring dedup)
+# --------------------------------------------------------------------------
+# Completes the incremental-dedup registry family at SPAN granularity:
+# doc digests (q67), MinHash bands (q82), SRP bands (q101) all probe an
+# append-only history registry in O(batch) — q110 does the same for
+# verbatim token spans, catching a new crawl's boilerplate/quote reuse
+# against EVERYTHING ingested before without rescanning history text
+# (q74 finds spans within one corpus; this finds them against history).
+# Registered post-r9-window; first driver rows round 10.
+
+
+@register(
+    "q110_span_registry_probe",
+    oracle=f"""
+    WITH {_DOCS_CTE},
+    hanch AS (
+        SELECT DISTINCT md5(array_to_string(words[i : i + {_SPAN_K - 1}], ' '))
+               AS ahash
+        FROM docs,
+             UNNEST(range(1, greatest(len(words) - {_SPAN_K - 1}, 0) + 1)) AS t(i)
+        WHERE doc_id % 3 <> 0
+    ),
+    banch AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               md5(array_to_string(words[i : i + {_SPAN_K - 1}], ' ')) AS ahash
+        FROM docs,
+             UNNEST(range(1, greatest(len(words) - {_SPAN_K - 1}, 0) + 1)) AS t(i)
+        WHERE doc_id % 3 = 0
+    ),
+    hits AS (SELECT b.doc_id, b.pos FROM banch b JOIN hanch USING (ahash)),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM hits
+    ),
+    spans AS (
+        SELECT doc_id, MIN(pos) AS span_start,
+               MAX(pos) - MIN(pos) + {_SPAN_K} AS span_len,
+               COUNT(*) AS n_anchors
+        FROM isl
+        GROUP BY doc_id, grp
+        HAVING MAX(pos) - MIN(pos) + {_SPAN_K} >= {_SPAN_MIN}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)        AS n_spans,
+           CAST(SUM(n_anchors) AS BIGINT)  AS n_hit_anchors,
+           CAST(MAX(span_len) AS BIGINT)   AS max_span_len,
+           CAST(MIN(span_start) AS BIGINT) AS first_span_start
+    FROM spans
+    GROUP BY doc_id
+    """,
+    doc="Cross-snapshot SPAN dedup probe (operators/dedup.py::"
+    "span_registry_probe): the new batch (doc_id % 3 == 0) probes the "
+    f"md5 {_SPAN_K}-gram anchor registry of all ingested history — one "
+    "semi-join of 16-byte digests + a per-doc gaps-and-islands window "
+    f"(bounded by the doc's hit count) — and reports its >= {_SPAN_MIN}-"
+    "token verbatim-duplicated spans per doc. History TEXT is never "
+    "rescanned: the registry is an append-only digest table with the "
+    "same snapshot/compaction discipline as the q82/q101 band "
+    "registries, so a recurring crawl pays O(batch) per snapshot. "
+    "Completes the incremental-dedup family at substring granularity "
+    "(q67 digests, q82 MinHash bands, q101 SRP bands, q110 spans).",
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    hist = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    registry = (
+        D.positional_anchors(hist, "doc_id", "text", k=_SPAN_K)
+        .select(F.md5(F.col("anchor")).alias("ahash"))
+        .distinct()
+    )
+    b_anch = D.positional_anchors(batch, "doc_id", "text", k=_SPAN_K).select(
+        "doc_id", "pos", F.md5(F.col("anchor")).alias("ahash")
+    )
+    spans = D.span_registry_probe(
+        b_anch, registry, "doc_id", anchor_len=_SPAN_K, min_span=_SPAN_MIN
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("n_anchors").cast("bigint").alias("n_hit_anchors"),
+        F.max("span_len").cast("bigint").alias("max_span_len"),
+        F.min("span_start").cast("bigint").alias("first_span_start"),
+    )

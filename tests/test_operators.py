@@ -1749,3 +1749,47 @@ def test_bpe_consecutive_pair_repeats_merge_like_sennrich(spark):
     # banana: b an an a </w> (5 tokens) x2; bandana: b an d an a </w> (6)
     assert enc.n_tokens == 5 + 5 + 6
     assert enc.token_preview == "b an an a </w> b an an"
+
+
+def test_span_registry_probe_flags_history_spans(spark):
+    """q110's probe: a batch doc sharing a >= min_span verbatim run with
+    HISTORY gets exactly that span flagged (islands merge consecutive
+    anchor hits); sub-min_span overlaps and novel text flag nothing."""
+    from pyspark.sql import functions as SF
+
+    from bricolage_spark.operators import dedup as D
+
+    run = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14"  # 14 tokens
+    hist = spark.createDataFrame(
+        [(1, f"intro words here {run} outro")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, f"totally different opening {run} and a new tail"),
+            (11, "w1 w2 w3 w4 w5 w6 w7 w8 only eight shared then novel"),
+            (12, "no overlap with history at all in this document body"),
+        ],
+        "doc_id long, text string",
+    )
+    k, min_span = 8, 12
+    reg = (
+        D.positional_anchors(hist, "doc_id", "text", k=k)
+        .select(SF.md5("anchor").alias("ahash"))
+        .distinct()
+    )
+    b = D.positional_anchors(batch, "doc_id", "text", k=k).select(
+        "doc_id", "pos", SF.md5("anchor").alias("ahash")
+    )
+    spans = {
+        r.doc_id: r
+        for r in D.span_registry_probe(
+            b, reg, "doc_id", anchor_len=k, min_span=min_span
+        ).collect()
+    }
+    # doc 10: the 14-token run => 14-8+1 = 7 consecutive hits, one span
+    # of exactly 14 tokens starting after the 3 intro words (pos 4)
+    assert set(spans) == {10}
+    assert spans[10].span_len == 14
+    assert spans[10].n_anchors == 7
+    assert spans[10].span_start == 4
+    # doc 11 shares only 8 tokens (one anchor, span_len 8 < 12): filtered

@@ -82,6 +82,7 @@ PROBE_QUERIES = (
     # row-local metric projections joined doc-keyed + tiny agg
     "q108_epoch_plan",
     "q109_classifier_calibration",
+    "q110_span_registry_probe",
 )
 
 
