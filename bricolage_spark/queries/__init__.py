@@ -52,35 +52,113 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # come right after the core, and the clip falls on queries that are already
 # driver-green in multiple rounds (listed in ``_CLIP_LAST``).
 #
-# ROUND-9 ROTATION (driver window = first 50).  Candidates = everything
-# NOT attested in round 8: the 7 rows round 8 explicitly deferred
-# (q01/q02/q04/q12/q12b/q12c/q17, each driver-green in rounds 1,2,3,5,6),
-# q104-q107 (registered post-window in r8, NEVER driver-attested), the
-# 11 round-7 additions q84-q94 (single driver row, r7), and the 39-query
-# r7 evidence cohort (newest row r7, two rounds stale) — 61 candidates
-# for 50 slots.  (The round-8 plan note said "clip 7 more"; the correct
-# arithmetic is 61 - 50 = 11.)  Applied overflow rule, unchanged:
-# never/oldest-attested first, clip the DEEPEST multi-round green
-# history and list it explicitly.
+# ROUND-10 ROTATION (driver window = first 50), executing the committed
+# ROUND-10 PLAN verbatim.  Candidates = everything NOT attested in round
+# 9 = 114 - 50 = 64 rows for 50 slots -> clip 14.  Applied overflow
+# rule, unchanged: never/oldest-attested first, clip the DEEPEST
+# multi-round green history and list it explicitly.
 #   In the window (50):
-#   - the 7 round-8 deferrals — listed first, per the standing promise;
-#   - q104-q107 (4) — first driver rows ever;
-#   - q84-q94 (11) — second driver rows;
-#   - 28 of the 39-query r7 cohort — everything except the 11 clipped.
-#   EXPLICITLY CLIPPED this round (61 - 50 = 11): q03 q05 q06 q07 q08
-#   q09 q10 q11 q12d q13 q14 — the deepest-history rows remaining
-#   (elementary core-SQL scans/joins/windows, driver-green in rounds
-#   1/2/3/4/7-class histories plus the judge's r8 oracle selfcheck, all
-#   pytest-covered every round).  Listed FIRST in _CLIP_LAST so any
-#   window widening re-admits them before the r8-green cohort.
+#   - the 11 rows round 9 explicitly clipped (q03/q05-q11/q12d/q13/q14,
+#     newest driver row r7, two rounds stale) — listed first, per the
+#     standing promise;
+#   - q108-q110 (3) — registered post-window in r9, first driver rows
+#     ever;
+#   - q95-q103 (9) — single driver row (r8);
+#   - 27 of the 41-row r8-attested block — everything except the 14
+#     clipped below.
+#   EXPLICITLY CLIPPED this round (64 - 50 = 14): q18 q19 q20 q21 q22
+#   q23 q24 q25 q27 q31 q32 q33 q34 q35 — the deepest multi-round green
+#   histories among the candidates (the round-1-era core-SQL
+#   subquery/function/distinct suite and the earliest dedup block, each
+#   driver-green across the r1-r6 windows, newest row r8, plus the
+#   judge's r9 full-inventory selfcheck; all pytest-covered every
+#   round).  Listed FIRST in _CLIP_LAST so any window widening
+#   re-admits them before the r9-attested cohort.
 #
-# ROUND-10 PLAN: must-attest = the 11 clipped above (their newest driver
-# row will be r7, two rounds stale by r10); then rotate the r8-attested
-# cohort (q95-q103 + the 41-query stale block, newest row r8) ahead of
-# this round's 50 fresh rows, same explicit-clip discipline on whatever
-# exceeds the window.
+# ROUND-11 PLAN: must-attest = the 14 clipped above (newest row r8, two
+# rounds stale by r11); then rotate the r9-attested cohort (the 7
+# core-SQL deferral rows + q104-q107 + q84-q94 + the 28-row r7 cohort,
+# newest row r9) ahead of this round's 50 fresh rows, same
+# explicit-clip discipline on whatever exceeds the window.
 _EVIDENCE_FIRST = [
-    # the round-8 explicit deferral — first driver rows since r6:
+    # the round-9 explicit clip — first driver rows since r7:
+    "q03_group_aggregate",
+    "q05_tpch_q1",
+    "q06_inner_join",
+    "q07_broadcast_join",
+    "q08_outer_join",
+    "q09_semi_anti_join",
+    "q10_cross_theta_join",
+    "q11_tpch_q3",
+    "q12d_unpivot",
+    "q13_window_rank",
+    "q14_window_analytic",
+    # registered post-window in round 9, never driver-attested:
+    "q108_epoch_plan",
+    "q109_classifier_calibration",
+    "q110_span_registry_probe",
+    # round-8 additions, single driver row (r8):
+    "q95_bpe_merges",
+    "q96_semantic_decontamination",
+    "q97_host_pagerank",
+    "q98_dsir_importance",
+    "q99_snapshot_drift",
+    "q100_salient_terms",
+    "q101_semantic_neardup_history",
+    "q102_bpe_encode",
+    "q103_span_removal",
+    # r8-attested block (newest driver row r8), minus the 14 clipped:
+    "q36_ann_lsh_bucketed",
+    "q37_language_id",
+    "q38_token_stats",
+    "q39_quality_score",
+    "q40_fingerprint",
+    "q42_embedding_neardup",
+    "q59_source_overlap",
+    "q60_bm25_retrieval",
+    "q61_dedup_best_of_cluster",
+    "q62_domain_caps",
+    "q63_char_entropy",
+    "q64_doc_chunking",
+    "q65_corpus_report",
+    "q66_interval_join",
+    "q67_incremental_dedup",
+    "q68_embedding_clusters",
+    "q69_ngram_novelty",
+    "q70_length_histogram",
+    "q71_language_label_audit",
+    "q74_duplicate_spans",
+    "q75_lm_perplexity",
+    "q76_url_canonical_dedup",
+    "q77_semantic_dedup",
+    "q78_span_coverage",
+    "q79_winnowing_fingerprints",
+    "q80_curation_verdicts",
+    "q81_zipf_fit",
+]
+
+# Explicitly demoted to the tail (absorb the driver's >50 clip).
+_CLIP_LAST = [
+    # the ROUND-10 EXPLICIT CLIP (see rotation note above): deepest
+    # remaining driver-green history (round-1-era core-SQL function
+    # suite + the earliest dedup block, many rounds + judge r9
+    # selfcheck), re-admitted first if the window ever widens:
+    "q18_subqueries",
+    "q19_case_coalesce_cast",
+    "q20_string_functions",
+    "q21_datetime_functions",
+    "q22_math_functions",
+    "q23_array_functions",
+    "q24_map_functions",
+    "q25_json_functions",
+    "q27_distinct",
+    "q31_dedup_exact",
+    "q32_minhash_signatures",
+    "q33_minhash_lsh_pairs",
+    "q34_simhash",
+    "q35_cosine_topk",
+    # the round-9 attested cohort — newest driver row r9, the freshest
+    # rows in the inventory (CORRECTNESS_r09: 50/50 green):
     "q01_scan_projection",
     "q02_filter_predicates",
     "q04_global_aggregate",
@@ -88,12 +166,10 @@ _EVIDENCE_FIRST = [
     "q12b_cube",
     "q12c_pivot",
     "q17_set_ops",
-    # registered post-window in round 8, never driver-attested:
     "q104_tokenizer_fertility",
     "q105_span_contamination",
     "q106_eval_split",
     "q107_split_leakage",
-    # round-7 additions, single driver row (r7):
     "q84_temperature_mixture",
     "q85_ann_recall",
     "q86_sentence_dedup",
@@ -105,7 +181,6 @@ _EVIDENCE_FIRST = [
     "q92_boilerplate_removal",
     "q93_cluster_size_histogram",
     "q94_dedup_audit",
-    # r7 evidence cohort (newest driver row r7), minus the 11 clipped:
     "q15_topk_per_group",
     "q16_global_topk",
     "q26_distinct_percentiles",
@@ -134,81 +209,6 @@ _EVIDENCE_FIRST = [
     "q73_pmi_collocations",
     "q82_incremental_neardup",
     "q83_hashed_ngram_classifier",
-]
-
-# Explicitly demoted to the tail (absorb the driver's >50 clip).
-_CLIP_LAST = [
-    # the ROUND-9 EXPLICIT CLIP (see rotation note above): deepest
-    # remaining driver-green history (core-SQL, many rounds + judge r8
-    # selfcheck), re-admitted first if the window ever widens:
-    "q03_group_aggregate",
-    "q05_tpch_q1",
-    "q06_inner_join",
-    "q07_broadcast_join",
-    "q08_outer_join",
-    "q09_semi_anti_join",
-    "q10_cross_theta_join",
-    "q11_tpch_q3",
-    "q12d_unpivot",
-    "q13_window_rank",
-    "q14_window_analytic",
-    # the round-8 attested cohort — newest driver row r8, the freshest
-    # rows in the inventory (q95-q103 + the 41-query r8 window block):
-    "q95_bpe_merges",
-    "q96_semantic_decontamination",
-    "q97_host_pagerank",
-    "q98_dsir_importance",
-    "q99_snapshot_drift",
-    "q100_salient_terms",
-    "q101_semantic_neardup_history",
-    "q102_bpe_encode",
-    "q103_span_removal",
-    "q18_subqueries",
-    "q19_case_coalesce_cast",
-    "q20_string_functions",
-    "q21_datetime_functions",
-    "q22_math_functions",
-    "q23_array_functions",
-    "q24_map_functions",
-    "q25_json_functions",
-    "q27_distinct",
-    "q31_dedup_exact",
-    "q32_minhash_signatures",
-    "q33_minhash_lsh_pairs",
-    "q34_simhash",
-    "q35_cosine_topk",
-    "q36_ann_lsh_bucketed",
-    "q37_language_id",
-    "q38_token_stats",
-    "q39_quality_score",
-    "q40_fingerprint",
-    "q42_embedding_neardup",
-    "q59_source_overlap",
-    "q60_bm25_retrieval",
-    "q61_dedup_best_of_cluster",
-    "q62_domain_caps",
-    "q63_char_entropy",
-    "q64_doc_chunking",
-    "q65_corpus_report",
-    "q66_interval_join",
-    "q67_incremental_dedup",
-    "q68_embedding_clusters",
-    "q69_ngram_novelty",
-    "q70_length_histogram",
-    "q71_language_label_audit",
-    "q74_duplicate_spans",
-    "q75_lm_perplexity",
-    "q76_url_canonical_dedup",
-    "q77_semantic_dedup",
-    "q78_span_coverage",
-    "q79_winnowing_fingerprints",
-    "q80_curation_verdicts",
-    "q81_zipf_fit",
-    # round-9 post-window additions (the committed r9 window stays
-    # intact; first driver rows r10 with the clipped core-SQL cohort):
-    "q108_epoch_plan",
-    "q109_classifier_calibration",
-    "q110_span_registry_probe",
 ]
 
 
