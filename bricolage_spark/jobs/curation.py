@@ -775,8 +775,14 @@ def leakage_audit(job: Job) -> JobResult:
         if text_col not in df.columns:
             raise ParameterError(f"leakage-audit: no such column: {text_col}")
         tau = float(job.param("jaccard-threshold", 0.2))
+        # explicit projection, not withColumnRenamed: a source table
+        # carrying an unrelated 'id' column alongside id_col would
+        # otherwise end up with two 'id' columns and an ambiguous
+        # reference inside word_shingles
         sh = word_shingles(
-            df.withColumnRenamed(id_col, "id"), "id", text_col
+            df.select(F.col(id_col).alias("id"), F.col(text_col)),
+            "id",
+            text_col,
         )
         cand = lsh_candidate_pairs(minhash_signatures(sh, "id"), "id")
         pairs = ngram_jaccard_pairs(sh, cand, id_col="id").filter(

@@ -1332,7 +1332,15 @@ def calibration_table(
     cls = hashed_ngram_score(df, id_col, text_col).select(id_col, "score")
     rep = repetition_stats(df, id_col, text_col)
     j = cls.join(rep, id_col)
-    bucket = F.floor(F.col("score") * n_buckets).cast("bigint")
+    # clamp the top edge: the report contract is EXACTLY n_buckets
+    # fixed-width buckets, but the score rounds to 6 decimals, so a
+    # high-z doc under a real weight table scores exactly 1.0 and
+    # floor(1.0 * n) would mint an (n+1)-th bucket. (The fixture weight
+    # table bounds |mean weight| <= 1000 -> z <= 1.1 -> score <= ~0.751,
+    # so the clamp is contract armor, not a reachable branch here.)
+    bucket = F.least(
+        F.floor(F.col("score") * n_buckets), F.lit(n_buckets - 1)
+    ).cast("bigint")
     n = F.count(F.lit(1))
     return j.groupBy(bucket.alias("score_bucket")).agg(
         n.cast("bigint").alias("n_docs"),

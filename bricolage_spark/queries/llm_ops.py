@@ -5512,7 +5512,8 @@ def _q109_oracle() -> str:
     return f"""
     WITH cls AS ({cls}),
     rep AS ({rep})
-    SELECT CAST(FLOOR(cls.score * {_CAL_BUCKETS}) AS BIGINT) AS score_bucket,
+    SELECT CAST(LEAST(FLOOR(cls.score * {_CAL_BUCKETS}),
+                      {_CAL_BUCKETS - 1}) AS BIGINT) AS score_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            ROUND(AVG(cls.score), 4) AS avg_score,
            ROUND(AVG(rep.dup_word_frac), 4) AS avg_dup_word_frac,

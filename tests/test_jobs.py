@@ -1377,6 +1377,34 @@ def test_leakage_audit_job_reports_and_gates(engine, home, spark):
     assert cells6 == {("unsplit", "unsplit"): 1}
 
 
+def test_leakage_audit_computed_pairs_unrelated_id_column(engine, home, spark):
+    """Round-9 advice: the computed-pairs path projects id_col into 'id'
+    explicitly — a source table that ALREADY carries an unrelated 'id'
+    column must not produce an ambiguous-reference failure."""
+    engine.save_table(
+        spark.createDataFrame(
+            [
+                (0, 900, "the quick brown fox jumps over the lazy dog today", "train"),
+                (1, 901, "the quick brown fox jumps over the lazy dog now", "test"),
+            ],
+            "doc_id long, id long, text string, split string",
+        ),
+        "split_corpus_idclash",
+    )
+    with pytest.raises(JobFailure, match="leaking"):
+        run_job(
+            engine, home, "la7.job",
+            "class: leakage-audit\ndest-table: leak_report7\n"
+            "src-table: split_corpus_idclash\njaccard-threshold: 0.5\n"
+            "max-leaking: 0\n",
+        )
+    cells = {
+        (c.split_a, c.split_b): c.n_leaking
+        for c in engine.table("leak_report7").collect()
+    }
+    assert cells == {("test", "train"): 1}
+
+
 def test_epoch_plan_job_reports_and_gates(engine, home, spark):
     """epoch-plan job class: publishes the |sources| data-card table,
     the launch gate fires on oversampled sources only when asked, and
