@@ -289,6 +289,56 @@ class SparkEngine:
         n = target_partitions or max(1, n_files // 4)
         self.save_table(df.repartition(n), spec, mode="overwrite")
 
+    def bucketed_dir(self, spec: TableSpec | str) -> str:
+        """Location of a bucketed table's files (engine-owned sibling of
+        the plain parquet dir)."""
+        return self.table_dir(spec) + ".__bucketed__"
+
+    def bucketed_table_exists(self, spec: TableSpec | str) -> bool:
+        """True when bucket FILES exist on disk — the durable fact.
+        (Catalog entries are session-scoped; see ``bucketed_table``.)"""
+        return os.path.isdir(self.bucketed_dir(spec))
+
+    def bucketed_table(
+        self,
+        spec: TableSpec | str,
+        bucket_cols: list[str] | str,
+        n_buckets: int = 16,
+        sort_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Read a bucketed table, re-registering its catalog entry first
+        if this session has never seen it.
+
+        The bucket FILES are durable; the catalog entry that carries the
+        bucketing metadata is session-scoped (no external metastore), so
+        a new process reading the files as plain parquet would silently
+        lose the co-location and re-shuffle the whole table on every
+        probe join. The fix is an idempotent
+        ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` over the existing
+        files (schema recovered from the parquet footers) — after which
+        scans report ``Bucketed: true`` and joins on the bucket key
+        leave the table side Exchange-free.
+        """
+        spec = TableSpec.parse(spec) if isinstance(spec, str) else spec
+        bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else bucket_cols
+        name = spec.view_name
+        location = self.bucketed_dir(spec)
+        if not self.spark.catalog.tableExists(name):
+            if not os.path.isdir(location):
+                raise JobFailure(f"no such bucketed table: {spec}")
+            schema = self.spark.read.parquet(location).schema
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            sort = ", ".join(f"`{c}`" for c in (sort_cols or bucket_cols))
+            buckets = ", ".join(f"`{c}`" for c in bucket_cols)
+            self.spark.sql(
+                f"CREATE TABLE {name} ({cols}) USING PARQUET "
+                f"CLUSTERED BY ({buckets}) SORTED BY ({sort}) "
+                f"INTO {n_buckets} BUCKETS LOCATION '{location}'"
+            )
+        return self.spark.table(name)
+
     def save_table_bucketed(
         self,
         df: DataFrame,
@@ -296,6 +346,7 @@ class SparkEngine:
         bucket_cols: list[str] | str,
         n_buckets: int = 16,
         sort_cols: list[str] | None = None,
+        mode: str = "overwrite",
     ) -> int:
         """Write a bucketed catalog table — the real ``distkey`` parity.
 
@@ -304,7 +355,19 @@ class SparkEngine:
         distkey/co-location story (SURVEY §1.4). Bucketed writes must go
         through the session catalog (``saveAsTable``), so these tables
         live in the Spark warehouse rather than the engine's plain
-        parquet directory — reads work uniformly via ``spark.table``.
+        parquet directory — reads work uniformly via ``spark.table``
+        (or ``bucketed_table`` from a fresh session).
+
+        ``mode="append"`` adds this batch's rows as new per-bucket files
+        (Spark validates the bucketing spec against the existing table)
+        — the O(batch) maintenance write a corpus-scale registry needs;
+        an overwrite there would rewrite O(history) per snapshot.
+
+        Overwrite is stage-and-swap (write a staging table, then move
+        the files into place and re-register), so a plan that READS the
+        table being overwritten — registry compaction — consumes the
+        old files while the new ones are written, same contract as
+        ``save_table``.
         """
         from pyspark.sql import Observation
 
@@ -316,17 +379,43 @@ class SparkEngine:
         # external table with a location inside the engine warehouse, so
         # data placement stays ours (and a dropped metastore entry never
         # orphans a directory in the global spark-warehouse)
-        location = self.table_dir(spec) + ".__bucketed__"
-        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
-        shutil.rmtree(location, ignore_errors=True)
-        writer = (
-            df.write.format("parquet")
-            .mode("overwrite")
-            .option("path", location)
-            .bucketBy(n_buckets, *bucket_cols)
-            .sortBy(*(sort_cols or bucket_cols))
-        )
-        writer.saveAsTable(name)
+        location = self.bucketed_dir(spec)
+        if mode == "append":
+            # make sure THIS session's catalog knows the table (files may
+            # predate the session), then let Spark validate the spec
+            self.bucketed_table(spec, bucket_cols, n_buckets, sort_cols)
+            (
+                df.write.format("parquet")
+                .mode("append")
+                .option("path", location)
+                .bucketBy(n_buckets, *bucket_cols)
+                .sortBy(*(sort_cols or bucket_cols))
+                .saveAsTable(name)
+            )
+        elif mode == "overwrite":
+            stage_name = f"{name}__stage"
+            stage_loc = f"{location}.__stage__{uuid.uuid4().hex[:8]}"
+            self.spark.sql(f"DROP TABLE IF EXISTS {stage_name}")
+            (
+                df.write.format("parquet")
+                .mode("overwrite")
+                .option("path", stage_loc)
+                .bucketBy(n_buckets, *bucket_cols)
+                .sortBy(*(sort_cols or bucket_cols))
+                .saveAsTable(stage_name)
+            )
+            # the stage write has fully executed (and consumed any reads
+            # of the old files) — now swap
+            self.spark.sql(f"DROP TABLE IF EXISTS {stage_name}")
+            self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+            old = f"{location}.__old__{uuid.uuid4().hex[:8]}"
+            if os.path.exists(location):
+                os.rename(location, old)
+            os.rename(stage_loc, location)
+            shutil.rmtree(old, ignore_errors=True)
+            self.bucketed_table(spec, bucket_cols, n_buckets, sort_cols)
+        else:
+            raise ParameterError(f"unknown write mode: {mode}")
         return int(obs.get["rows_written"])
 
     def create_dummy_table(self, spec: TableSpec | str) -> None:

@@ -111,6 +111,7 @@ def neardup_history(job: Job) -> JobResult:
             StringParam("snapshot-column", optional=True),
             StringParam("keep-snapshots", optional=True),
             StringParam("target-partitions", optional=True),
+            StringParam("buckets", optional=True),
         ]
     ),
 )
@@ -137,10 +138,29 @@ def registry_compact(job: Job) -> JobResult:
       (the distinct-snapshot list is batch-count-sized metadata, safe to
       collect at any corpus scale);
     - the rewrite is stage-and-swap at ``target-partitions`` files (or
-      the vacuum heuristic, current file count / 4).
+      the vacuum heuristic, current file count / 4);
+    - ``buckets`` N — the registry is a BUCKETED catalog table (the
+      span-anchor registry's layout) CLUSTERED BY the key columns:
+      read through ``engine.bucketed_table`` and rewritten bucketed,
+      so compaction preserves the co-location the probe join relies
+      on. Requires explicit ``key-columns``.
     """
     dest = job.require("dest-table")
-    df = job.engine.table(dest)
+    n_bkts = int(job.param("buckets", 0) or 0)
+    if n_bkts:
+        if not job.param("key-columns"):
+            raise ParameterError(
+                "registry-compact: buckets requires explicit key-columns "
+                "(the bucketing columns)"
+            )
+        bucket_keys = [
+            c.strip()
+            for c in str(job.param("key-columns")).split(",")
+            if c.strip()
+        ]
+        df = job.engine.bucketed_table(dest, bucket_keys, n_bkts)
+    else:
+        df = job.engine.table(dest)
     all_cols = df.columns
     keys_raw = job.param("key-columns")
     keys = (
@@ -187,15 +207,31 @@ def registry_compact(job: Job) -> JobResult:
     else:
         compacted = df.dropDuplicates(keys)
 
-    tdir = job.engine.table_dir(dest)
+    tdir = (
+        job.engine.bucketed_dir(dest) if n_bkts else job.engine.table_dir(dest)
+    )
     n_files = sum(
         1
         for _root, _dirs, files in os.walk(tdir)
         for f in files
         if f.endswith(".parquet")
     )
-    n = int(job.param("target-partitions") or 0) or max(1, n_files // 4)
-    rows = job.engine.save_table(compacted.repartition(n), dest, mode="overwrite")
+    if n_bkts:
+        # bucketed rewrite: repartition BY the bucket keys first so each
+        # task holds whole hash-families and the write lands ~1 file per
+        # bucket instead of (tasks x buckets) shards
+        rows = job.engine.save_table_bucketed(
+            compacted.repartition(n_bkts, *[F.col(c) for c in bucket_keys]),
+            dest,
+            bucket_keys,
+            n_bkts,
+        )
+        n = n_bkts
+    else:
+        n = int(job.param("target-partitions") or 0) or max(1, n_files // 4)
+        rows = job.engine.save_table(
+            compacted.repartition(n), dest, mode="overwrite"
+        )
     return JobResult(
         message=(
             f"compacted {dest}: {rows} distinct keys, {n_files}->{n} "
@@ -586,12 +622,7 @@ def span_scrub(job: Job) -> JobResult:
     actually published. Scrub totals come from ``df.observe`` during
     the write — no extra corpus pass.
     """
-    from pyspark.sql import Observation
-
-    from bricolage_spark.operators.dedup import (
-        duplicate_spans,
-        remove_duplicate_spans,
-    )
+    from bricolage_spark.operators.dedup import duplicate_spans
 
     dest = job.require("dest-table")
     src = job.require("src-table")
@@ -606,6 +637,35 @@ def span_scrub(job: Job) -> JobResult:
         min_span=int(job.param("min-span", 12)),
         max_postings=int(job.param("max-postings", 8)),
     )
+    n, got = _publish_span_scrubbed(job.engine, df, spans, id_col, text_col, dest)
+    return JobResult(
+        message=(
+            f"span-scrub {src} -> {dest}: {n} docs, "
+            f"{got.get('docs_touched') or 0} touched, "
+            f"{got.get('words_removed') or 0} duplicated words removed"
+        ),
+        rows=n,
+    )
+
+
+def _publish_span_scrubbed(
+    engine, df, spans, id_col: str, text_col: str, dest
+) -> tuple[int, dict]:
+    """Shared apply/publish tail of ``span-scrub`` and ``span-registry``:
+    rewrite ``df`` with the NON-keeper span occurrences stripped and
+    publish to ``dest``.
+
+    Only docs that actually LOST a span take the rewritten (normalized)
+    text; untouched docs keep their ORIGINAL casing and spacing, and
+    NULL-text rows pass through unmodified with n_removed 0. An
+    ``n_chars`` column, when present, is refreshed to the published
+    lengths. Scrub totals come from ``df.observe`` during the write —
+    no extra corpus pass. Returns (rows_written, observed metrics).
+    """
+    from pyspark.sql import Observation
+
+    from bricolage_spark.operators.dedup import remove_duplicate_spans
+
     cleaned = remove_duplicate_spans(df, spans, id_col, text_col)
     joined = (
         df.join(
@@ -633,13 +693,176 @@ def span_scrub(job: Job) -> JobResult:
         F.sum((F.col("n_removed") > 0).cast("long")).alias("docs_touched"),
     )
     out = joined.select(*df.columns)
-    n = job.engine.save_table(out, dest, mode="overwrite")
-    got = obs.get
+    n = engine.save_table(out, dest, mode="overwrite")
+    return n, obs.get
+
+
+@jobclass(
+    "span-registry",
+    schema=ParamSchema(
+        [
+            TableParam("dest-table"),
+            TableParam("src-table"),
+            TableParam("registry-table"),
+            StringParam("id-column", optional=True),
+            StringParam("text-column", optional=True),
+            StringParam("snapshot", optional=True),
+            StringParam("anchor-len", optional=True),
+            StringParam("min-span", optional=True),
+            StringParam("registry-buckets", optional=True),
+        ]
+    ),
+)
+def span_registry(job: Job) -> JobResult:
+    """Cross-snapshot SPAN dedup stage (q110's probe as a pipeline
+    stage, completing the q67/q82/q101 registry family at substring
+    granularity): scrub from the batch every >= ``min-span``-token word
+    span that verbatim-duplicates ANY previously ingested history, then
+    append the PUBLISHED batch's anchor digests to the registry.
+    ``span-scrub`` catches duplicated spans WITHIN the batch; this
+    stage catches them AGAINST everything published before, without
+    ever rescanning history text.
+
+    Registry contract — this table is NOT like its siblings' (sizing
+    math in SCALE.md "span-anchor registry"):
+
+    - schema ``(ahash string[, snapshot string])`` — one md5 digest per
+      distinct published word ``anchor-len``-gram. The digest count is
+      O(history tokens), so the registry is CORPUS-scale (a 25T-token
+      history is a multi-TB digest table), unlike the O(docs) digest
+      and O(docs x bands) band registries.
+    - maintenance is therefore APPEND-ONLY, never the insert-delta
+      rewrite the band registries use: each snapshot appends O(batch)
+      rows; a labeled replay double-appends harmlessly (the probe
+      excludes the current snapshot's rows null-safely, so verdicts
+      are replay-stable, and probes test key EXISTENCE) and
+      ``registry-compact`` (key-columns: ahash) collapses the
+      duplicates on its own cadence. The one exception is the
+      one-time schema alignment when a first labeled run meets an
+      unlabeled registry.
+    - with ``registry-buckets: N`` the registry lives as a bucketed
+      catalog table CLUSTERED BY (ahash): the probe semi-join then
+      reads co-located buckets directly — ``Bucketed: true`` scan,
+      the ONLY Exchange in the probe is the O(batch) anchor side, and
+      the corpus-scale registry never shuffles (engine.bucketed_table
+      re-registers the session-scoped catalog entry over the durable
+      bucket files). Without it the registry is a plain parquet table
+      and the probe shuffles both sides — fine for modest histories.
+    - Spark's runtime Bloom filter (on by default,
+      ``spark.sql.optimizer.runtime.bloomFilter.enabled``) builds a
+      ~10-bit/key filter from the SMALL batch side and pushes it into
+      the registry scan, so registry rows that cannot match any batch
+      anchor are dropped at the scan — the Bloom tier is the serve
+      index, the exact digest table stays ground truth.
+
+    The apply/publish tail (normalized rewrite only for touched docs,
+    NULL-text passthrough, n_chars refresh) is shared with
+    ``span-scrub``. Registry rows are the anchors of the PUBLISHED
+    (post-scrub) text, so the registry reflects exactly what shipped.
+    """
+    from bricolage_spark.operators.dedup import (
+        positional_anchors,
+        span_registry_probe,
+    )
+
+    dest = job.require("dest-table")
+    src = job.require("src-table")
+    reg_t = job.require("registry-table")
+    id_col = str(job.param("id-column", "doc_id"))
+    text_col = str(job.param("text-column", "text"))
+    k = int(job.param("anchor-len", 8))
+    min_span = int(job.param("min-span", 12))
+    snap = job.param("snapshot")
+    n_buckets = int(job.param("registry-buckets", 0) or 0)
+    df = job.engine.table(src)
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise ParameterError(f"span-registry: no such column: {c}")
+
+    def read_registry():
+        if n_buckets:
+            if not job.engine.bucketed_table_exists(reg_t):
+                return None
+            return job.engine.bucketed_table(reg_t, "ahash", n_buckets)
+        return job.engine.table(reg_t) if job.engine.table_exists(reg_t) else None
+
+    prior = read_registry()
+    probe_rows = prior
+    if prior is not None and snap is not None and "snapshot" in prior.columns:
+        # replay safety: a re-run must not see its own anchors as
+        # "history" and scrub the whole batch; NULL-labeled history
+        # stays probe-visible (null-safe, the insert_delta rule)
+        probe_rows = prior.where(
+            ~F.col("snapshot").eqNullSafe(F.lit(str(snap)))
+        )
+
+    if probe_rows is not None:
+        anchors = positional_anchors(df, id_col, text_col, k=k).select(
+            id_col, "pos", F.md5(F.col("anchor")).alias("ahash")
+        )
+        spans = span_registry_probe(
+            anchors,
+            probe_rows.select("ahash"),
+            id_col,
+            anchor_len=k,
+            min_span=min_span,
+        ).select(
+            F.col(id_col).alias("doc_b"),
+            F.col("span_start").alias("b_start"),
+            "span_len",
+        )
+        n, got = _publish_span_scrubbed(
+            job.engine, df, spans, id_col, text_col, dest
+        )
+    else:
+        # first snapshot: nothing to probe — publish unchanged, seed below
+        n = job.engine.save_table(df, dest, mode="overwrite")
+        got = {"docs_touched": 0, "words_removed": 0}
+
+    # append the PUBLISHED text's distinct anchor digests — O(batch) rows
+    new_rows = (
+        positional_anchors(job.engine.table(dest), id_col, text_col, k=k)
+        .select(F.md5(F.col("anchor")).alias("ahash"))
+        .distinct()
+    )
+    labeled = snap is not None or (
+        prior is not None and "snapshot" in prior.columns
+    )
+    if labeled:
+        new_rows = new_rows.withColumn(
+            "snapshot", F.lit(str(snap)) if snap is not None else F.lit(None).cast("string")
+        )
+    if prior is not None and labeled and "snapshot" not in prior.columns:
+        # one-time migration: align the unlabeled registry's schema so
+        # appended label-bearing files never mix parquet footers
+        aligned = prior.withColumn(
+            "snapshot", F.lit(None).cast("string")
+        ).unionByName(new_rows)
+        if n_buckets:
+            job.engine.save_table_bucketed(aligned, reg_t, "ahash", n_buckets)
+        else:
+            job.engine.save_table(aligned, reg_t, mode="overwrite")
+    elif n_buckets:
+        job.engine.save_table_bucketed(
+            new_rows,
+            reg_t,
+            "ahash",
+            n_buckets,
+            mode="append" if prior is not None else "overwrite",
+        )
+    else:
+        job.engine.save_table(
+            new_rows,
+            reg_t,
+            mode="append" if prior is not None else "overwrite",
+        )
     return JobResult(
         message=(
-            f"span-scrub {src} -> {dest}: {n} docs, "
+            f"span-registry {src} -> {dest}: {n} docs, "
             f"{got.get('docs_touched') or 0} touched, "
-            f"{got.get('words_removed') or 0} duplicated words removed"
+            f"{got.get('words_removed') or 0} history-duplicated words "
+            f"removed; anchors appended to {reg_t}"
+            + (f" ({n_buckets} buckets)" if n_buckets else "")
         ),
         rows=n,
     )

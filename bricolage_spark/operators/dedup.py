@@ -789,10 +789,20 @@ def span_registry_probe(
     (id, pos, ahash) — :func:`positional_anchors` output with the
     anchor digested (md5: 16-byte registry keys, collision-safe at any
     corpus size). ``registry``: the history's DISTINCT anchor digests —
-    an append-only table a recurring crawl maintains exactly like the
-    band registries (one append per snapshot, ``registry-compact``
-    dedups; history TEXT is never rescanned, so a snapshot pays
-    O(batch) anchors probed against ~16-byte rows).
+    maintained by the ``span-registry`` job class (wired in the example
+    jobnet with a ``registry-compact`` branch): one O(batch) APPEND per
+    snapshot — never the band registries' insert-delta rewrite, because
+    this registry is CORPUS-scale — history TEXT is never rescanned.
+    Unlike its O(docs)/O(docs x bands) siblings the row count is
+    O(distinct history k-grams) ≈ history tokens (~0.5 PB at a
+    25T-token history), so the serve layout matters: store it bucketed
+    CLUSTERED BY (ahash) (``registry-buckets``) so this semi-join reads
+    co-located buckets and the registry never shuffles (the only
+    Exchange is the batch side), and let Spark's runtime Bloom filter
+    (built from the small batch side, pushed into the registry scan)
+    drop unmatched registry rows at the scan. Full sizing math,
+    compaction discipline, and the winnowed fallback: SCALE.md
+    "Span-anchor registry".
 
     One left-semi join on the digest, then gaps-and-islands per doc
     (q74's pos − row_number trick; the window partitions by doc and is

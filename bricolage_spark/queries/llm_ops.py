@@ -5602,9 +5602,12 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semi-join of 16-byte digests + a per-doc gaps-and-islands window "
     f"(bounded by the doc's hit count) — and reports its >= {_SPAN_MIN}-"
     "token verbatim-duplicated spans per doc. History TEXT is never "
-    "rescanned: the registry is an append-only digest table with the "
-    "same snapshot/compaction discipline as the q82/q101 band "
-    "registries, so a recurring crawl pays O(batch) per snapshot. "
+    "rescanned: the registry is an append-only digest table maintained "
+    "by the span-registry job class (example jobnet: span_registry + "
+    "compact_span_registry stages, bucketed CLUSTERED BY ahash so the "
+    "probe never shuffles the corpus-scale registry side — sizing "
+    "math in SCALE.md), so a recurring crawl pays O(batch) per "
+    "snapshot. "
     "Completes the incremental-dedup family at substring granularity "
     "(q67 digests, q82 MinHash bands, q101 SRP bands, q110 spans).",
 )

@@ -155,6 +155,69 @@ def test_bucketed_join_has_no_shuffle(engine, spark):
         spark.sql("DROP TABLE IF EXISTS bk_b")
 
 
+def test_bucketed_append_reregister_and_selfread_overwrite(engine, spark):
+    """The durable-bucketed-registry contract: bucket FILES survive the
+    session while catalog entries do not — bucketed_table re-registers
+    over the existing files (scan stays Bucketed: true); append adds
+    O(batch) per-bucket files; and a stage-and-swap overwrite whose
+    plan READS the table being overwritten (the compaction shape) must
+    not lose rows."""
+    from pyspark.sql import functions as SF
+
+    df1 = spark.range(100).select(
+        SF.md5(SF.col("id").cast("string")).alias("ahash"),
+        SF.lit("s1").alias("snapshot"),
+    )
+    try:
+        engine.save_table_bucketed(df1, "bk_reg", "ahash", n_buckets=4)
+        # simulate a fresh process: the catalog entry dies with the session
+        spark.sql("DROP TABLE bk_reg")
+        reread = engine.bucketed_table("bk_reg", "ahash", 4)
+        assert reread.count() == 100
+        # bucketing must survive re-registration: a distinct on the
+        # bucket key aggregates in place — Bucketed scan, no Exchange.
+        # (A plain count() reports Bucketed: false by design — Spark's
+        # auto-bucketed-scan skips per-bucket reading when the query
+        # can't exploit it.)
+        plan = (
+            reread.select("ahash")
+            .distinct()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Bucketed: true" in plan
+        assert "Exchange" not in plan
+        # O(batch) append — again through a cold catalog
+        spark.sql("DROP TABLE bk_reg")
+        df2 = spark.range(100, 150).select(
+            SF.md5(SF.col("id").cast("string")).alias("ahash"),
+            SF.lit("s2").alias("snapshot"),
+        )
+        n = engine.save_table_bucketed(
+            df2, "bk_reg", "ahash", n_buckets=4, mode="append"
+        )
+        assert n == 50
+        assert engine.bucketed_table("bk_reg", "ahash", 4).count() == 150
+        # self-read overwrite (registry compaction): dedup the table into
+        # itself — the union below makes every key a duplicate first
+        dup = engine.bucketed_table("bk_reg", "ahash", 4)
+        engine.save_table_bucketed(
+            dup.unionByName(dup), "bk_reg", "ahash", n_buckets=4, mode="append"
+        )
+        full = engine.bucketed_table("bk_reg", "ahash", 4)
+        assert full.count() == 450  # 150 + the 300-row duplicate append
+        engine.save_table_bucketed(
+            full.dropDuplicates(["ahash"]), "bk_reg", "ahash", n_buckets=4
+        )
+        compacted = engine.bucketed_table("bk_reg", "ahash", 4)
+        assert compacted.count() == 150
+        assert compacted.select("ahash").distinct().count() == 150
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_reg")
+        spark.sql("DROP TABLE IF EXISTS bk_reg__stage")
+
+
 def test_vacuum_compacts(engine, spark):
     df = spark.range(100).repartition(8).selectExpr("id as x")
     engine.save_table(df, "t")

@@ -410,6 +410,7 @@ def test_example_curation_home_runs_end_to_end(engine, tmp_path):
     ded = engine.table("dedup_documents").count()
     scrubbed = engine.table("scrubbed_documents").count()
     fresh = engine.table("fresh_documents").count()
+    span_fresh = engine.table("span_fresh_documents").count()
     sem_fresh = engine.table("sem_fresh_documents").count()
     decon = engine.table("decon_documents").count()
     capped = engine.table("capped_documents").count()
@@ -423,7 +424,21 @@ def test_example_curation_home_runs_end_to_end(engine, tmp_path):
     assert sc.filter("n_chars <> length(text)").count() == 0
     assert 0 < fresh <= scrubbed     # history probe never grows the corpus
     assert fresh == scrubbed         # first snapshot: empty registry keeps all
-    assert sem_fresh == fresh        # first snapshot: empty SRP registry too
+    assert span_fresh == fresh       # span stage rewrites text, drops no doc
+    # first snapshot: empty span registry -> no doc's text was touched,
+    # and the bucketed registry got seeded with the published anchors,
+    # labeled with the snapshot variable
+    assert engine.table("span_fresh_documents").filter(
+        "n_chars <> length(text)"
+    ).count() == 0
+    span_reg = engine.bucketed_table("span_registry", "ahash", 8)
+    assert span_reg.count() > 0
+    assert {
+        r.snapshot for r in span_reg.select("snapshot").distinct().collect()
+    } == {"snapshot0"}
+    # compaction (bucketed) left one row per anchor digest
+    assert span_reg.count() == span_reg.select("ahash").distinct().count()
+    assert sem_fresh == span_fresh   # first snapshot: empty SRP registry too
     # the SRP band registry was seeded, labeled with the snapshot
     srp_reg = engine.table("srp_registry")
     assert srp_reg.count() > 0
@@ -1403,6 +1418,158 @@ def test_leakage_audit_computed_pairs_unrelated_id_column(engine, home, spark):
         for c in engine.table("leak_report7").collect()
     }
     assert cells == {("test", "train"): 1}
+
+
+_RUN14 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14"  # 14 tokens
+
+
+def test_span_registry_job_cross_snapshot_scrub(engine, home, spark):
+    """span-registry job class, plain-parquet registry: snapshot one
+    seeds the registry and publishes unchanged; snapshot two scrubs the
+    >= min-span spans duplicating history, keeps novel/untouched docs
+    verbatim (original casing), passes NULL text through; a labeled
+    REPLAY is verdict-stable (the probe excludes its own snapshot);
+    registry-compact collapses the double-appended rows."""
+    engine.save_table(
+        spark.createDataFrame(
+            [(1, f"Intro words here {_RUN14} outro trailer closing")],
+            "doc_id long, text string",
+        ),
+        "snap1_docs",
+    )
+    r1 = run_job(
+        engine, home, "sr1.job",
+        "class: span-registry\ndest-table: snap1_out\n"
+        "src-table: snap1_docs\nregistry-table: span_reg_plain\n"
+        "snapshot: s1\n",
+    )
+    assert r1.success and r1.rows == 1
+    # first snapshot: published verbatim, registry seeded + labeled
+    assert engine.table("snap1_out").first().text.startswith("Intro words")
+    reg = engine.table("span_reg_plain")
+    assert reg.count() > 0
+    assert {r.snapshot for r in reg.select("snapshot").distinct().collect()} == {"s1"}
+
+    engine.save_table(
+        spark.createDataFrame(
+            [
+                (10, f"Totally different opening {_RUN14} and a new tail here"),
+                (11, "An Entirely novel document with NO prior overlap at all"),
+                (12, None),
+            ],
+            "doc_id long, text string",
+        ),
+        "snap2_docs",
+    )
+    r2 = run_job(
+        engine, home, "sr2.job",
+        "class: span-registry\ndest-table: snap2_out\n"
+        "src-table: snap2_docs\nregistry-table: span_reg_plain\n"
+        "snapshot: s2\n",
+    )
+    assert r2.success and r2.rows == 3 and "1 touched" in r2.message
+    out = {r.doc_id: r.text for r in engine.table("snap2_out").collect()}
+    # doc 10 lost exactly the 14-token history run (normalized rebuild)
+    assert out[10] == "totally different opening and a new tail here"
+    # untouched docs keep ORIGINAL casing; NULL text passes through
+    assert out[11] == "An Entirely novel document with NO prior overlap at all"
+    assert out[12] is None
+    # replay of snapshot s2: same verdicts (self-anchors excluded)
+    r2b = run_job(
+        engine, home, "sr2b.job",
+        "class: span-registry\ndest-table: snap2_out_replay\n"
+        "src-table: snap2_docs\nregistry-table: span_reg_plain\n"
+        "snapshot: s2\n",
+    )
+    assert r2b.success and "1 touched" in r2b.message
+    replay = {r.doc_id: r.text for r in engine.table("snap2_out_replay").collect()}
+    assert replay == out
+    # the replay double-appended s2 rows; compact collapses to 1/key and
+    # keeps the FIRST-seen snapshot label per key
+    reg2 = engine.table("span_reg_plain")
+    assert reg2.count() > reg2.select("ahash").distinct().count()
+    rc = run_job(
+        engine, home, "src.job",
+        "class: registry-compact\ndest-table: span_reg_plain\n"
+        "key-columns: ahash\nsnapshot-column: snapshot\n",
+    )
+    assert rc.success
+    reg3 = engine.table("span_reg_plain")
+    assert reg3.count() == reg3.select("ahash").distinct().count()
+    assert {r.snapshot for r in reg3.select("snapshot").distinct().collect()} == {
+        "s1",
+        "s2",
+    }
+
+
+def test_span_registry_job_bucketed_registry(engine, home, spark):
+    """span-registry with registry-buckets: the registry lives as a
+    bucketed catalog table (ahash co-location), appends stay bucketed,
+    the probe scrubs identically, and bucketed registry-compact
+    preserves the layout."""
+    engine.save_table(
+        spark.createDataFrame(
+            [(1, f"history doc carrying the run {_RUN14} right here")],
+            "doc_id long, text string",
+        ),
+        "bsnap1_docs",
+    )
+    assert run_job(
+        engine, home, "bsr1.job",
+        "class: span-registry\ndest-table: bsnap1_out\n"
+        "src-table: bsnap1_docs\nregistry-table: span_reg_bkt\n"
+        "snapshot: s1\nregistry-buckets: 4\n",
+    ).success
+    assert engine.bucketed_table_exists("span_reg_bkt")
+    seeded = engine.bucketed_table("span_reg_bkt", "ahash", 4).count()
+    assert seeded > 0
+    engine.save_table(
+        spark.createDataFrame(
+            [
+                (10, f"new batch doc with the historical {_RUN14} inside it"),
+                (11, "novel text that matches nothing from the prior snapshot"),
+            ],
+            "doc_id long, text string",
+        ),
+        "bsnap2_docs",
+    )
+    r2 = run_job(
+        engine, home, "bsr2.job",
+        "class: span-registry\ndest-table: bsnap2_out\n"
+        "src-table: bsnap2_docs\nregistry-table: span_reg_bkt\n"
+        "snapshot: s2\nregistry-buckets: 4\n",
+    )
+    assert r2.success and "1 touched" in r2.message
+    out = {r.doc_id: r.text for r in engine.table("bsnap2_out").collect()}
+    assert out[10] == "new batch doc with the historical inside it"
+    assert out[11] == "novel text that matches nothing from the prior snapshot"
+    # the append grew the bucketed table
+    reg = engine.bucketed_table("span_reg_bkt", "ahash", 4)
+    assert reg.count() > seeded
+    # bucketed compaction: one row per key, still a bucketed table
+    assert run_job(
+        engine, home, "bsrc.job",
+        "class: registry-compact\ndest-table: span_reg_bkt\n"
+        "key-columns: ahash\nsnapshot-column: snapshot\nbuckets: 4\n",
+    ).success
+    reg2 = engine.bucketed_table("span_reg_bkt", "ahash", 4)
+    assert reg2.count() == reg2.select("ahash").distinct().count()
+    plan = (
+        reg2.select("ahash")
+        .distinct()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Bucketed: true" in plan and "Exchange" not in plan
+    # buckets without key-columns is a parameter error
+    from bricolage_spark.exception import ParameterError
+
+    with pytest.raises(ParameterError, match="key-columns"):
+        run_job(
+            engine, home, "bsrx.job",
+            "class: registry-compact\ndest-table: span_reg_bkt\nbuckets: 4\n",
+        )
 
 
 def test_epoch_plan_job_reports_and_gates(engine, home, spark):
