@@ -655,37 +655,17 @@ def _publish_span_scrubbed(
     rewrite ``df`` with the NON-keeper span occurrences stripped and
     publish to ``dest``.
 
-    Only docs that actually LOST a span take the rewritten (normalized)
-    text; untouched docs keep their ORIGINAL casing and spacing, and
-    NULL-text rows pass through unmodified with n_removed 0. An
-    ``n_chars`` column, when present, is refreshed to the published
-    lengths. Scrub totals come from ``df.observe`` during the write —
-    no extra corpus pass. Returns (rows_written, observed metrics).
+    The rewrite semantics (keep-original for untouched docs, NULL-text
+    passthrough, n_chars refresh) live in ``operators.dedup.
+    apply_span_scrub`` — shared with the streaming foreachBatch path.
+    Scrub totals come from ``df.observe`` during the write — no extra
+    corpus pass. Returns (rows_written, observed metrics).
     """
     from pyspark.sql import Observation
 
-    from bricolage_spark.operators.dedup import remove_duplicate_spans
+    from bricolage_spark.operators.dedup import apply_span_scrub
 
-    cleaned = remove_duplicate_spans(df, spans, id_col, text_col)
-    joined = (
-        df.join(
-            cleaned.select(
-                id_col, F.col("clean_text").alias("_clean"), "n_removed"
-            ),
-            id_col,
-            "left",
-        )
-        .withColumn("n_removed", F.coalesce("n_removed", F.lit(0)))
-        .withColumn(
-            text_col,
-            F.when(F.col("n_removed") > 0, F.col("_clean")).otherwise(
-                F.col(text_col)
-            ),
-        )
-        .drop("_clean")
-    )
-    if "n_chars" in df.columns:
-        joined = joined.withColumn("n_chars", F.length(F.col(text_col)))
+    joined = apply_span_scrub(df, spans, id_col, text_col)
     obs = Observation()
     joined = joined.observe(
         obs,
@@ -764,6 +744,10 @@ def span_registry(job: Job) -> JobResult:
         positional_anchors,
         span_registry_probe,
     )
+    from bricolage_spark.streaming.curation import (
+        span_registry_prior,
+        update_span_registry,
+    )
 
     dest = job.require("dest-table")
     src = job.require("src-table")
@@ -779,14 +763,7 @@ def span_registry(job: Job) -> JobResult:
         if c not in df.columns:
             raise ParameterError(f"span-registry: no such column: {c}")
 
-    def read_registry():
-        if n_buckets:
-            if not job.engine.bucketed_table_exists(reg_t):
-                return None
-            return job.engine.bucketed_table(reg_t, "ahash", n_buckets)
-        return job.engine.table(reg_t) if job.engine.table_exists(reg_t) else None
-
-    prior = read_registry()
+    prior = span_registry_prior(job.engine, reg_t, n_buckets)
     probe_rows = prior
     if prior is not None and snap is not None and "snapshot" in prior.columns:
         # replay safety: a re-run must not see its own anchors as
@@ -819,43 +796,23 @@ def span_registry(job: Job) -> JobResult:
         n = job.engine.save_table(df, dest, mode="overwrite")
         got = {"docs_touched": 0, "words_removed": 0}
 
-    # append the PUBLISHED text's distinct anchor digests — O(batch) rows
+    # append the PUBLISHED text's distinct anchor digests — O(batch)
+    # rows, append-only policy shared with the foreachBatch path
+    # (``update_span_registry``: labeled-replay-stable, one-time label
+    # migration, bucketed layout preserved)
     new_rows = (
         positional_anchors(job.engine.table(dest), id_col, text_col, k=k)
         .select(F.md5(F.col("anchor")).alias("ahash"))
         .distinct()
     )
-    labeled = snap is not None or (
-        prior is not None and "snapshot" in prior.columns
+    update_span_registry(
+        job.engine,
+        reg_t,
+        new_rows,
+        snapshot=snap,
+        n_buckets=n_buckets,
+        prior=prior,
     )
-    if labeled:
-        new_rows = new_rows.withColumn(
-            "snapshot", F.lit(str(snap)) if snap is not None else F.lit(None).cast("string")
-        )
-    if prior is not None and labeled and "snapshot" not in prior.columns:
-        # one-time migration: align the unlabeled registry's schema so
-        # appended label-bearing files never mix parquet footers
-        aligned = prior.withColumn(
-            "snapshot", F.lit(None).cast("string")
-        ).unionByName(new_rows)
-        if n_buckets:
-            job.engine.save_table_bucketed(aligned, reg_t, "ahash", n_buckets)
-        else:
-            job.engine.save_table(aligned, reg_t, mode="overwrite")
-    elif n_buckets:
-        job.engine.save_table_bucketed(
-            new_rows,
-            reg_t,
-            "ahash",
-            n_buckets,
-            mode="append" if prior is not None else "overwrite",
-        )
-    else:
-        job.engine.save_table(
-            new_rows,
-            reg_t,
-            mode="append" if prior is not None else "overwrite",
-        )
     return JobResult(
         message=(
             f"span-registry {src} -> {dest}: {n} docs, "

@@ -771,6 +771,45 @@ def remove_duplicate_spans(
     )
 
 
+def apply_span_scrub(
+    df: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The span-removal APPLY transform shared by the ``span-scrub`` /
+    ``span-registry`` job classes and the streaming foreachBatch path:
+    rewrite ``df`` with the non-keeper occurrences of ``spans``
+    (doc_b, b_start, span_len — :func:`duplicate_spans`' keeper shape)
+    stripped.
+
+    Only docs that actually LOST a span take the rewritten (normalized)
+    text; untouched docs keep their ORIGINAL casing and spacing, and
+    NULL-text rows pass through unmodified. An ``n_chars`` column, when
+    present, is refreshed to the published lengths. Returns the input
+    columns plus ``n_removed`` (0 for untouched rows) — callers observe
+    or drop it.
+    """
+    cleaned = remove_duplicate_spans(df, spans, id_col, text_col)
+    out = (
+        df.join(
+            cleaned.select(
+                id_col, F.col("clean_text").alias("_clean"), "n_removed"
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn("n_removed", F.coalesce("n_removed", F.lit(0)))
+        .withColumn(
+            text_col,
+            F.when(F.col("n_removed") > 0, F.col("_clean")).otherwise(
+                F.col(text_col)
+            ),
+        )
+        .drop("_clean")
+    )
+    if "n_chars" in df.columns:
+        out = out.withColumn("n_chars", F.length(F.col(text_col)))
+    return out.select(*df.columns, "n_removed")
+
+
 def span_registry_probe(
     batch_anchors: DataFrame,
     registry: DataFrame,

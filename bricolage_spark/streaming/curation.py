@@ -179,6 +179,150 @@ def curate_batch_against_history(
     return batch.join(dup_ids, id_col, "left_anti")
 
 
+def span_registry_prior(engine, registry_table: str, n_buckets: int = 0):
+    """The span-anchor registry's rows, or None before the first
+    snapshot — read through ``engine.bucketed_table`` when the registry
+    lives bucketed CLUSTERED BY (ahash) (``n_buckets`` > 0), so probe
+    joins scan co-located buckets (SCALE.md "Span-anchor registry")."""
+    if n_buckets:
+        if not engine.bucketed_table_exists(registry_table):
+            return None
+        return engine.bucketed_table(registry_table, "ahash", n_buckets)
+    if not engine.table_exists(registry_table):
+        return None
+    return engine.table(registry_table)
+
+
+def update_span_registry(
+    engine,
+    registry_table: str,
+    new_rows: DataFrame,
+    *,
+    snapshot: str | None = None,
+    n_buckets: int = 0,
+    prior: DataFrame | None = None,
+) -> None:
+    """The span-anchor registry's write policy, shared by the
+    ``span-registry`` job class and ``span_scrub_batch_against_history``
+    (foreachBatch): APPEND-ONLY, never the band registries' insert-delta
+    rewrite — this registry is CORPUS-scale (rows ~ distinct history
+    k-grams), so a labeled rewrite would be O(history) per snapshot.
+    Labeled replays double-append harmlessly (probes test key
+    existence; the probe already excluded the current snapshot's rows)
+    and ``registry-compact`` collapses duplicates on its own cadence.
+    The one rewrite is the one-time schema alignment when a first
+    labeled run meets an unlabeled registry (mixed parquet footers
+    otherwise). ``new_rows``: DataFrame[ahash] of the PUBLISHED text.
+    """
+    labeled = snapshot is not None or (
+        prior is not None and "snapshot" in prior.columns
+    )
+    if labeled:
+        new_rows = new_rows.withColumn(
+            "snapshot",
+            F.lit(str(snapshot))
+            if snapshot is not None
+            else F.lit(None).cast("string"),
+        )
+    if prior is not None and labeled and "snapshot" not in prior.columns:
+        aligned = prior.withColumn(
+            "snapshot", F.lit(None).cast("string")
+        ).unionByName(new_rows)
+        if n_buckets:
+            engine.save_table_bucketed(aligned, registry_table, "ahash", n_buckets)
+        else:
+            engine.save_table(aligned, registry_table, mode="overwrite")
+    elif n_buckets:
+        engine.save_table_bucketed(
+            new_rows,
+            registry_table,
+            "ahash",
+            n_buckets,
+            mode="append" if prior is not None else "overwrite",
+        )
+    else:
+        engine.save_table(
+            new_rows,
+            registry_table,
+            mode="append" if prior is not None else "overwrite",
+        )
+
+
+def span_scrub_batch_against_history(
+    batch: DataFrame,
+    engine,
+    registry_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    snapshot: str | None = None,
+    anchor_len: int = 8,
+    min_span: int = 12,
+    registry_buckets: int = 0,
+) -> DataFrame:
+    """Cross-snapshot SPAN dedup (q110) at the micro-batch boundary —
+    the foreachBatch body completing the registry family's streaming
+    column (q82 lexical: ``curate_batch_against_history``; spans here):
+
+        def sink(batch_df, epoch_id):
+            kept = span_scrub_batch_against_history(batch_df, engine, "span_registry")
+            engine.save_table(kept, "curated_corpus", mode="append")
+
+    Scrubs from the batch every >= ``min_span``-token word span that
+    verbatim-duplicates ingested history (one semi-join of 16-byte
+    digests against the registry, per-doc gaps-and-islands — history
+    text never rescanned), then appends the SCRUBBED batch's anchor
+    digests. The scrubbed batch is materialized (``localCheckpoint``,
+    micro-batch-bounded) before the registry write so the returned
+    frame and the appended anchors describe the same bytes regardless
+    of when the sink executes it. Registry discipline (append-only,
+    labeled-replay-stable, bucketed layout): ``update_span_registry``.
+    """
+    from bricolage_spark.operators import dedup as D
+
+    prior = span_registry_prior(engine, registry_table, registry_buckets)
+    probe_rows = prior
+    if prior is not None and snapshot is not None and "snapshot" in prior.columns:
+        probe_rows = prior.where(
+            ~F.col("snapshot").eqNullSafe(F.lit(str(snapshot)))
+        )
+    if probe_rows is not None:
+        anchors = D.positional_anchors(
+            batch, id_col, text_col, k=anchor_len
+        ).select(id_col, "pos", F.md5(F.col("anchor")).alias("ahash"))
+        spans = D.span_registry_probe(
+            anchors,
+            probe_rows.select("ahash"),
+            id_col,
+            anchor_len=anchor_len,
+            min_span=min_span,
+        ).select(
+            F.col(id_col).alias("doc_b"),
+            F.col("span_start").alias("b_start"),
+            "span_len",
+        )
+        scrubbed = (
+            D.apply_span_scrub(batch, spans, id_col, text_col)
+            .select(*batch.columns)
+            .localCheckpoint(eager=True)
+        )
+    else:
+        scrubbed = batch.localCheckpoint(eager=True)
+    new_rows = (
+        D.positional_anchors(scrubbed, id_col, text_col, k=anchor_len)
+        .select(F.md5(F.col("anchor")).alias("ahash"))
+        .distinct()
+    )
+    update_span_registry(
+        engine,
+        registry_table,
+        new_rows,
+        snapshot=snapshot,
+        n_buckets=registry_buckets,
+        prior=prior,
+    )
+    return scrubbed
+
+
 def probe_and_update_registry(
     bands: DataFrame,
     engine,

@@ -377,6 +377,65 @@ def test_curate_batch_against_history_two_snapshots_and_replay(spark, tmp_path):
     ) == {"s1", "s2"}
 
 
+def test_span_scrub_batch_against_history_two_snapshots_and_replay(
+    spark, tmp_path
+):
+    """foreachBatch SPAN dedup (q110's streaming column): snapshot 2
+    loses exactly the >= min_span word spans that duplicate snapshot 1
+    (novel docs verbatim, NULL text passthrough), the registry reflects
+    the SCRUBBED text, and a labeled replay is verdict-stable."""
+    from bricolage_spark.engine import SparkEngine
+    from bricolage_spark.streaming.curation import (
+        span_scrub_batch_against_history,
+    )
+
+    engine = SparkEngine(spark, warehouse=str(tmp_path / "wh"))
+    run = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14"  # 14 tokens
+    snap1 = spark.createDataFrame(
+        [(1, f"history carries the run {run} in context")],
+        "doc_id long, text string",
+    )
+    snap2 = spark.createDataFrame(
+        [
+            (10, f"Fresh crawl page repeating {run} then novel tail words"),
+            (11, "A genuinely Novel document with no history overlap at all"),
+            (12, None),
+        ],
+        "doc_id long, text string",
+    )
+    out1 = span_scrub_batch_against_history(
+        snap1, engine, "span_stream_reg", snapshot="s1"
+    ).collect()
+    assert len(out1) == 1 and out1[0].text.startswith("history carries")
+    seeded = engine.table("span_stream_reg").count()
+    assert seeded > 0
+
+    out2 = {
+        r.doc_id: r.text
+        for r in span_scrub_batch_against_history(
+            snap2, engine, "span_stream_reg", snapshot="s2"
+        ).collect()
+    }
+    assert out2[10] == "fresh crawl page repeating then novel tail words"
+    assert out2[11] == "A genuinely Novel document with no history overlap at all"
+    assert out2[12] is None
+    # registry holds the SCRUBBED batch's anchors (the run is gone from
+    # s2's published text, so its interior anchors appear only once,
+    # from s1)
+    reg = engine.table("span_stream_reg")
+    assert {
+        r.snapshot for r in reg.select("snapshot").distinct().collect()
+    } == {"s1", "s2"}
+    # labeled replay: same verdicts (own snapshot excluded from probe)
+    out2b = {
+        r.doc_id: r.text
+        for r in span_scrub_batch_against_history(
+            snap2, engine, "span_stream_reg", snapshot="s2"
+        ).collect()
+    }
+    assert out2b == out2
+
+
 def test_streaming_foreachbatch_history_sink(spark, tmp_path):
     """The documented foreachBatch recipe end-to-end: a file-source
     stream runs curate_stream inside the micro-batch, the sink body
