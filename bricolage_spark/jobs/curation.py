@@ -1016,6 +1016,7 @@ def leakage_audit(job: Job) -> JobResult:
             StringParam("alpha", optional=True),
             StringParam("max-epochs", optional=True),
             StringParam("fail-on-oversampled", optional=True),
+            StringParam("mode", optional=True),
         ]
     ),
 )
@@ -1033,8 +1034,14 @@ def epoch_plan_job(job: Job) -> JobResult:
     offending rows quoted — the signal to get more data or shrink the
     share, not to silently over-epoch. One corpus aggregation; the plan
     is |sources| rows.
+
+    ``mode: unimax`` (q111) publishes the UniMax water-filling plan
+    instead (Chung et al. 2023): uniform-up-to-cap allocation in which
+    no source can exceed ``max-epochs`` BY CONSTRUCTION — the
+    oversampled gate is then vacuous (and ``alpha`` unused). The
+    default, ``mode: temperature``, is q108's alpha-weighted plan.
     """
-    from bricolage_spark.operators.curation import epoch_plan
+    from bricolage_spark.operators.curation import epoch_plan, unimax_plan
 
     dest = job.require("dest-table")
     src = job.require("src-table")
@@ -1042,6 +1049,9 @@ def epoch_plan_job(job: Job) -> JobResult:
     group_col = str(job.param("group-column", "source"))
     alpha = float(job.param("alpha", 0.5))
     max_epochs = float(job.param("max-epochs", 4.0))
+    mode = str(job.param("mode", "temperature"))
+    if mode not in ("temperature", "unimax"):
+        raise ParameterError(f"epoch-plan: unknown mode: {mode}")
     if budget <= 0:
         raise ParameterError(f"epoch-plan: budget-tokens must be > 0: {budget}")
     if not 0.0 < alpha <= 1.0:
@@ -1059,13 +1069,19 @@ def epoch_plan_job(job: Job) -> JobResult:
         token_col = F.ceil(F.col(chars_c) / 4.0).cast("bigint")
     if group_col not in df.columns:
         raise ParameterError(f"epoch-plan: no such column: {group_col}")
-    plan = epoch_plan(
-        df, group_col, token_col,
-        budget_tokens=budget, alpha=alpha, max_epochs=max_epochs,
-    )
+    if mode == "unimax":
+        plan = unimax_plan(
+            df, group_col, token_col,
+            budget_tokens=budget, max_epochs=max_epochs,
+        )
+    else:
+        plan = epoch_plan(
+            df, group_col, token_col,
+            budget_tokens=budget, alpha=alpha, max_epochs=max_epochs,
+        )
     n = job.engine.save_table(plan, dest, mode="overwrite")
     rows = job.engine.table(dest).collect()  # |sources| rows of metadata
-    over = [r for r in rows if r.oversampled]
+    over = [r for r in rows if getattr(r, "oversampled", False)]
     if over and job.bool_param("fail-on-oversampled"):
         worst = sorted(over, key=lambda r: -r.epochs)[:3]
         shown = "; ".join(
@@ -1078,8 +1094,8 @@ def epoch_plan_job(job: Job) -> JobResult:
         )
     return JobResult(
         message=(
-            f"epoch plan {src} -> {dest}: {n} sources, budget {budget} "
-            f"tokens, {len(over)} oversampled"
+            f"epoch plan ({mode}) {src} -> {dest}: {n} sources, budget "
+            f"{budget} tokens, {len(over)} oversampled"
         ),
         rows=n,
     )

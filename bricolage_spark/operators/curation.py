@@ -421,6 +421,120 @@ def split_leakage_report(
     )
 
 
+def unimax_plan(
+    df: DataFrame,
+    group_col: str,
+    token_col: Column,
+    *,
+    budget_tokens: int,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al., ICML 2023): distribute a
+    token budget across sources as UNIFORMLY as possible, capping every
+    source at ``max_epochs`` repetitions — the published alternative to
+    temperature sampling (:func:`epoch_plan`) that removes the
+    tail-over-repetition failure mode: temperature weights can silently
+    plan 20 epochs of a tiny source, UniMax by construction never plans
+    past the cap.
+
+    Water-filling, integer-exact so Spark and DuckDB agree to the bit
+    (no floating-point level that ULP drift could tip across a cap):
+
+    - capacity_i = floor(n_tokens_i * max_epochs) (BIGINT; the product
+      is exact in a double far past any real corpus size);
+    - source i is SATURATED (gets its full capacity) iff filling every
+      source to at most capacity_i cannot exhaust the budget:
+      S_i + capacity_i * G_i <= B, where S_i = Σ capacity_j over
+      capacity_j <= capacity_i and G_i = #{capacity_j > capacity_i} —
+      all BIGINT sums;
+    - every unsaturated source gets the same level
+      L = (B − Σ_saturated capacity) div #unsaturated (integer
+      division; both operands provably non-negative). The division
+      remainder (< #unsaturated tokens) is left unallocated, so
+      Σ target <= B is an integer-inequality guarantee, same
+      never-over-allocate contract as :func:`epoch_plan`'s truncation.
+
+    The saturation stats come from a |sources|² conditional aggregate
+    over the GROUPED table (a broadcast nested-loop of metadata rows —
+    thousands of sources is nothing; the corpus is touched exactly once
+    by the groupBy). No window, so nothing funnels through one task at
+    any |sources|. Zero-token sources have capacity 0, are saturated by
+    construction, and plan to 0 — never a 0/0 (the Spark-NULL vs
+    DuckDB-NaN trap q108 pre-empted). Returns (group, n_docs, n_tokens,
+    capacity, target_tokens, epochs, saturated).
+    """
+    b_lit = F.lit(int(budget_tokens)).cast("bigint")
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_col).cast("bigint").alias("n_tokens"),
+    )
+    c = counts.withColumn(
+        "capacity",
+        F.floor(F.col("n_tokens").cast("double") * F.lit(float(max_epochs)))
+        .cast("bigint"),
+    )
+    other = c.select(F.col("capacity").alias("_capb"))
+    st = (
+        c.select(group_col, "capacity")
+        .crossJoin(F.broadcast(other))
+        .groupBy(group_col, "capacity")
+        .agg(
+            F.sum(
+                F.when(F.col("_capb") <= F.col("capacity"), F.col("_capb"))
+                .otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("_S"),
+            F.sum(
+                F.when(F.col("_capb") > F.col("capacity"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("_G"),
+        )
+    )
+    flagged = st.select(
+        group_col,
+        ((F.col("_S") + F.col("capacity") * F.col("_G")) <= b_lit).alias(
+            "saturated"
+        ),
+    )
+    j = c.join(flagged, group_col)
+    glob = j.agg(
+        F.sum(F.when(F.col("saturated"), F.col("capacity")).otherwise(0))
+        .cast("bigint")
+        .alias("_SS"),
+        F.sum(F.when(~F.col("saturated"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_NU"),
+    )
+    # nullif guard: when every source is saturated (_NU = 0) the level
+    # branch is never TAKEN, but under ANSI mode a DIV 0 would error if
+    # it were ever evaluated — NULL-division is inert either way
+    level = F.expr("( _B - _SS ) DIV nullif(_NU, 0)")
+    plan = (
+        j.crossJoin(F.broadcast(glob))
+        .withColumn("_B", b_lit)
+        .withColumn(
+            "target_tokens",
+            F.when(F.col("saturated"), F.col("capacity")).otherwise(level)
+            .cast("bigint"),
+        )
+    )
+    epochs_raw = F.when(
+        F.col("n_tokens") > 0,
+        F.col("target_tokens").cast("double") / F.col("n_tokens").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return plan.select(
+        F.col(group_col),
+        "n_docs",
+        "n_tokens",
+        "capacity",
+        "target_tokens",
+        F.round(epochs_raw, 4).alias("epochs"),
+        "saturated",
+    )
+
+
 def epoch_plan(
     df: DataFrame,
     group_col: str,

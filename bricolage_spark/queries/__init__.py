@@ -76,10 +76,11 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 #   re-admits them before the r9-attested cohort.
 #
 # ROUND-11 PLAN: must-attest = the 14 clipped above (newest row r8, two
-# rounds stale by r11); then rotate the r9-attested cohort (the 7
-# core-SQL deferral rows + q104-q107 + q84-q94 + the 28-row r7 cohort,
-# newest row r9) ahead of this round's 50 fresh rows, same
-# explicit-clip discipline on whatever exceeds the window.
+# rounds stale by r11) + q111 (registered post-window this round, never
+# attested); then rotate the r9-attested cohort (the 7 core-SQL
+# deferral rows + q104-q107 + q84-q94 + the 28-row r7 cohort, newest
+# row r9) ahead of this round's 50 fresh rows, same explicit-clip
+# discipline on whatever exceeds the window.
 _EVIDENCE_FIRST = [
     # the round-9 explicit clip — first driver rows since r7:
     "q03_group_aggregate",
@@ -209,6 +210,9 @@ _CLIP_LAST = [
     "q73_pmi_collocations",
     "q82_incremental_neardup",
     "q83_hashed_ngram_classifier",
+    # round-10 post-window additions (the committed r10 window stays
+    # intact; first driver rows round 11 per the standing discipline):
+    "q111_unimax_plan",
 ]
 
 

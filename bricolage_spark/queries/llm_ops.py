@@ -5632,3 +5632,96 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("span_len").cast("bigint").alias("max_span_len"),
         F.min("span_start").cast("bigint").alias("first_span_start"),
     )
+
+
+# --------------------------------------------------------------------------
+# q111 UniMax epoch-capped budget allocation (training-mix, ICML 2023)
+# --------------------------------------------------------------------------
+# NEW post-r10-window (registered in _CLIP_LAST so the committed round-10
+# driver window stays intact; first driver rows round 11). Completes the
+# mixture toolkit: q84 decides a temperature SAMPLING mix, q108 prices a
+# temperature plan against a budget with an over-repetition FLAG — UniMax
+# (Chung et al. 2023) is the published alternative that makes the flag
+# impossible by construction: fill sources as uniformly as the budget
+# allows, hard-capped at max_epochs repetitions (water-filling).
+_UNIMAX_BUDGET, _UNIMAX_EPOCHS = 70_000, 2.0
+
+
+@register(
+    "q111_unimax_plan",
+    oracle=f"""
+    WITH c AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+        GROUP BY source
+    ),
+    k AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(FLOOR(CAST(n_tokens AS DOUBLE) * {_UNIMAX_EPOCHS})
+                    AS BIGINT) AS capacity
+        FROM c
+    ),
+    st AS (
+        SELECT a.source, a.capacity,
+               CAST(SUM(CASE WHEN b.capacity <= a.capacity
+                             THEN b.capacity ELSE 0 END) AS BIGINT) AS s,
+               CAST(SUM(CASE WHEN b.capacity > a.capacity
+                             THEN 1 ELSE 0 END) AS BIGINT) AS g
+        FROM k a, k b
+        GROUP BY a.source, a.capacity
+    ),
+    fl AS (
+        SELECT source,
+               (s + capacity * g) <= {_UNIMAX_BUDGET} AS saturated
+        FROM st
+    ),
+    gl AS (
+        SELECT CAST(SUM(CASE WHEN fl.saturated THEN k.capacity ELSE 0 END)
+                    AS BIGINT) AS ss,
+               CAST(SUM(CASE WHEN NOT fl.saturated THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nu
+        FROM k JOIN fl USING (source)
+    ),
+    t AS (
+        SELECT k.source, k.n_docs, k.n_tokens, k.capacity, fl.saturated,
+               CASE WHEN fl.saturated THEN k.capacity
+                    ELSE ({_UNIMAX_BUDGET} - gl.ss) // NULLIF(gl.nu, 0)
+               END AS target_tokens
+        FROM k JOIN fl USING (source), gl
+    )
+    SELECT source, n_docs, n_tokens, capacity,
+           CAST(target_tokens AS BIGINT) AS target_tokens,
+           ROUND(CASE WHEN n_tokens > 0
+                      THEN CAST(target_tokens AS DOUBLE)
+                           / CAST(n_tokens AS DOUBLE)
+                      ELSE 0.0 END, 4) AS epochs,
+           saturated
+    FROM t
+    """,
+    doc="UniMax budget allocation (operators/curation.py::unimax_plan; "
+    "Chung et al., ICML 2023): distribute a "
+    f"{_UNIMAX_BUDGET}-token budget across sources as uniformly as "
+    f"possible, hard-capped at {_UNIMAX_EPOCHS} epochs per source — the "
+    "published alternative to q108's temperature plan whose "
+    "over-repetition flag becomes impossible by construction. "
+    "Integer-exact water-filling: BIGINT saturation test "
+    "S_i + cap_i*G_i <= B per source via a |sources|^2 broadcast "
+    "conditional aggregate over the GROUPED table (metadata rows; the "
+    "corpus is touched once by the groupBy; no window, nothing funnels "
+    "through one task), then one integer division for the uniform "
+    "level — no floating-point level for engine ULP drift to tip "
+    "across a capacity. Sum of targets <= budget is an integer "
+    "inequality; zero-token sources plan to 0.",
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return C.unimax_plan(
+        docs,
+        "source",
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint"),
+        budget_tokens=_UNIMAX_BUDGET,
+        max_epochs=_UNIMAX_EPOCHS,
+    )

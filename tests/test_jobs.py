@@ -1622,6 +1622,26 @@ def test_epoch_plan_job_reports_and_gates(engine, home, spark):
             "class: epoch-plan\ndest-table: x\nsrc-table: plan_pool\n"
             "budget-tokens: 100\ntoken-column: nope\n",
         )
+    # mode: unimax (q111) — a budget that over-epochs the small source
+    # under temperature is capped BY CONSTRUCTION: small saturates at
+    # its 4-epoch capacity (4000), big takes the uniform level (26000 =
+    # 30000 - 4000, under its 36000 capacity), nothing past 4 epochs
+    r6 = run_job(
+        engine, home, "ep6.job",
+        "class: epoch-plan\ndest-table: plan_out6\nsrc-table: plan_pool\n"
+        "budget-tokens: 30000\nmax-epochs: 4\nmode: unimax\n",
+    )
+    assert r6.success and "unimax" in r6.message and "0 oversampled" in r6.message
+    uni = {p.source: p for p in engine.table("plan_out6").collect()}
+    assert uni["small"].saturated and uni["small"].target_tokens == 4000
+    assert not uni["big"].saturated and uni["big"].target_tokens == 26000
+    assert all(p.epochs <= 4.0 for p in uni.values())
+    with pytest.raises(ParameterError, match="mode"):
+        run_job(
+            engine, home, "ep7.job",
+            "class: epoch-plan\ndest-table: x\nsrc-table: plan_pool\n"
+            "budget-tokens: 100\nmode: zipf\n",
+        )
 
 
 def test_calibration_report_job(engine, home, spark):

@@ -1161,3 +1161,77 @@ def test_epoch_plan_invariants(spark, source_sizes, budget):
         sizes.setdefault(r.n_tokens, set()).add(r.target_tokens)
     for targets in sizes.values():
         assert len(targets) == 1  # equal sources, equal allocation
+
+
+@pytest.mark.spark
+@given(
+    st.lists(st.integers(0, 2000), min_size=1, max_size=8),
+    st.integers(100, 500_000),
+)
+@settings(max_examples=8, deadline=None)
+def test_unimax_plan_invariants(spark, source_sizes, budget):
+    """q111's water-filling on arbitrary source shapes and budgets,
+    pinned source-for-source to a pure-Python transliteration of the
+    closed form, plus the UniMax invariants: never past the cap, sum of
+    targets <= budget with a remainder < #unsaturated, every
+    unsaturated source at the SAME level, and every saturated capacity
+    <= that level (uniform-up-to-cap)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bricolage_spark.operators.curation import unimax_plan
+
+    max_epochs = 2.0
+    rows = []
+    doc_id = 0
+    for s, n in enumerate(source_sizes):
+        for _ in range(max(1, n)):
+            # n == 0 -> one empty doc, a zero-token source
+            rows.append((doc_id, f"src{s}", 40 if n else 0))
+            doc_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars int")
+    out = {
+        r.source: r
+        for r in unimax_plan(
+            df,
+            "source",
+            F.ceil(F.col("n_chars") / 4.0).cast("bigint"),
+            budget_tokens=budget,
+            max_epochs=max_epochs,
+        ).collect()
+    }
+
+    # pure-python closed form (the docstring's definition, transliterated)
+    toks = {f"src{s}": 10 * n for s, n in enumerate(source_sizes)}
+    caps = {s: math.floor(t * max_epochs) for s, t in toks.items()}
+    sat = {}
+    for s, c in caps.items():
+        S = sum(cj for cj in caps.values() if cj <= c)
+        G = sum(1 for cj in caps.values() if cj > c)
+        sat[s] = (S + c * G) <= budget
+    SS = sum(caps[s] for s in caps if sat[s])
+    NU = sum(1 for s in caps if not sat[s])
+    L = (budget - SS) // NU if NU else None
+    for s in caps:
+        r = out[s]
+        want = caps[s] if sat[s] else L
+        assert r.saturated == sat[s], (s, budget, caps)
+        assert r.target_tokens == want, (s, budget, caps)
+        assert r.n_tokens == toks[s] and r.capacity == caps[s]
+        # invariants
+        assert r.target_tokens <= r.capacity
+        if toks[s]:
+            assert r.epochs <= max_epochs + 1e-9
+        else:
+            assert r.target_tokens == 0 and r.epochs == 0.0
+    assert sum(r.target_tokens for r in out.values()) <= budget
+    if NU:
+        # the unallocated remainder is exactly the integer-division
+        # residue, strictly under one token per unsaturated source
+        leftover = budget - sum(r.target_tokens for r in out.values())
+        assert leftover == (budget - SS) % NU and leftover < NU
+        # every saturated capacity sits at or below the uniform level
+        for s in caps:
+            if sat[s]:
+                assert caps[s] <= L

@@ -83,6 +83,8 @@ PROBE_QUERIES = (
     "q108_epoch_plan",
     "q109_classifier_calibration",
     "q110_span_registry_probe",
+    # round-10 post-window addition: water-filling over |sources| rows
+    "q111_unimax_plan",
 )
 
 
