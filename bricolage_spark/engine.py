@@ -318,11 +318,31 @@ class SparkEngine:
         files (schema recovered from the parquet footers) — after which
         scans report ``Bucketed: true`` and joins on the bucket key
         leave the table side Exchange-free.
+
+        ``n_buckets`` is part of the table's on-disk CONTRACT: the files
+        were hashed into that many buckets at write time, and
+        re-registering with a different count would make Spark misread
+        them. Changing the count means a bucketed rewrite
+        (``registry-compact`` with ``buckets: <new N>`` does exactly
+        that). A same-name catalog entry left by another warehouse in
+        this session is detected by location and replaced.
         """
         spec = TableSpec.parse(spec) if isinstance(spec, str) else spec
         bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else bucket_cols
         name = spec.view_name
         location = self.bucketed_dir(spec)
+        if self.spark.catalog.tableExists(name):
+            # a same-name entry registered by ANOTHER engine/warehouse in
+            # this session would silently serve the wrong files — verify
+            # the entry points at OUR location, else drop and re-register
+            rows = self.spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+            cat_loc = next(
+                (r.data_type for r in rows if r.col_name == "Location"), None
+            )
+            if cat_loc is not None and os.path.normpath(
+                cat_loc.removeprefix("file:")
+            ) != os.path.normpath(location):
+                self.spark.sql(f"DROP TABLE {name}")
         if not self.spark.catalog.tableExists(name):
             if not os.path.isdir(location):
                 raise JobFailure(f"no such bucketed table: {spec}")

@@ -784,22 +784,27 @@ def apply_span_scrub(
     text; untouched docs keep their ORIGINAL casing and spacing, and
     NULL-text rows pass through unmodified. An ``n_chars`` column, when
     present, is refreshed to the published lengths. Returns the input
-    columns plus ``n_removed`` (0 for untouched rows) — callers observe
-    or drop it.
+    columns plus ``n_removed`` (0 for untouched rows) — with withColumn
+    OVERWRITE semantics when the input already carries an ``n_removed``
+    (a re-scrub of a prior scrub report; the internal count joins under
+    a private alias so the existing column never becomes ambiguous) —
+    callers observe or drop it.
     """
     cleaned = remove_duplicate_spans(df, spans, id_col, text_col)
     out = (
         df.join(
             cleaned.select(
-                id_col, F.col("clean_text").alias("_clean"), "n_removed"
+                id_col,
+                F.col("clean_text").alias("_clean"),
+                F.col("n_removed").alias("_scrub_removed"),
             ),
             id_col,
             "left",
         )
-        .withColumn("n_removed", F.coalesce("n_removed", F.lit(0)))
+        .withColumn("_scrub_removed", F.coalesce("_scrub_removed", F.lit(0)))
         .withColumn(
             text_col,
-            F.when(F.col("n_removed") > 0, F.col("_clean")).otherwise(
+            F.when(F.col("_scrub_removed") > 0, F.col("_clean")).otherwise(
                 F.col(text_col)
             ),
         )
@@ -807,7 +812,11 @@ def apply_span_scrub(
     )
     if "n_chars" in df.columns:
         out = out.withColumn("n_chars", F.length(F.col(text_col)))
-    return out.select(*df.columns, "n_removed")
+    out = out.withColumn("n_removed", F.col("_scrub_removed")).drop(
+        "_scrub_removed"
+    )
+    extra = [] if "n_removed" in df.columns else ["n_removed"]
+    return out.select(*df.columns, *extra)
 
 
 def span_registry_probe(

@@ -258,3 +258,37 @@ def test_register_all_skips_internal_dirs(engine, tmp_path):
     names = engine.register_all()
     assert "realtab" in names
     assert all("__" not in n for n in names)
+
+
+def test_bucketed_table_replaces_stale_entry_from_other_warehouse(
+    engine, spark, tmp_path
+):
+    """Catalog entries are session-global while engines are per-warehouse:
+    a same-name bucketed table registered by ANOTHER engine must not be
+    silently served — bucketed_table detects the location mismatch and
+    re-registers over THIS engine's files."""
+    from bricolage_spark.engine import SparkEngine
+    from pyspark.sql import functions as SF
+
+    other = SparkEngine(spark, str(tmp_path / "other_wh"))
+    try:
+        other.save_table_bucketed(
+            spark.range(7).select(SF.col("id").cast("string").alias("k")),
+            "bk_clash",
+            "k",
+            n_buckets=2,
+        )
+        engine.save_table_bucketed(
+            spark.range(100).select(SF.col("id").cast("string").alias("k")),
+            "bk_clash",
+            "k",
+            n_buckets=2,
+        )
+        # `engine`'s write re-registered the name to its own location;
+        # now simulate the stale direction: re-register OTHER's entry,
+        # then read through `engine` — it must serve engine's 100 rows
+        spark.sql("DROP TABLE bk_clash")
+        assert other.bucketed_table("bk_clash", "k", 2).count() == 7
+        assert engine.bucketed_table("bk_clash", "k", 2).count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_clash")

@@ -1823,3 +1823,27 @@ def test_calibration_table_clamps_top_bucket(spark, monkeypatch):
     buckets = {c.score_bucket for c in cells}
     assert buckets == {9, 3}  # floor(1.0*10)=10 clamps to 9; 0.31 -> 3
     assert all(0 <= c.score_bucket <= 9 for c in cells)
+
+
+def test_apply_span_scrub_overwrites_existing_n_removed(spark):
+    """A re-scrub of a table that already carries n_removed (a prior
+    scrub report) must OVERWRITE the column — never an ambiguous
+    duplicate (the pack_sequences round-8 trap, here for the shared
+    span-apply transform)."""
+    from pyspark.sql import functions as SF
+
+    from bricolage_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", 7), (2, None, 7)],
+        "doc_id long, text string, n_removed long",
+    )
+    empty_spans = spark.createDataFrame(
+        [], "doc_b long, b_start long, span_len long"
+    )
+    out = D.apply_span_scrub(df, empty_spans, "doc_id", "text")
+    assert out.columns == ["doc_id", "text", "n_removed"]
+    rows = {r.doc_id: r for r in out.collect()}
+    # the stale counts are replaced by this scrub's (0: nothing removed)
+    assert rows[1].n_removed == 0 and rows[1].text == "alpha beta gamma delta"
+    assert rows[2].n_removed == 0 and rows[2].text is None
