@@ -1847,3 +1847,50 @@ def test_apply_span_scrub_overwrites_existing_n_removed(spark):
     # the stale counts are replaced by this scrub's (0: nothing removed)
     assert rows[1].n_removed == 0 and rows[1].text == "alpha beta gamma delta"
     assert rows[2].n_removed == 0 and rows[2].text is None
+
+
+def test_span_registry_probe_arms_runtime_bloom_filter(spark, tmp_path):
+    """SCALE.md's Bloom-tier claim, test-asserted on the REAL operator:
+    Spark's runtime row-level filter builds a bloom_filter_agg from the
+    (filtered, small) batch-anchor side and pushes might_contain into
+    the REGISTRY scan, so registry rows that cannot match any batch
+    anchor drop at the scan instead of reaching the join. Locally the
+    size thresholds are forced (the registry is tiny here); on a real
+    deployment the defaults arm it exactly when the registry side is
+    scan-heavy."""
+    from pyspark.sql import functions as SF
+
+    from bricolage_spark.operators import dedup as D
+
+    reg_path = str(tmp_path / "reg.parquet")
+    batch_path = str(tmp_path / "batch.parquet")
+    spark.range(20000).select(
+        SF.md5(SF.col("id").cast("string")).alias("ahash")
+    ).write.parquet(reg_path)
+    spark.range(2000).select(
+        (SF.col("id") % 13).alias("doc_id"),
+        (SF.col("id") + 1).cast("bigint").alias("pos"),
+        SF.md5((SF.col("id") * 3).cast("string")).alias("ahash"),
+    ).write.parquet(batch_path)
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    thr = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    prev_thr = spark.conf.get(thr)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(thr, "0")
+    try:
+        batch = spark.read.parquet(batch_path).where(SF.col("doc_id") == 3)
+        registry = spark.read.parquet(reg_path)
+        probe = D.span_registry_probe(batch, registry, "doc_id")
+        op = probe._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in op
+        assert "might_contain" in op
+        # the bloom must guard the REGISTRY relation, not the batch: the
+        # might_contain filter's child subtree scans only [ahash]
+        lines = op.splitlines()
+        i = next(i for i, l in enumerate(lines) if "might_contain" in l)
+        subtree = "\n".join(lines[i : i + 8])
+        assert "Relation [ahash#" in subtree
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(thr, prev_thr)
