@@ -76,8 +76,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 #   re-admits them before the r9-attested cohort.
 #
 # ROUND-11 PLAN: must-attest = the 14 clipped above (newest row r8, two
-# rounds stale by r11) + q111 (registered post-window this round, never
-# attested); then rotate the r9-attested cohort (the 7 core-SQL
+# rounds stale by r11) + q111/q112 (registered post-window this round,
+# never attested); then rotate the r9-attested cohort (the 7 core-SQL
 # deferral rows + q104-q107 + q84-q94 + the 28-row r7 cohort, newest
 # row r9) ahead of this round's 50 fresh rows, same explicit-clip
 # discipline on whatever exceeds the window.
@@ -213,6 +213,7 @@ _CLIP_LAST = [
     # round-10 post-window additions (the committed r10 window stays
     # intact; first driver rows round 11 per the standing discipline):
     "q111_unimax_plan",
+    "q112_lsh_banding_audit",
 ]
 
 

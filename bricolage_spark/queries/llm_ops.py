@@ -5725,3 +5725,201 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget_tokens=_UNIMAX_BUDGET,
         max_epochs=_UNIMAX_EPOCHS,
     )
+
+
+# --------------------------------------------------------------------------
+# q112 LSH banding quality audit (recall/precision vs exact Jaccard)
+# --------------------------------------------------------------------------
+# NEW post-r10-window (first driver rows round 11). The lexical analog of
+# q85's ANN recall@k: measure what the PRODUCTION near-dup banding scheme
+# (q33's 16-hash/8-band/2-row configuration) actually catches, against
+# exact shingle Jaccard ground truth on a bounded deterministic sample —
+# the observability a pipeline owner reads before trusting a bands ×
+# rows-per-band tradeoff at 100 TB. Ground truth needs no n² pass: a pair
+# with Jaccard >= tau > 0 must share at least one shingle, so the
+# sample's co-shingle pairs (inverted-index join, bounded by sample size)
+# contain every true pair.
+# Content-keyed constant-size sample: docs whose FIRST minhash satisfies
+# h0 % MOD == 0, with MOD = greatest(2, corpus_docs DIV 250) so the
+# sample stays ~250 docs at ANY corpus size (constant audit cost; MOD is
+# computed identically in both engines from one corpus count, in-plan).
+# Why h0 and not doc_id: a pair must have BOTH endpoints sampled — under
+# uniform id sampling that is 1/MOD^2 per pair and the recall denominator
+# vanishes as MOD grows (measured: 0 true pairs at sf0.1's MOD=20).
+# Near-duplicates agree on each minhash with probability = their Jaccard,
+# so keying the sample on h0 CO-SAMPLES near-dup pairs: inclusion is
+# ~J/MOD, and the audit preferentially weights exactly the high-overlap
+# pairs the banding scheme most must catch (the audit's stated bias).
+_AUDIT_SAMPLE_DOCS = 250
+
+
+def _banding_audit_oracle() -> str:
+    mins = _affine_mins(_N_HASHES)
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band_id, "
+        f"md5(concat_ws(',', h{b * _ROWS_PER_BAND}, h{b * _ROWS_PER_BAND + 1})) AS band_hash FROM sigs"
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH alldocs AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+        FROM documents
+    ),
+    allshingles AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(words[i : i + 2], ' ') AS shingle
+        FROM alldocs, UNNEST(range(1, greatest(len(words) - 2, 1) + 1)) AS t(i)
+    ),
+    allsigs AS (
+        SELECT doc_id, {mins}
+        FROM allshingles GROUP BY doc_id
+    ),
+    m AS (
+        SELECT GREATEST(2, CAST(COUNT(*) AS BIGINT) // {_AUDIT_SAMPLE_DOCS})
+               AS md
+        FROM documents
+    ),
+    sample AS (
+        SELECT doc_id FROM allsigs, m WHERE h0 % m.md = 0
+    ),
+    shingles AS (
+        SELECT s.doc_id, s.shingle
+        FROM allshingles s JOIN sample USING (doc_id)
+    ),
+    sigs AS (
+        SELECT g.* FROM allsigs g JOIN sample USING (doc_id)
+    ),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS sz
+        FROM shingles GROUP BY doc_id
+    ),
+    co AS (
+        SELECT DISTINCT sa.doc_id AS id_a, sb.doc_id AS id_b
+        FROM shingles sa JOIN shingles sb
+          ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, CAST(COUNT(*) AS DOUBLE) AS n_inter
+        FROM co c
+        JOIN shingles sa ON sa.doc_id = c.id_a
+        JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    truth AS (
+        SELECT i.id_a, i.id_b
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.id_a
+        JOIN sizes zb ON zb.doc_id = i.id_b
+        WHERE ROUND(n_inter / (za.sz + zb.sz - n_inter), 4) >= {_JACCARD_MIN}
+    ),
+    hit AS (
+        SELECT t.id_a FROM truth t
+        JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+    ),
+    agg AS (
+        SELECT
+            (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM shingles) AS n_docs,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_pairs,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand_pairs,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit_pairs
+    )
+    SELECT n_docs, n_true_pairs, n_cand_pairs, n_hit_pairs,
+           ROUND(CASE WHEN n_true_pairs > 0
+                      THEN CAST(n_hit_pairs AS DOUBLE) / n_true_pairs
+                      ELSE 1.0 END, 4) AS recall,
+           ROUND(CASE WHEN n_cand_pairs > 0
+                      THEN CAST(n_hit_pairs AS DOUBLE) / n_cand_pairs
+                      ELSE 1.0 END, 4) AS precision
+    FROM agg
+    """
+
+
+@register(
+    "q112_lsh_banding_audit",
+    oracle=_banding_audit_oracle(),
+    doc="LSH banding quality audit (q85's recall analog for the lexical "
+    "family): on a content-keyed ~"
+    f"{_AUDIT_SAMPLE_DOCS}-doc sample (h0 % greatest(2, n DIV "
+    f"{_AUDIT_SAMPLE_DOCS}) == 0 — constant size at any corpus scale, "
+    "and near-dup pairs CO-sample because minhashes agree with "
+    "probability = Jaccard), compare the production banding scheme's "
+    f"candidate pairs ({_N_HASHES} hashes, {_BANDS} bands x "
+    f"{_ROWS_PER_BAND}) against exact-Jaccard >= {_JACCARD_MIN} ground "
+    "truth, reporting recall (true pairs the bands caught) and "
+    "precision (candidates that verify). Ground truth without an n^2 "
+    "pass: a pair at Jaccard >= tau > 0 shares >= 1 shingle, so the "
+    "sample's inverted-index co-shingle pairs contain every true pair "
+    "(bounded by the fixed sample size). One corpus pass (the shared "
+    "shingle/signature artifact) + sample-bounded pair work; "
+    "single-row output via broadcast 1-row aggregates — no collects, "
+    "no cartesian.",
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh_all = _doc_shingles(spark, sf_dir).withColumnRenamed("doc_id", "id")
+    sigs_all = D.minhash_signatures(sh_all, "id", num_hashes=_N_HASHES)
+    nd = read_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    mod = F.greatest(F.lit(2), F.expr(f"_n DIV {_AUDIT_SAMPLE_DOCS}"))
+    sample = (
+        sigs_all.crossJoin(F.broadcast(nd))
+        .where((F.col("h0") % mod) == 0)
+        .select("id")
+    )
+    sh = sh_all.join(sample, "id", "left_semi")
+    co = (
+        sh.select(F.col("id").alias("id_a"), "shingle")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    truth = (
+        D.ngram_jaccard_pairs(sh, co, id_col="id")
+        .filter(F.col("jaccard") >= _JACCARD_MIN)
+        .select("id_a", "id_b")
+    )
+    sigs = sigs_all.join(sample, "id", "left_semi")
+    cand = D.lsh_candidate_pairs(
+        sigs, "id", bands=_BANDS, rows_per_band=_ROWS_PER_BAND
+    )
+    hits = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    d = sh.agg(F.count_distinct("id").cast("bigint").alias("n_docs"))
+    t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    c = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand_pairs"))
+    h = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_pairs"))
+    row = (
+        d.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(h))
+    )
+    return row.select(
+        "n_docs",
+        "n_true_pairs",
+        "n_cand_pairs",
+        "n_hit_pairs",
+        F.round(
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.col("n_hit_pairs").cast("double") / F.col("n_true_pairs"),
+            ).otherwise(F.lit(1.0)),
+            4,
+        ).alias("recall"),
+        F.round(
+            F.when(
+                F.col("n_cand_pairs") > 0,
+                F.col("n_hit_pairs").cast("double") / F.col("n_cand_pairs"),
+            ).otherwise(F.lit(1.0)),
+            4,
+        ).alias("precision"),
+    )

@@ -83,8 +83,10 @@ PROBE_QUERIES = (
     "q108_epoch_plan",
     "q109_classifier_calibration",
     "q110_span_registry_probe",
-    # round-10 post-window addition: water-filling over |sources| rows
+    # round-10 post-window additions: water-filling over |sources| rows;
+    # sampled banding audit (pair volume is data-proportional, like q33)
     "q111_unimax_plan",
+    "q112_lsh_banding_audit",
 )
 
 
