@@ -1748,6 +1748,19 @@ def test_example_crawl_home_three_snapshots(engine, tmp_path):
     # registry is compacted: one row per (band_id, band_hash)
     reg = engine.table("crawl_registry")
     assert reg.count() == reg.select("band_id", "band_hash").distinct().count()
+    # the bucketed span-anchor registry accumulated all three snapshots'
+    # published anchors and stayed compacted (one row per digest) — the
+    # q110 registry family's recurring-crawl wiring
+    span_reg = engine.bucketed_table("crawl_span_registry", "ahash", 4)
+    assert span_reg.count() == span_reg.select("ahash").distinct().count()
+    assert {
+        r.snapshot for r in span_reg.select("snapshot").distinct().collect()
+    } == {"2024-01-01", "2024-01-02", "2024-01-03"}
+    # the span stage rewrites text but never drops a doc
+    assert (
+        engine.table("snapshot_span_fresh").count()
+        == engine.table("snapshot_fresh").count()
+    )
     # corpus never holds two docs with identical normalized content
     from pyspark.sql import functions as SF
     from bricolage_spark.operators.dedup import content_hash
