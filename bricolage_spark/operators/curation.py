@@ -458,7 +458,12 @@ def unimax_plan(
     over the GROUPED table (a broadcast nested-loop of metadata rows —
     thousands of sources is nothing; the corpus is touched exactly once
     by the groupBy). No window, so nothing funnels through one task at
-    any |sources|. Zero-token sources have capacity 0, are saturated by
+    any |sources|. Scope note: mixture plans are written over NAMED
+    sources (tens to thousands of rows — the data-card granularity); if
+    someone points this at per-domain groups in the millions, the
+    |sources|² aggregate is the term to replace — the same closed form
+    follows from a capacity-sorted prefix sum (one sort + window over
+    the grouped table), at the cost of re-introducing an ordered pass. Zero-token sources have capacity 0, are saturated by
     construction, and plan to 0 — never a 0/0 (the Spark-NULL vs
     DuckDB-NaN trap q108 pre-empted). Returns (group, n_docs, n_tokens,
     capacity, target_tokens, epochs, saturated).
