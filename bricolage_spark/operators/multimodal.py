@@ -18,10 +18,12 @@ back to a clearly-marked deterministic digest-based stand-in with the
 same shape/schema.  MP4/ISO-BMFF video gets real CONTAINER-level
 support (``parse_mp4_samples``/``split_mp4_frames``: sample tables ->
 per-frame byte ranges, timing, keyframes), so frame counting/sampling
-operate on true coded access units; only pixel decode of coded VIDEO
-bitstreams (H.264 et al.) sits behind the documented codec stub — the
-image side decodes natively end-to-end (BMP, PNG, WAV, baseline AND
-progressive JPEG since round 9).
+operate on true coded access units, and Motion-JPEG video decodes to
+PIXELS end-to-end (every sample is a JPEG; the native decoder does the
+rest); only pixel decode of INTER-coded video bitstreams (H.264 et
+al.) sits behind the documented codec stub — the image side decodes
+natively end-to-end (BMP, PNG, WAV, baseline AND progressive JPEG
+since round 9).
 """
 
 from __future__ import annotations
@@ -537,7 +539,14 @@ def sample_frames(media: DataFrame, every_n: int = 1, max_frames: int = 0) -> Da
                         frames = [raw]  # still image: its own single frame
                     elif raw[4:8] == b"ftyp":
                         frames = split_mp4_frames(raw)
-                        pixel_frames = False  # coded units, codec absent
+                        # Motion-JPEG: every access unit is ITSELF a
+                        # complete JPEG bitstream, so pixel decode is
+                        # real end-to-end (operators/jpeg.py) — only
+                        # INTER-coded bitstreams (H.264 et al.) remain
+                        # coded units without a codec
+                        pixel_frames = bool(frames) and all(
+                            f[:2] == b"\xff\xd8" for f in frames
+                        )
                     else:
                         raise ValueError("not a frame-decodable payload")
                     keep = frames[::every_n]
@@ -574,10 +583,12 @@ def decode_stub(*_args, **_kwargs):  # pragma: no cover - documented stub
 
     Raises so nobody mistakes the digest fallback for real features;
     BMP, PNG and WAV payloads DO get real decodes via ``decode_media``,
-    and MP4 containers get real sample-table parsing (frame ranges,
-    timing, keyframes) via ``parse_mp4_samples`` — this stub covers
-    only the PIXEL decode of coded VIDEO bitstreams (H.264 et al.) —
-    baseline and progressive JPEG both decode natively (operators/jpeg.py).
+    MP4 containers get real sample-table parsing (frame ranges,
+    timing, keyframes) via ``parse_mp4_samples``, and Motion-JPEG
+    video decodes to pixels end-to-end (every MP4 sample is a JPEG;
+    ``sample_frames`` marks them decodable and operators/jpeg.py —
+    baseline and progressive — does the pixels). This stub covers only
+    the PIXEL decode of INTER-coded video bitstreams (H.264 et al.).
     """
     raise NotImplementedError(
         "media codecs (PIL/ffmpeg) are not installed in this environment; "

@@ -415,6 +415,42 @@ def test_sample_frames_extracts_mp4_access_units(spark):
     assert all(not r.decoded for r in out)  # coded access units, no codec
 
 
+def test_sample_frames_decodes_motion_jpeg_pixels(spark):
+    """Motion-JPEG video (every MP4 sample is a complete JPEG) decodes
+    to PIXELS end-to-end: sample_frames marks the frames decodable and
+    the native JPEG decoder extracts the same features from a sampled
+    frame as from the standalone image — the coded-video stand-in now
+    covers only INTER-coded bitstreams."""
+    import numpy as np
+    from test_jpeg_decode import encode_jpeg
+
+    rng = np.random.default_rng(7)
+    jpegs = [
+        encode_jpeg(rng.integers(0, 256, (16, 16, 3)).astype(np.uint8))
+        for _ in range(3)
+    ]
+    mp4 = _tiny_mp4(jpegs, [[0, 1], [2]], [(1, 2), (2, 1)])
+    rows = [(5, bytearray(mp4), "video/mjpeg", len(mp4))]
+    media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    out = sorted(
+        M.sample_frames(media).collect(), key=lambda r: r.frame_index
+    )
+    assert [r.frame_index for r in out] == [0, 1, 2]
+    assert all(r.n_frames == 3 for r in out)
+    assert all(r.decoded for r in out)  # every access unit IS a JPEG
+    # pixel decode of a sampled frame == pixel decode of the image
+    got = M.decode_media(bytes(out[1].payload))
+    want = M.decode_media(jpegs[1])
+    assert got == want and len(got) > 0
+    # a mixed container (one non-JPEG sample) stays coded-units-only
+    mixed = _tiny_mp4([jpegs[0], b"h264-coded-unit"], [[0, 1]], [(1, 2)])
+    media2 = spark.createDataFrame(
+        [(6, bytearray(mixed), "video/mp4", len(mixed))],
+        schema=M.MEDIA_SCHEMA,
+    )
+    assert all(not r.decoded for r in M.sample_frames(media2).collect())
+
+
 def test_mp4_hostile_counts_clamped():
     """Crafted tiny payloads claiming ~2^32 samples/entries parse to
     None (the opaque fallback), never attempt the allocation (round-8
