@@ -52,37 +52,118 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # come right after the core, and the clip falls on queries that are already
 # driver-green in multiple rounds (listed in ``_CLIP_LAST``).
 #
-# ROUND-10 ROTATION (driver window = first 50), executing the committed
-# ROUND-10 PLAN verbatim.  Candidates = everything NOT attested in round
-# 9 = 114 - 50 = 64 rows for 50 slots -> clip 14.  Applied overflow
-# rule, unchanged: never/oldest-attested first, clip the DEEPEST
-# multi-round green history and list it explicitly.
+# ROUND-11 ROTATION (driver window = first 50), executing the committed
+# ROUND-11 PLAN verbatim.  Must-attest (16) = the 14 rows round 10
+# explicitly clipped (newest driver row r8, two rounds stale) +
+# q111/q112 (registered post-window in r10, never driver-attested).
+# The remaining 34 slots rotate in the r9-attested cohort (newest row
+# r9): candidates = 16 + 50 = 66 rows for 50 slots -> clip 16.
+# Applied overflow rule, unchanged: never/oldest-attested first, clip
+# the DEEPEST multi-round green history and list it explicitly.
 #   In the window (50):
-#   - the 11 rows round 9 explicitly clipped (q03/q05-q11/q12d/q13/q14,
-#     newest driver row r7, two rounds stale) — listed first, per the
-#     standing promise;
-#   - q108-q110 (3) — registered post-window in r9, first driver rows
-#     ever;
-#   - q95-q103 (9) — single driver row (r8);
-#   - 27 of the 41-row r8-attested block — everything except the 14
-#     clipped below.
-#   EXPLICITLY CLIPPED this round (64 - 50 = 14): q18 q19 q20 q21 q22
-#   q23 q24 q25 q27 q31 q32 q33 q34 q35 — the deepest multi-round green
-#   histories among the candidates (the round-1-era core-SQL
-#   subquery/function/distinct suite and the earliest dedup block, each
-#   driver-green across the r1-r6 windows, newest row r8, plus the
-#   judge's r9 full-inventory selfcheck; all pytest-covered every
-#   round).  Listed FIRST in _CLIP_LAST so any window widening
-#   re-admits them before the r9-attested cohort.
+#   - q18-q25, q27, q31-q35 (14) — the round-10 explicit clip, per the
+#     standing promise (listed FIRST);
+#   - q111/q112 (2) — first driver rows ever;
+#   - q104-q107 (4) — single driver row (r9);
+#   - q84-q94 (11) — newest row r9;
+#   - 19 of the 28-row r7 cohort (q44-q58, q72, q73, q82, q83) —
+#     newest row r9.
+#   EXPLICITLY CLIPPED this round (66 - 50 = 16): q01 q02 q04 q12 q12b
+#   q12c q15 q16 q17 q26 q26b q28 q29 q30 q41 q43 — the deepest
+#   multi-round green histories among the candidates: the round-1-era
+#   core relational suite (driver-green across the r1-r6 windows plus
+#   r9) and the two earliest §2.7 rows (q41 multimodal / q43 as-of,
+#   multi-round green, both carrying heavy standalone pytest suites).
+#   Listed FIRST in _CLIP_LAST so any window widening re-admits them
+#   before the freshly-r10-attested cohort.
 #
-# ROUND-11 PLAN: must-attest = the 14 clipped above (newest row r8, two
-# rounds stale by r11) + q111/q112 (registered post-window this round,
-# never attested); then rotate the r9-attested cohort (the 7 core-SQL
-# deferral rows + q104-q107 + q84-q94 + the 28-row r7 cohort, newest
-# row r9) ahead of this round's 50 fresh rows, same explicit-clip
+# ROUND-12 PLAN: must-attest = the 16 clipped above (newest row r9,
+# two rounds stale by r12) + any r11 post-window registrations; then
+# rotate the r10-attested cohort (q03/q05-q11/q12d/q13/q14,
+# q95-q103, q108-q110, q36-q40, q42, q59-q71, q74-q81 — newest row
+# r10) ahead of this round's 50 fresh rows, same explicit-clip
 # discipline on whatever exceeds the window.
 _EVIDENCE_FIRST = [
-    # the round-9 explicit clip — first driver rows since r7:
+    # the round-10 explicit clip — newest driver row r8:
+    "q18_subqueries",
+    "q19_case_coalesce_cast",
+    "q20_string_functions",
+    "q21_datetime_functions",
+    "q22_math_functions",
+    "q23_array_functions",
+    "q24_map_functions",
+    "q25_json_functions",
+    "q27_distinct",
+    "q31_dedup_exact",
+    "q32_minhash_signatures",
+    "q33_minhash_lsh_pairs",
+    "q34_simhash",
+    "q35_cosine_topk",
+    # registered post-window in round 10, never driver-attested:
+    "q111_unimax_plan",
+    "q112_lsh_banding_audit",
+    # single driver row (r9):
+    "q104_tokenizer_fertility",
+    "q105_span_contamination",
+    "q106_eval_split",
+    "q107_split_leakage",
+    # r9-attested block (newest driver row r9):
+    "q84_temperature_mixture",
+    "q85_ann_recall",
+    "q86_sentence_dedup",
+    "q87_code_detection",
+    "q88_oov_rate",
+    "q89_shard_assignment",
+    "q90_decontamination_apply",
+    "q91_embedding_hygiene",
+    "q92_boilerplate_removal",
+    "q93_cluster_size_histogram",
+    "q94_dedup_audit",
+    "q44_tumbling_window",
+    "q45_sliding_window",
+    "q46_salted_aggregate",
+    "q47_salted_join",
+    "q48_ngram_jaccard_neardup",
+    "q49_ann_ivf",
+    "q50_dedup_clusters",
+    "q51_contamination",
+    "q52_stratified_sample",
+    "q53_boilerplate_ngrams",
+    "q54_sequence_packing",
+    "q55_sessionization",
+    "q56_pii_redaction",
+    "q57_quality_repetition",
+    "q58_doc_top_word",
+    "q72_snapshot_diff",
+    "q73_pmi_collocations",
+    "q82_incremental_neardup",
+    "q83_hashed_ngram_classifier",
+]
+
+# Explicitly demoted to the tail (absorb the driver's >50 clip).
+_CLIP_LAST = [
+    # the ROUND-11 EXPLICIT CLIP (see rotation note above): deepest
+    # remaining driver-green history (round-1-era core relational
+    # suite + the two earliest §2.7 rows, many rounds + judge r10
+    # selfcheck), re-admitted first if the window ever widens:
+    "q01_scan_projection",
+    "q02_filter_predicates",
+    "q04_global_aggregate",
+    "q12_rollup",
+    "q12b_cube",
+    "q12c_pivot",
+    "q15_topk_per_group",
+    "q16_global_topk",
+    "q17_set_ops",
+    "q26_distinct_percentiles",
+    "q26b_approx_aggregates",
+    "q28_insert_delta",
+    "q29_rebuild",
+    "q30_streaming_load_dedup",
+    "q41_multimodal_features",
+    "q43_asof_join",
+    # the round-10 attested cohort — newest driver row r10, the
+    # freshest rows in the inventory (CORRECTNESS_r10: 50/50 green):
     "q03_group_aggregate",
     "q05_tpch_q1",
     "q06_inner_join",
@@ -94,11 +175,9 @@ _EVIDENCE_FIRST = [
     "q12d_unpivot",
     "q13_window_rank",
     "q14_window_analytic",
-    # registered post-window in round 9, never driver-attested:
     "q108_epoch_plan",
     "q109_classifier_calibration",
     "q110_span_registry_probe",
-    # round-8 additions, single driver row (r8):
     "q95_bpe_merges",
     "q96_semantic_decontamination",
     "q97_host_pagerank",
@@ -108,7 +187,6 @@ _EVIDENCE_FIRST = [
     "q101_semantic_neardup_history",
     "q102_bpe_encode",
     "q103_span_removal",
-    # r8-attested block (newest driver row r8), minus the 14 clipped:
     "q36_ann_lsh_bucketed",
     "q37_language_id",
     "q38_token_stats",
@@ -136,84 +214,6 @@ _EVIDENCE_FIRST = [
     "q79_winnowing_fingerprints",
     "q80_curation_verdicts",
     "q81_zipf_fit",
-]
-
-# Explicitly demoted to the tail (absorb the driver's >50 clip).
-_CLIP_LAST = [
-    # the ROUND-10 EXPLICIT CLIP (see rotation note above): deepest
-    # remaining driver-green history (round-1-era core-SQL function
-    # suite + the earliest dedup block, many rounds + judge r9
-    # selfcheck), re-admitted first if the window ever widens:
-    "q18_subqueries",
-    "q19_case_coalesce_cast",
-    "q20_string_functions",
-    "q21_datetime_functions",
-    "q22_math_functions",
-    "q23_array_functions",
-    "q24_map_functions",
-    "q25_json_functions",
-    "q27_distinct",
-    "q31_dedup_exact",
-    "q32_minhash_signatures",
-    "q33_minhash_lsh_pairs",
-    "q34_simhash",
-    "q35_cosine_topk",
-    # the round-9 attested cohort — newest driver row r9, the freshest
-    # rows in the inventory (CORRECTNESS_r09: 50/50 green):
-    "q01_scan_projection",
-    "q02_filter_predicates",
-    "q04_global_aggregate",
-    "q12_rollup",
-    "q12b_cube",
-    "q12c_pivot",
-    "q17_set_ops",
-    "q104_tokenizer_fertility",
-    "q105_span_contamination",
-    "q106_eval_split",
-    "q107_split_leakage",
-    "q84_temperature_mixture",
-    "q85_ann_recall",
-    "q86_sentence_dedup",
-    "q87_code_detection",
-    "q88_oov_rate",
-    "q89_shard_assignment",
-    "q90_decontamination_apply",
-    "q91_embedding_hygiene",
-    "q92_boilerplate_removal",
-    "q93_cluster_size_histogram",
-    "q94_dedup_audit",
-    "q15_topk_per_group",
-    "q16_global_topk",
-    "q26_distinct_percentiles",
-    "q26b_approx_aggregates",
-    "q28_insert_delta",
-    "q29_rebuild",
-    "q30_streaming_load_dedup",
-    "q41_multimodal_features",
-    "q43_asof_join",
-    "q44_tumbling_window",
-    "q45_sliding_window",
-    "q46_salted_aggregate",
-    "q47_salted_join",
-    "q48_ngram_jaccard_neardup",
-    "q49_ann_ivf",
-    "q50_dedup_clusters",
-    "q51_contamination",
-    "q52_stratified_sample",
-    "q53_boilerplate_ngrams",
-    "q54_sequence_packing",
-    "q55_sessionization",
-    "q56_pii_redaction",
-    "q57_quality_repetition",
-    "q58_doc_top_word",
-    "q72_snapshot_diff",
-    "q73_pmi_collocations",
-    "q82_incremental_neardup",
-    "q83_hashed_ngram_classifier",
-    # round-10 post-window additions (the committed r10 window stays
-    # intact; first driver rows round 11 per the standing discipline):
-    "q111_unimax_plan",
-    "q112_lsh_banding_audit",
 ]
 
 
