@@ -16,6 +16,7 @@ Maps the reference's PSQLTask verb set (lib/bricolage/psqldatasource.rb
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
@@ -299,6 +300,84 @@ class SparkEngine:
         (Catalog entries are session-scoped; see ``bucketed_table``.)"""
         return os.path.isdir(self.bucketed_dir(spec))
 
+    _BUCKET_SPEC_FILE = "_bucket_spec.json"
+
+    def _write_bucket_spec(
+        self,
+        location: str,
+        bucket_cols: list[str],
+        n_buckets: int,
+        sort_cols: list[str] | None,
+    ) -> None:
+        """Persist the bucketing CONTRACT next to the files it describes.
+
+        The count the files were hashed into is a durable physical fact;
+        the catalog entry that carries it is session-scoped. Without a
+        durable record, a re-registration is forced to trust whatever
+        count the caller passes — and a config drift (a job's
+        ``registry-buckets`` edited from 8 to 4) would make Spark elide
+        Exchanges based on a false layout and return WRONG results from
+        bucketed joins. Written atomically (rename) on every bucketed
+        write; validated by ``bucketed_table``.
+        """
+        spec_path = os.path.join(location, self._BUCKET_SPEC_FILE)
+        tmp = spec_path + f".tmp{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "n_buckets": n_buckets,
+                    "bucket_cols": bucket_cols,
+                    "sort_cols": sort_cols or bucket_cols,
+                },
+                f,
+            )
+        os.replace(tmp, spec_path)
+
+    def _check_bucket_spec(
+        self, location: str, bucket_cols: list[str], n_buckets: int
+    ) -> None:
+        """Fail fast when the caller's bucketing spec contradicts the
+        layout the files were actually written with.
+
+        Primary source: the ``_bucket_spec.json`` sidecar persisted at
+        write time. Fallback for pre-sidecar directories: the bucket id
+        Spark encodes in every part-file name (``part-*_BBBBB.c000``) —
+        an observed id >= the claimed count proves the claim wrong
+        (the reverse drift, claiming MORE buckets than the files have,
+        is only catchable via the sidecar).
+        """
+        spec_path = os.path.join(location, self._BUCKET_SPEC_FILE)
+        if os.path.exists(spec_path):
+            with open(spec_path) as f:
+                spec = json.load(f)
+            if int(spec["n_buckets"]) != n_buckets or list(
+                spec["bucket_cols"]
+            ) != list(bucket_cols):
+                raise JobFailure(
+                    f"bucket spec mismatch for {location}: files were "
+                    f"written CLUSTERED BY ({', '.join(spec['bucket_cols'])}) "
+                    f"INTO {spec['n_buckets']} BUCKETS, caller requested "
+                    f"({', '.join(bucket_cols)}) INTO {n_buckets}. Reading "
+                    "with a different spec would silently misread the "
+                    "layout. Read with the written spec, or rewrite via "
+                    f"registry-compact with buckets: {n_buckets}."
+                )
+            return
+        pat = re.compile(r"^part-\d+-.*_(\d{5})\.")
+        ids = [
+            int(m.group(1))
+            for f in os.listdir(location)
+            if (m := pat.match(f))
+        ]
+        if ids and max(ids) >= n_buckets:
+            raise JobFailure(
+                f"bucket count mismatch for {location}: part files carry "
+                f"bucket id {max(ids)} but caller claims only {n_buckets} "
+                f"buckets ({max(ids) + 1}+ were written). Rewrite via "
+                f"registry-compact with buckets: {n_buckets}, or read "
+                "with the real count."
+            )
+
     def bucketed_table(
         self,
         spec: TableSpec | str,
@@ -322,15 +401,22 @@ class SparkEngine:
         ``n_buckets`` is part of the table's on-disk CONTRACT: the files
         were hashed into that many buckets at write time, and
         re-registering with a different count would make Spark misread
-        them. Changing the count means a bucketed rewrite
-        (``registry-compact`` with ``buckets: <new N>`` does exactly
-        that). A same-name catalog entry left by another warehouse in
-        this session is detected by location and replaced.
+        them — so the count persisted at write time
+        (``_bucket_spec.json`` in the bucket dir) is validated against
+        the caller's and a mismatch FAILS FAST rather than silently
+        eliding Exchanges over a false layout. Changing the count means
+        a bucketed rewrite (``registry-compact`` with ``buckets:
+        <new N>`` does exactly that). A same-name catalog entry left by
+        another warehouse in this session is detected by location and
+        replaced — unless it is a MANAGED table (dropping one deletes
+        its data, not just the stale metadata), which raises instead.
         """
         spec = TableSpec.parse(spec) if isinstance(spec, str) else spec
         bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else bucket_cols
         name = spec.view_name
         location = self.bucketed_dir(spec)
+        if os.path.isdir(location):
+            self._check_bucket_spec(location, bucket_cols, n_buckets)
         if self.spark.catalog.tableExists(name):
             # a same-name entry registered by ANOTHER engine/warehouse in
             # this session would silently serve the wrong files — verify
@@ -342,6 +428,16 @@ class SparkEngine:
             if cat_loc is not None and os.path.normpath(
                 cat_loc.removeprefix("file:")
             ) != os.path.normpath(location):
+                cat_type = next(
+                    (r.data_type for r in rows if r.col_name == "Type"), ""
+                )
+                if cat_type.strip().upper() == "MANAGED":
+                    raise JobFailure(
+                        f"catalog name collision: {name} is a MANAGED "
+                        f"table at {cat_loc} — dropping it would delete "
+                        "its data. Rename the engine table or drop the "
+                        "managed table explicitly."
+                    )
                 self.spark.sql(f"DROP TABLE {name}")
         if not self.spark.catalog.tableExists(name):
             if not os.path.isdir(location):
@@ -412,6 +508,7 @@ class SparkEngine:
                 .sortBy(*(sort_cols or bucket_cols))
                 .saveAsTable(name)
             )
+            self._write_bucket_spec(location, bucket_cols, n_buckets, sort_cols)
         elif mode == "overwrite":
             stage_name = f"{name}__stage"
             stage_loc = f"{location}.__stage__{uuid.uuid4().hex[:8]}"
@@ -433,6 +530,7 @@ class SparkEngine:
                 os.rename(location, old)
             os.rename(stage_loc, location)
             shutil.rmtree(old, ignore_errors=True)
+            self._write_bucket_spec(location, bucket_cols, n_buckets, sort_cols)
             self.bucketed_table(spec, bucket_cols, n_buckets, sort_cols)
         else:
             raise ParameterError(f"unknown write mode: {mode}")

@@ -143,11 +143,20 @@ def registry_compact(job: Job) -> JobResult:
       span-anchor registry's layout) CLUSTERED BY the key columns:
       read through ``engine.bucketed_table`` and rewritten bucketed,
       so compaction preserves the co-location the probe join relies
-      on. Requires explicit ``key-columns``.
+      on. Requires explicit ``key-columns``; conflicts with
+      ``target-partitions`` (the rewrite lands at exactly N files).
     """
     dest = job.require("dest-table")
     n_bkts = int(job.param("buckets", 0) or 0)
     if n_bkts:
+        if job.param("target-partitions"):
+            # a bucketed rewrite always lands at n_buckets files — a
+            # caller passing both must not silently lose one parameter
+            raise ParameterError(
+                "registry-compact: target-partitions conflicts with "
+                "buckets (a bucketed rewrite lands at exactly `buckets` "
+                "files) — drop one"
+            )
         if not job.param("key-columns"):
             raise ParameterError(
                 "registry-compact: buckets requires explicit key-columns "

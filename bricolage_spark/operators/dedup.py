@@ -360,15 +360,48 @@ def band_buckets(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, bands: int = 4, rows_per_band: int = 4
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
     Returns distinct (id_a, id_b) with id_a < id_b. Self-join key is
     (band_id, band_hash): equality-only → hash join, AQE splits skewed
-    buckets.
+    buckets — but AQE only splits shuffle PARTITIONS; it cannot reduce
+    the O(B²) pair *output* of one band bucket holding B template-spam
+    docs (the pathology q93's cluster-size histogram exists to detect:
+    a boilerplate band shared by 10⁶ crawl pages would emit 10¹²
+    pairs). So hot buckets are CAPPED before the self-join, the same
+    discipline as ``duplicate_spans``' max_postings and
+    ``ngram_jaccard_pairs``' df cutoff: per (band_id, band_hash), only
+    the first ``max_bucket`` members in deterministic hash order
+    (xxhash64 of the doc id) enter pair enumeration, bounding per-bucket
+    output at max_bucket². The window's shuffle is on the join key
+    itself, so the exchange is reused by the join.
+
+    Documented bias: a doc ranked past the cap in a hot bucket loses
+    candidacy *via that band only* — it still pairs through its other
+    ``bands − 1`` buckets, and buckets that blow the cap are precisely
+    boilerplate collisions carrying no per-pair near-dup signal (their
+    members are better handled as a cluster via the q93 histogram →
+    q62-style cap pipeline). ``max_bucket=0`` disables the cap
+    (test/audit use).
     """
+    from pyspark.sql import Window
+
     melted = band_buckets(signatures, id_col, bands, rows_per_band)
+    if max_bucket:
+        w = Window.partitionBy("band_id", "band_hash").orderBy(
+            F.xxhash64(F.col(id_col)), F.col(id_col)
+        )
+        melted = (
+            melted.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= max_bucket)
+            .drop("_rk")
+        )
 
     a = melted.alias("a")
     b = melted.alias("b")

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bricolage_spark.exception import JobFailure
 from bricolage_spark.operators.dedup import normalize_text
 from bricolage_spark.operators.textual import (
     entropy_filter,
@@ -183,12 +184,42 @@ def span_registry_prior(engine, registry_table: str, n_buckets: int = 0):
     """The span-anchor registry's rows, or None before the first
     snapshot — read through ``engine.bucketed_table`` when the registry
     lives bucketed CLUSTERED BY (ahash) (``n_buckets`` > 0), so probe
-    joins scan co-located buckets (SCALE.md "Span-anchor registry")."""
+    joins scan co-located buckets (SCALE.md "Span-anchor registry").
+
+    Returning None means "no history yet" and makes the caller SEED a
+    fresh registry — so a layout-config flip (``registry-buckets``
+    toggled between 0 and N on an existing deployment) must NOT fall
+    through to None: the other layout's registry exists, and silently
+    seeding would abandon all accumulated span-dedup history (the old
+    layout's files would sit orphaned on disk with every prior span
+    re-admitted). Both flip directions raise with the one-time
+    migration instead.
+    """
     if n_buckets:
         if not engine.bucketed_table_exists(registry_table):
+            if engine.table_exists(registry_table):
+                raise JobFailure(
+                    f"span registry {registry_table} exists as a PLAIN "
+                    f"table but registry-buckets={n_buckets} requests a "
+                    "bucketed layout — probing against nothing would "
+                    "abandon all span-dedup history. Migrate once: "
+                    "rewrite the existing rows bucketed "
+                    "(engine.save_table_bucketed(engine.table("
+                    f"'{registry_table}'), '{registry_table}', 'ahash', "
+                    f"{n_buckets})), remove the plain table, then re-run."
+                )
             return None
         return engine.bucketed_table(registry_table, "ahash", n_buckets)
     if not engine.table_exists(registry_table):
+        if engine.bucketed_table_exists(registry_table):
+            raise JobFailure(
+                f"span registry {registry_table} exists as a BUCKETED "
+                "table but registry-buckets=0 requests a plain layout — "
+                "probing against nothing would abandon all span-dedup "
+                "history. Either restore registry-buckets to the "
+                "written count, or migrate once: save the bucketed rows "
+                "as a plain table and remove the bucketed directory."
+            )
         return None
     return engine.table(registry_table)
 

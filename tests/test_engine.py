@@ -292,3 +292,75 @@ def test_bucketed_table_replaces_stale_entry_from_other_warehouse(
         assert engine.bucketed_table("bk_clash", "k", 2).count() == 100
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_clash")
+
+
+def test_bucketed_spec_drift_fails_fast(engine, spark):
+    """The bucket count is an on-disk CONTRACT persisted at write time
+    (_bucket_spec.json): re-registering with a drifted count (a job's
+    registry-buckets edited 8 -> 4) must raise, not let Spark elide
+    Exchanges over a false layout and return wrong join results."""
+    from pyspark.sql import functions as SF
+
+    df = spark.range(200).select(
+        SF.md5(SF.col("id").cast("string")).alias("ahash")
+    )
+    try:
+        engine.save_table_bucketed(df, "bk_spec", "ahash", n_buckets=8)
+        spark.sql("DROP TABLE bk_spec")  # simulate a fresh session
+        with pytest.raises(JobFailure, match="bucket spec mismatch"):
+            engine.bucketed_table("bk_spec", "ahash", 4)
+        # claiming MORE buckets than written is the sneaky direction
+        # (no part-file id can disprove it — only the sidecar can)
+        with pytest.raises(JobFailure, match="bucket spec mismatch"):
+            engine.bucketed_table("bk_spec", "ahash", 16)
+        with pytest.raises(JobFailure, match="bucket spec mismatch"):
+            engine.bucketed_table("bk_spec", "snapshot", 8)
+        # a drifted APPEND is refused before any file is written
+        with pytest.raises(JobFailure, match="bucket spec mismatch"):
+            engine.save_table_bucketed(
+                df, "bk_spec", "ahash", n_buckets=4, mode="append"
+            )
+        # the written spec still reads fine
+        assert engine.bucketed_table("bk_spec", "ahash", 8).count() == 200
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_spec")
+
+
+def test_bucketed_legacy_dir_filename_inference(engine, spark):
+    """Pre-sidecar bucket dirs: the bucket id Spark encodes in every
+    part-file name (part-*_BBBBB.c000) proves an under-claimed count
+    wrong even with no _bucket_spec.json present."""
+    from pyspark.sql import functions as SF
+
+    df = spark.range(200).select(
+        SF.md5(SF.col("id").cast("string")).alias("ahash")
+    )
+    try:
+        engine.save_table_bucketed(df, "bk_legacy", "ahash", n_buckets=8)
+        os.remove(
+            os.path.join(engine.bucketed_dir("bk_legacy"), "_bucket_spec.json")
+        )
+        spark.sql("DROP TABLE bk_legacy")
+        with pytest.raises(JobFailure, match="bucket count mismatch"):
+            engine.bucketed_table("bk_legacy", "ahash", 4)
+        assert engine.bucketed_table("bk_legacy", "ahash", 8).count() == 200
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_legacy")
+
+
+def test_bucketed_managed_name_collision_raises(engine, spark):
+    """A MANAGED catalog table squatting on the engine's view name must
+    not be dropped (dropping a managed table deletes its DATA, not just
+    stale metadata) — bucketed_table raises and the data survives."""
+    from pyspark.sql import functions as SF
+
+    df = spark.range(50).select(SF.col("id").cast("string").alias("k"))
+    try:
+        engine.save_table_bucketed(df, "bk_mng", "k", n_buckets=2)
+        spark.sql("DROP TABLE bk_mng")  # fresh-session simulation
+        spark.range(7).selectExpr("id as x").write.saveAsTable("bk_mng")
+        with pytest.raises(JobFailure, match="MANAGED"):
+            engine.bucketed_table("bk_mng", "k", 2)
+        assert spark.table("bk_mng").count() == 7  # data intact
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_mng")

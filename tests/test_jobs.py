@@ -1872,3 +1872,25 @@ def test_drift_report_rejects_unknown_columns(engine, home, spark):
             "class: drift-report\ndest-table: dr_out\nsrc-table: dr_src\n"
             "current-snapshot: 2024-01-01\ngroup-column: nope\n",
         )
+
+
+def test_registry_compact_rejects_buckets_with_target_partitions(
+    engine, home, spark
+):
+    """A bucketed rewrite always lands at `buckets` files — passing
+    target-partitions alongside must raise, not silently drop one."""
+    from bricolage_spark.exception import ParameterError
+
+    engine.save_table_bucketed(
+        spark.createDataFrame([("x",)], "ahash string"), "reg_conflict",
+        "ahash", 4,
+    )
+    try:
+        with pytest.raises(ParameterError, match="target-partitions"):
+            run_job(
+                engine, home, "conflict.job",
+                "class: registry-compact\ndest-table: reg_conflict\n"
+                "key-columns: ahash\nbuckets: 4\ntarget-partitions: 8\n",
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS reg_conflict")

@@ -770,3 +770,87 @@ def test_curate_stream_eval_split_over_real_stream(spark, tmp_path):
         ).collect()
     }
     assert {d: (s, b) for d, (s, b, _t) in got.items()} == mirror
+
+
+def test_span_registry_layout_flip_raises_not_reseeds(spark, tmp_path):
+    """Flipping registry-buckets between 0 and N on an existing
+    deployment must NOT return None (the caller would then seed a fresh
+    registry and silently abandon all span-dedup history) — both flip
+    directions raise with a migration hint; absent registries still
+    return None."""
+    from bricolage_spark.engine import SparkEngine
+    from bricolage_spark.exception import JobFailure
+    from bricolage_spark.streaming.curation import span_registry_prior
+
+    engine = SparkEngine(spark, warehouse=str(tmp_path / "wh_flip"))
+    rows = spark.createDataFrame([(f"h{i}",) for i in range(10)], "ahash string")
+
+    engine.save_table(rows, "flip_plain")
+    with pytest.raises(JobFailure, match="PLAIN"):
+        span_registry_prior(engine, "flip_plain", n_buckets=4)
+    assert span_registry_prior(engine, "flip_plain", 0).count() == 10
+
+    engine.save_table_bucketed(rows, "flip_bkt", "ahash", 4)
+    try:
+        with pytest.raises(JobFailure, match="BUCKETED"):
+            span_registry_prior(engine, "flip_bkt", n_buckets=0)
+        assert span_registry_prior(engine, "flip_bkt", 4).count() == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS flip_bkt")
+
+    # genuinely-new registries: None in both layouts
+    assert span_registry_prior(engine, "flip_none", 0) is None
+    assert span_registry_prior(engine, "flip_none", 4) is None
+
+
+def test_probe_verdicts_survive_corrupt_duplicate_snapshot_registry(
+    spark, tmp_path
+):
+    """Poisoned-registry robustness: a registry corrupted with the same
+    key under TWO conflicting snapshot labels (a crashed migration's
+    double-append) must not flip any probe verdict — existence joins
+    are duplicate-insensitive, and a labeled probe that excludes its
+    own snapshot still sees the other label's row."""
+    from bricolage_spark.engine import SparkEngine
+    from bricolage_spark.streaming.curation import probe_and_update_registry
+
+    engine = SparkEngine(spark, warehouse=str(tmp_path / "wh_corrupt"))
+    # corrupt registry: bucket x exists under BOTH snapshots A and B,
+    # with a stray exact duplicate of the A row for good measure
+    engine.save_table(
+        spark.createDataFrame(
+            [
+                (0, "x", "A"),
+                (0, "x", "A"),
+                (0, "x", "B"),
+                (1, "y", "B"),
+            ],
+            "band_id int, band_hash string, snapshot string",
+        ),
+        "corrupt_reg",
+    )
+    batch = spark.createDataFrame(
+        [(10, 0, "x"), (11, 1, "y"), (12, 0, "w")],
+        "doc_id long, band_id int, band_hash string",
+    )
+    # probe under snapshot B: doc 10 still dropped (x survives via A's
+    # row after B's own label is excluded), doc 11 KEPT (y exists only
+    # under the excluded label B), doc 12 novel
+    kept = {
+        r.doc_id
+        for r in probe_and_update_registry(
+            batch, engine, "corrupt_reg", "doc_id", snapshot="B"
+        ).collect()
+    }
+    assert kept == {11, 12}
+    # replay is verdict-stable on the still-messy registry
+    kept2 = {
+        r.doc_id
+        for r in probe_and_update_registry(
+            batch, engine, "corrupt_reg", "doc_id", snapshot="B"
+        ).collect()
+    }
+    assert kept2 == kept
+    # the conflicting-label A rows are untouched (only B was rewritten)
+    a_rows = engine.table("corrupt_reg").where(F.col("snapshot") == "A")
+    assert a_rows.count() == 2
