@@ -715,11 +715,14 @@ def span_registry(job: Job) -> JobResult:
     Registry contract — this table is NOT like its siblings' (sizing
     math in SCALE.md "span-anchor registry"):
 
-    - schema ``(ahash string[, snapshot string])`` — one md5 digest per
-      distinct published word ``anchor-len``-gram. The digest count is
-      O(history tokens), so the registry is CORPUS-scale (a 25T-token
-      history is a multi-TB digest table), unlike the O(docs) digest
-      and O(docs x bands) band registries.
+    - schema ``(ahash bigint[, snapshot string])`` — one xxhash64 key
+      per distinct published word ``anchor-len``-gram (8-byte keys;
+      the measured md5-vs-xxhash64 adjudication and the collision-bias
+      note live on ``positional_anchor_keys``; an md5-era string
+      registry fails loudly at probe time with a re-key hint). The key
+      count is O(history tokens), so the registry is CORPUS-scale (a
+      25T-token history is a multi-TB key table), unlike the O(docs)
+      digest and O(docs x bands) band registries.
     - maintenance is therefore APPEND-ONLY, never the insert-delta
       rewrite the band registries use: each snapshot appends O(batch)
       rows; a labeled replay double-appends harmlessly (the probe
@@ -750,7 +753,7 @@ def span_registry(job: Job) -> JobResult:
     (post-scrub) text, so the registry reflects exactly what shipped.
     """
     from bricolage_spark.operators.dedup import (
-        positional_anchors,
+        positional_anchor_keys,
         span_registry_probe,
     )
     from bricolage_spark.streaming.curation import (
@@ -783,9 +786,7 @@ def span_registry(job: Job) -> JobResult:
         )
 
     if probe_rows is not None:
-        anchors = positional_anchors(df, id_col, text_col, k=k).select(
-            id_col, "pos", F.md5(F.col("anchor")).alias("ahash")
-        )
+        anchors = positional_anchor_keys(df, id_col, text_col, k=k)
         spans = span_registry_probe(
             anchors,
             probe_rows.select("ahash"),
@@ -810,8 +811,8 @@ def span_registry(job: Job) -> JobResult:
     # (``update_span_registry``: labeled-replay-stable, one-time label
     # migration, bucketed layout preserved)
     new_rows = (
-        positional_anchors(job.engine.table(dest), id_col, text_col, k=k)
-        .select(F.md5(F.col("anchor")).alias("ahash"))
+        positional_anchor_keys(job.engine.table(dest), id_col, text_col, k=k)
+        .select("ahash")
         .distinct()
     )
     update_span_registry(

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bricolage_spark.catalog import spread
+from bricolage_spark.exception import JobFailure
 
 # ---------------------------------------------------------------------------
 # shared hashing primitives (engine-independent: md5-based)
@@ -182,6 +183,60 @@ def positional_anchors(
             *(["n_grams"] if with_total else []),
             F.concat_ws(" ", F.slice(F.col("_w"), F.col("pos"), F.lit(k))).alias(
                 "anchor"
+            ),
+        )
+    )
+
+
+def positional_anchor_keys(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Positional anchor KEYS for the span-registry family: (id, pos,
+    ahash) with ``ahash = xxhash64`` of the word k-gram SLICE — no
+    per-position anchor string is ever allocated and no cryptographic
+    digest is paid (``duplicate_spans``' key discipline, shared here by
+    q110, the ``span-registry`` job class, and the foreachBatch span
+    scrub).
+
+    ADJUDICATION (r11, VERDICT r10 #3) — measured alternatives for the
+    q110 probe at sf0.1, best-of-3 noop-sink wall sec, local[32]:
+
+    - md5(concat_ws(slice)) string keys (the r9-r10 shape): 1.647 s
+    - xxhash64(anchor string), md5 dropped:                 1.411 s
+    - xxhash64(slice array), no string, no md5 (THIS):      1.425 s
+      (interleaved same-session A/B re-run, full q110, two rounds:
+      old 1.536/1.430 s vs new 1.477/1.255 s — new wins every pairing)
+    - winnowed md5 anchors, w=4 (~2/(w+1) density):         1.392 s
+      (semi-join + per-doc agg only — winnowing changes span
+      reconstruction semantics AND pays a per-doc window min that
+      cancels most of the row savings at this scale; it remains the
+      documented SCALE.md fallback where the registry's byte size, not
+      probe CPU, is the binding constraint)
+
+    Verdict: the anchor melt itself (explode + shuffle), not the
+    digest, dominates — the hash swap buys ~13% and, more importantly,
+    shrinks every registry row from a 32-char md5 hex string to an
+    8-byte BIGINT (~4x narrower at O(history tokens) rows: the
+    corpus-scale registry's dominant cost). Probe spans verified
+    identical to the md5 shape at sf0.1. Collision bias, same argument
+    as ``duplicate_spans``: a 64-bit collision creates a stray HIT
+    anchor that lands in its own island of span_len = anchor_len <
+    min_span and is filtered; only a collision adjacent to a real span
+    could stretch it by a few tokens.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(words)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        spread(df, id_col)
+        .select(F.col(id_col), words.alias("_w"), F.explode(idx).alias("pos"))
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("bigint").alias("pos"),
+            F.xxhash64(F.slice(F.col("_w"), F.col("pos"), F.lit(k))).alias(
+                "ahash"
             ),
         )
     )
@@ -867,9 +922,9 @@ def span_registry_probe(
     :func:`incremental_neardup_flags`/q82, SRP bands/q101; spans here).
 
     ``batch_anchors``: the batch's positional anchor postings
-    (id, pos, ahash) — :func:`positional_anchors` output with the
-    anchor digested (md5: 16-byte registry keys, collision-safe at any
-    corpus size). ``registry``: the history's DISTINCT anchor digests —
+    (id, pos, ahash) — :func:`positional_anchor_keys` output (8-byte
+    xxhash64 keys; measured adjudication and collision note there).
+    ``registry``: the history's DISTINCT anchor digests —
     maintained by the ``span-registry`` job class (wired in the example
     jobnet with a ``registry-compact`` branch): one O(batch) APPEND per
     snapshot — never the band registries' insert-delta rewrite, because
@@ -894,6 +949,21 @@ def span_registry_probe(
     """
     from pyspark.sql import Window
 
+    b_t = batch_anchors.schema["ahash"].dataType
+    r_t = registry.schema["ahash"].dataType
+    if b_t != r_t:
+        # a bigint-vs-string key join would implicitly cast and null out
+        # every hit — i.e. silently admit every historical duplicate. An
+        # md5-era (string) registry meeting xxhash64 (bigint) batch keys
+        # needs the one-time rewrite, not a quiet empty probe.
+        raise JobFailure(
+            f"span registry key type mismatch: batch ahash is "
+            f"{b_t.simpleString()}, registry ahash is {r_t.simpleString()}"
+            " — an md5-era registry must be re-keyed once "
+            "(re-run span-registry over the published history, or "
+            "rebuild the registry with positional_anchor_keys) before "
+            "probing with xxhash64 keys."
+        )
     hits = batch_anchors.join(
         registry.select("ahash").distinct(), "ahash", "left_semi"
     )

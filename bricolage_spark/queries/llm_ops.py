@@ -5598,8 +5598,9 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Cross-snapshot SPAN dedup probe (operators/dedup.py::"
     "span_registry_probe): the new batch (doc_id % 3 == 0) probes the "
-    f"md5 {_SPAN_K}-gram anchor registry of all ingested history — one "
-    "semi-join of 16-byte digests + a per-doc gaps-and-islands window "
+    f"xxhash64 {_SPAN_K}-gram anchor registry of all ingested history — "
+    "one semi-join of 8-byte keys (measured adjudication + collision "
+    "note: positional_anchor_keys) + a per-doc gaps-and-islands window "
     f"(bounded by the doc's hit count) — and reports its >= {_SPAN_MIN}-"
     "token verbatim-duplicated spans per doc. History TEXT is never "
     "rescanned: the registry is an append-only digest table maintained "
@@ -5616,13 +5617,11 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = docs.where(F.col("doc_id") % 3 != 0)
     batch = docs.where(F.col("doc_id") % 3 == 0)
     registry = (
-        D.positional_anchors(hist, "doc_id", "text", k=_SPAN_K)
-        .select(F.md5(F.col("anchor")).alias("ahash"))
+        D.positional_anchor_keys(hist, "doc_id", "text", k=_SPAN_K)
+        .select("ahash")
         .distinct()
     )
-    b_anch = D.positional_anchors(batch, "doc_id", "text", k=_SPAN_K).select(
-        "doc_id", "pos", F.md5(F.col("anchor")).alias("ahash")
-    )
+    b_anch = D.positional_anchor_keys(batch, "doc_id", "text", k=_SPAN_K)
     spans = D.span_registry_probe(
         b_anch, registry, "doc_id", anchor_len=_SPAN_K, min_span=_SPAN_MIN
     )

@@ -317,9 +317,7 @@ def span_scrub_batch_against_history(
             ~F.col("snapshot").eqNullSafe(F.lit(str(snapshot)))
         )
     if probe_rows is not None:
-        anchors = D.positional_anchors(
-            batch, id_col, text_col, k=anchor_len
-        ).select(id_col, "pos", F.md5(F.col("anchor")).alias("ahash"))
+        anchors = D.positional_anchor_keys(batch, id_col, text_col, k=anchor_len)
         spans = D.span_registry_probe(
             anchors,
             probe_rows.select("ahash"),
@@ -339,8 +337,8 @@ def span_scrub_batch_against_history(
     else:
         scrubbed = batch.localCheckpoint(eager=True)
     new_rows = (
-        D.positional_anchors(scrubbed, id_col, text_col, k=anchor_len)
-        .select(F.md5(F.col("anchor")).alias("ahash"))
+        D.positional_anchor_keys(scrubbed, id_col, text_col, k=anchor_len)
+        .select("ahash")
         .distinct()
     )
     update_span_registry(

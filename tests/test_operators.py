@@ -1773,13 +1773,11 @@ def test_span_registry_probe_flags_history_spans(spark):
     )
     k, min_span = 8, 12
     reg = (
-        D.positional_anchors(hist, "doc_id", "text", k=k)
-        .select(SF.md5("anchor").alias("ahash"))
+        D.positional_anchor_keys(hist, "doc_id", "text", k=k)
+        .select("ahash")
         .distinct()
     )
-    b = D.positional_anchors(batch, "doc_id", "text", k=k).select(
-        "doc_id", "pos", SF.md5("anchor").alias("ahash")
-    )
+    b = D.positional_anchor_keys(batch, "doc_id", "text", k=k)
     spans = {
         r.doc_id: r
         for r in D.span_registry_probe(
@@ -1932,3 +1930,25 @@ def test_lsh_cap_does_not_change_normal_verdicts(docs):
         for r in D.lsh_candidate_pairs(sigs, "id", 8, 2, max_bucket=0).collect()
     }
     assert capped == uncapped
+
+
+def test_span_registry_probe_rejects_md5_era_registry(spark):
+    """Key-format migration guard: probing an md5-era (string ahash)
+    registry with xxhash64 (bigint) batch keys must raise — the
+    implicit string/bigint cast would null out every hit and silently
+    admit every historical duplicate."""
+    from pyspark.sql import functions as SF
+
+    from bricolage_spark.exception import JobFailure
+    from bricolage_spark.operators import dedup as D
+
+    batch = spark.createDataFrame(
+        [(1, "ten words of text here that make up a doc")],
+        "doc_id long, text string",
+    )
+    old_reg = spark.range(10).select(
+        SF.md5(SF.col("id").cast("string")).alias("ahash")
+    )
+    keys = D.positional_anchor_keys(batch, "doc_id", "text", k=8)
+    with pytest.raises(JobFailure, match="key type mismatch"):
+        D.span_registry_probe(keys, old_reg, "doc_id")
