@@ -510,6 +510,23 @@ class SparkEngine:
             )
             self._write_bucket_spec(location, bucket_cols, n_buckets, sort_cols)
         elif mode == "overwrite":
+            if self.spark.catalog.tableExists(name):
+                # same managed-table guard as bucketed_table (checked
+                # BEFORE the stage write so a refusal costs nothing):
+                # the engine's own entries are always EXTERNAL (written
+                # with an explicit path), so a MANAGED entry is a
+                # foreign table whose DATA the swap's drop would delete
+                rows = self.spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+                cat_type = next(
+                    (r.data_type for r in rows if r.col_name == "Type"), ""
+                )
+                if cat_type.strip().upper() == "MANAGED":
+                    raise JobFailure(
+                        f"catalog name collision: {name} is a MANAGED "
+                        "table — overwriting it would delete its data. "
+                        "Rename the engine table or drop the managed "
+                        "table explicitly."
+                    )
             stage_name = f"{name}__stage"
             stage_loc = f"{location}.__stage__{uuid.uuid4().hex[:8]}"
             self.spark.sql(f"DROP TABLE IF EXISTS {stage_name}")

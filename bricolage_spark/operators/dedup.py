@@ -424,38 +424,72 @@ def lsh_candidate_pairs(
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
     Returns distinct (id_a, id_b) with id_a < id_b. Self-join key is
-    (band_id, band_hash): equality-only → hash join, AQE splits skewed
-    buckets — but AQE only splits shuffle PARTITIONS; it cannot reduce
-    the O(B²) pair *output* of one band bucket holding B template-spam
-    docs (the pathology q93's cluster-size histogram exists to detect:
-    a boilerplate band shared by 10⁶ crawl pages would emit 10¹²
-    pairs). So hot buckets are CAPPED before the self-join, the same
-    discipline as ``duplicate_spans``' max_postings and
-    ``ngram_jaccard_pairs``' df cutoff: per (band_id, band_hash), only
-    the first ``max_bucket`` members in deterministic hash order
-    (xxhash64 of the doc id) enter pair enumeration, bounding per-bucket
-    output at max_bucket². The window's shuffle is on the join key
-    itself, so the exchange is reused by the join.
+    (band_id, band_hash) — but the classic equality self-join has an
+    unguarded O(B²) pair *output* per band bucket of B docs, and AQE
+    only splits shuffle PARTITIONS, it cannot shrink join output: one
+    boilerplate band shared by 10⁶ template-spam crawl pages would emit
+    10¹² pairs (the pathology q93's cluster-size histogram exists to
+    detect). So the capped path runs ``duplicate_spans``' shape
+    instead: ONE groupBy collects each bucket's member list, buckets of
+    size outside [2, max_bucket] are dropped whole — exactly the family
+    discipline (``duplicate_spans`` drops posting lists above
+    max_postings at index time; ``ngram_jaccard_pairs``' df cutoff
+    prunes high-df shingles; a band value shared by that many docs is a
+    boilerplate collision carrying no per-pair near-dup signal, its
+    members better handled as a CLUSTER via the q93 histogram →
+    q62-style pipeline) — and surviving pairs expand ROW-LOCALLY
+    (≤ max_bucket² structs per bucket). One corpus pass, one shuffle,
+    no self-join.
 
-    Documented bias: a doc ranked past the cap in a hot bucket loses
-    candidacy *via that band only* — it still pairs through its other
-    ``bands − 1`` buckets, and buckets that blow the cap are precisely
-    boilerplate collisions carrying no per-pair near-dup signal (their
-    members are better handled as a cluster via the q93 histogram →
-    q62-style cap pipeline). ``max_bucket=0`` disables the cap
-    (test/audit use).
+    ADJUDICATION (r11): capped variants measured on the full q33 shape
+    at sf0.1, best-of-3 × 2 interleaved rounds, identical results
+    verified against the uncapped join:
+    uncapped self-join 0.58/0.93 s · row_number truncation 1.88 s ·
+    whole-bucket drop via unordered window 1.56/1.88 s · count+
+    broadcast-anti-join 1.91/2.12 s · one-side window 1.17/1.42 s ·
+    **groupBy + row-local expansion (THIS) 1.08/1.26 s** — every
+    window/filter variant recomputes the signature lineage on both
+    join sides (the filtered output satisfies the join distribution,
+    so no reusable Exchange exists between the sides), while this
+    shape pays one extra aggregation stage at toy scale and strictly
+    LESS at 100 TB: the uncapped join's two-sided shuffle + unbounded
+    pair stream is replaced by one map-side-combinable aggregation
+    whose output is bounded by cap² per bucket.
+
+    Documented bias: a doc in a blown bucket loses candidacy *via that
+    band only* — it still pairs through its other ``bands − 1``
+    buckets. ``max_bucket=0`` disables the cap and runs the classic
+    self-join (audit use; quadratic by construction).
     """
-    from pyspark.sql import Window
-
     melted = band_buckets(signatures, id_col, bands, rows_per_band)
     if max_bucket:
-        w = Window.partitionBy("band_id", "band_hash").orderBy(
-            F.xxhash64(F.col(id_col)), F.col(id_col)
+        grp = (
+            melted.groupBy("band_id", "band_hash")
+            .agg(
+                F.collect_list(F.col(id_col)).alias("_ids"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .where((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
         )
-        melted = (
-            melted.withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") <= max_bucket)
-            .drop("_rk")
+        ids = F.array_sort(F.col("_ids"))
+        return (
+            grp.select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            ids,
+                            lambda x, i: F.transform(
+                                F.slice(ids, i + 2, F.size(ids)),
+                                lambda y: F.struct(
+                                    x.alias("id_a"), y.alias("id_b")
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("p")
+            )
+            .select("p.id_a", "p.id_b")
+            .distinct()
         )
 
     a = melted.alias("a")

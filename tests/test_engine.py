@@ -364,3 +364,19 @@ def test_bucketed_managed_name_collision_raises(engine, spark):
         assert spark.table("bk_mng").count() == 7  # data intact
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_mng")
+
+
+def test_save_table_bucketed_overwrite_refuses_managed_collision(engine, spark):
+    """save_table_bucketed's stage-and-swap must apply the same
+    managed-table guard as bucketed_table — refusing BEFORE the stage
+    write, with the squatting table's data intact."""
+    from pyspark.sql import functions as SF
+
+    df = spark.range(20).select(SF.col("id").cast("string").alias("k"))
+    try:
+        spark.range(9).selectExpr("id as x").write.saveAsTable("bk_mng_ow")
+        with pytest.raises(JobFailure, match="MANAGED"):
+            engine.save_table_bucketed(df, "bk_mng_ow", "k", n_buckets=2)
+        assert spark.table("bk_mng_ow").count() == 9
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_mng_ow")

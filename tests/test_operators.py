@@ -1896,27 +1896,27 @@ def test_span_registry_probe_arms_runtime_bloom_filter(spark, tmp_path):
 
 def test_lsh_hot_bucket_cap_bounds_pair_output(spark):
     """The 100 TB blowup guard: one template-spam band bucket holding B
-    docs must NOT emit B² pairs — per-bucket membership is capped in
-    deterministic hash order before the self-join, so pair output is
-    bounded at max_bucket² per bucket while normal buckets are exact."""
+    docs must NOT emit B² pairs — blown buckets are dropped whole
+    before the self-join (duplicate_spans' posting-list discipline),
+    while sub-cap buckets stay exact."""
     # poisoned signatures: 40 docs with IDENTICAL minhash rows -> every
     # band bucket holds all 40 (worst case: 4 bands x C(40,2) pair work)
+    # ... plus one sub-cap near-pair in its own bucket
+    rows = [tuple([i] + [7] * 16) for i in range(40)]
+    rows += [tuple([100 + i] + [9] * 16) for i in range(2)]
     spam = spark.createDataFrame(
-        [tuple([i] + [7] * 16) for i in range(40)],
-        "id long, " + ", ".join(f"h{i} long" for i in range(16)),
+        rows, "id long, " + ", ".join(f"h{i} long" for i in range(16)),
     )
     capped = D.lsh_candidate_pairs(spam, "id", 4, 4, max_bucket=5).collect()
-    # each of the 4 bands keeps the SAME hash-ordered 5 members (the
-    # ordering key is per-doc), so distinct pairs <= C(5,2)
-    assert 0 < len(capped) <= 10
-    assert all(r.id_a < r.id_b for r in capped)
-    # deterministic: same truncation on re-run
+    # the 40-doc buckets are dropped whole; the 2-doc bucket survives
+    assert {(r.id_a, r.id_b) for r in capped} == {(100, 101)}
+    # deterministic on re-run
     again = D.lsh_candidate_pairs(spam, "id", 4, 4, max_bucket=5).collect()
     assert sorted(map(tuple, capped)) == sorted(map(tuple, again))
     # uncapped audit mode really is quadratic — and the default cap
     # (256) leaves small buckets untouched
-    assert len(D.lsh_candidate_pairs(spam, "id", 4, 4, max_bucket=0).collect()) == 780
-    assert len(D.lsh_candidate_pairs(spam, "id", 4, 4).collect()) == 780
+    assert len(D.lsh_candidate_pairs(spam, "id", 4, 4, max_bucket=0).collect()) == 781
+    assert len(D.lsh_candidate_pairs(spam, "id", 4, 4).collect()) == 781
 
 
 def test_lsh_cap_does_not_change_normal_verdicts(docs):

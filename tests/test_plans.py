@@ -101,3 +101,21 @@ def test_driver_window_composition():
         "_CLIP_LAST (or rebalance the lists per the rotation plan)"
     )
     assert set(names[:50]) == set(head) | set(_EVIDENCE_FIRST)
+
+
+def test_query_index_and_survey_counts_fresh():
+    """VERDICT r10 #7: the r9/r10 recurring stale-count bug class is now
+    asserted, not proofread — QUERIES.md must match load_all()'s live
+    registration order and SURVEY.md's implementation-status counts must
+    match the live registries (tools/gen_query_index.py --check)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "gen_query_index.py"),
+         "--check"],
+        capture_output=True, text=True, cwd=repo,
+    )
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
