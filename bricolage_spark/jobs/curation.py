@@ -145,6 +145,11 @@ def registry_compact(job: Job) -> JobResult:
       so compaction preserves the co-location the probe join relies
       on. Requires explicit ``key-columns``; conflicts with
       ``target-partitions`` (the rewrite lands at exactly N files).
+      When the registry still lives as a PLAIN table (no bucketed
+      files yet), this job IS the one-time layout migration: it reads
+      the plain rows, writes them bucketed, and retires the plain
+      table — the path ``span_registry_prior``'s layout-flip guard
+      points at.
     """
     dest = job.require("dest-table")
     n_bkts = int(job.param("buckets", 0) or 0)
@@ -167,8 +172,22 @@ def registry_compact(job: Job) -> JobResult:
             for c in str(job.param("key-columns")).split(",")
             if c.strip()
         ]
-        df = job.engine.bucketed_table(dest, bucket_keys, n_bkts)
+        migrate_plain = (
+            not job.engine.bucketed_table_exists(dest)
+            and job.engine.table_exists(dest)
+        )
+        if migrate_plain:
+            # ONE-TIME layout migration: a plain registry meeting
+            # `buckets: N` for the first time reads as plain, rewrites
+            # bucketed below, and the plain table is dropped after the
+            # swap — this is the documented migration path for the
+            # layout-flip guard in span_registry_prior (which refuses to
+            # probe-against-nothing and points here).
+            df = job.engine.table(dest)
+        else:
+            df = job.engine.bucketed_table(dest, bucket_keys, n_bkts)
     else:
+        migrate_plain = False
         df = job.engine.table(dest)
     all_cols = df.columns
     keys_raw = job.param("key-columns")
@@ -217,7 +236,9 @@ def registry_compact(job: Job) -> JobResult:
         compacted = df.dropDuplicates(keys)
 
     tdir = (
-        job.engine.bucketed_dir(dest) if n_bkts else job.engine.table_dir(dest)
+        job.engine.bucketed_dir(dest)
+        if n_bkts and not migrate_plain
+        else job.engine.table_dir(dest)
     )
     n_files = sum(
         1
@@ -235,6 +256,11 @@ def registry_compact(job: Job) -> JobResult:
             bucket_keys,
             n_bkts,
         )
+        if migrate_plain:
+            # the bucketed copy is swapped in — retire the plain layout
+            # so the old files don't sit orphaned (and a later flip back
+            # to buckets:0 hits the layout guard, not stale history)
+            job.engine.drop_table(dest)
         n = n_bkts
     else:
         n = int(job.param("target-partitions") or 0) or max(1, n_files // 4)

@@ -202,11 +202,11 @@ def span_registry_prior(engine, registry_table: str, n_buckets: int = 0):
                     f"span registry {registry_table} exists as a PLAIN "
                     f"table but registry-buckets={n_buckets} requests a "
                     "bucketed layout — probing against nothing would "
-                    "abandon all span-dedup history. Migrate once: "
-                    "rewrite the existing rows bucketed "
-                    "(engine.save_table_bucketed(engine.table("
-                    f"'{registry_table}'), '{registry_table}', 'ahash', "
-                    f"{n_buckets})), remove the plain table, then re-run."
+                    "abandon all span-dedup history. Migrate once by "
+                    "running registry-compact with key-columns: ahash "
+                    f"and buckets: {n_buckets} (it rewrites the plain "
+                    "rows bucketed and retires the plain table), then "
+                    "re-run."
                 )
             return None
         return engine.bucketed_table(registry_table, "ahash", n_buckets)

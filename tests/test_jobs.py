@@ -1894,3 +1894,70 @@ def test_registry_compact_rejects_buckets_with_target_partitions(
             )
     finally:
         spark.sql("DROP TABLE IF EXISTS reg_conflict")
+
+
+def test_registry_compact_migrates_plain_registry_to_bucketed(
+    engine, home, spark
+):
+    """The one-time layout migration the span_registry_prior flip guard
+    points at: seed a PLAIN span registry, flip the deployment to
+    registry-buckets via one registry-compact run, and the next
+    span-registry snapshot probes the MIGRATED history (no reseed, no
+    lost span-dedup verdicts); the plain table is retired."""
+    from bricolage_spark.exception import JobFailure
+    from bricolage_spark.streaming.curation import span_registry_prior
+
+    engine.save_table(
+        spark.createDataFrame(
+            [(1, f"history doc carrying the run {_RUN14} right here")],
+            "doc_id long, text string",
+        ),
+        "mig1_docs",
+    )
+    assert run_job(
+        engine, home, "mig1.job",
+        "class: span-registry\ndest-table: mig1_out\n"
+        "src-table: mig1_docs\nregistry-table: span_reg_mig\n"
+        "snapshot: s1\n",
+    ).success
+    n_plain = engine.table("span_reg_mig").count()
+    assert n_plain > 0
+    # the flip guard fires before migration...
+    with pytest.raises(JobFailure, match="registry-compact"):
+        span_registry_prior(engine, "span_reg_mig", n_buckets=4)
+    # ...and registry-compact IS the migration
+    rc = run_job(
+        engine, home, "mig2.job",
+        "class: registry-compact\ndest-table: span_reg_mig\n"
+        "key-columns: ahash\nsnapshot-column: snapshot\nbuckets: 4\n",
+    )
+    assert rc.success
+    try:
+        assert engine.bucketed_table_exists("span_reg_mig")
+        assert not engine.table_exists("span_reg_mig")  # plain retired
+        migrated = span_registry_prior(engine, "span_reg_mig", n_buckets=4)
+        assert migrated.count() == n_plain
+        # next snapshot probes the migrated history: the historical run
+        # is scrubbed, the novel doc unharmed
+        engine.save_table(
+            spark.createDataFrame(
+                [
+                    (10, f"new page with the historical {_RUN14} inside"),
+                    (11, "novel text matching nothing in prior snapshots"),
+                ],
+                "doc_id long, text string",
+            ),
+            "mig2_docs",
+        )
+        r2 = run_job(
+            engine, home, "mig3.job",
+            "class: span-registry\ndest-table: mig2_out\n"
+            "src-table: mig2_docs\nregistry-table: span_reg_mig\n"
+            "snapshot: s2\nregistry-buckets: 4\n",
+        )
+        assert r2.success
+        out = {r.doc_id: r.text for r in engine.table("mig2_out").collect()}
+        assert _RUN14 not in (out[10] or "")
+        assert out[11] == "novel text matching nothing in prior snapshots"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS span_reg_mig")
