@@ -334,10 +334,17 @@ class SparkEngine:
         os.replace(tmp, spec_path)
 
     def _check_bucket_spec(
-        self, location: str, bucket_cols: list[str], n_buckets: int
+        self,
+        location: str,
+        bucket_cols: list[str],
+        n_buckets: int,
+        sort_cols: list[str] | None = None,
     ) -> None:
         """Fail fast when the caller's bucketing spec contradicts the
-        layout the files were actually written with.
+        layout the files were actually written with — count, key
+        columns, AND sort columns (Spark trusts ``SORTED BY`` and
+        elides sorts, so a drifted sort spec corrupts merge joins just
+        like a drifted count).
 
         Primary source: the ``_bucket_spec.json`` sidecar persisted at
         write time. Fallback for pre-sidecar directories: the bucket id
@@ -350,14 +357,20 @@ class SparkEngine:
         if os.path.exists(spec_path):
             with open(spec_path) as f:
                 spec = json.load(f)
-            if int(spec["n_buckets"]) != n_buckets or list(
-                spec["bucket_cols"]
-            ) != list(bucket_cols):
+            want_sort = list(sort_cols or bucket_cols)
+            if (
+                int(spec["n_buckets"]) != n_buckets
+                or list(spec["bucket_cols"]) != list(bucket_cols)
+                or list(spec.get("sort_cols", spec["bucket_cols"]))
+                != want_sort
+            ):
                 raise JobFailure(
                     f"bucket spec mismatch for {location}: files were "
                     f"written CLUSTERED BY ({', '.join(spec['bucket_cols'])}) "
+                    f"SORTED BY ({', '.join(spec.get('sort_cols', spec['bucket_cols']))}) "
                     f"INTO {spec['n_buckets']} BUCKETS, caller requested "
-                    f"({', '.join(bucket_cols)}) INTO {n_buckets}. Reading "
+                    f"({', '.join(bucket_cols)}) SORTED BY "
+                    f"({', '.join(want_sort)}) INTO {n_buckets}. Reading "
                     "with a different spec would silently misread the "
                     "layout. Read with the written spec, or rewrite via "
                     f"registry-compact with buckets: {n_buckets}."
@@ -416,7 +429,7 @@ class SparkEngine:
         name = spec.view_name
         location = self.bucketed_dir(spec)
         if os.path.isdir(location):
-            self._check_bucket_spec(location, bucket_cols, n_buckets)
+            self._check_bucket_spec(location, bucket_cols, n_buckets, sort_cols)
         if self.spark.catalog.tableExists(name):
             # a same-name entry registered by ANOTHER engine/warehouse in
             # this session would silently serve the wrong files — verify

@@ -380,3 +380,32 @@ def test_save_table_bucketed_overwrite_refuses_managed_collision(engine, spark):
         assert spark.table("bk_mng_ow").count() == 9
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_mng_ow")
+
+
+def test_bucketed_sort_spec_drift_fails_fast(engine, spark):
+    """SORTED BY is trusted metadata too — Spark elides sorts on it, so
+    a drifted sort-column re-registration must fail like a drifted
+    count."""
+    from pyspark.sql import functions as SF
+
+    df = spark.range(50).select(
+        SF.md5(SF.col("id").cast("string")).alias("ahash"),
+        SF.col("id").alias("seq"),
+    )
+    try:
+        engine.save_table_bucketed(
+            df, "bk_sort", "ahash", n_buckets=2, sort_cols=["ahash", "seq"]
+        )
+        spark.sql("DROP TABLE bk_sort")
+        with pytest.raises(JobFailure, match="SORTED BY"):
+            engine.bucketed_table("bk_sort", "ahash", 2, sort_cols=["seq"])
+        with pytest.raises(JobFailure, match="SORTED BY"):
+            engine.bucketed_table("bk_sort", "ahash", 2)  # defaults to key
+        assert (
+            engine.bucketed_table(
+                "bk_sort", "ahash", 2, sort_cols=["ahash", "seq"]
+            ).count()
+            == 50
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_sort")
