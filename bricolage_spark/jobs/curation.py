@@ -256,10 +256,14 @@ def registry_compact(job: Job) -> JobResult:
             bucket_keys,
             n_bkts,
         )
-        if migrate_plain:
+        if migrate_plain or job.engine.table_exists(dest):
             # the bucketed copy is swapped in — retire the plain layout
             # so the old files don't sit orphaned (and a later flip back
-            # to buckets:0 hits the layout guard, not stale history)
+            # to buckets:0 hits the layout guard, not stale history).
+            # Also fires on a NON-migration run that finds a plain twin:
+            # that twin is a mid-migration crash leftover (bucketed
+            # write landed, retire step didn't), so re-running compact
+            # is the idempotent completion.
             job.engine.drop_table(dest)
         n = n_bkts
     else:

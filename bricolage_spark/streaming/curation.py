@@ -210,16 +210,20 @@ def span_registry_prior(engine, registry_table: str, n_buckets: int = 0):
                 )
             return None
         return engine.bucketed_table(registry_table, "ahash", n_buckets)
+    if engine.bucketed_table_exists(registry_table):
+        # whether or not a plain table also exists: once a bucketed
+        # layout exists it is canonical (a plain twin is a
+        # mid-migration leftover holding a STALE subset — reading it
+        # silently would lose every post-migration append)
+        raise JobFailure(
+            f"span registry {registry_table} exists as a BUCKETED "
+            "table but registry-buckets=0 requests a plain layout — "
+            "probing a stale or absent plain copy would abandon "
+            "span-dedup history. Either restore registry-buckets to "
+            "the written count, or migrate once: save the bucketed "
+            "rows as a plain table and remove the bucketed directory."
+        )
     if not engine.table_exists(registry_table):
-        if engine.bucketed_table_exists(registry_table):
-            raise JobFailure(
-                f"span registry {registry_table} exists as a BUCKETED "
-                "table but registry-buckets=0 requests a plain layout — "
-                "probing against nothing would abandon all span-dedup "
-                "history. Either restore registry-buckets to the "
-                "written count, or migrate once: save the bucketed rows "
-                "as a plain table and remove the bucketed directory."
-            )
         return None
     return engine.table(registry_table)
 

@@ -1961,3 +1961,40 @@ def test_registry_compact_migrates_plain_registry_to_bucketed(
         assert out[11] == "novel text matching nothing in prior snapshots"
     finally:
         spark.sql("DROP TABLE IF EXISTS span_reg_mig")
+
+
+def test_registry_compact_completes_crashed_migration(engine, home, spark):
+    """Crash-window recovery: both layouts on disk (bucketed write
+    landed, plain-retire step didn't) must not be silently readable as
+    plain — span_registry_prior(0) raises on the stale twin, and
+    re-running registry-compact with buckets is the idempotent
+    completion that retires it."""
+    from bricolage_spark.exception import JobFailure
+    from bricolage_spark.streaming.curation import span_registry_prior
+
+    rows = spark.createDataFrame([(f"h{i}",) for i in range(20)], "ahash string")
+    # simulate the crash window: plain AND bucketed both present,
+    # bucketed strictly newer (one extra appended row)
+    engine.save_table(rows, "span_reg_crash")
+    engine.save_table_bucketed(
+        rows.unionByName(
+            spark.createDataFrame([("h_new",)], "ahash string")
+        ),
+        "span_reg_crash", "ahash", 4,
+    )
+    try:
+        # plain layout request: the stale twin must NOT be served
+        with pytest.raises(JobFailure, match="BUCKETED"):
+            span_registry_prior(engine, "span_reg_crash", n_buckets=0)
+        # bucketed request serves the canonical (newer) copy
+        assert span_registry_prior(engine, "span_reg_crash", 4).count() == 21
+        # re-running compact completes the migration: twin retired
+        assert run_job(
+            engine, home, "crash.job",
+            "class: registry-compact\ndest-table: span_reg_crash\n"
+            "key-columns: ahash\nbuckets: 4\n",
+        ).success
+        assert not engine.table_exists("span_reg_crash")
+        assert span_registry_prior(engine, "span_reg_crash", 4).count() == 21
+    finally:
+        spark.sql("DROP TABLE IF EXISTS span_reg_crash")
