@@ -590,8 +590,14 @@ def ngram_jaccard_pairs(
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    # the candidate-pair table is data-proportional (near-dup pair count
+    # grows with the corpus), but its logical plan usually ends in
+    # Generate/Aggregate chains whose STATIC size estimate is tiny — at
+    # a 64x scale probe the planner broadcast a 12.9M-row pairs table
+    # and OOM'd the build. Pin the join to sort-merge: the pairs side
+    # must never be a broadcast build, whatever its estimate says.
     inter = (
-        pairs.join(sa, "id_a")
+        pairs.hint("merge").join(sa, "id_a")
         .join(sb, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))

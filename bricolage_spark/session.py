@@ -85,9 +85,22 @@ def get_spark(
         # as unix_micros()/window() reject NTZ inputs, and with the session
         # timezone pinned to UTC the two types have identical values.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        # broadcast threshold: dims (region/nation/supplier/part) stay
-        # broadcastable even at large SF; 64 MiB is safe for 128 GiB heap.
+        # broadcast thresholds, two knobs on purpose. STATIC planning
+        # compares scan-stats (≈ raw bytes): 64 MiB keeps the dims
+        # (region/nation/supplier/part) broadcastable even at large SF.
+        # AQE's runtime SMJ→BHJ conversion instead compares MEASURED
+        # shuffle bytes, which are COMPRESSED — sorted fixed-width keys
+        # compress ~10x, so "64 MiB compressed" can be a multi-GiB
+        # deserialized HashedRelation (measured: a 12.9M-row candidate-
+        # pair table slipped under 64 MiB compressed and OOM'd the
+        # broadcast build at 64x scale-probe data). The adaptive
+        # threshold therefore stays at 16 MiB: dims still convert, a
+        # data-proportional intermediate never does.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(16 * 1024 * 1024),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
