@@ -1023,8 +1023,16 @@ def span_registry_probe(
             "rebuild the registry with positional_anchor_keys) before "
             "probing with xxhash64 keys."
         )
+    # pin the semi-join to sort-merge: in a left-semi join only the
+    # REGISTRY side is broadcastable, and the registry is corpus-scale
+    # by construction — but a bench/test-shaped registry derived inline
+    # (Generate→Aggregate chain) carries a tiny STATIC size estimate,
+    # and at the 64x scale probe the planner broadcast a ~50M-key
+    # registry and OOM'd the build. SMJ is also exactly the production
+    # shape: the bucketed registry scan feeds it Exchange-free and the
+    # runtime Bloom filter arms on it (both test-asserted).
     hits = batch_anchors.join(
-        registry.select("ahash").distinct(), "ahash", "left_semi"
+        registry.select("ahash").distinct().hint("merge"), "ahash", "left_semi"
     )
     w = Window.partitionBy(id_col).orderBy("pos")
     isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
