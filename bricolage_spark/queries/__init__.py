@@ -52,39 +52,121 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # come right after the core, and the clip falls on queries that are already
 # driver-green in multiple rounds (listed in ``_CLIP_LAST``).
 #
-# ROUND-11 ROTATION (driver window = first 50), executing the committed
-# ROUND-11 PLAN verbatim.  Must-attest (16) = the 14 rows round 10
-# explicitly clipped (newest driver row r8, two rounds stale) +
-# q111/q112 (registered post-window in r10, never driver-attested).
-# The remaining 34 slots rotate in the r9-attested cohort (newest row
-# r9): candidates = 16 + 50 = 66 rows for 50 slots -> clip 16.
+# ROUND-12 ROTATION (driver window = first 50), executing the committed
+# ROUND-12 PLAN verbatim.  Must-attest (16) = the 16 rows round 11
+# explicitly clipped (newest driver row r9, two rounds stale by r12);
+# no post-window registrations happened in r11, so the remaining 34
+# slots rotate in the r10-attested cohort (newest row r10):
+# candidates = 16 + 50 = 66 rows for 50 slots -> clip 16.
 # Applied overflow rule, unchanged: never/oldest-attested first, clip
 # the DEEPEST multi-round green history and list it explicitly.
 #   In the window (50):
-#   - q18-q25, q27, q31-q35 (14) — the round-10 explicit clip, per the
-#     standing promise (listed FIRST);
-#   - q111/q112 (2) — first driver rows ever;
-#   - q104-q107 (4) — single driver row (r9);
-#   - q84-q94 (11) — newest row r9;
-#   - 19 of the 28-row r7 cohort (q44-q58, q72, q73, q82, q83) —
-#     newest row r9.
-#   EXPLICITLY CLIPPED this round (66 - 50 = 16): q01 q02 q04 q12 q12b
-#   q12c q15 q16 q17 q26 q26b q28 q29 q30 q41 q43 — the deepest
-#   multi-round green histories among the candidates: the round-1-era
-#   core relational suite (driver-green across the r1-r6 windows plus
-#   r9) and the two earliest §2.7 rows (q41 multimodal / q43 as-of,
-#   multi-round green, both carrying heavy standalone pytest suites).
-#   Listed FIRST in _CLIP_LAST so any window widening re-admits them
-#   before the freshly-r10-attested cohort.
+#   - q01 q02 q04 q12 q12b q12c q15 q16 q17 q26 q26b q28 q29 q30 q41
+#     q43 (16) — the round-11 explicit clip, per the standing promise
+#     (listed FIRST);
+#   - q108-q110 (3) — single driver row (r10);
+#   - q95-q103 (9) — newest row r10 (two rows: r8, r10);
+#   - q59-q71 (13) + q74-q81 (8) — newest row r10 (five rows each);
+#   - q07 (1) — the one survivor of the six-row-deep round-1-era core
+#     (see clip note below); its BHJ plan assertion makes it the right
+#     core row to re-attest in the round that lands the suite-wide
+#     broadcast-discipline plan gate.
+#   EXPLICITLY CLIPPED this round (66 - 50 = 16): q36 q37 q38 q39 q40
+#   q42 (driver-green in SEVEN rounds each — the deepest histories in
+#   the whole inventory) and q03 q05 q06 q08 q09 q10 q11 q12d q13 q14
+#   (six rounds each; q07, equal depth, stays in-window as above —
+#   the depth tie had to break somewhere and the broadcast-gate round
+#   is the principled place to re-attest the BHJ row). Listed FIRST in
+#   _CLIP_LAST so any window widening re-admits them before the
+#   freshly-r11-attested cohort.
 #
-# ROUND-12 PLAN: must-attest = the 16 clipped above (newest row r9,
-# two rounds stale by r12) + any r11 post-window registrations; then
-# rotate the r10-attested cohort (q03/q05-q11/q12d/q13/q14,
-# q95-q103, q108-q110, q36-q40, q42, q59-q71, q74-q81 — newest row
-# r10) ahead of this round's 50 fresh rows, same explicit-clip
-# discipline on whatever exceeds the window.
+# ROUND-13 PLAN: must-attest = the 16 clipped above (newest row r10,
+# two rounds stale by r13) + any r12 post-window registrations; then
+# rotate the r11-attested cohort (q18-q25, q27, q31-q35, q44-q58,
+# q72, q73, q82-q94, q104-q107, q111, q112 — newest row r11) ahead of
+# this round's 50 fresh rows, same explicit-clip discipline on
+# whatever exceeds the window.
 _EVIDENCE_FIRST = [
-    # the round-10 explicit clip — newest driver row r8:
+    # the round-11 explicit clip — newest driver row r9:
+    "q01_scan_projection",
+    "q02_filter_predicates",
+    "q04_global_aggregate",
+    "q12_rollup",
+    "q12b_cube",
+    "q12c_pivot",
+    "q15_topk_per_group",
+    "q16_global_topk",
+    "q17_set_ops",
+    "q26_distinct_percentiles",
+    "q26b_approx_aggregates",
+    "q28_insert_delta",
+    "q29_rebuild",
+    "q30_streaming_load_dedup",
+    "q41_multimodal_features",
+    "q43_asof_join",
+    # single driver row (r10):
+    "q108_epoch_plan",
+    "q109_classifier_calibration",
+    "q110_span_registry_probe",
+    # r10-attested block (newest driver row r10):
+    "q95_bpe_merges",
+    "q96_semantic_decontamination",
+    "q97_host_pagerank",
+    "q98_dsir_importance",
+    "q99_snapshot_drift",
+    "q100_salient_terms",
+    "q101_semantic_neardup_history",
+    "q102_bpe_encode",
+    "q103_span_removal",
+    "q59_source_overlap",
+    "q60_bm25_retrieval",
+    "q61_dedup_best_of_cluster",
+    "q62_domain_caps",
+    "q63_char_entropy",
+    "q64_doc_chunking",
+    "q65_corpus_report",
+    "q66_interval_join",
+    "q67_incremental_dedup",
+    "q68_embedding_clusters",
+    "q69_ngram_novelty",
+    "q70_length_histogram",
+    "q71_language_label_audit",
+    "q74_duplicate_spans",
+    "q75_lm_perplexity",
+    "q76_url_canonical_dedup",
+    "q77_semantic_dedup",
+    "q78_span_coverage",
+    "q79_winnowing_fingerprints",
+    "q80_curation_verdicts",
+    "q81_zipf_fit",
+    # the depth-tie survivor of the round-1-era core (see note above):
+    "q07_broadcast_join",
+]
+
+# Explicitly demoted to the tail (absorb the driver's >50 clip).
+_CLIP_LAST = [
+    # the ROUND-12 EXPLICIT CLIP (see rotation note above): deepest
+    # driver-green histories in the inventory (q36-q40/q42 seven
+    # rounds each; the core-relational rows six rounds each),
+    # re-admitted first if the window ever widens:
+    "q36_ann_lsh_bucketed",
+    "q37_language_id",
+    "q38_token_stats",
+    "q39_quality_score",
+    "q40_fingerprint",
+    "q42_embedding_neardup",
+    "q03_group_aggregate",
+    "q05_tpch_q1",
+    "q06_inner_join",
+    "q08_outer_join",
+    "q09_semi_anti_join",
+    "q10_cross_theta_join",
+    "q11_tpch_q3",
+    "q12d_unpivot",
+    "q13_window_rank",
+    "q14_window_analytic",
+    # the round-11 attested cohort — newest driver row r11, the
+    # freshest rows in the inventory (CORRECTNESS_r11: 50/50 green):
     "q18_subqueries",
     "q19_case_coalesce_cast",
     "q20_string_functions",
@@ -99,15 +181,12 @@ _EVIDENCE_FIRST = [
     "q33_minhash_lsh_pairs",
     "q34_simhash",
     "q35_cosine_topk",
-    # registered post-window in round 10, never driver-attested:
     "q111_unimax_plan",
     "q112_lsh_banding_audit",
-    # single driver row (r9):
     "q104_tokenizer_fertility",
     "q105_span_contamination",
     "q106_eval_split",
     "q107_split_leakage",
-    # r9-attested block (newest driver row r9):
     "q84_temperature_mixture",
     "q85_ann_recall",
     "q86_sentence_dedup",
@@ -138,82 +217,6 @@ _EVIDENCE_FIRST = [
     "q73_pmi_collocations",
     "q82_incremental_neardup",
     "q83_hashed_ngram_classifier",
-]
-
-# Explicitly demoted to the tail (absorb the driver's >50 clip).
-_CLIP_LAST = [
-    # the ROUND-11 EXPLICIT CLIP (see rotation note above): deepest
-    # remaining driver-green history (round-1-era core relational
-    # suite + the two earliest §2.7 rows, many rounds + judge r10
-    # selfcheck), re-admitted first if the window ever widens:
-    "q01_scan_projection",
-    "q02_filter_predicates",
-    "q04_global_aggregate",
-    "q12_rollup",
-    "q12b_cube",
-    "q12c_pivot",
-    "q15_topk_per_group",
-    "q16_global_topk",
-    "q17_set_ops",
-    "q26_distinct_percentiles",
-    "q26b_approx_aggregates",
-    "q28_insert_delta",
-    "q29_rebuild",
-    "q30_streaming_load_dedup",
-    "q41_multimodal_features",
-    "q43_asof_join",
-    # the round-10 attested cohort — newest driver row r10, the
-    # freshest rows in the inventory (CORRECTNESS_r10: 50/50 green):
-    "q03_group_aggregate",
-    "q05_tpch_q1",
-    "q06_inner_join",
-    "q07_broadcast_join",
-    "q08_outer_join",
-    "q09_semi_anti_join",
-    "q10_cross_theta_join",
-    "q11_tpch_q3",
-    "q12d_unpivot",
-    "q13_window_rank",
-    "q14_window_analytic",
-    "q108_epoch_plan",
-    "q109_classifier_calibration",
-    "q110_span_registry_probe",
-    "q95_bpe_merges",
-    "q96_semantic_decontamination",
-    "q97_host_pagerank",
-    "q98_dsir_importance",
-    "q99_snapshot_drift",
-    "q100_salient_terms",
-    "q101_semantic_neardup_history",
-    "q102_bpe_encode",
-    "q103_span_removal",
-    "q36_ann_lsh_bucketed",
-    "q37_language_id",
-    "q38_token_stats",
-    "q39_quality_score",
-    "q40_fingerprint",
-    "q42_embedding_neardup",
-    "q59_source_overlap",
-    "q60_bm25_retrieval",
-    "q61_dedup_best_of_cluster",
-    "q62_domain_caps",
-    "q63_char_entropy",
-    "q64_doc_chunking",
-    "q65_corpus_report",
-    "q66_interval_join",
-    "q67_incremental_dedup",
-    "q68_embedding_clusters",
-    "q69_ngram_novelty",
-    "q70_length_histogram",
-    "q71_language_label_audit",
-    "q74_duplicate_spans",
-    "q75_lm_perplexity",
-    "q76_url_canonical_dedup",
-    "q77_semantic_dedup",
-    "q78_span_coverage",
-    "q79_winnowing_fingerprints",
-    "q80_curation_verdicts",
-    "q81_zipf_fit",
 ]
 
 
