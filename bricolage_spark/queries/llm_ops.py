@@ -234,12 +234,25 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q33 MinHash-LSH near-dup pairs, verified by exact n-gram Jaccard
 # --------------------------------------------------------------------------
 _N_HASHES, _BANDS, _ROWS_PER_BAND, _JACCARD_MIN = 16, 8, 2, 0.2
+# The hot-bucket cap the PRODUCTION banding path runs with
+# (lsh_candidate_pairs' default; dedup.py adjudication r11). Named here
+# because the ORACLES must model it too: every oracle-checked caller
+# passes this constant explicitly, and _lsh_pair_ctes/_banding_audit
+# embed the same [2, _MAX_BUCKET] whole-bucket filter — so oracle
+# equality holds on ANY corpus, including one where a boilerplate band
+# bucket blows past the cap (at sf0.1 no bucket does, but the contract
+# must not depend on that).
+_MAX_BUCKET = 256
 
 
 def _lsh_pair_ctes() -> str:
     """CTE chain ending in ``verified`` = the LSH-candidate, Jaccard-
     verified near-dup pairs (id_a, id_b, jaccard). Shared by the q33
     (pairs) and q50 (connected components over the pairs) oracles.
+
+    ``sized`` models lsh_candidate_pairs' hot-bucket guard: a band
+    bucket outside [2, _MAX_BUCKET] docs is dropped WHOLE before pair
+    expansion, exactly the implementation's semantics.
     """
     mins = _affine_mins(_N_HASHES)
     band_selects = "\n        UNION ALL\n".join(
@@ -255,10 +268,16 @@ def _lsh_pair_ctes() -> str:
     bands AS (
 {band_selects}
     ),
+    sized AS (
+        SELECT band_id, band_hash
+        FROM bands GROUP BY band_id, band_hash
+        HAVING COUNT(*) BETWEEN 2 AND {_MAX_BUCKET}
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+        FROM sized s
+        JOIN bands a ON a.band_id = s.band_id AND a.band_hash = s.band_hash
+        JOIN bands b ON b.band_id = s.band_id AND b.band_hash = s.band_hash
          AND a.doc_id < b.doc_id
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
@@ -298,7 +317,12 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir).withColumnRenamed("doc_id", "id")
     sigs = D.minhash_signatures(sh, "id", num_hashes=_N_HASHES)
     pairs = D.lsh_candidate_pairs(
-        sigs, "id", bands=_BANDS, rows_per_band=_ROWS_PER_BAND
+        sigs,
+        "id",
+        bands=_BANDS,
+        rows_per_band=_ROWS_PER_BAND,
+        # explicit, not defaulted: the oracle embeds this exact cap
+        max_bucket=_MAX_BUCKET,
     )
     jac = D.ngram_jaccard_pairs(sh, pairs, id_col="id")
     return jac.filter(F.col("jaccard") >= _JACCARD_MIN)
@@ -958,7 +982,11 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh = _doc_shingles(spark, sf_dir).withColumnRenamed("doc_id", "id")
         sigs = D.minhash_signatures(sh, "id", num_hashes=_N_HASHES)
         cand = D.lsh_candidate_pairs(
-            sigs, "id", bands=_BANDS, rows_per_band=_ROWS_PER_BAND
+            sigs,
+            "id",
+            bands=_BANDS,
+            rows_per_band=_ROWS_PER_BAND,
+            max_bucket=_MAX_BUCKET,  # the cap the oracle CTEs embed
         )
         jac = D.ngram_jaccard_pairs(sh, cand, id_col="id").filter(
             F.col("jaccard") >= _JACCARD_MIN
@@ -5792,10 +5820,16 @@ def _banding_audit_oracle() -> str:
     bands AS (
 {band_selects}
     ),
+    sized AS (
+        SELECT band_id, band_hash
+        FROM bands GROUP BY band_id, band_hash
+        HAVING COUNT(*) BETWEEN 2 AND {_MAX_BUCKET}
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+        FROM sized s
+        JOIN bands a ON a.band_id = s.band_id AND a.band_hash = s.band_hash
+        JOIN bands b ON b.band_id = s.band_id AND b.band_hash = s.band_hash
          AND a.doc_id < b.doc_id
     ),
     sizes AS (
@@ -5890,7 +5924,11 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigs = sigs_all.join(sample, "id", "left_semi")
     cand = D.lsh_candidate_pairs(
-        sigs, "id", bands=_BANDS, rows_per_band=_ROWS_PER_BAND
+        sigs,
+        "id",
+        bands=_BANDS,
+        rows_per_band=_ROWS_PER_BAND,
+        max_bucket=_MAX_BUCKET,  # the cap the audit oracle embeds
     )
     hits = truth.join(cand, ["id_a", "id_b"], "left_semi")
     d = sh.agg(F.count_distinct("id").cast("bigint").alias("n_docs"))

@@ -1932,6 +1932,70 @@ def test_lsh_cap_does_not_change_normal_verdicts(docs):
     assert capped == uncapped
 
 
+def test_lsh_cap_oracle_equivalence_in_blown_bucket_regime(spark, tmp_path):
+    """r11 advice: the q33/q50/q112 oracles used to compute the classic
+    UNCAPPED band self-join while the implementation runs capped — the
+    contract only held on corpora where no bucket exceeds the cap. The
+    oracles now embed the same [2, _MAX_BUCKET] whole-bucket filter;
+    this test proves impl == oracle ON a corpus with a blown bucket,
+    the regime sf0.01 never reaches.
+    """
+    import duckdb
+
+    from bricolage_spark.queries import llm_ops
+    from bricolage_spark.queries import load_all
+
+    spec = load_all()["q33_minhash_lsh_pairs"]
+    # 300 byte-identical template-spam docs (> _MAX_BUCKET=256: every
+    # band bucket they share is blown and dropped whole) + one genuine
+    # sub-cap near-dup pair + two unrelated singletons.
+    spam = "the quick brown fox jumps over the lazy dog again and again today"
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    near_b = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+    rows = [(i, spam) for i in range(300)]
+    rows += [(1000, near_a), (1001, near_b)]
+    rows += [
+        (2000, "completely different words about sailing ships across oceans"),
+        (2001, "unrelated prose concerning mountain goats and alpine meadows"),
+    ]
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": "en",
+            "source": "synthetic",
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf["n_chars"] = pdf["n_chars"].astype("int64")
+    doc_path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(doc_path)
+    try:
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in spec.fn(spark, str(tmp_path)).collect()
+        }
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{doc_path}')"
+        )
+        want = {
+            (int(a), int(b), float(j))
+            for a, b, j in con.sql(spec.oracle).fetchall()
+        }
+        assert got == want
+        # the regime is really exercised: the spam clique emits NOTHING
+        # (blown buckets dropped whole, both engines)...
+        assert not any(a < 300 for a, _b, _j in got)
+        # ...while the sub-cap near-dup pair survives in both
+        assert any((a, b) == (1000, 1001) for a, b, _j in got)
+    finally:
+        llm_ops.release_caches()
+
+
 def test_span_registry_probe_rejects_md5_era_registry(spark):
     """Key-format migration guard: probing an md5-era (string ahash)
     registry with xxhash64 (bigint) batch keys must raise — the
