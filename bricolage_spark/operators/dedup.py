@@ -99,19 +99,38 @@ def incremental_dedup(
 
     Scale design: the anti-join shuffles 16-byte digests on both sides
     (at 100 TB the registry is ~1.6 TB per 10¹¹ docs — joinable, never
-    broadcast); in-batch dedup is a digest groupBy with map-side combine;
-    document bodies move only for the novel survivors. The same
+    broadcast); in-batch dedup is ONE ``min_by`` aggregation keyed on
+    the digest — map-side combine keeps one candidate row per (mapper,
+    digest), so at most one document body per distinct digest ever
+    shuffles, and there is no join-back (the former groupBy +
+    rejoin shape shuffled every batch body through the join AND — the
+    r12 plan-gate finding — let the static planner pick the
+    batch-proportional first-seen side as a broadcast build). The same
     registry-anti-join contract as streaming_load's exactly-once file
     ledger, applied to content identity.
     """
     digested = df.withColumn("content_hash", content_hash(F.col(text_col)))
-    first_seen = digested.groupBy("content_hash").agg(
-        F.min(id_col).alias(id_col)
+    batch_novel = (
+        digested.groupBy("content_hash")
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(c) for c in df.columns]), F.col(id_col)
+            ).alias("_rep")
+        )
+        .select("content_hash", "_rep.*")
     )
-    batch_novel = digested.join(first_seen, ["content_hash", id_col])
     if registry is not None:
+        # family invariant (r11 64x octave, twice-proven failure mode):
+        # in a left-anti join only the REGISTRY side is broadcastable,
+        # and the registry is corpus-scale by construction — but a
+        # registry derived inline (Generate/Aggregate chain) carries a
+        # tiny STATIC size estimate, so pin the probe join to
+        # sort-merge. Production registries are bucketed parquet reads
+        # that feed SMJ Exchange-free anyway.
         batch_novel = batch_novel.join(
-            registry.select("content_hash"), "content_hash", "left_anti"
+            registry.select("content_hash").hint("merge"),
+            "content_hash",
+            "left_anti",
         )
     novel = batch_novel.select(*df.columns, "content_hash")
     return novel, novel.select("content_hash")
@@ -567,7 +586,12 @@ def incremental_neardup_flags(
     if not registry_distinct:
         reg = reg.distinct()
     reg = reg.withColumn("_hit", F.lit(1))
-    joined = batch_bands.join(reg, ["band_id", "band_hash"], "left")
+    # family invariant (see incremental_dedup): in a left-outer join
+    # only the registry side is broadcastable; pin it to sort-merge so
+    # an inline-derived registry's tiny static estimate can never turn
+    # the corpus-scale side into a broadcast build (q82's MinHash
+    # registry AND q101's SRP band registry both probe through here).
+    joined = batch_bands.join(reg.hint("merge"), ["band_id", "band_hash"], "left")
     hits = joined.groupBy(id_col).agg(
         F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_n")
     )
@@ -594,10 +618,15 @@ def ngram_jaccard_pairs(
     # grows with the corpus), but its logical plan usually ends in
     # Generate/Aggregate chains whose STATIC size estimate is tiny — at
     # a 64x scale probe the planner broadcast a 12.9M-row pairs table
-    # and OOM'd the build. Pin the join to sort-merge: the pairs side
-    # must never be a broadcast build, whatever its estimate says.
+    # and OOM'd the build. Pin BOTH joins to sort-merge: the first
+    # join's output is pairs-derived and inherits the same tiny static
+    # estimate, so without the second hint the planner could still pick
+    # the pairs-side intermediate as the broadcast build of the
+    # (id_b, shingle) join — the invariant is "the pairs side is never
+    # a broadcast build", not "the first join isn't".
+    joined_a = pairs.hint("merge").join(sa, "id_a")
     inter = (
-        pairs.hint("merge").join(sa, "id_a")
+        joined_a.hint("merge")
         .join(sb, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))

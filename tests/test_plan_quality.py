@@ -93,6 +93,143 @@ def test_broadcast_join_for_small_dims(plans):
         )
 
 
+# -- registry-family broadcast gate (r11 verdict #2) -------------------------
+#
+# The 64x octave proved the failure mode twice: a registry/pair table
+# derived inline ends in Generate/Aggregate chains with a TINY static
+# size estimate, the planner broadcasts the data-proportional side, and
+# the build OOMs. The fix was pinned per-site in r11 (ngram_jaccard_pairs,
+# span_registry_probe) and per-helper in r12 (incremental_dedup,
+# incremental_neardup_flags); these gates turn the discipline into a
+# suite-wide invariant a NEW operator inherits automatically.
+
+# The registry-family join keys. A registry keyed on any of these is
+# corpus-scale by construction (O(docs) digests, O(docs x bands) band
+# rows, O(history tokens) span anchors) — it must NEVER be a broadcast
+# build. Queries with an adjudicated, genuinely-bounded broadcast on one
+# of these keys go here WITH the reason (none currently).
+_REGISTRY_KEYS = ("content_hash", "band_hash", "ahash")
+_REGISTRY_BROADCAST_OK: dict[str, str] = {}
+
+
+def test_no_registry_key_is_ever_a_broadcast_join_key(simple_plans):
+    """Suite-wide: no query's physical plan may contain ANY broadcast
+    join keyed on a registry-family column. At test scale these joins
+    see inline-derived registries (the exact bogus-estimate trap shape),
+    so a broadcast here is either the 64x OOM reproduced or a new
+    operator that skipped the family pin."""
+    pat = re.compile(
+        r"Broadcast\w*Join \[[^\]]*(" + "|".join(_REGISTRY_KEYS) + ")"
+    )
+    offenders = [
+        (n, m.group(0)[:120])
+        for n, p in simple_plans.items()
+        if n not in _REGISTRY_BROADCAST_OK
+        for m in [pat.search(p)]
+        if m
+    ]
+    assert not offenders, (
+        f"registry-family key used as a broadcast join key in: {offenders}"
+    )
+
+
+def test_registry_probe_helpers_pin_smj_against_bogus_estimates(spark):
+    """Unit worst case: every registry-probe helper, fed a registry
+    DERIVED INLINE through a Generate->Aggregate chain (tiny static
+    size estimate — the shape that OOM'd the 64x octave twice), must
+    still plan the probe join as SortMergeJoin. Covers q67 (anti-join),
+    q82/q101 (left-outer band probe), q110 (left-semi span probe), and
+    the q33/q48 Jaccard-verify joins."""
+    from pyspark.sql import functions as F
+
+    from bricolage_spark.operators import dedup as D
+
+    def trap(df):
+        """Wrap a frame in an explode->agg chain: static size estimate
+        collapses to a near-zero constant while the data is unchanged."""
+        cols = df.columns
+        return (
+            df.withColumn("_x", F.explode(F.array(F.lit(1))))
+            .groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .select(*cols)
+        )
+
+    def probe_join_lines(df, *needles):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return [
+            ln
+            for ln in plan.splitlines()
+            if any(n in ln for n in needles) and "Join" in ln
+        ]
+
+    docs = spark.range(50).select(
+        F.col("id"), F.concat(F.lit("text body "), F.col("id")).alias("text")
+    )
+    registry = trap(
+        spark.range(2000).select(F.md5(F.col("id").cast("string")).alias("content_hash"))
+    )
+    novel, _ = D.incremental_dedup(docs, registry, "id", "text")
+    for ln in probe_join_lines(novel, "LeftAnti"):
+        assert "SortMergeJoin" in ln, f"q67 probe not SMJ: {ln.strip()[:120]}"
+
+    bands = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("int").alias("band_id"),
+        F.md5(F.col("id").cast("string")).alias("band_hash"),
+    )
+    reg_bands = trap(
+        spark.range(3000).select(
+            (F.col("id") % 4).cast("int").alias("band_id"),
+            F.md5((F.col("id") * 7).cast("string")).alias("band_hash"),
+        )
+    )
+    flags = D.incremental_neardup_flags(bands, reg_bands, "id")
+    for ln in probe_join_lines(flags, "band_hash"):
+        assert "SortMergeJoin" in ln, f"q82/q101 probe not SMJ: {ln.strip()[:120]}"
+
+    anchors = spark.range(500).select(
+        (F.col("id") % 7).alias("doc"),
+        (F.col("id") + 1).alias("pos"),
+        F.xxhash64(F.col("id")).alias("ahash"),
+    )
+    span_reg = trap(spark.range(5000).select(F.xxhash64(F.col("id") * 3).alias("ahash")))
+    spans = D.span_registry_probe(anchors, span_reg, "doc")
+    for ln in probe_join_lines(spans, "LeftSemi"):
+        assert "SortMergeJoin" in ln, f"q110 probe not SMJ: {ln.strip()[:120]}"
+
+    shingles = spark.range(400).select(
+        (F.col("id") % 20).alias("id"),
+        F.concat(F.lit("sh"), (F.col("id") % 37)).alias("shingle"),
+    )
+    pairs = trap(
+        spark.range(30).select(
+            (F.col("id") % 20).alias("id_a"), ((F.col("id") + 3) % 20).alias("id_b")
+        )
+    )
+    jac = D.ngram_jaccard_pairs(shingles, pairs, id_col="id")
+    plan = jac._jdf.queryExecution().executedPlan().toString()
+    # both pairs-LINEAGE joins must be SMJ: the intersect join on
+    # (id_b, shingle) — identifiable by its compound key — and the
+    # pairs|><|sa join on id_a. The per-doc size joins (also keyed
+    # id_a/id_b) MAY broadcast their sizes side: its estimate is
+    # scan-derived (honest), and the 64x octave ran that shape clean.
+    join2 = [
+        ln
+        for ln in plan.splitlines()
+        if "Join" in ln and "id_b" in ln and "shingle" in ln
+    ]
+    assert join2, "expected the (id_b, shingle) intersect join in the plan"
+    for ln in join2:
+        assert "SortMergeJoin" in ln, f"intersect join not SMJ: {ln.strip()[:120]}"
+    smj_id_a = [
+        ln
+        for ln in plan.splitlines()
+        if "SortMergeJoin" in ln and "id_a" in ln and "shingle" not in ln
+    ]
+    assert smj_id_a, "expected the pinned pairs-side id_a join to be SMJ"
+
+
 # -- single-partition-window gate (SCALE.md claim #4) -----------------------
 
 _WSPEC_RE = re.compile(r"windowspecdefinition\(")
