@@ -430,6 +430,19 @@ class SparkEngine:
         location = self.bucketed_dir(spec)
         if os.path.isdir(location):
             self._check_bucket_spec(location, bucket_cols, n_buckets, sort_cols)
+        # a same-name TEMP VIEW (e.g. the plain layout registered by
+        # save_table/register_all in this session) shadows any catalog
+        # table in spark.table() — serving it here would silently hand
+        # back the WRONG layout (and, in the migration crash window,
+        # stale data). The layout contract says a table is either plain
+        # or bucketed; asking for the bucketed read asserts bucketed is
+        # canonical, so drop the session-scoped shadow.
+        try:
+            t = self.spark.catalog.getTable(name)
+            if t.tableType == "TEMPORARY":
+                self.spark.catalog.dropTempView(name)
+        except Exception:
+            pass  # no catalog entry at all
         if self.spark.catalog.tableExists(name):
             # a same-name entry registered by ANOTHER engine/warehouse in
             # this session would silently serve the wrong files — verify
@@ -552,7 +565,16 @@ class SparkEngine:
                 .saveAsTable(stage_name)
             )
             # the stage write has fully executed (and consumed any reads
-            # of the old files) — now swap
+            # of the old files) — stamp the bucketing contract INTO the
+            # staging dir BEFORE the swap, so the sidecar travels
+            # atomically with the files it describes: a crash between
+            # the rename and a post-rename stamp would leave a
+            # sidecar-less bucketed dir, and the part-filename fallback
+            # can only disprove UNDER-claimed counts — an over-claimed
+            # re-registration after such a crash would silently elide
+            # Exchanges over a false layout, the exact bug the sidecar
+            # exists to prevent.
+            self._write_bucket_spec(stage_loc, bucket_cols, n_buckets, sort_cols)
             self.spark.sql(f"DROP TABLE IF EXISTS {stage_name}")
             self.spark.sql(f"DROP TABLE IF EXISTS {name}")
             old = f"{location}.__old__{uuid.uuid4().hex[:8]}"
@@ -560,7 +582,6 @@ class SparkEngine:
                 os.rename(location, old)
             os.rename(stage_loc, location)
             shutil.rmtree(old, ignore_errors=True)
-            self._write_bucket_spec(location, bucket_cols, n_buckets, sort_cols)
             self.bucketed_table(spec, bucket_cols, n_buckets, sort_cols)
         else:
             raise ParameterError(f"unknown write mode: {mode}")

@@ -12,9 +12,11 @@ recurring crawl can compose them declaratively.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import functions as F
 
+from bricolage_spark.engine import TableSpec
 from bricolage_spark.exception import JobFailure, ParameterError
 from bricolage_spark.jobs import Job, JobResult, jobclass
 from bricolage_spark.parameters import ParamSchema, StringParam, TableParam
@@ -246,6 +248,7 @@ def registry_compact(job: Job) -> JobResult:
         for f in files
         if f.endswith(".parquet")
     )
+    retired_note = ""
     if n_bkts:
         # bucketed rewrite: repartition BY the bucket keys first so each
         # task holds whole hash-families and the write lands ~1 file per
@@ -256,15 +259,67 @@ def registry_compact(job: Job) -> JobResult:
             bucket_keys,
             n_bkts,
         )
-        if migrate_plain or job.engine.table_exists(dest):
+        if migrate_plain:
             # the bucketed copy is swapped in — retire the plain layout
             # so the old files don't sit orphaned (and a later flip back
             # to buckets:0 hits the layout guard, not stale history).
-            # Also fires on a NON-migration run that finds a plain twin:
-            # that twin is a mid-migration crash leftover (bucketed
-            # write landed, retire step didn't), so re-running compact
-            # is the idempotent completion.
+            # Safe unconditionally here: the plain table WAS this run's
+            # input, so every row it holds is in the bucketed copy
+            # (minus any explicit keep-snapshots age-out).
             job.engine.drop_table(dest)
+        elif job.engine.table_exists(dest):
+            # a plain same-name twin on a NON-migration run is PRESUMED
+            # a mid-migration crash leftover (bucketed write landed,
+            # retire step didn't) — but presumption is not license to
+            # rmtree: the twin could hold rows the bucketed copy does
+            # not (appends that landed on the plain layout after a
+            # partial migration, or an unrelated table reusing the
+            # name). Verify it is a key-subset of the bucketed copy
+            # (cheap anti-join existence probe on the key columns);
+            # anything novel is renamed aside loudly, never deleted.
+            plain = job.engine.table(dest)
+            novel = -1
+            if all(c in plain.columns for c in bucket_keys):
+                # read the bucketed FILES directly: the probe must not
+                # depend on catalog state (a same-name temp view of the
+                # plain twin would shadow spark.table), and bucketing
+                # metadata is irrelevant to a key-existence check
+                bucketed_now = job.engine.spark.read.parquet(
+                    job.engine.bucketed_dir(dest)
+                )
+                novel = (
+                    plain.select(*bucket_keys)
+                    .join(
+                        bucketed_now.select(*bucket_keys).hint("merge"),
+                        bucket_keys,
+                        "left_anti",
+                    )
+                    .limit(1)
+                    .count()
+                )
+            if novel == 0:
+                # true crash leftover: every key already in the
+                # bucketed registry — completing the retire step is
+                # the idempotent migration finish
+                job.engine.drop_table(dest)
+            else:
+                pdir = job.engine.table_dir(dest)
+                retired = pdir + ".__retired__"
+                shutil.rmtree(retired, ignore_errors=True)
+                os.rename(pdir, retired)
+                job.engine.spark.catalog.dropTempView(
+                    TableSpec.parse(dest).view_name
+                )
+                retired_note = (
+                    f"; plain twin at {pdir} holds "
+                    + (
+                        "keys absent from the bucketed registry"
+                        if novel > 0
+                        else "an incompatible schema (no key columns)"
+                    )
+                    + f" — renamed to {retired}, NOT deleted; inspect and"
+                    " re-append or remove it"
+                )
         n = n_bkts
     else:
         n = int(job.param("target-partitions") or 0) or max(1, n_files // 4)
@@ -275,6 +330,7 @@ def registry_compact(job: Job) -> JobResult:
         message=(
             f"compacted {dest}: {rows} distinct keys, {n_files}->{n} "
             f"file target, {dropped_snapshots} snapshot(s) aged out"
+            f"{retired_note}"
         ),
         rows=rows,
     )

@@ -326,6 +326,43 @@ def test_bucketed_spec_drift_fails_fast(engine, spark):
         spark.sql("DROP TABLE IF EXISTS bk_spec")
 
 
+def test_bucket_spec_sidecar_travels_with_the_swap(engine, spark, monkeypatch):
+    """r11 advice: the sidecar must be written INTO the staging dir
+    before the stage->location rename, not stamped after it — a crash
+    in the post-rename window would leave a sidecar-less bucketed dir,
+    and the part-filename fallback can only disprove UNDER-claimed
+    counts, so an over-claimed re-registration after such a crash
+    would silently elide Exchanges over a false layout."""
+    import bricolage_spark.engine as E
+    from pyspark.sql import functions as SF
+
+    real_rename = os.rename
+    seen = {}
+
+    def spy(src, dst):
+        if "__stage__" in src:
+            seen["spec_in_stage"] = os.path.exists(
+                os.path.join(src, "_bucket_spec.json")
+            )
+        real_rename(src, dst)
+
+    monkeypatch.setattr(E.os, "rename", spy)
+    df = spark.range(50).select(
+        SF.md5(SF.col("id").cast("string")).alias("ahash")
+    )
+    try:
+        engine.save_table_bucketed(df, "bk_sidecar", "ahash", n_buckets=4)
+        assert seen.get("spec_in_stage") is True, (
+            "sidecar was not in the staging dir at swap time"
+        )
+        # and the swapped-in dir carries it, same as before
+        assert os.path.exists(
+            os.path.join(engine.bucketed_dir("bk_sidecar"), "_bucket_spec.json")
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_sidecar")
+
+
 def test_bucketed_legacy_dir_filename_inference(engine, spark):
     """Pre-sidecar bucket dirs: the bucket id Spark encodes in every
     part-file name (part-*_BBBBB.c000) proves an under-claimed count

@@ -1998,3 +1998,75 @@ def test_registry_compact_completes_crashed_migration(engine, home, spark):
         assert span_registry_prior(engine, "span_reg_crash", 4).count() == 21
     finally:
         spark.sql("DROP TABLE IF EXISTS span_reg_crash")
+
+
+def test_registry_compact_never_deletes_a_plain_twin_with_novel_rows(
+    engine, home, spark
+):
+    """r11 advice: the crash-leftover presumption must be VERIFIED, not
+    acted on — if the plain same-name table holds keys the bucketed
+    registry does not (appends that landed on the plain layout after a
+    partial migration), deleting it loses dedup history irrecoverably.
+    Such a twin is renamed to <dir>.__retired__ and reported, never
+    rmtree'd; a true subset twin is still dropped (idempotent
+    completion, previous test)."""
+    import os
+
+    rows = spark.createDataFrame([(f"h{i}",) for i in range(10)], "ahash string")
+    engine.save_table_bucketed(rows, "span_reg_novel", "ahash", 4)
+    # the plain twin carries TWO keys the bucketed registry lacks
+    engine.save_table(
+        rows.unionByName(
+            spark.createDataFrame([("orphan1",), ("orphan2",)], "ahash string")
+        ),
+        "span_reg_novel",
+    )
+    plain_dir = engine.table_dir("span_reg_novel")
+    try:
+        res = run_job(
+            engine, home, "novel.job",
+            "class: registry-compact\ndest-table: span_reg_novel\n"
+            "key-columns: ahash\nbuckets: 4\n",
+        )
+        assert res.success
+        # twin preserved under .__retired__, catalog view gone
+        assert not engine.table_exists("span_reg_novel")
+        retired = plain_dir + ".__retired__"
+        assert os.path.isdir(retired)
+        kept = spark.read.parquet(retired)
+        assert kept.where(kept.ahash == "orphan1").count() == 1
+        assert "NOT deleted" in res.message
+        # the bucketed registry is intact and canonical
+        assert engine.bucketed_table("span_reg_novel", "ahash", 4).count() == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS span_reg_novel")
+
+
+def test_registry_compact_never_deletes_a_foreign_schema_twin(
+    engine, home, spark
+):
+    """A plain same-name table WITHOUT the key columns is an unrelated
+    table reusing the name, not a migration leftover — renamed aside,
+    never deleted."""
+    import os
+
+    rows = spark.createDataFrame([(f"h{i}",) for i in range(10)], "ahash string")
+    engine.save_table_bucketed(rows, "span_reg_foreign", "ahash", 4)
+    engine.save_table(
+        spark.createDataFrame([(1, "x")], "some_id long, payload string"),
+        "span_reg_foreign",
+    )
+    plain_dir = engine.table_dir("span_reg_foreign")
+    try:
+        res = run_job(
+            engine, home, "foreign.job",
+            "class: registry-compact\ndest-table: span_reg_foreign\n"
+            "key-columns: ahash\nbuckets: 4\n",
+        )
+        assert res.success
+        retired = plain_dir + ".__retired__"
+        assert os.path.isdir(retired)
+        assert spark.read.parquet(retired).count() == 1
+        assert "NOT deleted" in res.message
+    finally:
+        spark.sql("DROP TABLE IF EXISTS span_reg_foreign")
