@@ -333,6 +333,20 @@ class SparkEngine:
             )
         os.replace(tmp, spec_path)
 
+    def bucket_spec(self, spec: TableSpec | str) -> dict | None:
+        """The persisted bucketing contract of a bucketed table (the
+        ``_bucket_spec.json`` sidecar), or None when the directory has
+        no sidecar (pre-sidecar layout or not bucketed). This is how a
+        REWRITE job reads a table whose count it is about to change:
+        read with the written spec, write with the requested one —
+        reading with the requested (new) count would fail the drift
+        check by design."""
+        p = os.path.join(self.bucketed_dir(spec), self._BUCKET_SPEC_FILE)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
     def _check_bucket_spec(
         self,
         location: str,

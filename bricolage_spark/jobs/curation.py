@@ -187,7 +187,21 @@ def registry_compact(job: Job) -> JobResult:
             # probe-against-nothing and points here).
             df = job.engine.table(dest)
         else:
-            df = job.engine.bucketed_table(dest, bucket_keys, n_bkts)
+            # read with the WRITTEN spec, write with the requested one:
+            # this job IS the documented bucket-count migration (the
+            # drift guard's error message points here), so reading with
+            # the caller's (possibly new) count would fail the guard
+            # circularly. The sidecar carries the written contract.
+            cur = job.engine.bucket_spec(dest)
+            if cur:
+                df = job.engine.bucketed_table(
+                    dest,
+                    list(cur["bucket_cols"]),
+                    int(cur["n_buckets"]),
+                    list(cur.get("sort_cols") or cur["bucket_cols"]),
+                )
+            else:
+                df = job.engine.bucketed_table(dest, bucket_keys, n_bkts)
     else:
         migrate_plain = False
         df = job.engine.table(dest)

@@ -1572,6 +1572,81 @@ def test_span_registry_job_bucketed_registry(engine, home, spark):
         )
 
 
+def test_registry_compact_rebuckets_live_span_registry(engine, home, spark):
+    """The last untested lifecycle transition (r11 verdict #7): a LIVE
+    bucketed span registry re-bucketed 8 -> 16 by registry-compact at
+    probe time — the next snapshot's probe must return identical scrub
+    verdicts off the re-bucketed layout, and the stale count must fail
+    fast. Also pins the fix this test forced: registry-compact reads
+    with the WRITTEN sidecar spec (reading with the requested new count
+    would fail its own drift guard circularly — the guard's error
+    message points at registry-compact as the migration)."""
+    engine.save_table(
+        spark.createDataFrame(
+            [(1, f"history doc carrying the run {_RUN14} right here")],
+            "doc_id long, text string",
+        ),
+        "rb1_docs",
+    )
+    assert run_job(
+        engine, home, "rb1.job",
+        "class: span-registry\ndest-table: rb1_out\n"
+        "src-table: rb1_docs\nregistry-table: span_reg_rb\n"
+        "snapshot: s1\nregistry-buckets: 8\n",
+    ).success
+    keys_before = {
+        r.ahash
+        for r in engine.bucketed_table("span_reg_rb", "ahash", 8)
+        .select("ahash").distinct().collect()
+    }
+    assert keys_before
+    # the deployment flips registry-buckets 8 -> 16: registry-compact IS
+    # the migration (reads the written 8-bucket spec, writes 16)
+    assert run_job(
+        engine, home, "rb2.job",
+        "class: registry-compact\ndest-table: span_reg_rb\n"
+        "key-columns: ahash\nsnapshot-column: snapshot\nbuckets: 16\n",
+    ).success
+    assert engine.bucket_spec("span_reg_rb")["n_buckets"] == 16
+    # stale count now fails fast — the contract, both directions
+    from bricolage_spark.exception import JobFailure
+
+    with pytest.raises(JobFailure, match="bucket spec mismatch"):
+        engine.bucketed_table("span_reg_rb", "ahash", 8)
+    # keys survive the rewrite exactly
+    reg16 = engine.bucketed_table("span_reg_rb", "ahash", 16)
+    assert {r.ahash for r in reg16.select("ahash").collect()} == keys_before
+    # and the bucketed scan is real: Exchange-free distinct on the key
+    plan = (
+        reg16.select("ahash").distinct()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Bucketed: true" in plan and "Exchange" not in plan
+    # next snapshot probes the re-bucketed history with the new count:
+    # identical verdicts (historical span scrubbed, novel doc untouched)
+    engine.save_table(
+        spark.createDataFrame(
+            [
+                (10, f"new page with the historical {_RUN14} inside"),
+                (11, "novel text matching nothing in prior snapshots"),
+            ],
+            "doc_id long, text string",
+        ),
+        "rb2_docs",
+    )
+    r2 = run_job(
+        engine, home, "rb3.job",
+        "class: span-registry\ndest-table: rb2_out\n"
+        "src-table: rb2_docs\nregistry-table: span_reg_rb\n"
+        "snapshot: s2\nregistry-buckets: 16\n",
+    )
+    assert r2.success and "1 touched" in r2.message
+    out = {r.doc_id: r.text for r in engine.table("rb2_out").collect()}
+    assert _RUN14 not in (out[10] or "")
+    assert out[11] == "novel text matching nothing in prior snapshots"
+    spark.sql("DROP TABLE IF EXISTS span_reg_rb")
+
+
 def test_epoch_plan_job_reports_and_gates(engine, home, spark):
     """epoch-plan job class: publishes the |sources| data-card table,
     the launch gate fires on oversampled sources only when asked, and
