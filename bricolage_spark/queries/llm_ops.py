@@ -1264,6 +1264,20 @@ def release_caches() -> None:
     _SEM_CENT_CACHE.clear()
     relational._PCT_CACHE.clear()
     patterns._HOT_KEY_CACHE.clear()
+    # localCheckpoint-backed artifacts (verified pairs, cluster
+    # assignments, span table) free their executor blocks only after
+    # the JVM notices the checkpoint RDD is unreachable (py4j ref
+    # dropped -> JVM GC -> ContextCleaner). A long-lived driver with a
+    # quiet old-gen can sit on gigabytes of dead blocks for a long
+    # time — the r12 64x octave exhausted the unified pool exactly
+    # that way (storage squeezed execution across sequential heavy
+    # probes). Nudge the chain; ContextCleaner does the actual free.
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass  # no JVM (stopped session) — nothing to free
 
 
 def stage_artifacts(spark: SparkSession, sf_dir: str) -> list[str]:

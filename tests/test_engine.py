@@ -326,6 +326,34 @@ def test_bucketed_spec_drift_fails_fast(engine, spark):
         spark.sql("DROP TABLE IF EXISTS bk_spec")
 
 
+def test_bucketed_table_is_not_shadowed_by_plain_temp_view(engine, spark):
+    """A same-name temp view (the plain layout registered by
+    save_table/register_all) resolves FIRST in spark.table(), so without
+    the shadow drop bucketed_table would silently serve the wrong
+    layout — in the migration crash window, stale data. Found while
+    testing the registry-compact twin guard."""
+    from pyspark.sql import functions as SF
+
+    rows = spark.range(30).select(
+        SF.md5(SF.col("id").cast("string")).alias("ahash")
+    )
+    try:
+        engine.save_table_bucketed(rows, "bk_shadow", "ahash", 4)
+        # a plain twin with DIFFERENT content registers a temp view
+        # under the same name (save_table's registration path)
+        engine.save_table(rows.limit(5), "bk_shadow")
+        assert spark.table("bk_shadow").count() == 5  # the shadow is real
+        served = engine.bucketed_table("bk_shadow", "ahash", 4)
+        assert served.count() == 30  # ...and bucketed_table sees through it
+        plan = (
+            served.select("ahash").distinct()
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Bucketed: true" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_shadow")
+
+
 def test_bucket_spec_sidecar_travels_with_the_swap(engine, spark, monkeypatch):
     """r11 advice: the sidecar must be written INTO the staging dir
     before the stage->location rename, not stamped after it — a crash
