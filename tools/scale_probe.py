@@ -87,6 +87,10 @@ PROBE_QUERIES = (
     # sampled banding audit (pair volume is data-proportional, like q33)
     "q111_unimax_plan",
     "q112_lsh_banding_audit",
+    # round-12 addition: the exact-digest registry anti-join, SMJ-pinned
+    # this round (the q82/q101/q110 family's fourth member was never in
+    # the probe set)
+    "q67_incremental_dedup",
 )
 
 
