@@ -108,8 +108,18 @@ def incremental_dedup(
     batch-proportional first-seen side as a broadcast build). The same
     registry-anti-join contract as streaming_load's exactly-once file
     ledger, applied to content identity.
+
+    NULL-``text_col`` rows are dropped EXPLICITLY: a contentless row
+    has no content identity to dedup on (the family contract —
+    ``bpe_encode``'s "nothing to rebuild"). This was implicit in the
+    pre-r12 join-back shape (a NULL digest never equi-joins) and in
+    the q67 oracle's join; the min_by shape would otherwise keep one
+    arbitrary NULL representative that then survives the anti-join
+    (NULL never matches the registry), silently diverging.
     """
-    digested = df.withColumn("content_hash", content_hash(F.col(text_col)))
+    digested = df.where(F.col(text_col).isNotNull()).withColumn(
+        "content_hash", content_hash(F.col(text_col))
+    )
     batch_novel = (
         digested.groupBy("content_hash")
         .agg(

@@ -597,6 +597,25 @@ def test_incremental_dedup_across_batches(spark, engine):
     assert engine.table("dedup_registry").count() == 3
 
 
+def test_incremental_dedup_drops_null_text_rows_explicitly(spark):
+    """A contentless row has no content identity: NULL-text rows are
+    dropped, matching the pre-r12 join-back shape (a NULL digest never
+    equi-joins) and the q67 oracle — the r12 min_by shape would
+    otherwise keep one arbitrary NULL representative that survives the
+    registry anti-join (NULL never matches), silently diverging."""
+    b = spark.createDataFrame(
+        [(1, DOC), (2, None), (3, None), (4, OTHER)],
+        "doc_id long, text string",
+    )
+    novel, digests = D.incremental_dedup(b, None, "doc_id", "text")
+    assert {r.doc_id for r in novel.collect()} == {1, 4}
+    assert digests.where(digests.content_hash.isNull()).count() == 0
+    # and against a registry: NULL rows still never resurface as novel
+    reg = spark.createDataFrame([("feedcafe",)], "content_hash string")
+    novel2, _ = D.incremental_dedup(b, reg, "doc_id", "text")
+    assert {r.doc_id for r in novel2.collect()} == {1, 4}
+
+
 def test_bm25_ranks_tf_and_rare_terms(spark):
     """q60: higher tf ranks higher; rarer terms earn higher idf weight."""
     from bricolage_spark.operators.retrieval import bm25_topk
