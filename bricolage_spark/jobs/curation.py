@@ -12,7 +12,7 @@ recurring crawl can compose them declaratively.
 from __future__ import annotations
 
 import os
-import shutil
+import uuid
 
 from pyspark.sql import functions as F
 
@@ -317,12 +317,14 @@ def registry_compact(job: Job) -> JobResult:
                 # the idempotent migration finish
                 job.engine.drop_table(dest)
             else:
+                # unique suffix: a SECOND retirement must never rmtree
+                # the first one's preserved rows (the whole point is
+                # never-delete)
                 pdir = job.engine.table_dir(dest)
-                retired = pdir + ".__retired__"
-                shutil.rmtree(retired, ignore_errors=True)
+                retired = f"{pdir}.__retired__{uuid.uuid4().hex[:8]}"
                 os.rename(pdir, retired)
                 job.engine.spark.catalog.dropTempView(
-                    TableSpec.parse(dest).view_name
+                    TableSpec.parse(str(dest)).view_name
                 )
                 retired_note = (
                     f"; plain twin at {pdir} holds "

@@ -2104,15 +2104,31 @@ def test_registry_compact_never_deletes_a_plain_twin_with_novel_rows(
             "key-columns: ahash\nbuckets: 4\n",
         )
         assert res.success
-        # twin preserved under .__retired__, catalog view gone
+        # twin preserved under a unique .__retired__ dir, view gone
         assert not engine.table_exists("span_reg_novel")
-        retired = plain_dir + ".__retired__"
-        assert os.path.isdir(retired)
-        kept = spark.read.parquet(retired)
+        import glob as _glob
+
+        retired = _glob.glob(plain_dir + ".__retired__*")
+        assert len(retired) == 1
+        kept = spark.read.parquet(retired[0])
         assert kept.where(kept.ahash == "orphan1").count() == 1
         assert "NOT deleted" in res.message
         # the bucketed registry is intact and canonical
         assert engine.bucketed_table("span_reg_novel", "ahash", 4).count() == 10
+        # a SECOND twin retirement must not clobber the first's rows
+        engine.save_table(
+            spark.createDataFrame([("orphan3",)], "ahash string"),
+            "span_reg_novel",
+        )
+        assert run_job(
+            engine, home, "novel2.job",
+            "class: registry-compact\ndest-table: span_reg_novel\n"
+            "key-columns: ahash\nbuckets: 4\n",
+        ).success
+        both = _glob.glob(plain_dir + ".__retired__*")
+        assert len(both) == 2 and retired[0] in both
+        first = spark.read.parquet(retired[0])
+        assert first.where(first.ahash == "orphan1").count() == 1
     finally:
         spark.sql("DROP TABLE IF EXISTS span_reg_novel")
 
@@ -2139,9 +2155,11 @@ def test_registry_compact_never_deletes_a_foreign_schema_twin(
             "key-columns: ahash\nbuckets: 4\n",
         )
         assert res.success
-        retired = plain_dir + ".__retired__"
-        assert os.path.isdir(retired)
-        assert spark.read.parquet(retired).count() == 1
+        import glob as _glob
+
+        retired = _glob.glob(plain_dir + ".__retired__*")
+        assert len(retired) == 1
+        assert spark.read.parquet(retired[0]).count() == 1
         assert "NOT deleted" in res.message
     finally:
         spark.sql("DROP TABLE IF EXISTS span_reg_foreign")
