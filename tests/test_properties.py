@@ -1235,3 +1235,114 @@ def test_unimax_plan_invariants(spark, source_sizes, budget):
         for s in caps:
             if sat[s]:
                 assert caps[s] <= L
+
+
+# ---------------------------------------------------------------------------
+# r12-reshaped dedup operators vs pure-Python mirrors: the min_by in-batch
+# stage of incremental_dedup, and the capped LSH bucket expansion — the two
+# semantics the r12 plan changes touched (and the oracles rely on)
+# ---------------------------------------------------------------------------
+
+
+def _norm(t: str) -> str:
+    import re as _re
+
+    return _re.sub(r"\s+", " ", t.lower()).strip()
+
+
+@pytest.mark.spark
+@given(
+    st.lists(
+        st.one_of(st.none(), st.sampled_from(["a b c", "a  B c", "x y", "p q r s"])),
+        min_size=1,
+        max_size=10,
+    ),
+    st.sets(st.sampled_from(["a b c", "x y", "zz ww"]), max_size=2),
+)
+@settings(max_examples=8, deadline=None)
+def test_incremental_dedup_matches_python_mirror(spark, texts, reg_texts):
+    """The r12 min_by reshape: per normalized-content digest keep the
+    min-id row, drop NULL texts explicitly, anti-join the registry —
+    bit-for-bit the q67 oracle's semantics on arbitrary inputs."""
+    import hashlib
+
+    from bricolage_spark.operators import dedup as D
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    reg_rows = [
+        (hashlib.md5(_norm(t).encode()).hexdigest(),) for t in sorted(reg_texts)
+    ]
+    reg = (
+        spark.createDataFrame(reg_rows, "content_hash string")
+        if reg_rows
+        else None
+    )
+    novel, digests = D.incremental_dedup(df, reg, "doc_id", "text")
+    got = {(r.doc_id, r.content_hash) for r in novel.collect()}
+
+    # python mirror
+    first: dict = {}
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        h = hashlib.md5(_norm(t).encode()).hexdigest()
+        if h not in first:
+            first[h] = i
+    reg_set = {h for (h,) in reg_rows}
+    want = {(i, h) for h, i in first.items() if h not in reg_set}
+    assert got == want
+    assert {r.content_hash for r in digests.collect()} == {h for _i, h in want}
+
+
+@pytest.mark.spark
+@given(
+    st.lists(st.integers(0, 3), min_size=2, max_size=14),
+    st.integers(2, 5),
+)
+@settings(max_examples=8, deadline=None)
+def test_lsh_cap_matches_python_mirror(spark, sig_seeds, cap):
+    """The capped bucket expansion (q33's production path and the
+    [2, cap] HAVING filter its oracles embed): buckets outside
+    [2, cap] emit NO pairs, sub-cap buckets emit exactly their
+    all-pairs — verified against a pure-Python banding mirror on
+    arbitrary (colliding) signature tables."""
+    import hashlib
+    from itertools import combinations
+
+    from bricolage_spark.operators import dedup as D
+
+    bands, rpb = 4, 4
+    # seed s determines all 16 hash values -> docs with equal seeds are
+    # full-signature duplicates (worst-case bucket collisions)
+    rows = [
+        tuple([i] + [s * 100 + j // rpb for j in range(16)])
+        for i, s in enumerate(sig_seeds)
+    ]
+    sigs = spark.createDataFrame(
+        rows, "id long, " + ", ".join(f"h{i} long" for i in range(16))
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.lsh_candidate_pairs(
+            sigs, "id", bands=bands, rows_per_band=rpb, max_bucket=cap
+        ).collect()
+    }
+
+    # python mirror of band_buckets + the [2, cap] whole-bucket filter
+    buckets: dict = {}
+    for row in rows:
+        i, hs = row[0], row[1:]
+        for b in range(bands):
+            key = (
+                b,
+                hashlib.md5(
+                    ",".join(str(h) for h in hs[b * rpb : (b + 1) * rpb]).encode()
+                ).hexdigest(),
+            )
+            buckets.setdefault(key, []).append(i)
+    want = set()
+    for members in buckets.values():
+        if 2 <= len(members) <= cap:
+            want |= set(combinations(sorted(members), 2))
+    assert got == want
