@@ -113,17 +113,23 @@ def main() -> None:
             run_stream(spark, src, os.path.join(work, "ck1"), sink1, fpt)
             wall1 = time.perf_counter() - t0
 
-            # pipeline 2: registry-coupled foreachBatch near-dedup
+            # pipeline 2: registry-coupled foreachBatch near-dedup.
+            # Per-batch walls are recorded because they ARE the claim:
+            # the probe is O(batch), so batch k's wall must stay flat
+            # while the registry holds k-1 batches' bands.
             eng = SparkEngine(spark, os.path.join(work, "wh"))
             kept: list[int] = []
+            batch_walls: list[float] = []
 
             def sink2(stream):
                 def body(df, _epoch):
+                    b0 = time.perf_counter()
                     out_df = curate_batch_against_history(
                         df, eng, "stream_band_registry"
                     )
                     eng.save_table(out_df, "curated_corpus", mode="append")
                     kept.append(out_df.count())
+                    batch_walls.append(round(time.perf_counter() - b0, 1))
 
                 return stream.writeStream.outputMode("append").foreachBatch(body)
 
@@ -142,6 +148,8 @@ def main() -> None:
                 "input_rows": n_rows,
                 "micro_batches": len(kept),
                 "kept_rows": sum(kept),
+                "kept_per_batch": kept,
+                "batch_walls_sec": batch_walls,
                 "wall_sec": round(wall2, 1),
                 "rows_per_sec": round(n_rows / wall2),
             }
