@@ -22,6 +22,7 @@ import re
 import shutil
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -451,12 +452,16 @@ class SparkEngine:
         # stale data). The layout contract says a table is either plain
         # or bucketed; asking for the bucketed read asserts bucketed is
         # canonical, so drop the session-scoped shadow.
+        # not-found is the only acceptable getTable failure: anything
+        # else (py4j/session breakage) must propagate, or the fallthrough
+        # to spark.table(name) would resolve the temp view first and
+        # reintroduce the exact wrong-layout read this block prevents.
         try:
             t = self.spark.catalog.getTable(name)
-            if t.tableType == "TEMPORARY":
-                self.spark.catalog.dropTempView(name)
-        except Exception:
-            pass  # no catalog entry at all
+        except AnalysisException:
+            t = None  # no catalog entry at all
+        if t is not None and t.tableType == "TEMPORARY":
+            self.spark.catalog.dropTempView(name)
         if self.spark.catalog.tableExists(name):
             # a same-name entry registered by ANOTHER engine/warehouse in
             # this session would silently serve the wrong files — verify

@@ -289,9 +289,16 @@ def registry_compact(job: Job) -> JobResult:
             # not (appends that landed on the plain layout after a
             # partial migration, or an unrelated table reusing the
             # name). Verify it is a key-subset of the bucketed copy
-            # (cheap anti-join existence probe on the key columns);
-            # anything novel is renamed aside loudly, never deleted.
+            # (cheap anti-join existence probe on the key columns —
+            # plus the snapshot column when the table carries one:
+            # post-migration appends reuse existing keys with NEW
+            # snapshot labels, and a keys-only probe would classify
+            # those rows novel==0 and delete them); anything novel is
+            # renamed aside loudly, never deleted.
             plain = job.engine.table(dest)
+            probe_cols = list(bucket_keys)
+            if snap and snap in plain.columns:
+                probe_cols.append(snap)
             novel = -1
             if all(c in plain.columns for c in bucket_keys):
                 # read the bucketed FILES directly: the probe must not
@@ -301,11 +308,12 @@ def registry_compact(job: Job) -> JobResult:
                 bucketed_now = job.engine.spark.read.parquet(
                     job.engine.bucketed_dir(dest)
                 )
+                probe = [c for c in probe_cols if c in bucketed_now.columns]
                 novel = (
-                    plain.select(*bucket_keys)
+                    plain.select(*probe)
                     .join(
-                        bucketed_now.select(*bucket_keys).hint("merge"),
-                        bucket_keys,
+                        bucketed_now.select(*probe).hint("merge"),
+                        probe,
                         "left_anti",
                     )
                     .limit(1)
@@ -329,7 +337,7 @@ def registry_compact(job: Job) -> JobResult:
                 retired_note = (
                     f"; plain twin at {pdir} holds "
                     + (
-                        "keys absent from the bucketed registry"
+                        "key/snapshot rows absent from the bucketed registry"
                         if novel > 0
                         else "an incompatible schema (no key columns)"
                     )

@@ -109,22 +109,32 @@ def incremental_dedup(
     registry-anti-join contract as streaming_load's exactly-once file
     ledger, applied to content identity.
 
-    NULL-``text_col`` rows are dropped EXPLICITLY: a contentless row
-    has no content identity to dedup on (the family contract —
-    ``bpe_encode``'s "nothing to rebuild"). This was implicit in the
-    pre-r12 join-back shape (a NULL digest never equi-joins) and in
-    the q67 oracle's join; the min_by shape would otherwise keep one
-    arbitrary NULL representative that then survives the anti-join
-    (NULL never matches the registry), silently diverging.
+    NULL-``text_col`` AND NULL-``id_col`` rows are dropped EXPLICITLY:
+    a contentless row has no content identity to dedup on (the family
+    contract — ``bpe_encode``'s "nothing to rebuild"), and a digest
+    group whose ids are ALL NULL would make ``min_by`` return a NULL
+    struct — one all-NULL representative that then survives the
+    anti-join (NULL never matches the registry). Both drops were
+    implicit in the pre-r12 join-back shape (a NULL digest never
+    equi-joins; SQL ``min`` ignores NULL ids so the join-back found no
+    partner) and in the q67 oracle; the min_by shape makes them
+    explicit so it cannot silently diverge.
+
+    ``content_hash`` is a RESERVED output column: if the input already
+    carries one (e.g. this function's own ``novel`` output fed back
+    in), it is dropped and recomputed from ``text_col`` — otherwise
+    the representative struct would duplicate the column name and the
+    final projection would raise an ambiguous-reference error.
     """
-    digested = df.where(F.col(text_col).isNotNull()).withColumn(
-        "content_hash", content_hash(F.col(text_col))
-    )
+    base_cols = [c for c in df.columns if c != "content_hash"]
+    digested = df.select(*base_cols).where(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    ).withColumn("content_hash", content_hash(F.col(text_col)))
     batch_novel = (
         digested.groupBy("content_hash")
         .agg(
             F.min_by(
-                F.struct(*[F.col(c) for c in df.columns]), F.col(id_col)
+                F.struct(*[F.col(c) for c in base_cols]), F.col(id_col)
             ).alias("_rep")
         )
         .select("content_hash", "_rep.*")
@@ -142,7 +152,7 @@ def incremental_dedup(
             "content_hash",
             "left_anti",
         )
-    novel = batch_novel.select(*df.columns, "content_hash")
+    novel = batch_novel.select(*base_cols, "content_hash")
     return novel, novel.select("content_hash")
 
 

@@ -52,42 +52,125 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # come right after the core, and the clip falls on queries that are already
 # driver-green in multiple rounds (listed in ``_CLIP_LAST``).
 #
-# ROUND-12 ROTATION (driver window = first 50), executing the committed
-# ROUND-12 PLAN verbatim.  Must-attest (16) = the 16 rows round 11
-# explicitly clipped (newest driver row r9, two rounds stale by r12);
-# no post-window registrations happened in r11, so the remaining 34
-# slots rotate in the r10-attested cohort (newest row r10):
-# candidates = 16 + 50 = 66 rows for 50 slots -> clip 16.
-# Applied overflow rule, unchanged: never/oldest-attested first, clip
-# the DEEPEST multi-round green history and list it explicitly.
+# ROUND-13 ROTATION (driver window = first 50), executing the committed
+# ROUND-13 PLAN verbatim.  Must-attest (16) = the 16 rows round 12
+# explicitly clipped (newest driver row r10, two rounds stale by r13);
+# gen_query_index --check confirms no post-window registrations happened
+# in r12, so the remaining 34 slots rotate in the r11-attested cohort
+# (newest row r11): candidates = 16 + 50 = 66 rows for 50 slots ->
+# clip 16.  Applied overflow rule, unchanged: never/oldest-attested
+# first, clip the DEEPEST multi-round green history and list it
+# explicitly.
 #   In the window (50):
-#   - q01 q02 q04 q12 q12b q12c q15 q16 q17 q26 q26b q28 q29 q30 q41
-#     q43 (16) — the round-11 explicit clip, per the standing promise
-#     (listed FIRST);
-#   - q108-q110 (3) — single driver row (r10);
-#   - q95-q103 (9) — newest row r10 (two rows: r8, r10);
-#   - q59-q71 (13) + q74-q81 (8) — newest row r10 (five rows each);
-#   - q07 (1) — the one survivor of the six-row-deep round-1-era core
-#     (see clip note below); its BHJ plan assertion makes it the right
-#     core row to re-attest in the round that lands the suite-wide
-#     broadcast-discipline plan gate.
-#   EXPLICITLY CLIPPED this round (66 - 50 = 16): q36 q37 q38 q39 q40
-#   q42 (driver-green in SEVEN rounds each — the deepest histories in
-#   the whole inventory) and q03 q05 q06 q08 q09 q10 q11 q12d q13 q14
-#   (six rounds each; q07, equal depth, stays in-window as above —
-#   the depth tie had to break somewhere and the broadcast-gate round
-#   is the principled place to re-attest the BHJ row). Listed FIRST in
-#   _CLIP_LAST so any window widening re-admits them before the
-#   freshly-r11-attested cohort.
+#   - q36-q40 q42 q03 q05 q06 q08 q09 q10 q11 q12d q13 q14 (16) — the
+#     round-12 explicit clip, per the standing promise (listed FIRST);
+#   - q111 q112 (2) — single driver row (r11);
+#   - q104-q107 (4) — two rows (r9, r11);
+#   - q84-q94 (11) — three rows (r7, r9, r11);
+#   - q50-q54 q56-q58 q82 q83 (10) — four rows each;
+#   - q48 q49 q55 q72 q73 (5) — five rows each;
+#   - q46 q47 (2) — six rows each; the depth-6 tier holds FIVE rows
+#     (q27 q44-q47) for two slots, and the tie breaks the same way the
+#     r12 q07 tie did: round 13 is the skew-stress round (zipfian
+#     salted-vs-unsalted octaves on operators/skew.py), so the two
+#     skew-toolkit rows are the principled depth-6 survivors.
+#   EXPLICITLY CLIPPED this round (66 - 50 = 16): q18-q25 q31-q35
+#   (driver-green in SEVEN rounds each — the deepest histories in the
+#   cohort) and q27 q44 q45 (six rounds each; q46/q47, equal depth,
+#   stay in-window as above).  Listed FIRST in _CLIP_LAST so any
+#   window widening re-admits them before the freshly-r12-attested
+#   cohort.
 #
-# ROUND-13 PLAN: must-attest = the 16 clipped above (newest row r10,
-# two rounds stale by r13) + any r12 post-window registrations; then
-# rotate the r11-attested cohort (q18-q25, q27, q31-q35, q44-q58,
-# q72, q73, q82-q94, q104-q107, q111, q112 — newest row r11) ahead of
-# this round's 50 fresh rows, same explicit-clip discipline on
-# whatever exceeds the window.
+# ROUND-14 PLAN: must-attest = the 16 clipped above (newest row r11,
+# two rounds stale by r14) + any r13 post-window registrations; then
+# rotate the r12-attested cohort (q01 q02 q04 q07 q12 q12b q12c
+# q15-q17 q26 q26b q28-q30 q41 q43 q59-q71 q74-q81 q95-q103
+# q108-q110 — newest row r12) ahead of this round's 50 fresh rows,
+# same explicit-clip discipline on whatever exceeds the window.
 _EVIDENCE_FIRST = [
-    # the round-11 explicit clip — newest driver row r9:
+    # the round-12 explicit clip — newest driver row r10 (listed FIRST):
+    "q36_ann_lsh_bucketed",
+    "q37_language_id",
+    "q38_token_stats",
+    "q39_quality_score",
+    "q40_fingerprint",
+    "q42_embedding_neardup",
+    "q03_group_aggregate",
+    "q05_tpch_q1",
+    "q06_inner_join",
+    "q08_outer_join",
+    "q09_semi_anti_join",
+    "q10_cross_theta_join",
+    "q11_tpch_q3",
+    "q12d_unpivot",
+    "q13_window_rank",
+    "q14_window_analytic",
+    # single driver row (r11):
+    "q111_unimax_plan",
+    "q112_lsh_banding_audit",
+    # two rows (r9, r11):
+    "q104_tokenizer_fertility",
+    "q105_span_contamination",
+    "q106_eval_split",
+    "q107_split_leakage",
+    # three rows (r7, r9, r11):
+    "q84_temperature_mixture",
+    "q85_ann_recall",
+    "q86_sentence_dedup",
+    "q87_code_detection",
+    "q88_oov_rate",
+    "q89_shard_assignment",
+    "q90_decontamination_apply",
+    "q91_embedding_hygiene",
+    "q92_boilerplate_removal",
+    "q93_cluster_size_histogram",
+    "q94_dedup_audit",
+    # four rows each:
+    "q50_dedup_clusters",
+    "q51_contamination",
+    "q52_stratified_sample",
+    "q53_boilerplate_ngrams",
+    "q54_sequence_packing",
+    "q56_pii_redaction",
+    "q57_quality_repetition",
+    "q58_doc_top_word",
+    "q82_incremental_neardup",
+    "q83_hashed_ngram_classifier",
+    # five rows each:
+    "q48_ngram_jaccard_neardup",
+    "q49_ann_ivf",
+    "q55_sessionization",
+    "q72_snapshot_diff",
+    "q73_pmi_collocations",
+    # the depth-6 tie survivors (skew-stress round; see note above):
+    "q46_salted_aggregate",
+    "q47_salted_join",
+]
+
+# Explicitly demoted to the tail (absorb the driver's >50 clip).
+_CLIP_LAST = [
+    # the ROUND-13 EXPLICIT CLIP (see rotation note above): deepest
+    # driver-green histories in the rotated cohort (q18-q25/q31-q35
+    # seven rounds each; q27/q44/q45 six rounds each), re-admitted
+    # first if the window ever widens:
+    "q18_subqueries",
+    "q19_case_coalesce_cast",
+    "q20_string_functions",
+    "q21_datetime_functions",
+    "q22_math_functions",
+    "q23_array_functions",
+    "q24_map_functions",
+    "q25_json_functions",
+    "q31_dedup_exact",
+    "q32_minhash_signatures",
+    "q33_minhash_lsh_pairs",
+    "q34_simhash",
+    "q35_cosine_topk",
+    "q27_distinct",
+    "q44_tumbling_window",
+    "q45_sliding_window",
+    # the round-12 attested cohort — newest driver row r12, the
+    # freshest rows in the inventory (CORRECTNESS_r12: 50/50 green):
     "q01_scan_projection",
     "q02_filter_predicates",
     "q04_global_aggregate",
@@ -104,11 +187,9 @@ _EVIDENCE_FIRST = [
     "q30_streaming_load_dedup",
     "q41_multimodal_features",
     "q43_asof_join",
-    # single driver row (r10):
     "q108_epoch_plan",
     "q109_classifier_calibration",
     "q110_span_registry_probe",
-    # r10-attested block (newest driver row r10):
     "q95_bpe_merges",
     "q96_semantic_decontamination",
     "q97_host_pagerank",
@@ -139,84 +220,7 @@ _EVIDENCE_FIRST = [
     "q79_winnowing_fingerprints",
     "q80_curation_verdicts",
     "q81_zipf_fit",
-    # the depth-tie survivor of the round-1-era core (see note above):
     "q07_broadcast_join",
-]
-
-# Explicitly demoted to the tail (absorb the driver's >50 clip).
-_CLIP_LAST = [
-    # the ROUND-12 EXPLICIT CLIP (see rotation note above): deepest
-    # driver-green histories in the inventory (q36-q40/q42 seven
-    # rounds each; the core-relational rows six rounds each),
-    # re-admitted first if the window ever widens:
-    "q36_ann_lsh_bucketed",
-    "q37_language_id",
-    "q38_token_stats",
-    "q39_quality_score",
-    "q40_fingerprint",
-    "q42_embedding_neardup",
-    "q03_group_aggregate",
-    "q05_tpch_q1",
-    "q06_inner_join",
-    "q08_outer_join",
-    "q09_semi_anti_join",
-    "q10_cross_theta_join",
-    "q11_tpch_q3",
-    "q12d_unpivot",
-    "q13_window_rank",
-    "q14_window_analytic",
-    # the round-11 attested cohort — newest driver row r11, the
-    # freshest rows in the inventory (CORRECTNESS_r11: 50/50 green):
-    "q18_subqueries",
-    "q19_case_coalesce_cast",
-    "q20_string_functions",
-    "q21_datetime_functions",
-    "q22_math_functions",
-    "q23_array_functions",
-    "q24_map_functions",
-    "q25_json_functions",
-    "q27_distinct",
-    "q31_dedup_exact",
-    "q32_minhash_signatures",
-    "q33_minhash_lsh_pairs",
-    "q34_simhash",
-    "q35_cosine_topk",
-    "q111_unimax_plan",
-    "q112_lsh_banding_audit",
-    "q104_tokenizer_fertility",
-    "q105_span_contamination",
-    "q106_eval_split",
-    "q107_split_leakage",
-    "q84_temperature_mixture",
-    "q85_ann_recall",
-    "q86_sentence_dedup",
-    "q87_code_detection",
-    "q88_oov_rate",
-    "q89_shard_assignment",
-    "q90_decontamination_apply",
-    "q91_embedding_hygiene",
-    "q92_boilerplate_removal",
-    "q93_cluster_size_histogram",
-    "q94_dedup_audit",
-    "q44_tumbling_window",
-    "q45_sliding_window",
-    "q46_salted_aggregate",
-    "q47_salted_join",
-    "q48_ngram_jaccard_neardup",
-    "q49_ann_ivf",
-    "q50_dedup_clusters",
-    "q51_contamination",
-    "q52_stratified_sample",
-    "q53_boilerplate_ngrams",
-    "q54_sequence_packing",
-    "q55_sessionization",
-    "q56_pii_redaction",
-    "q57_quality_repetition",
-    "q58_doc_top_word",
-    "q72_snapshot_diff",
-    "q73_pmi_collocations",
-    "q82_incremental_neardup",
-    "q83_hashed_ngram_classifier",
 ]
 
 

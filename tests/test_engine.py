@@ -354,6 +354,33 @@ def test_bucketed_table_is_not_shadowed_by_plain_temp_view(engine, spark):
         spark.sql("DROP TABLE IF EXISTS bk_shadow")
 
 
+def test_bucketed_table_shadow_probe_propagates_unexpected_errors(
+    engine, spark, monkeypatch
+):
+    """r12 ADVICE: the shadow-drop's except must catch ONLY not-found —
+    a py4j/session failure swallowed there falls through to
+    spark.table(name), which resolves the temp view first and serves
+    the exact wrong layout the probe exists to prevent."""
+    import pytest
+    from pyspark.sql import functions as SF
+
+    rows = spark.range(10).select(
+        SF.md5(SF.col("id").cast("string")).alias("ahash")
+    )
+    try:
+        engine.save_table_bucketed(rows, "bk_shadow_err", "ahash", 4)
+        monkeypatch.setattr(
+            spark.catalog,
+            "getTable",
+            lambda name: (_ for _ in ()).throw(RuntimeError("py4j broke")),
+        )
+        with pytest.raises(RuntimeError, match="py4j broke"):
+            engine.bucketed_table("bk_shadow_err", "ahash", 4)
+    finally:
+        monkeypatch.undo()
+        spark.sql("DROP TABLE IF EXISTS bk_shadow_err")
+
+
 def test_bucket_spec_sidecar_travels_with_the_swap(engine, spark, monkeypatch):
     """r11 advice: the sidecar must be written INTO the staging dir
     before the stage->location rename, not stamped after it — a crash

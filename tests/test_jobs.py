@@ -2133,6 +2133,56 @@ def test_registry_compact_never_deletes_a_plain_twin_with_novel_rows(
         spark.sql("DROP TABLE IF EXISTS span_reg_novel")
 
 
+def test_registry_compact_twin_probe_includes_snapshot_column(
+    engine, home, spark
+):
+    """r12 ADVICE: post-migration appends reuse EXISTING keys with NEW
+    snapshot labels — a keys-only probe classifies such a twin
+    novel==0 and deletes it, losing the appended snapshot rows. With a
+    snapshot-column declared, the probe anti-joins on (key, snapshot)
+    and the twin is renamed aside, never deleted."""
+    import glob as _glob
+
+    rows = spark.createDataFrame(
+        [(f"h{i}", "2026-01-01") for i in range(10)], "ahash string, snap string"
+    )
+    engine.save_table_bucketed(rows, "span_reg_snap", "ahash", 4)
+    # the twin's KEYS are all present in the bucketed copy — only the
+    # snapshot labels are new (the exact shape the keys-only probe lost)
+    engine.save_table(
+        spark.createDataFrame(
+            [("h0", "2026-02-01"), ("h1", "2026-02-01")],
+            "ahash string, snap string",
+        ),
+        "span_reg_snap",
+    )
+    plain_dir = engine.table_dir("span_reg_snap")
+    try:
+        res = run_job(
+            engine, home, "snapprobe.job",
+            "class: registry-compact\ndest-table: span_reg_snap\n"
+            "key-columns: ahash\nsnapshot-column: snap\nbuckets: 4\n",
+        )
+        assert res.success
+        retired = _glob.glob(plain_dir + ".__retired__*")
+        assert len(retired) == 1, "snapshot-bearing twin must be preserved"
+        kept = spark.read.parquet(retired[0])
+        assert kept.where(kept.snap == "2026-02-01").count() == 2
+        assert "NOT deleted" in res.message
+        # a twin that matches on (key, snapshot) is still the true
+        # crash leftover: idempotent completion drops it
+        engine.save_table(rows.limit(3), "span_reg_snap")
+        assert run_job(
+            engine, home, "snapprobe2.job",
+            "class: registry-compact\ndest-table: span_reg_snap\n"
+            "key-columns: ahash\nsnapshot-column: snap\nbuckets: 4\n",
+        ).success
+        assert len(_glob.glob(plain_dir + ".__retired__*")) == 1
+        assert not engine.table_exists("span_reg_snap")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS span_reg_snap")
+
+
 def test_registry_compact_never_deletes_a_foreign_schema_twin(
     engine, home, spark
 ):

@@ -616,6 +616,42 @@ def test_incremental_dedup_drops_null_text_rows_explicitly(spark):
     assert {r.doc_id for r in novel2.collect()} == {1, 4}
 
 
+def test_incremental_dedup_drops_null_id_rows(spark):
+    """r12 ADVICE: a digest group whose ids are ALL NULL makes min_by
+    return a NULL struct — one all-NULL representative that would
+    survive the registry anti-join. NULL-id rows are dropped up front
+    (matching the oracle, whose min-id join-back finds no partner);
+    a group with a MIXED NULL/non-NULL id keeps its non-NULL row."""
+    b = spark.createDataFrame(
+        [(None, DOC), (None, DOC), (2, OTHER), (None, OTHER)],
+        "doc_id long, text string",
+    )
+    novel, digests = D.incremental_dedup(b, None, "doc_id", "text")
+    rows = novel.collect()
+    # all-NULL-id DOC group vanishes; OTHER keeps its id=2 representative
+    assert [(r.doc_id, r.text) for r in rows] == [(2, OTHER)]
+    assert digests.count() == 1
+
+
+def test_incremental_dedup_recomputes_reserved_content_hash_column(spark):
+    """r12 ADVICE: feeding incremental_dedup's own novel output (which
+    carries content_hash) back in must not raise an ambiguous-reference
+    error — the reserved column is dropped and recomputed."""
+    b1 = spark.createDataFrame(
+        [(1, DOC), (2, OTHER)], "doc_id long, text string"
+    )
+    novel1, dig1 = D.incremental_dedup(b1, None, "doc_id", "text")
+    assert "content_hash" in novel1.columns
+    # round-trip: novel output fed back in as the next batch
+    novel2, dig2 = D.incremental_dedup(novel1, None, "doc_id", "text")
+    assert novel2.columns == novel1.columns
+    assert {r.doc_id for r in novel2.collect()} == {1, 2}
+    # digests identical to first pass (recomputed from text, not stale)
+    assert {r.content_hash for r in dig2.collect()} == {
+        r.content_hash for r in dig1.collect()
+    }
+
+
 def test_bm25_ranks_tf_and_rare_terms(spark):
     """q60: higher tf ranks higher; rarer terms earn higher idf weight."""
     from bricolage_spark.operators.retrieval import bm25_topk

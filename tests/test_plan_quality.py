@@ -118,8 +118,13 @@ def test_no_registry_key_is_ever_a_broadcast_join_key(simple_plans):
     see inline-derived registries (the exact bogus-estimate trap shape),
     so a broadcast here is either the 64x OOM reproduced or a new
     operator that skipped the family pin."""
+    # match anywhere on the join's plan LINE, not just the first
+    # bracketed key list: an aliased/renamed left key puts the registry
+    # name only in the RIGHT key list, and `\[[^\]]*` stops at the
+    # first `]` (r12 ADVICE finding — gate mutation-tested below in
+    # test_broadcast_gate_regex_sees_right_side_keys).
     pat = re.compile(
-        r"Broadcast\w*Join \[[^\]]*(" + "|".join(_REGISTRY_KEYS) + ")"
+        r"Broadcast\w*Join [^\n]*(" + "|".join(_REGISTRY_KEYS) + ")"
     )
     offenders = [
         (n, m.group(0)[:120])
@@ -131,6 +136,24 @@ def test_no_registry_key_is_ever_a_broadcast_join_key(simple_plans):
     assert not offenders, (
         f"registry-family key used as a broadcast join key in: {offenders}"
     )
+
+
+def test_broadcast_gate_regex_sees_right_side_keys():
+    """Regex regression (r12 ADVICE): a broadcast join whose registry
+    key appears ONLY in the right-side key list (left side aliased to a
+    neutral name) must still trip the gate; the pre-fix pattern stopped
+    at the first `]` and let it escape."""
+    line = (
+        "BroadcastHashJoin [probe_key#12], [content_hash#34], "
+        "LeftAnti, BuildRight, false"
+    )
+    old = re.compile(r"Broadcast\w*Join \[[^\]]*(content_hash|band_hash|ahash)")
+    new = re.compile(r"Broadcast\w*Join [^\n]*(content_hash|band_hash|ahash)")
+    assert not old.search(line), "fixture no longer exercises the escape"
+    assert new.search(line), "gate regex must see right-side key lists"
+    # and a multi-line plan must not leak a match across join lines
+    plan = line + "\nProject [content_hash#99]\nSortMergeJoin [other#1], [other#2]"
+    assert len(new.findall(plan)) == 1
 
 
 def test_registry_probe_helpers_pin_smj_against_bogus_estimates(spark):
