@@ -139,21 +139,41 @@ def salted_aggregate(
     Phase 1 groups by (group_cols, salt) — hot groups split across
     n_salts partial states; phase 2 merges partials by group_cols.
     ``aggs``: {column: fn} with fn ∈ sum/count/min/max (the re-mergeable
-    family; avg callers compute sum+count and divide).
+    algebraic family; avg callers compute sum+count and divide) plus
+    collect_set/collect_list (partials flattened in phase 2;
+    collect_set re-deduped with ``array_distinct``).
+
+    When to reach for this (measured, tools/skew_probe.py): for the
+    ALGEBRAIC family Spark's map-side partial aggregation already
+    defuses group skew — each mapper emits one partial per group, so
+    the hot group's reduce task receives n_mappers rows no matter how
+    many input rows the group holds, and salting only adds a shuffle.
+    The recipe earns its keep for the HOLISTIC family: collect_set /
+    collect_list partials are value-proportional, a 30%-of-corpus group
+    pins its entire value set on one reduce task, and splitting it
+    across n_salts tasks bounds both the straggler and the single-task
+    state (the 100 TB OOM shape).
     """
     mergeable = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    holistic = {"collect_set", "collect_list"}
     for c, fn in aggs.items():
-        if fn not in mergeable:
+        if fn not in mergeable and fn not in holistic:
             raise ValueError(f"non-mergeable aggregate for salting: {fn}({c})")
 
     salted = df.withColumn("__salt", _salt_of(F.col(salt_from), n_salts))
     phase1 = salted.groupBy(*group_cols, "__salt").agg(
         *[getattr(F, fn)(c).alias(f"__p_{c}") for c, fn in aggs.items()]
     )
+
+    def _merge(c: str, fn: str) -> Column:
+        if fn in mergeable:
+            return getattr(F, mergeable[fn])(f"__p_{c}").alias(f"{fn}_{c}")
+        merged = F.flatten(F.collect_list(f"__p_{c}"))
+        if fn == "collect_set":
+            merged = F.array_distinct(merged)
+        return merged.alias(f"{fn}_{c}")
+
     phase2 = phase1.groupBy(*group_cols).agg(
-        *[
-            getattr(F, mergeable[fn])(f"__p_{c}").alias(f"{fn}_{c}")
-            for c, fn in aggs.items()
-        ]
+        *[_merge(c, fn) for c, fn in aggs.items()]
     )
     return phase2

@@ -247,6 +247,35 @@ def test_salted_aggregate_matches_plain(spark):
     assert got == plain
 
 
+def test_salted_aggregate_holistic_collects_match_plain(spark):
+    """collect_set/collect_list partials flatten to the plain result —
+    the holistic family is where salting actually earns its keep (the
+    algebraic family is already defused by map-side partial agg;
+    measured in tools/skew_probe.py)."""
+    from pyspark.sql import functions as SF
+
+    from bricolage_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(
+        [(i % 3, i % 50, i) for i in range(600)], "k long, v long, rid long"
+    )
+    plain = {
+        r.k: sorted(r.s)
+        for r in df.groupBy("k").agg(SF.collect_set("v").alias("s")).collect()
+    }
+    out = salted_aggregate(
+        df, ["k"], {"v": "collect_set", "rid": "collect_list"},
+        salt_from="rid", n_salts=8,
+    )
+    rows = out.collect()
+    assert {r.k: sorted(r.collect_set_v) for r in rows} == plain
+    # collect_list keeps every occurrence (multiset equality)
+    for r in rows:
+        assert sorted(r.collect_list_rid) == sorted(
+            i for i in range(600) if i % 3 == r.k
+        )
+
+
 def test_salted_aggregate_rejects_nonmergeable(spark):
     from bricolage_spark.operators.skew import salted_aggregate
 
