@@ -89,6 +89,25 @@ def build_fact(scale: int) -> str:
                 (F.col("o_orderkey") + off).alias("o_orderkey"),
                 F.col("o_custkey"),
                 F.col("o_totalprice"),
+                # realistic fact width: without a payload the 30% key is
+                # ~20 MB at 16x — UNDER AQE's partition-size advisory, so
+                # there is no straggler to mitigate (the first probe run
+                # measured ratio 1.1 and taught exactly that; kept in
+                # SCALE.md as guidance). ~320 high-ENTROPY bytes per row
+                # (shuffle sizes are compressed — a repeated constant
+                # would vanish) make the hot partition hundreds of MB at
+                # 64x, the shape that actually pins a task.
+                F.concat(
+                    *[
+                        F.md5(
+                            F.concat(
+                                F.col("o_orderkey").cast("string"),
+                                F.lit(f"_{j}"),
+                            )
+                        )
+                        for j in range(10)
+                    ]
+                ).alias("o_payload"),
             )
         )
     fact = parts[0]
@@ -104,6 +123,7 @@ def build_fact(scale: int) -> str:
         .cast("long")
         .alias("c_custkey"),
         "o_totalprice",
+        "o_payload",
     )
     fact.repartition(32).write.mode("overwrite").parquet(out)
     return out
@@ -197,6 +217,10 @@ def run_single(probe: str, scale: int, runs: int) -> dict:
                     .agg(
                         F.count(F.lit(1)).alias("n"),
                         F.sum("o_totalprice").alias("s"),
+                        # consume the payload so column pruning cannot
+                        # strip it from the join shuffle (the skew IS
+                        # the wide rows)
+                        F.sum(F.length("o_payload")).alias("pb"),
                     )
                 )
         else:
@@ -207,6 +231,10 @@ def run_single(probe: str, scale: int, runs: int) -> dict:
                     .agg(
                         F.count(F.lit(1)).alias("n"),
                         F.sum("o_totalprice").alias("s"),
+                        # consume the payload so column pruning cannot
+                        # strip it from the join shuffle (the skew IS
+                        # the wide rows)
+                        F.sum(F.length("o_payload")).alias("pb"),
                     )
                 )
     elif probe in ("agg_plain", "agg_salted"):
