@@ -94,9 +94,27 @@ PROBE_QUERIES = (
 )
 
 
-def build_scaled(spark, k: int) -> str:
-    """Write a k-times corpus under .scale_probe/sf{k}x (idempotent)."""
-    out = os.path.join(PROBE_DIR, f"sf{k}x")
+def build_scaled(spark, k: int, clique_block: int = 0) -> str:
+    """Write a k-times corpus under .scale_probe/sf{k}x (idempotent).
+
+    ``clique_block`` bounds the NEAR-DUP CLIQUE SIZE: the per-copy
+    suffix token breaks only EXACT duplication, so all k copies of a
+    document stay mutual near-duplicates — fine up to 64x, but at 256
+    copies every clique sits exactly at the banding path's 256-member
+    bucket cap and candidate-pair volume grows quadratically BY FIXTURE
+    CONSTRUCTION (the r13 stretch run span >60 GB of shuffle spill into
+    ENOSPC — measuring the fixture's clique densification, not
+    corpus-size scaling; a real k-times corpus does not densify its
+    duplicate clusters). With ``clique_block=B``, copies are grouped in
+    blocks of B and each block's words are STRIDE-DEALT by a
+    block-specific prime (w[0], w[s], w[2s], …, w[1], w[s+1], …): word
+    statistics are preserved exactly, but nearly every ADJACENCY — and
+    therefore nearly every w-shingle — changes, so cross-block Jaccard
+    collapses and cliques stay at B while the corpus keeps growing. (A
+    plain rotation was tried first and failed the sanity check at 0.67
+    Jaccard — a cyclic shift preserves all non-seam adjacencies.)"""
+    suffix = f"_deal{clique_block}" if clique_block else ""
+    out = os.path.join(PROBE_DIR, f"sf{k}x{suffix}")
     marker = os.path.join(out, "_READY")
     if os.path.exists(marker):
         return out
@@ -107,12 +125,29 @@ def build_scaled(spark, k: int) -> str:
     parts_e = []
     for i in range(k):
         off = F.lit(i * 10_000_000)
+        text = F.col("text")
+        if clique_block and i // clique_block:
+            stride = [7, 11, 13, 17, 19, 23][(i // clique_block - 1) % 6]
+            w = F.split(F.col("text"), " ")
+            n = F.size(w)
+            dealt = F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), n - 1),
+                    lambda j: F.struct(
+                        (j % stride).alias("r"), j.alias("i")
+                    ),
+                )
+            )
+            text = F.array_join(
+                F.transform(dealt, lambda x: F.element_at(w, x["i"] + 1)),
+                " ",
+            )
         parts_d.append(
             docs.select(
                 (F.col("doc_id") + off).alias("doc_id"),
                 # per-copy suffix token: kills exact cross-copy dup spans
                 # without changing per-copy text statistics
-                F.concat(F.col("text"), F.lit(f" copytag{i}")).alias("text"),
+                F.concat(text, F.lit(f" copytag{i}")).alias("text"),
                 "lang",
                 "source",
                 (F.col("n_chars") + F.lit(len(f" copytag{i}"))).alias("n_chars"),
@@ -152,6 +187,7 @@ def build_scaled(spark, k: int) -> str:
 def main() -> None:
     scales = [int(x) for x in _arg("--scales", "1,4,16").split(",")]
     runs = int(_arg("--runs", "2"))
+    clique_block = int(_arg("--clique-block", "0"))
     only = _arg("--queries", "")
     probe_queries = (
         [q.strip() for q in only.split(",") if q.strip()]
@@ -162,7 +198,7 @@ def main() -> None:
     spark = get_spark("scale-probe")
     out: dict = {"base": BASE_SF, "scales": scales, "queries": {}}
     for k in scales:
-        sf_dir = BASE_SF if k == 1 else build_scaled(spark, k)
+        sf_dir = BASE_SF if k == 1 else build_scaled(spark, k, clique_block)
         from bricolage_spark.queries import llm_ops
 
         llm_ops.release_caches()
