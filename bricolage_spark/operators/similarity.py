@@ -465,6 +465,96 @@ def ivf_topk(
     return _cosine_topk_tail(c.join(F.broadcast(q), "cell"), k)
 
 
+def srp_margins(vec: str, n_planes: int = 6, dims: int = 64) -> Column:
+    """Per-plane SRP margins, sorted ascending: array of (m, p) structs
+    where ``m`` is |projection| rounded to 6 dp and ``p`` the plane index.
+
+    This is the multi-probe perturbation order (Lv et al., VLDB 2007):
+    the planes a vector is CLOSEST to are the ones whose sign a true
+    near-neighbor most plausibly lands on the other side of, so probe
+    buckets are generated by flipping the lowest-margin bits first.
+    Rounding before the sort makes the order engine-reproducible
+    (DuckDB re-derives identical keys); exact 6-dp ties break to the
+    lower plane index via the struct's lexicographic order.
+
+    Row-local arithmetic only — same codegen'd generated-SQL shape as
+    :func:`srp_bucket` (the per-plane dot products are re-stated rather
+    than shared with the bucket expression; margins are only ever
+    computed on the QUERY side, which is broadcast-sized by definition,
+    so the duplicated fold costs nothing where it runs).
+    """
+    vd = f"CAST({vec} AS ARRAY<DOUBLE>)"
+    entries = []
+    for p in range(n_planes):
+        proj = _dot_sql(vd, _arr_sql(plane_components(p, dims)))
+        entries.append(f"named_struct('m', round(abs({proj}), 6), 'p', {p})")
+    return _memo_expr(
+        ("srp_margins", vec, n_planes, dims),
+        f"array_sort(array({', '.join(entries)}))",
+    )
+
+
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 6,
+    n_flip: int = 2,
+) -> DataFrame:
+    """Multi-probe SRP top-k: each query searches its own bucket PLUS the
+    ``n_flip`` buckets reached by flipping its lowest-margin planes.
+
+    The recall dial without re-indexing: the corpus keeps ONE bucket per
+    vector (same inverted-list layout as :func:`lsh_bucketed_topk` — at
+    100 TB it is written bucket-partitioned once and never touched when
+    the dial moves), while the query side explodes into 1 + n_flip
+    (query, bucket) probe rows that broadcast into the same equality
+    hash join.  Scanned fraction grows linearly in the probe count,
+    ~(1 + n_flip)/2^n_planes of the corpus per query, against the
+    exponential 2× per REMOVED plane that the single-probe dial pays —
+    the standard multi-probe trade (measured in SCALE.md's round-13
+    recall-dial table).  ``n_flip=0`` degenerates to exactly the
+    single-probe operator.
+
+    Probe buckets are distinct by construction (single-bit flips of
+    distinct planes), so no pair-dedup stage is needed — each
+    (query, neighbor) candidate joins at most once.
+    """
+    if not 0 <= n_flip <= n_planes:
+        raise ValueError(
+            f"lsh_multiprobe_topk: n_flip ({n_flip}) must be in "
+            f"[0, n_planes ({n_planes})]"
+        )
+    cd = _as_double(F.col(vec_col))
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            cd.alias("c_vec"),
+            norm(cd).alias("c_n"),
+            srp_bucket(vec_col, n_planes).alias("bucket"),
+        ),
+        "neighbor_id",
+    )
+    qd = _as_double(F.col(vec_col))
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"),
+        qd.alias("q_vec"),
+        norm(qd).alias("q_n"),
+        srp_bucket(vec_col, n_planes).alias("_b"),
+        srp_margins(vec_col, n_planes).alias("_m"),
+    )
+    probes = F.expr(
+        f"concat(array(_b), transform(slice(_m, 1, {int(n_flip)}), "
+        "s -> _b ^ shiftleft(CAST(1 AS BIGINT), s.p)))"
+    )
+    q = q0.select(
+        "query_id", "q_vec", "q_n", F.explode(probes).alias("bucket")
+    )
+    return _cosine_topk_tail(c.join(F.broadcast(q), "bucket"), k)
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

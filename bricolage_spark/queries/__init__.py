@@ -82,7 +82,10 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 #   cohort.
 #
 # ROUND-14 PLAN: must-attest = the 16 clipped above (newest row r11,
-# two rounds stale by r14) + any r13 post-window registrations; then
+# two rounds stale by r14) + the r13 post-window registrations (q113,
+# registered AFTER the round-13 rotation was committed and therefore
+# pinned to the tail so it cannot displace a committed window row —
+# it has never had a driver row and goes first in r14); then
 # rotate the r12-attested cohort (q01 q02 q04 q07 q12 q12b q12c
 # q15-q17 q26 q26b q28-q30 q41 q43 q59-q71 q74-q81 q95-q103
 # q108-q110 — newest row r12) ahead of this round's 50 fresh rows,
@@ -221,6 +224,12 @@ _CLIP_LAST = [
     "q80_curation_verdicts",
     "q81_zipf_fit",
     "q07_broadcast_join",
+    # registered in r13 AFTER the rotation above was committed and
+    # driver-verified: pinned post-window (a new name in neither list
+    # would land in ``head`` = the FRONT of the window and displace a
+    # committed row).  Never driver-attested -> first must-attest slot
+    # in the ROUND-14 PLAN:
+    "q113_ann_multiprobe",
 ]
 
 

@@ -458,6 +458,87 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q113 multi-probe SRP ANN (the measured recall dial)
+# --------------------------------------------------------------------------
+_MP_FLIPS = 2
+
+
+def _multiprobe_oracle(
+    n_planes: int = 6, dims: int = 64, n_flip: int = _MP_FLIPS
+) -> str:
+    # identical plane constants to operators.similarity.plane_components
+    # (repr round-trips doubles exactly), identical margin rounding (6 dp
+    # HALF_UP) and identical struct-lexicographic tie-break — DuckDB
+    # re-derives the exact probe set, so even the multi-probe *candidate
+    # expansion* is verified bit-for-bit, not just the final ranking.
+    plane = lambda p: (
+        "[" + ", ".join(repr(c) for c in S.plane_components(p, dims)) + "]"
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {plane(p)}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    margins = ", ".join(
+        f"{{'m': ROUND(ABS(list_dot_product(e, {plane(p)})), 6), 'p': {p}}}"
+        for p in range(n_planes)
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    u AS (
+        SELECT vec_id, e,
+               CAST({bucket} AS BIGINT) AS bucket,
+               CASE WHEN list_dot_product(e, e) > 0
+                    THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+                    ELSE list_transform(e, x -> 0.0) END AS ue
+        FROM v
+    ),
+    q0 AS (
+        SELECT vec_id AS query_id, ue AS qe,
+               [bucket] || list_transform(
+                   list_slice(list_sort([{margins}]), 1, {n_flip}),
+                   s -> xor(bucket, CAST(1 AS BIGINT) << s.p)) AS probes
+        FROM u WHERE vec_id < {_NQ}
+    ),
+    q AS (SELECT query_id, qe, UNNEST(probes) AS bucket FROM q0),
+    c AS (SELECT vec_id AS neighbor_id, bucket, ue AS ce FROM u),
+    sims AS (
+        SELECT query_id, neighbor_id,
+               ROUND(list_dot_product(qe, ce), 4) AS cos_sim
+        FROM c JOIN q USING (bucket)
+        WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+        FROM sims
+    ) WHERE rank <= {_K}
+    """
+
+
+@register(
+    "q113_ann_multiprobe",
+    oracle=_multiprobe_oracle(),
+    doc="Multi-probe SRP ANN: each query searches its own bucket plus the "
+    "buckets reached by flipping its lowest-|margin| planes (Lv et al., "
+    "VLDB 2007) — the recall dial that does NOT re-index: the corpus "
+    "keeps one bucket per vector (same partitioned layout as q36), the "
+    "query side explodes into 1+n_flip broadcast probe rows, and scanned "
+    "fraction grows linearly in probes vs exponentially per removed "
+    "plane. The probe-set derivation (margin rounding, struct sort, bit "
+    "flips) is reproduced exactly by the oracle.",
+)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQ)
+    return S.lsh_multiprobe_topk(
+        emb, queries, k=_K, n_planes=6, n_flip=_MP_FLIPS
+    )
+
+
+# --------------------------------------------------------------------------
 # q42 embedding-cosine near-duplicate pairs
 # --------------------------------------------------------------------------
 _NEARDUP_MIN = 0.4

@@ -104,6 +104,68 @@ def test_srp_bucket_deterministic_and_local(spark):
     assert 0 <= b[1] < 256
 
 
+def test_srp_margins_match_numpy_mirror(spark):
+    import numpy as np
+
+    vecs = [[0.3, -1.2, 0.7, 2.1], [-0.5, 0.4, -0.9, 0.05]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    n_planes, dims = 5, 4
+    rows = df.select(
+        "vec_id", S.srp_margins("embedding", n_planes, dims).alias("m")
+    ).collect()
+    planes = np.array(
+        [S.plane_components(p, dims) for p in range(n_planes)]
+    )
+    for r in rows:
+        v = np.array(vecs[r.vec_id], dtype=np.float32).astype(np.float64)
+        projs = planes @ v
+        expect = sorted(
+            (half_up(abs(x), 6), p) for p, x in enumerate(projs)
+        )
+        got = [(m["m"], m["p"]) for m in r.m]
+        assert got == expect
+
+
+def test_multiprobe_nflip0_equals_single_probe(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4)
+    multi = S.lsh_multiprobe_topk(emb, q, k=3, n_planes=6, n_flip=0)
+    single = S.lsh_bucketed_topk(emb, q, k=3, n_planes=6)
+    assert sorted(map(tuple, multi.collect())) == sorted(
+        map(tuple, single.collect())
+    )
+
+
+def test_multiprobe_recall_monotone_in_flips(spark, sf_dir):
+    # the candidate set at n_flip=t is a strict superset of n_flip=t-1
+    # (the probe list only grows), so recall vs the exact baseline can
+    # only go up — the property that makes n_flip a safe recall dial
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = S.brute_force_cosine_topk(emb, q, k=5)
+    recalls = []
+    for t in (0, 2, 4):
+        approx = S.lsh_multiprobe_topk(emb, q, k=5, n_planes=6, n_flip=t)
+        recalls.append(
+            S.ann_recall(exact, approx, 5).agg(F.avg("recall")).collect()[0][0]
+        )
+    assert recalls == sorted(recalls)
+    # probing every neighbor bucket must strictly beat the 1x fixture's
+    # single-bucket floor on this corpus (0.05 at sf0.001/sf0.01)
+    assert recalls[-1] > recalls[0]
+
+
+def test_multiprobe_rejects_bad_flip_count(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="n_flip"):
+        S.lsh_multiprobe_topk(df, df, n_planes=6, n_flip=7)
+
+
 def test_language_markers(spark):
     df = spark.createDataFrame(
         [
