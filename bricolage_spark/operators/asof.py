@@ -51,6 +51,16 @@ def asof_join(
     # the matched right timestamp is part of the answer — always carry it
     carry_cols = [*right_cols, on]
 
+    # A NULL right timestamp can never satisfy ``right.on <= left.on``
+    # (the comparison is UNKNOWN), but unfiltered it would sort NULLS
+    # FIRST — before every real row — and be carried as a spurious
+    # "-infinity" match into any left row with no true predecessor
+    # (r13 self-review repro; DuckDB's ASOF oracle excludes such rows).
+    # NULL LEFT timestamps need no guard: they also sort first, where
+    # only (now-excluded) NULL right rows could precede them, so they
+    # correctly carry nothing.
+    right = right.filter(F.col(on).isNotNull())
+
     lt = left.withColumn("__side", F.lit(1))
     rt = right.select(
         *by,

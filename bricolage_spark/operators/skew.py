@@ -85,7 +85,18 @@ def salted_join(
       union. A hot key now lands on n_salts tasks instead of one.
     - hot keys, other join types → full-replication salting (the split
       rewrite is not an identity for right/full joins: ``other`` rows
-      must not be dropped/duplicated across the branches).
+      must not be dropped/duplicated across the branches). Replication
+      alone is not an identity for right/full either — an ``other``
+      replica whose (key, salt) matches no skewed row survives the
+      outer join as a NULL-filled row even when ANOTHER salt of the
+      same key matched, so a naive salted right join emits up to
+      n_salts spurious/duplicate rows per other row (r13 self-review
+      repro). The identity-preserving form: a marker column on the
+      skewed side keeps exactly the matched pairs (plus, for full
+      joins, the unmatched skewed rows, which carry the marker), and
+      the truly-unmatched ``other`` rows are re-derived ONCE each by a
+      key anti-join (distinct on the bare key — map-side combine, so
+      the hot key never pins that shuffle either).
     """
     if hot is None:
         hot = detect_hot_keys(skewed, key)
@@ -119,12 +130,24 @@ def salted_join(
         hot_part = s_hot.join(o_hot, [key, "__salt"], how).drop("__salt")
         cold_part = skewed.filter(~is_hot).join(other, key, how)
         return cold_part.unionByName(hot_part)
-    s = skewed.withColumn("__salt", _salt_of(F.col(salt_from), n_salts))
+    s = skewed.withColumn("__m", F.lit(1)).withColumn(
+        "__salt", _salt_of(F.col(salt_from), n_salts)
+    )
     o = other.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
-    out = s.join(o, [key, "__salt"], how)
-    return out.drop("__salt")
+    out = s.join(o, [key, "__salt"], how).drop("__salt")
+    if how in ("right", "rightouter", "right_outer", "full", "fullouter",
+               "full_outer", "outer"):
+        # keep rows where the skewed side is present (matched pairs; for
+        # full joins also the unmatched skewed rows), then re-derive each
+        # truly-unmatched other row exactly once
+        matched = out.filter(F.col("__m").isNotNull()).drop("__m")
+        unmatched_other = other.join(
+            skewed.select(key).distinct(), key, "left_anti"
+        )
+        return matched.unionByName(unmatched_other, allowMissingColumns=True)
+    return out.drop("__m")
 
 
 def salted_aggregate(

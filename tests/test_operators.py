@@ -289,6 +289,38 @@ def test_salted_join_split_replicates_only_hot_keys(spark):
         assert split == plain, how
 
 
+def test_salted_join_right_full_are_identities_multiset(spark):
+    """r13 self-review regression: the full-replication path emitted up
+    to n_salts spurious NULL-filled rows per ``other`` row under
+    right/full joins (an other-replica whose (key, salt) matched no
+    skewed row survived the outer join even when another salt of the
+    same key DID match). Multiset comparison on purpose — the
+    duplicates collapse under the set-compare the older tests use."""
+    from collections import Counter
+
+    from bricolage_spark.operators.skew import salted_join
+
+    skewed = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (None, "n")], "k int, v string"
+    )
+    # key 3 matches nothing; the NULL key matches nothing (NULL <> NULL)
+    other = spark.createDataFrame(
+        [(1, "X"), (3, "Z"), (None, "NN")], "k int, w string"
+    )
+    for how in ("right", "full", "inner", "left", "left_semi", "left_anti"):
+        plain = Counter(map(tuple, skewed.join(other, "k", how).collect()))
+        salted = Counter(
+            map(
+                tuple,
+                salted_join(
+                    skewed, other, "k", salt_from="v", n_salts=4, how=how,
+                    hot=[1],
+                ).collect(),
+            )
+        )
+        assert salted == plain, f"{how}: {salted} != {plain}"
+
+
 def test_salted_aggregate_matches_plain(spark):
     from bricolage_spark.operators.skew import salted_aggregate
 
@@ -374,6 +406,31 @@ def test_asof_join_inclusive_at_equal_ts(spark):
     right = spark.createDataFrame([(1, 10, 7.0)], "k long, ts long, px double")
     r = asof_join(left, right, on="ts", by="k").collect()[0]
     assert r.px_right == 7.0  # right.ts == left.ts matches (inclusive)
+
+
+def test_asof_join_null_timestamps_never_match(spark):
+    """r13 self-review regression: a NULL right timestamp can never
+    satisfy right.ts <= left.ts, but it sorted NULLS FIRST — before
+    every real row — and was carried as a spurious '-infinity' match
+    into any left row with no true predecessor. NULL LEFT timestamps
+    must likewise match nothing (and still come back, NULL-filled)."""
+    from bricolage_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 3, "early"), (1, 10, "late"), (1, None, "nots")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, "bad"), (1, 5, "good")], "k long, ts long, rv string"
+    )
+    out = {
+        r.tag: (r.rv_right, r.ts_right)
+        for r in asof_join(left, right, on="ts", by="k").collect()
+    }
+    assert out["early"] == (None, None)   # ts=3: nothing at or before
+    assert out["late"] == ("good", 5)
+    assert out["nots"] == (None, None)    # NULL left ts matches nothing
+    assert len(out) == 3                  # every left row survives
 
 
 def test_asof_join_carries_right_rows_atomically(spark):

@@ -1,0 +1,446 @@
+"""Randomized differential testing: Spark vs DuckDB on identical SQL.
+
+The 117 registered queries are FIXED oracle pairs — each one checks the
+semantics its author thought to check.  This tool generates random
+relational queries from a seeded grammar over the TPC-H-ish testdata
+tables (FK-walk joins, typed predicates, group aggregates, HAVING) and
+runs the SAME SQL text through Spark SQL and DuckDB, comparing
+canonicalized results.  Every seed is a new correctness probe of the
+engine surface the fixed inventory happens not to cover: predicate
+corner cases, join/filter interactions, aggregate-over-empty-group
+behavior, grouping on every column type.
+
+Determinism rules (what keeps an honest comparison possible):
+
+- The grammar stays inside the cross-engine-deterministic subset:
+  no LIMIT without total order, no division, no regex, no collation-
+  sensitive string ops beyond equality/IN/prefix-LIKE on clean ASCII
+  data, no float GROUP BY keys.
+- ``sum(int)`` is wrapped ``CAST(... AS BIGINT)`` in the SQL itself
+  (DuckDB widens to HUGEINT, Spark keeps BIGINT — the one dialect trap
+  the grammar must handle; the others from the verify notes — log,
+  double->int casts, regexp flags — are simply outside the grammar).
+- Aggregates over doubles are compared with relative tolerance (1e-8):
+  both engines sum in different orders, so last-ulp drift is expected
+  and NOT a divergence.  Group keys, counts, and projection-mode rows
+  (raw parquet values and row-local IEEE arithmetic) are compared
+  EXACTLY.
+- ``events`` is excluded: its TIMESTAMP(NANOS) column reads as BIGINT
+  under Spark's nanosAsLong conf but as TIMESTAMP in DuckDB — same SQL
+  text cannot mean the same thing there (documented session gotcha,
+  not an engine divergence).
+
+Usage:
+    python tools/diff_fuzz.py [--sf-dir /root/testdata/sf0.01]
+                              [--n 300] [--seed0 0]
+Exit code 1 if any seed diverges; each divergence prints the SQL and
+the first differing rows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# --------------------------------------------------------------------------
+# schema model
+# --------------------------------------------------------------------------
+# type classes: "int" (exact), "float" (tolerant in aggregates),
+# "str" (equality/IN/prefix only), "ts" (timestamp literals)
+TABLES: dict[str, dict[str, str]] = {
+    "region": {"r_regionkey": "int", "r_name": "str"},
+    "nation": {"n_nationkey": "int", "n_name": "str", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "int",
+        "c_name": "str",
+        "c_nationkey": "int",
+        "c_acctbal": "float",
+        "c_mktsegment": "str",
+    },
+    "supplier": {
+        "s_suppkey": "int",
+        "s_name": "str",
+        "s_nationkey": "int",
+        "s_acctbal": "float",
+    },
+    "part": {
+        "p_partkey": "int",
+        "p_name": "str",
+        "p_brand": "str",
+        "p_type": "str",
+        "p_size": "int",
+        "p_retailprice": "float",
+    },
+    "orders": {
+        "o_orderkey": "int",
+        "o_custkey": "int",
+        "o_orderstatus": "str",
+        "o_totalprice": "float",
+        "o_orderdate": "ts",
+        "o_orderpriority": "str",
+    },
+    "lineitem": {
+        "l_orderkey": "int",
+        "l_partkey": "int",
+        "l_suppkey": "int",
+        "l_linenumber": "int",
+        "l_quantity": "float",
+        "l_extendedprice": "float",
+        "l_discount": "float",
+        "l_tax": "float",
+        "l_returnflag": "str",
+        "l_linestatus": "str",
+        "l_shipdate": "ts",
+    },
+    "documents": {
+        "doc_id": "int",
+        "lang": "str",
+        "source": "str",
+        "n_chars": "int",
+    },
+}
+
+# FK walk edges: (left table, right table, left col, right col).
+FK_EDGES = [
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+    ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("customer", "nation", "c_nationkey", "n_nationkey"),
+    ("supplier", "nation", "s_nationkey", "n_nationkey"),
+    ("nation", "region", "n_regionkey", "r_regionkey"),
+]
+
+
+def collect_stats(con, tables=TABLES) -> dict:
+    """Per-column value stats sampled once: numeric/ts min+max, and up to
+    8 distinct sample values for str columns (predicate constants)."""
+    stats: dict = {}
+    for t, cols in tables.items():
+        for c, ty in cols.items():
+            if ty in ("int", "float", "ts"):
+                lo, hi = con.sql(f"SELECT min({c}), max({c}) FROM {t}").fetchone()
+                stats[(t, c)] = {"lo": lo, "hi": hi}
+            else:
+                vals = [
+                    r[0]
+                    for r in con.sql(
+                        f"SELECT DISTINCT {c} FROM {t} WHERE {c} IS NOT NULL "
+                        f"ORDER BY {c} LIMIT 8"
+                    ).fetchall()
+                ]
+                stats[(t, c)] = {"vals": vals}
+    return stats
+
+
+# --------------------------------------------------------------------------
+# generator
+# --------------------------------------------------------------------------
+
+
+def _lit(rng: random.Random, ty: str, st: dict) -> str:
+    if ty == "int":
+        lo, hi = int(st["lo"]), int(st["hi"])
+        return str(rng.randint(lo, max(lo, hi)))
+    if ty == "float":
+        lo, hi = float(st["lo"]), float(st["hi"])
+        return repr(round(rng.uniform(lo, hi), 4))
+    if ty == "ts":
+        lo, hi = st["lo"], st["hi"]
+        u = lo + (hi - lo) * rng.random()
+        return f"TIMESTAMP '{u.strftime('%Y-%m-%d %H:%M:%S')}'"
+    raise ValueError(ty)
+
+
+def _predicate(rng: random.Random, table: str, col: str, ty: str, stats) -> str:
+    st = stats[(table, col)]
+    if ty == "str":
+        vals = st["vals"]
+        if not vals:
+            return f"{col} IS NOT NULL"
+        esc = lambda v: str(v).replace("'", "''")
+        kind = rng.choice(["eq", "in", "like", "ne"])
+        if kind == "eq":
+            return f"{col} = '{esc(rng.choice(vals))}'"
+        if kind == "ne":
+            return f"{col} <> '{esc(rng.choice(vals))}'"
+        if kind == "in":
+            pick = rng.sample(vals, k=min(len(vals), rng.randint(1, 3)))
+            inner = ", ".join(f"'{esc(v)}'" for v in pick)
+            return f"{col} IN ({inner})"
+        prefix = esc(rng.choice(vals))[: rng.randint(1, 3)]
+        if "%" in prefix or "_" in prefix:
+            return f"{col} IS NOT NULL"
+        return f"{col} LIKE '{prefix}%'"
+    op = rng.choice(["<", "<=", ">", ">=", "=", "BETWEEN"])
+    if op == "BETWEEN":
+        a, b = _lit(rng, ty, st), _lit(rng, ty, st)
+        return f"{col} BETWEEN least({a}, {b}) AND greatest({a}, {b})"
+    return f"{col} {op} {_lit(rng, ty, st)}"
+
+
+def gen_query(seed: int) -> dict:
+    """One random query: returns {sql, mode, group_cols, agg_cols,
+    float_cols} — the comparator needs the column classes."""
+    rng = random.Random(seed)
+
+    # FK walk: start anywhere, join 0-2 edges reachable from the set
+    tables = [rng.choice(list(TABLES))]
+    joins: list[tuple[str, str, str, str, str]] = []
+    for _ in range(rng.randint(0, 2)):
+        options = [
+            e
+            for e in FK_EDGES
+            if (e[0] in tables) != (e[1] in tables)  # extend, don't cycle
+        ]
+        if not options:
+            break
+        lt, rt, lc, rc = rng.choice(options)
+        new = rt if lt in tables else lt
+        jt = rng.choice(["JOIN", "JOIN", "JOIN", "LEFT JOIN"])
+        joins.append((jt, new, lc, rc))
+        tables.append(new)
+
+    cols = [(t, c, ty) for t in tables for c, ty in TABLES[t].items()]
+
+    where = ""
+    preds = [
+        _predicate(random.Random(seed * 1000 + i), t, c, ty, STATS)
+        for i, (t, c, ty) in enumerate(
+            rng.sample(cols, k=min(len(cols), rng.randint(0, 3)))
+        )
+    ]
+    if preds:
+        conj = f" {rng.choice(['AND', 'AND', 'OR'])} "
+        where = "WHERE " + conj.join(f"({p})" for p in preds)
+
+    frm = tables[0]
+    for jt, new, lc, rc in joins:
+        frm += f" {jt} {new} ON {lc} = {rc}"
+
+    mode = rng.choice(["project", "agg", "agg"])
+    if mode == "project":
+        k = rng.randint(1, min(6, len(cols)))
+        picked = rng.sample(cols, k=k)
+        sel, float_cols = [], []
+        for i, (t, c, ty) in enumerate(picked):
+            sel.append(f"{c} AS c{i}")
+            if ty == "float":
+                float_cols.append(f"c{i}")
+        # optional row-local IEEE arithmetic (deterministic both engines)
+        nums = [(t, c) for t, c, ty in cols if ty == "float"]
+        if nums and rng.random() < 0.4:
+            t, c = rng.choice(nums)
+            sel.append(f"({c} * 2.0 - 1.0) AS cx")
+            float_cols.append("cx")
+        sql = f"SELECT {', '.join(sel)} FROM {frm} {where}"
+        return {
+            "sql": sql,
+            "mode": mode,
+            "group_cols": None,
+            "agg_cols": [],
+            "float_cols": float_cols,
+        }
+
+    # agg mode: group by 0-2 non-float cols
+    groupable = [(t, c, ty) for t, c, ty in cols if ty in ("int", "str", "ts")]
+    gk = rng.randint(0, min(2, len(groupable)))
+    gcols = rng.sample(groupable, k=gk)
+    sel = [f"{c} AS g{i}" for i, (t, c, ty) in enumerate(gcols)]
+    group_cols = [f"g{i}" for i in range(gk)]
+
+    aggs, agg_cols, float_aggs = [], [], []
+    n_aggs = rng.randint(1, 3)
+    for i in range(n_aggs):
+        t, c, ty = rng.choice(cols)
+        choice = rng.choice(["count", "count_col", "count_distinct", "sum", "avg", "min", "max"])
+        name = f"a{i}"
+        if choice == "count":
+            aggs.append(f"COUNT(*) AS {name}")
+        elif choice == "count_col":
+            aggs.append(f"COUNT({c}) AS {name}")
+        elif choice == "count_distinct":
+            aggs.append(f"COUNT(DISTINCT {c}) AS {name}")
+        elif choice == "sum" and ty in ("int", "float"):
+            # CAST: DuckDB widens sum(int) to HUGEINT (pyarrow chokes);
+            # Spark keeps BIGINT. Harmless on the Spark side.
+            aggs.append(
+                f"CAST(SUM({c}) AS BIGINT) AS {name}"
+                if ty == "int"
+                else f"SUM({c}) AS {name}"
+            )
+            if ty == "float":
+                float_aggs.append(name)
+        elif choice == "avg" and ty in ("int", "float"):
+            aggs.append(f"AVG({c}) AS {name}")
+            float_aggs.append(name)
+        elif choice in ("min", "max") and ty in ("int", "float", "ts"):
+            fn = choice.upper()
+            aggs.append(f"{fn}({c}) AS {name}")
+            if ty == "float":
+                float_aggs.append(name)
+        else:
+            aggs.append(f"COUNT({c}) AS {name}")
+        agg_cols.append(name)
+
+    sql = f"SELECT {', '.join(sel + aggs)} FROM {frm} {where}"
+    if group_cols:
+        sql += " GROUP BY " + ", ".join(group_cols)
+        if rng.random() < 0.3:
+            sql += f" HAVING COUNT(*) >= {rng.randint(1, 3)}"
+    return {
+        "sql": sql,
+        "mode": mode,
+        "group_cols": group_cols,
+        "agg_cols": agg_cols,
+        "float_cols": float_aggs,
+    }
+
+
+# --------------------------------------------------------------------------
+# execution + comparison
+# --------------------------------------------------------------------------
+
+
+def _canon_cell(v):
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating, float)):
+        # NULL ints surface as NaN after pandas conversion (e.g. the
+        # unmatched side of a LEFT JOIN); nan != nan would flag a fake
+        # divergence, so NaN canonicalizes to None BEFORE float()
+        return None if pd.isna(v) else float(v)
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime().replace(tzinfo=None)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None)
+    if v is pd.NaT:
+        return None
+    if isinstance(v, float) and pd.isna(v):
+        return None
+    return v
+
+
+def compare(spark_pd, duck_pd, case) -> str | None:
+    """None if equivalent, else a human-readable divergence message."""
+    cols = sorted(spark_pd.columns)
+    if cols != sorted(duck_pd.columns):
+        return f"column sets differ: {sorted(spark_pd.columns)} vs {sorted(duck_pd.columns)}"
+    if len(spark_pd) != len(duck_pd):
+        return f"row counts differ: spark={len(spark_pd)} duckdb={len(duck_pd)}"
+    if len(spark_pd) == 0:
+        return None
+
+    float_cols = set(case["float_cols"])
+    exact_cols = [c for c in cols if c not in float_cols]
+
+    def canon(df):
+        import pandas as pd
+
+        df = df[cols].copy()
+        for c in cols:
+            # dtype=object, or pandas coerces the canonical None back to
+            # NaN inside a float64 column and nan != nan re-diverges
+            df[c] = pd.Series(
+                [_canon_cell(v) for v in df[c]], dtype=object, index=df.index
+            )
+        # sort by exact columns first (stable identity), rounded floats
+        # as tie-breakers only
+        keys = exact_cols + [c for c in cols if c in float_cols]
+        sort_frame = {}
+        for c in keys:
+            if c in float_cols:
+                sort_frame[c] = df[c].map(
+                    lambda v: round(v, 6) if isinstance(v, float) else v
+                )
+            else:
+                sort_frame[c] = df[c]
+        import pandas as pd
+
+        order = pd.DataFrame(sort_frame).sort_values(
+            by=keys, key=lambda s: s.map(repr)
+        ).index
+        return df.loc[order].reset_index(drop=True)
+
+    a, b = canon(spark_pd), canon(duck_pd)
+    for c in exact_cols:
+        neq = [
+            (i, x, y)
+            for i, (x, y) in enumerate(zip(a[c], b[c]))
+            if x != y and not (x is None and y is None)
+        ]
+        if neq:
+            i, x, y = neq[0]
+            return f"exact col {c} row {i}: spark={x!r} duckdb={y!r}"
+    for c in float_cols:
+        for i, (x, y) in enumerate(zip(a[c], b[c])):
+            if x is None and y is None:
+                continue
+            if x is None or y is None:
+                return f"float col {c} row {i}: spark={x!r} duckdb={y!r}"
+            if abs(x - y) > 1e-8 * max(1.0, abs(x), abs(y)):
+                return f"float col {c} row {i}: spark={x!r} duckdb={y!r} (|d|={abs(x-y):.3e})"
+    return None
+
+
+STATS: dict = {}
+
+
+def setup(sf_dir: str, spark=None):
+    """Register views in both engines; fill STATS. Returns (spark, con)."""
+    import duckdb
+
+    from bricolage_spark.catalog import table_path
+    from bricolage_spark.session import get_spark
+
+    if spark is None:
+        spark = get_spark("diff_fuzz")
+    con = duckdb.connect()
+    for t in TABLES:
+        path = table_path(sf_dir, t)
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{path}')")
+        spark.read.parquet(path).createOrReplaceTempView(t)
+    STATS.clear()
+    STATS.update(collect_stats(con))
+    return spark, con
+
+
+def run_case(spark, con, seed: int) -> tuple[dict, str | None]:
+    case = gen_query(seed)
+    spark_pd = spark.sql(case["sql"]).toPandas()
+    duck_pd = con.sql(case["sql"]).df()
+    return case, compare(spark_pd, duck_pd, case)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--n", type=int, default=300)
+    ap.add_argument("--seed0", type=int, default=0)
+    args = ap.parse_args()
+
+    spark, con = setup(args.sf_dir)
+    n_fail = 0
+    for seed in range(args.seed0, args.seed0 + args.n):
+        case, diff = run_case(spark, con, seed)
+        if diff:
+            n_fail += 1
+            print(f"DIVERGE seed={seed}: {diff}\n  SQL: {case['sql']}")
+        elif seed % 25 == 0:
+            print(f"ok through seed {seed}", flush=True)
+    print(f"{args.n} cases, {n_fail} divergences")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
