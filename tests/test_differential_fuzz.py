@@ -50,6 +50,11 @@ def test_grammar_covers_the_interesting_shapes(fuzz_env):
     assert any(" OR " in s for s in sqls)
     assert any(c["mode"] == "project" for c in cases)
     assert any(c["group_cols"] and len(c["group_cols"]) == 2 for c in cases)
+    assert any(c["mode"] == "window" for c in cases)
+    assert any(c["mode"] == "setop" for c in cases)
+    assert any("NULLIF" in s for s in sqls)
+    assert any("ROW_NUMBER() OVER" in s for s in sqls)
+    assert any("INTERSECT" in s or "EXCEPT" in s for s in sqls)
 
 
 # 333/389: LEFT JOIN NULL-int regression seeds — pandas surfaces the

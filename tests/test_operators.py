@@ -572,6 +572,52 @@ def test_connected_components_star_fallback_handles_long_chains(spark):
     assert got == {i: 0 for i in range(31)} | {100: 100, 101: 100}
 
 
+def test_connected_components_both_impls_match_union_find(spark):
+    """Seeded random graphs (self-loops, negative ids, multi-edges) vs a
+    pure-Python union-find ground truth — both the propagation path and
+    the star path must produce the exact min-label components (r13
+    audit harness, 12 seeds run clean; 3 pinned here for CI time)."""
+    import random
+
+    from bricolage_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    def cc_py(edges):
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        nodes = set()
+        for a, b in edges:
+            nodes.update((a, b))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp: dict = {}
+        for x in nodes:
+            comp.setdefault(find(x), []).append(x)
+        return {x: min(mem) for mem in comp.values() for x in mem}
+
+    for seed in (0, 3, 7):
+        rng = random.Random(seed)
+        n = rng.randint(2, 40)
+        edges = [
+            (rng.randint(0, n), rng.randint(0, n))
+            for _ in range(rng.randint(1, 80))
+        ] + [(-5, -5), (-5, 0)]
+        truth = cc_py(edges)
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        for fn in (connected_components, connected_components_star):
+            got = {r.id: r.component for r in fn(df).collect()}
+            assert got == truth, (fn.__name__, seed)
+
+
 def test_pagerank_matches_power_iteration_mirror(spark):
     """pagerank == an independent NumPy power-iteration mirror (same
     teleport + dangling redistribution), to 1e-12 — including a node

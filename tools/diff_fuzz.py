@@ -105,6 +105,26 @@ TABLES: dict[str, dict[str, str]] = {
     },
 }
 
+# primary keys — the determinism anchors for window/order clauses (the
+# left table of every FK edge is the child/fact side, so the unique key
+# of any FK walk is the union of the start table's PK and the PKs of
+# every traversed edge's child table).  NOMINAL only: setup() verifies
+# each against the data and ROW_NUMBER is emitted only over verified
+# keys — the synthetic lineitem actually violates (l_orderkey,
+# l_linenumber) (6000 rows / 4599 distinct at sf0.001), which made
+# ROW_NUMBER tie-order engine-arbitrary and produced the one false
+# positive of the first window-mode sweep (seed 65).
+PK: dict[str, list[str]] = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "documents": ["doc_id"],
+}
+
 # FK walk edges: (left table, right table, left col, right col).
 FK_EDGES = [
     ("lineitem", "orders", "l_orderkey", "o_orderkey"),
@@ -117,11 +137,21 @@ FK_EDGES = [
 ]
 
 
+UNIQUE_PK: dict[str, bool] = {}
+
+
 def collect_stats(con, tables=TABLES) -> dict:
     """Per-column value stats sampled once: numeric/ts min+max, and up to
-    8 distinct sample values for str columns (predicate constants)."""
+    8 distinct sample values for str columns (predicate constants).
+    Also verifies each table's nominal PK against the data (fills
+    UNIQUE_PK) — ROW_NUMBER determinism depends on it."""
     stats: dict = {}
     for t, cols in tables.items():
+        pk = ", ".join(PK[t])
+        n, nd = con.sql(
+            f"SELECT count(*), count(DISTINCT ({pk})) FROM {t}"
+        ).fetchone()
+        UNIQUE_PK[t] = n == nd
         for c, ty in cols.items():
             if ty in ("int", "float", "ts"):
                 lo, hi = con.sql(f"SELECT min({c}), max({c}) FROM {t}").fetchone()
@@ -177,7 +207,12 @@ def _predicate(rng: random.Random, table: str, col: str, ty: str, stats) -> str:
         if "%" in prefix or "_" in prefix:
             return f"{col} IS NOT NULL"
         return f"{col} LIKE '{prefix}%'"
-    op = rng.choice(["<", "<=", ">", ">=", "=", "BETWEEN"])
+    op = rng.choice(["<", "<=", ">", ">=", "=", "BETWEEN", "isnull"])
+    if op == "isnull":
+        # the testdata itself is NULL-free, so NULL semantics are probed
+        # through NULLIF-manufactured NULLs (identical in both engines)
+        neg = rng.choice(["", "NOT "])
+        return f"NULLIF({col}, {_lit(rng, ty, st)}) IS {neg}NULL"
     if op == "BETWEEN":
         a, b = _lit(rng, ty, st), _lit(rng, ty, st)
         return f"{col} BETWEEN least({a}, {b}) AND greatest({a}, {b})"
@@ -191,6 +226,7 @@ def gen_query(seed: int) -> dict:
 
     # FK walk: start anywhere, join 0-2 edges reachable from the set
     tables = [rng.choice(list(TABLES))]
+    key_tables = {tables[0]}  # PK union of these is unique over the walk
     joins: list[tuple[str, str, str, str, str]] = []
     for _ in range(rng.randint(0, 2)):
         options = [
@@ -205,8 +241,10 @@ def gen_query(seed: int) -> dict:
         jt = rng.choice(["JOIN", "JOIN", "JOIN", "LEFT JOIN"])
         joins.append((jt, new, lc, rc))
         tables.append(new)
+        key_tables.add(lt)  # the child/fact side of the edge
 
     cols = [(t, c, ty) for t in tables for c, ty in TABLES[t].items()]
+    uniq_key = [c for t in sorted(key_tables) for c in PK[t]]
 
     where = ""
     preds = [
@@ -223,15 +261,158 @@ def gen_query(seed: int) -> dict:
     for jt, new, lc, rc in joins:
         frm += f" {jt} {new} ON {lc} = {rc}"
 
-    mode = rng.choice(["project", "agg", "agg"])
+    mode = rng.choice(["project", "agg", "agg", "window", "setop", "topk"])
+    if mode == "topk" and not all(UNIQUE_PK.get(t) for t in key_tables):
+        mode = "project"  # LIMIT needs a verified total order
+
+    if mode == "topk":
+        # deterministic LIMIT: ORDER BY any column with explicit NULLS
+        # placement, tie-broken by the walk's verified-unique key, so
+        # the returned SET is engine-independent (the comparator stays
+        # order-insensitive)
+        ot, oc, oty = rng.choice(cols)
+        direction = rng.choice(["ASC", "DESC"])
+        nulls = rng.choice(["NULLS FIRST", "NULLS LAST"])
+        tie = ", ".join(f"{c} NULLS FIRST" for c in uniq_key)
+        sel = [f"{c} AS k{i}" for i, c in enumerate(uniq_key)]
+        float_cols = []
+        if oc not in uniq_key:
+            sel.append(f"{oc} AS co")
+            if oty == "float":
+                float_cols.append("co")
+        sql = (
+            f"SELECT {', '.join(sel)} FROM {frm} {where} "
+            f"ORDER BY {oc} {direction} {nulls}, {tie} "
+            f"LIMIT {rng.randint(1, 500)}"
+        )
+        return {
+            "sql": sql,
+            "mode": mode,
+            "group_cols": None,
+            "agg_cols": [],
+            "float_cols": float_cols,
+        }
+
+    if mode == "window":
+        # determinism: RANK/DENSE_RANK are value-deterministic under
+        # ties; ROW_NUMBER only ever orders by the walk's unique key;
+        # frame-less SUM/COUNT OVER a partition is order-free
+        part_opts = [
+            (t, c, ty) for t, c, ty in cols if ty in ("int", "str")
+        ]
+        pt, pc, _pty = rng.choice(part_opts)
+        sel = [f"{c} AS k{i}" for i, c in enumerate(uniq_key)]
+        sel.append(f"{pc} AS gp")
+        float_cols: list[str] = []
+        ot, oc, oty = rng.choice(cols)
+        rfn = rng.choice(["RANK()", "DENSE_RANK()"])
+        direction = rng.choice(["ASC", "DESC"])
+        # explicit NULLS placement: Spark defaults ASC=NULLS FIRST,
+        # DuckDB ASC=NULLS LAST — an implicit order would diverge on
+        # every LEFT-JOIN-manufactured NULL
+        nulls = rng.choice(["NULLS FIRST", "NULLS LAST"])
+        sel.append(
+            f"{rfn} OVER (PARTITION BY {pc} "
+            f"ORDER BY {oc} {direction} {nulls}) AS wr"
+        )
+        nt, nc, nty = rng.choice(
+            [(t, c, ty) for t, c, ty in cols if ty in ("int", "float")]
+        )
+        if nty == "int":
+            sel.append(
+                f"CAST(SUM({nc}) OVER (PARTITION BY {pc}) AS BIGINT) AS ws"
+            )
+        else:
+            sel.append(f"SUM({nc}) OVER (PARTITION BY {pc}) AS ws")
+            float_cols.append("ws")
+        # ROW_NUMBER only when every key table's PK is data-verified
+        # unique — with duplicate keys the tie order is engine-arbitrary
+        if rng.random() < 0.5 and all(UNIQUE_PK.get(t) for t in key_tables):
+            order = ", ".join(f"{c} NULLS FIRST" for c in uniq_key)
+            sel.append(f"ROW_NUMBER() OVER (ORDER BY {order}) AS wn")
+        sql = f"SELECT {', '.join(sel)} FROM {frm} {where}"
+        return {
+            "sql": sql,
+            "mode": mode,
+            "group_cols": None,
+            "agg_cols": [],
+            "float_cols": float_cols,
+        }
+
+    if mode == "setop":
+        # two filters of the same FROM clause through a set operation;
+        # distinct output, compared exactly (same-source values)
+        k = rng.randint(1, min(3, len(cols)))
+        picked = rng.sample(cols, k=k)
+        sel = ", ".join(
+            f"{c} AS c{i}" for i, (t, c, ty) in enumerate(picked)
+        )
+        p1 = _predicate(
+            random.Random(seed * 7919 + 1), *rng.choice(cols)[:3], stats=STATS
+        )
+        p2 = _predicate(
+            random.Random(seed * 7919 + 2), *rng.choice(cols)[:3], stats=STATS
+        )
+        op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+        sql = (
+            f"SELECT {sel} FROM {frm} WHERE {p1} "
+            f"{op} SELECT {sel} FROM {frm} WHERE {p2}"
+        )
+        return {
+            "sql": sql,
+            "mode": mode,
+            "group_cols": None,
+            "agg_cols": [],
+            "float_cols": [],
+        }
+
     if mode == "project":
         k = rng.randint(1, min(6, len(cols)))
         picked = rng.sample(cols, k=k)
         sel, float_cols = [], []
         for i, (t, c, ty) in enumerate(picked):
-            sel.append(f"{c} AS c{i}")
-            if ty == "float":
-                float_cols.append(f"c{i}")
+            shape = rng.random()
+            if shape < 0.15 and ty in ("int", "str"):
+                # manufactured NULLs through projections
+                st = STATS[(t, c)]
+                if ty == "int":
+                    sel.append(f"NULLIF({c}, {_lit(rng, ty, st)}) AS c{i}")
+                elif st["vals"]:
+                    v = str(rng.choice(st["vals"])).replace("'", "''")
+                    sel.append(f"NULLIF({c}, '{v}') AS c{i}")
+                else:
+                    sel.append(f"{c} AS c{i}")
+            elif shape < 0.25 and ty == "int":
+                st = STATS[(t, c)]
+                a, b = _lit(rng, ty, st), _lit(rng, ty, st)
+                sel.append(
+                    f"COALESCE(NULLIF({c}, {a}), {b}) AS c{i}"
+                )
+            elif shape < 0.35 and ty in ("int", "float"):
+                st = STATS[(t, c)]
+                sel.append(
+                    f"CASE WHEN {c} > {_lit(rng, ty, st)} THEN {c} "
+                    f"ELSE NULL END AS c{i}"
+                )
+                if ty == "float":
+                    float_cols.append(f"c{i}")
+            elif shape < 0.45 and ty == "str":
+                fn = rng.choice(
+                    [
+                        f"LENGTH({c})",
+                        f"UPPER({c})",
+                        f"SUBSTR({c}, 1, {rng.randint(1, 5)})",
+                    ]
+                )
+                sel.append(f"{fn} AS c{i}")
+            elif shape < 0.45 and ty == "float":
+                # CAST: DuckDB floor/ceil return DOUBLE, Spark BIGINT
+                fn = rng.choice(["FLOOR", "CEIL"])
+                sel.append(f"CAST({fn}({c}) AS BIGINT) AS c{i}")
+            else:
+                sel.append(f"{c} AS c{i}")
+                if ty == "float":
+                    float_cols.append(f"c{i}")
         # optional row-local IEEE arithmetic (deterministic both engines)
         nums = [(t, c) for t, c, ty in cols if ty == "float"]
         if nums and rng.random() < 0.4:
@@ -251,7 +432,13 @@ def gen_query(seed: int) -> dict:
     groupable = [(t, c, ty) for t, c, ty in cols if ty in ("int", "str", "ts")]
     gk = rng.randint(0, min(2, len(groupable)))
     gcols = rng.sample(groupable, k=gk)
-    sel = [f"{c} AS g{i}" for i, (t, c, ty) in enumerate(gcols)]
+    sel = []
+    for i, (t, c, ty) in enumerate(gcols):
+        if ty == "int" and rng.random() < 0.2:
+            # NULL group keys: both engines group NULLs together
+            sel.append(f"NULLIF({c}, {_lit(rng, ty, STATS[(t, c)])}) AS g{i}")
+        else:
+            sel.append(f"{c} AS g{i}")
     group_cols = [f"g{i}" for i in range(gk)]
 
     aggs, agg_cols, float_aggs = [], [], []
