@@ -44,6 +44,7 @@ sys.path.insert(0, REPO)
 
 PROBES = (
     "q36_srp_serve",
+    "q113_multiprobe_serve",
     "q49_build",
     "q49_serve",
     "q68_report",
@@ -101,6 +102,18 @@ def run_single(probe: str, sf_dir: str, runs: int, scale: int) -> dict:
     if probe == "q36_srp_serve":
         out["sec"] = best_of(
             runs, lambda: _noop(specs["q36_ann_lsh_bucketed"].fn(spark, sf_dir))
+        )
+        sizes = [
+            r["c"]
+            for r in emb.select(S.srp_bucket("embedding", 6).alias("b"))
+            .groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()
+        ]
+        out["bucket_dist"] = _dist(sizes)
+    elif probe == "q113_multiprobe_serve":
+        # q36's serve shape + the query-side probe explosion (t=2):
+        # corpus bucket layout identical, candidate volume ~3x of q36's
+        out["sec"] = best_of(
+            runs, lambda: _noop(specs["q113_ann_multiprobe"].fn(spark, sf_dir))
         )
         sizes = [
             r["c"]
@@ -200,6 +213,8 @@ def main() -> None:
 
     scales = [int(x) for x in _arg("--scales", "1,64").split(",")]
     runs = int(_arg("--runs", "2"))
+    only = _arg("--probes", "")
+    probes = tuple(only.split(",")) if only else PROBES
 
     from bricolage_spark.session import get_spark, stop_spark
     from tools.scale_probe import BASE_SF, build_scaled
@@ -211,7 +226,7 @@ def main() -> None:
     stop_spark()
 
     out: dict = {"base": BASE_SF, "scales": scales, "queries": {}}
-    for probe in PROBES:
+    for probe in probes:
         probe_scales = (
             [max(scales)] if probe == "q77_cap_guard" else scales
         )  # the guard probe is about the BIG corpus
