@@ -104,6 +104,38 @@ def test_srp_bucket_deterministic_and_local(spark):
     assert 0 <= b[1] < 256
 
 
+def test_dedup_degenerate_doc_semantics_pinned(spark):
+    """r13 audit: PIN the (consistent, oracle-mirrored) edge semantics of
+    degenerate documents so a refactor cannot silently change them.
+
+    - exact dedup: NULL text hashes NULL (its own group); ""/whitespace
+      normalize to "" and cluster together — NULL and "" are DISTINCT.
+    - shingle path: NULL, "" and whitespace all yield the single ""
+      shingle, so the near-dup pipeline puts all three in one clique
+      (empty ≈ empty; at scale the "" bucket is bounded by the LSH
+      max_bucket cap like any boilerplate bucket).
+    - simhash: NULL text emits NO row; ""/whitespace share a fingerprint.
+    """
+    rows = [(1, None), (2, ""), (3, "   "), (4, "real content here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {r.keep_id: r.dup_count for r in D.exact_dedup(df, "doc_id", "text").collect()}
+    assert exact == {1: 1, 2: 2, 4: 1}
+
+    sh = D.word_shingles(df, "doc_id", "text")
+    assert {r.shingle for r in sh.filter(F.col("doc_id") < 4).collect()} == {""}
+    sig = D.minhash_signatures(sh, "doc_id")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.lsh_candidate_pairs(sig, "doc_id").collect()
+    }
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+    simhash = {r.doc_id: r.simhash for r in D.simhash(df, "doc_id", "text").collect()}
+    assert 1 not in simhash
+    assert simhash[2] == simhash[3]
+
+
 def test_srp_margins_match_numpy_mirror(spark):
     import numpy as np
 

@@ -207,6 +207,23 @@ def _predicate(rng: random.Random, table: str, col: str, ty: str, stats) -> str:
         if "%" in prefix or "_" in prefix:
             return f"{col} IS NOT NULL"
         return f"{col} LIKE '{prefix}%'"
+    # FK-edge subquery predicates: col IN (SELECT parent_pk FROM parent
+    # WHERE ...) — the parent PKs are non-NULL, so NOT IN is safe too
+    fk = [e for e in FK_EDGES if e[0] == table and e[2] == col]
+    if fk and rng.random() < 0.5:
+        _lt, rt, _lc, rc = rng.choice(fk)
+        sub_cols = [(rt, c2, t2) for c2, t2 in TABLES[rt].items()]
+        sub_pred = _predicate(
+            random.Random(rng.randint(0, 1 << 30)), *rng.choice(sub_cols), stats
+        )
+        neg = rng.choice(["", "NOT "])
+        return f"{col} {neg}IN (SELECT {rc} FROM {rt} WHERE {sub_pred})"
+    if ty == "int" and rng.random() < 0.15:
+        # scalar subquery: AVG over ints is exact (integer sum / exact
+        # count -> one IEEE division), so the threshold is reproducible;
+        # AVG over doubles would be order-dependent at the last ulp
+        op2 = rng.choice(["<=", ">"])
+        return f"{col} {op2} (SELECT AVG({col}) FROM {table})"
     op = rng.choice(["<", "<=", ">", ">=", "=", "BETWEEN", "isnull"])
     if op == "isnull":
         # the testdata itself is NULL-free, so NULL semantics are probed
@@ -437,6 +454,11 @@ def gen_query(seed: int) -> dict:
         if ty == "int" and rng.random() < 0.2:
             # NULL group keys: both engines group NULLs together
             sel.append(f"NULLIF({c}, {_lit(rng, ty, STATS[(t, c)])}) AS g{i}")
+        elif ty == "ts" and rng.random() < 0.6:
+            # calendar rollup keys (DuckDB returns BIGINT, Spark INT —
+            # the comparator canonicalizes integer widths)
+            fn = rng.choice(["YEAR", "MONTH", "DAY"])
+            sel.append(f"{fn}({c}) AS g{i}")
         else:
             sel.append(f"{c} AS g{i}")
     group_cols = [f"g{i}" for i in range(gk)]
