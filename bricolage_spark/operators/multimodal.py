@@ -333,13 +333,23 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            # NULL payloads (a failed upstream fetch writes NULL) must
+            # survive the stage NULL-flagged, not kill the Arrow batch:
+            # bytes(None) is a TypeError and one poison row would fail
+            # the whole task (r13 corrupt-input battery)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "byte_len": pdf["byte_len"],
-                    "feature": [decode_media(bytes(p), dim) for p in payloads],
-                    "digest": [hashlib.md5(bytes(p)).hexdigest() for p in payloads],
+                    "feature": [
+                        None if p is None else decode_media(bytes(p), dim)
+                        for p in payloads
+                    ],
+                    "digest": [
+                        None if p is None else hashlib.md5(bytes(p)).hexdigest()
+                        for p in payloads
+                    ],
                 }
             )
 
@@ -398,6 +408,11 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
         for pdf in batches:
             payloads, types, ok = [], [], []
             for p, mt in zip(pdf["payload"], pdf["media_type"]):
+                if p is None:  # NULL-preserved, flagged (see extract_features)
+                    payloads.append(None)
+                    types.append(mt)
+                    ok.append(False)
+                    continue
                 raw = bytes(p)
                 try:
                     out = encode_bmp(_nn_resize(decode_pixels(raw), width, height))
@@ -414,7 +429,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "payload": payloads,
                     "media_type": types,
-                    "byte_len": [len(p) for p in payloads],
+                    "byte_len": [None if p is None else len(p) for p in payloads],
                     "resized": ok,
                 }
             )
@@ -530,6 +545,13 @@ def sample_frames(media: DataFrame, every_n: int = 1, max_frames: int = 0) -> Da
         for pdf in batches:
             ids, idxs, totals, payloads, decoded = [], [], [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:  # NULL-preserved, flagged (see extract_features)
+                    ids.append(mid)
+                    idxs.append(0)
+                    totals.append(0)
+                    payloads.append(None)
+                    decoded.append(False)
+                    continue
                 raw = bytes(p)
                 try:
                     pixel_frames = True

@@ -486,3 +486,47 @@ def test_mp4_hostile_counts_clamped():
     # the untouched fixture still parses fully after all that
     ok = M.parse_mp4_samples(base)
     assert ok is not None and ok["n_samples"] == 2
+
+
+def test_null_and_corrupt_payloads_survive_every_stage(spark):
+    """r13 corrupt-input battery regression: a NULL payload (a failed
+    upstream fetch writes NULL) killed the whole Arrow batch with
+    TypeError(bytes(None)) in all three mapInPandas stages. Contract
+    now: NULL rows survive every stage NULL-preserved and flagged;
+    corrupt payloads (truncated headers/bodies, garbage after a valid
+    magic, random bytes) quarantine per-row via the fake-feature /
+    passthrough fallbacks, never via task death."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = random.Random(0)
+    valid = M.encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))
+    rows = [
+        (1, b""), (2, b"BM"), (3, valid[:20]), (4, valid[:-5]),
+        (5, b"\x89PNG\r\n\x1a\n" + bytes(rng.randrange(256) for _ in range(64))),
+        (6, b"RIFF\x00\x00\x00\x00WAVE" + bytes(20)),
+        (7, bytes(rng.randrange(256) for _ in range(256))),
+        (8, valid), (9, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary").select(
+        "media_id", "payload",
+        F.lit("application/octet-stream").alias("media_type"),
+        F.octet_length("payload").cast("long").alias("byte_len"),
+    )
+
+    feats = {r.media_id: r for r in M.extract_features(media).collect()}
+    assert len(feats) == 9
+    assert feats[9].feature is None and feats[9].digest is None
+    assert all(feats[i].feature is not None for i in range(1, 9))
+
+    res = {r.media_id: r for r in M.resize_images(media, 2, 2).collect()}
+    assert len(res) == 9
+    assert res[8].resized and res[8].payload is not None
+    assert res[9].payload is None and not res[9].resized
+    assert all(not res[i].resized and res[i].payload is not None for i in range(1, 8))
+
+    fr = {r.media_id: r for r in M.sample_frames(media).collect()}
+    assert len(fr) == 9
+    assert fr[9].payload is None and fr[9].n_frames == 0 and not fr[9].decoded

@@ -219,7 +219,8 @@ def main() -> None:
     out["dial_jittered"] = {"copies": args.copies, "n_corpus": jn}
     out["dial_jittered"]["rows"] = measure(spark, jemb, jqueries, jn, jconfigs)
 
-    path = os.path.join(REPO, "tools", "recall_dial_r13.json")
+    suffix = "" if args.copies == 16 else f"_{args.copies}x"
+    path = os.path.join(REPO, "tools", f"recall_dial_r13{suffix}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")
