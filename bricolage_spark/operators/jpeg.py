@@ -223,6 +223,21 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     raise ValueError("JPEG contained no decodable scan")
 
 
+def _lookup(tables, key, kind: str):
+    """Dict lookup that degrades a corrupt stream to the quarantinable
+    error family: a mutated DHT/DQT/SOS can reference a table id that
+    was never defined, and a bare KeyError would escape the
+    (ValueError, ...) quarantine in decode_media/sample_frames and kill
+    the whole Arrow task on one hostile row (r13 mutation fuzz:
+    10/800 mutants hit this)."""
+    try:
+        return tables[key]
+    except KeyError:
+        raise ValueError(
+            f"JPEG scan references undefined {kind} {key}"
+        ) from None
+
+
 def _decode_scan(
     payload, start, frame, scan_tables, qt, huff_dc, huff_ac, restart_interval
 ) -> np.ndarray:
@@ -247,9 +262,9 @@ def _decode_scan(
             pred = [0] * len(comps)
         my, mx = divmod(mcu, mcus_x)
         for ci, (cid, hs, vs, tq) in enumerate(comps):
-            dc_t = huff_dc[scan_tables[cid][0]]
-            ac_t = huff_ac[scan_tables[cid][1]]
-            quant = qt[tq]
+            dc_t = _lookup(huff_dc, scan_tables[cid][0], "DC table")
+            ac_t = _lookup(huff_ac, scan_tables[cid][1], "AC table")
+            quant = _lookup(qt, tq, "quant table")
             for by in range(vs):
                 for bx in range(hs):
                     zz = np.zeros(64, dtype=np.int32)
@@ -370,7 +385,7 @@ def _decode_prog_scan(
     h, w, comps = frame
     hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
     comp_idx = {cid: i for i, (cid, *_rest) in enumerate(comps)}
-    scan_cis = [comp_idx[cs] for cs in scan_order]
+    scan_cis = [_lookup(comp_idx, cs, "frame component") for cs in scan_order]
     if ss == 0 and se != 0:
         raise ValueError("JPEG scan mixes DC and AC bands")
     if ss > 0 and len(scan_cis) != 1:
@@ -387,7 +402,9 @@ def _decode_prog_scan(
     def dc_block(ci, zz):
         nonlocal pred
         if ah == 0:
-            t = reader.decode_huffman(huff_dc[scan_tables[comps[ci][0]][0]])
+            t = reader.decode_huffman(
+                _lookup(huff_dc, _lookup(scan_tables, comps[ci][0], "scan component")[0], "DC table")
+            )
             pred[ci] += _extend(reader.read_bits(t), t)
             zz[0] = pred[ci] << al
         elif reader.read_bits(1):
@@ -398,7 +415,7 @@ def _decode_prog_scan(
         if eobrun > 0:
             eobrun -= 1
             return
-        ac_t = huff_ac[scan_tables[comps[ci][0]][1]]
+        ac_t = _lookup(huff_ac, _lookup(scan_tables, comps[ci][0], "scan component")[1], "AC table")
         k = ss
         while k <= se:
             rs = reader.decode_huffman(ac_t)
@@ -422,7 +439,7 @@ def _decode_prog_scan(
         # coefficients arrive as run+sign, already-nonzero ones receive
         # one correction bit each as the scan passes over them
         nonlocal eobrun
-        ac_t = huff_ac[scan_tables[comps[ci][0]][1]]
+        ac_t = _lookup(huff_ac, _lookup(scan_tables, comps[ci][0], "scan component")[1], "AC table")
         k = ss
         if eobrun == 0:
             while k <= se:
@@ -498,7 +515,7 @@ def _render_coefs(frame, coefs, qt) -> np.ndarray:
     hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
     planes = []
     for (cid, hs, vs, tq), grid in zip(comps, coefs):
-        deq = grid.astype(np.float64) * qt[tq][None, None, :]
+        deq = grid.astype(np.float64) * _lookup(qt, tq, "quant table")[None, None, :]
         raster = np.zeros_like(deq)
         raster[:, :, ZIGZAG] = deq
         by, bx = grid.shape[:2]
