@@ -256,15 +256,22 @@ def _decode_scan(
     reader = _BitReader(payload, start)
     pred = [0] * len(comps)
     n_mcus = mcus_x * mcus_y
+    # table ids are per-scan constants: validate/resolve ONCE, not per MCU
+    tables = [
+        (
+            _lookup(huff_dc, scan_tables[cid][0], "DC table"),
+            _lookup(huff_ac, scan_tables[cid][1], "AC table"),
+            _lookup(qt, tq, "quant table"),
+        )
+        for cid, hs, vs, tq in comps
+    ]
     for mcu in range(n_mcus):
         if restart_interval and mcu and mcu % restart_interval == 0:
             reader.sync_restart()
             pred = [0] * len(comps)
         my, mx = divmod(mcu, mcus_x)
         for ci, (cid, hs, vs, tq) in enumerate(comps):
-            dc_t = _lookup(huff_dc, scan_tables[cid][0], "DC table")
-            ac_t = _lookup(huff_ac, scan_tables[cid][1], "AC table")
-            quant = _lookup(qt, tq, "quant table")
+            dc_t, ac_t, quant = tables[ci]
             for by in range(vs):
                 for bx in range(hs):
                     zz = np.zeros(64, dtype=np.int32)

@@ -60,8 +60,11 @@ def test_grammar_covers_the_interesting_shapes(fuzz_env):
 # 333/389: LEFT JOIN NULL-int regression seeds — pandas surfaces the
 # unmatched side's ints as float64 NaN, which the comparator must
 # canonicalize to None in an object column (nan != nan, and a float64
-# column silently coerces None straight back to NaN)
-@pytest.mark.parametrize("seed", [*range(N_SEEDS), 333, 389])
+# column silently coerces None straight back to NaN).
+# 2446: the timestamp twin — NULL timestamps surface as pd.NaT, and
+# NaTType passes isinstance(_, datetime.datetime), so the NaT check
+# must precede the datetime branch in _canon_cell.
+@pytest.mark.parametrize("seed", [*range(N_SEEDS), 333, 389, 2446])
 def test_engines_agree(fuzz_env, seed):
     spark, con = fuzz_env
     case, diff = diff_fuzz.run_case(spark, con, seed)

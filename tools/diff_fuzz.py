@@ -522,6 +522,12 @@ def _canon_cell(v):
     import numpy as np
     import pandas as pd
 
+    if v is pd.NaT:
+        # MUST precede the datetime branch: NaTType implements the
+        # datetime interface, so isinstance(NaT, datetime.datetime) is
+        # True and .replace() would pass NaT through (NaT != NaT, fake
+        # divergence — regression seed 2446)
+        return None
     if isinstance(v, (np.integer,)):
         return int(v)
     if isinstance(v, (np.floating, float)):
