@@ -62,6 +62,12 @@ PROBES = (
     "agg_salted",
     "agg_collect_plain",
     "agg_collect_salted",
+    # r13 late addition: the repaired right-join full-replication path
+    # (marker + key anti-join) measured under the same zipfian fixture —
+    # the repair's scale shape (distinct on the bare key = map-side
+    # combine) should be measured, not argued
+    "rjoin_plain",
+    "rjoin_salted",
 )
 
 
@@ -185,7 +191,7 @@ def run_single(probe: str, scale: int, runs: int) -> dict:
         "spark.ui.enabled": "true",
         "spark.ui.retainedStages": "500",
     }
-    if probe.startswith("join"):
+    if probe.startswith(("join", "rjoin")):
         # model the 100 TB big-dim case: no broadcast escape hatch
         conf["spark.sql.autoBroadcastJoinThreshold"] = "-1"
         conf["spark.sql.adaptive.autoBroadcastJoinThreshold"] = "-1"
@@ -237,6 +243,30 @@ def run_single(probe: str, scale: int, runs: int) -> dict:
                         F.sum(F.length("o_payload")).alias("pb"),
                     )
                 )
+    elif probe in ("rjoin_plain", "rjoin_salted"):
+        # right outer join fact->dim: keeps every dim row (incl. the
+        # unmatched ones the r13 repair re-derives via the key
+        # anti-join); same agg sink as the inner probes
+        def _sink(j):
+            _noop(
+                j.groupBy("c_mktsegment").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("o_totalprice").alias("s"),
+                    F.sum(F.length("o_payload")).alias("pb"),
+                )
+            )
+
+        if probe == "rjoin_salted":
+            def q():
+                _sink(
+                    salted_join(
+                        fact, dim, key="c_custkey", salt_from="o_orderkey",
+                        n_salts=N_SALTS, how="right", hot=[HOT_KEY],
+                    )
+                )
+        else:
+            def q():
+                _sink(fact.join(dim, "c_custkey", "right"))
     elif probe in ("agg_plain", "agg_salted"):
         if probe == "agg_salted":
             def q():
@@ -305,6 +335,9 @@ def main() -> None:
         build_fact(k)
     stop_spark()
 
+    only = _arg("--probes", "")
+    probes = tuple(only.split(",")) if only else PROBES
+
     out: dict = {
         "fixture": f"sf0.1 orders x scale, key {HOT_KEY} owns ~{HOT_SHARE}0% "
         f"of rows; dim=customer (non-broadcastable for join probes); "
@@ -312,7 +345,7 @@ def main() -> None:
         "scales": scales,
         "probes": {},
     }
-    for probe in PROBES:
+    for probe in probes:
         for k in scales:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--single",
