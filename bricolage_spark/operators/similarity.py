@@ -502,6 +502,7 @@ def lsh_multiprobe_topk(
     k: int = 5,
     n_planes: int = 6,
     n_flip: int = 2,
+    n_flip2: int = 0,
 ) -> DataFrame:
     """Multi-probe SRP top-k: each query searches its own bucket PLUS the
     ``n_flip`` buckets reached by flipping its lowest-margin planes.
@@ -518,14 +519,29 @@ def lsh_multiprobe_topk(
     recall-dial table).  ``n_flip=0`` degenerates to exactly the
     single-probe operator.
 
-    Probe buckets are distinct by construction (single-bit flips of
-    distinct planes), so no pair-dedup stage is needed — each
-    (query, neighbor) candidate joins at most once.
+    Probe buckets are distinct by construction (0-, 1- and 2-bit flips
+    of distinct plane sets differ in Hamming distance or flipped bits),
+    so no pair-dedup stage is needed — each (query, neighbor) candidate
+    joins at most once.
+
+    ``n_flip2`` adds SECOND-ORDER probes — buckets reached by flipping
+    a PAIR of low-margin planes, taken in margin-sum order among the
+    pairs of the 4 lowest-margin planes (the next entries of Lv et
+    al.'s perturbation sequence after the single flips). The measured
+    16x/64x recall plateau (SCALE.md: 0.978/0.991 flat from t=2 to
+    t=8) is exactly the residual misses that differ by >= 2 sign bits;
+    pair probes are the dial past it.
     """
     if not 0 <= n_flip <= n_planes:
         raise ValueError(
             f"lsh_multiprobe_topk: n_flip ({n_flip}) must be in "
             f"[0, n_planes ({n_planes})]"
+        )
+    max_pairs = min(n_planes, 4) * (min(n_planes, 4) - 1) // 2
+    if not 0 <= n_flip2 <= max_pairs:
+        raise ValueError(
+            f"lsh_multiprobe_topk: n_flip2 ({n_flip2}) must be in "
+            f"[0, {max_pairs}] (pairs of the 4 lowest-margin planes)"
         )
     cd = _as_double(F.col(vec_col))
     c = spread(
@@ -545,12 +561,31 @@ def lsh_multiprobe_topk(
         srp_bucket(vec_col, n_planes).alias("_b"),
         srp_margins(vec_col, n_planes).alias("_m"),
     )
-    probes = F.expr(
+    probe_sql = (
         f"concat(array(_b), transform(slice(_m, 1, {int(n_flip)}), "
         "s -> _b ^ shiftleft(CAST(1 AS BIGINT), s.p)))"
     )
+    if n_flip2:
+        # pair probes: margin-sum-ordered 2-bit flips over the 4
+        # lowest-margin planes (row-local; ties break on the flipped
+        # bucket value — both sides of the struct are deterministic)
+        pp = min(n_planes, 4)
+        pairs = [
+            (
+                f"named_struct('m', element_at(_m, {i + 1}).m + "
+                f"element_at(_m, {j + 1}).m, "
+                f"'h', _b ^ shiftleft(CAST(1 AS BIGINT), element_at(_m, {i + 1}).p) "
+                f"^ shiftleft(CAST(1 AS BIGINT), element_at(_m, {j + 1}).p))"
+            )
+            for i in range(pp)
+            for j in range(i + 1, pp)
+        ]
+        probe_sql = (
+            f"concat({probe_sql}, transform(slice(array_sort(array("
+            f"{', '.join(pairs)})), 1, {int(n_flip2)}), x -> x.h))"
+        )
     q = q0.select(
-        "query_id", "q_vec", "q_n", F.explode(probes).alias("bucket")
+        "query_id", "q_vec", "q_n", F.explode(F.expr(probe_sql)).alias("bucket")
     )
     return _cosine_topk_tail(c.join(F.broadcast(q), "bucket"), k)
 

@@ -190,6 +190,46 @@ def test_multiprobe_recall_monotone_in_flips(spark, sf_dir):
     assert recalls[-1] > recalls[0]
 
 
+def test_multiprobe_second_order_extends_the_dial(spark, sf_dir):
+    """Pair probes (n_flip2) are the dial past the single-bit plateau:
+    n_flip2=0 reproduces the first-order operator exactly, and recall
+    is monotone in the pair-probe count (the candidate set only
+    grows). SCALE.md records the jittered-fixture measurement where
+    2 singles + 4 pairs reach recall 1.0 at less scan than 8 singles."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    first_order = sorted(
+        map(tuple, S.lsh_multiprobe_topk(emb, q, k=5, n_planes=6, n_flip=2).collect())
+    )
+    zero_pairs = sorted(
+        map(
+            tuple,
+            S.lsh_multiprobe_topk(
+                emb, q, k=5, n_planes=6, n_flip=2, n_flip2=0
+            ).collect(),
+        )
+    )
+    assert first_order == zero_pairs
+    exact = S.brute_force_cosine_topk(emb, q, k=5)
+    recalls = []
+    for t2 in (0, 2, 4):
+        out = S.lsh_multiprobe_topk(
+            emb, q, k=5, n_planes=6, n_flip=2, n_flip2=t2
+        )
+        recalls.append(
+            S.ann_recall(exact, out, 5).agg(F.avg("recall")).collect()[0][0]
+        )
+    assert recalls == sorted(recalls)
+
+
+def test_multiprobe_rejects_bad_pair_count(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="n_flip2"):
+        S.lsh_multiprobe_topk(df, df, n_planes=6, n_flip=1, n_flip2=7)
+
+
 def test_multiprobe_rejects_bad_flip_count(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"

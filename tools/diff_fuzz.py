@@ -103,6 +103,17 @@ TABLES: dict[str, dict[str, str]] = {
         "source": "str",
         "n_chars": "int",
     },
+    # events joins nothing and EXCLUDES its ts column: the parquet type
+    # is TIMESTAMP(NANOS), which Spark reads as BIGINT under the
+    # nanosAsLong conf while DuckDB reads TIMESTAMP — the same SQL text
+    # cannot mean the same thing over that column (documented session
+    # gotcha, not an engine divergence). Every other column fuzzes.
+    "events": {
+        "event_id": "int",
+        "user_id": "int",
+        "event_type": "str",
+        "value": "float",
+    },
 }
 
 # primary keys — the determinism anchors for window/order clauses (the
@@ -123,6 +134,7 @@ PK: dict[str, list[str]] = {
     "orders": ["o_orderkey"],
     "lineitem": ["l_orderkey", "l_linenumber"],
     "documents": ["doc_id"],
+    "events": ["event_id"],
 }
 
 # FK walk edges: (left table, right table, left col, right col).
