@@ -494,6 +494,23 @@ def srp_margins(vec: str, n_planes: int = 6, dims: int = 64) -> Column:
     )
 
 
+def _width_checked(bucket: Column, vec: str, dims: int) -> Column:
+    """Runtime embedding-width assertion wrapped around an SRP bucket
+    expression (r13 ADVICE): a vector whose width differs from the plane
+    dimensionality fails the job with a clear message instead of silently
+    projecting against NULL-padded planes. NULL embeddings keep their
+    pre-guard behavior (NULL bucket, matches nothing)."""
+    return (
+        F.when(F.col(vec).isNull() | (F.size(F.col(vec)) == dims), bucket)
+        .otherwise(
+            F.expr(
+                f"raise_error(concat('SRP planes are {int(dims)}-dimensional "
+                f"but {vec} has width ', CAST(size({vec}) AS STRING)))"
+            ).cast("bigint")
+        )
+    )
+
+
 def lsh_multiprobe_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -503,6 +520,7 @@ def lsh_multiprobe_topk(
     n_planes: int = 6,
     n_flip: int = 2,
     n_flip2: int = 0,
+    dims: int = 64,
 ) -> DataFrame:
     """Multi-probe SRP top-k: each query searches its own bucket PLUS the
     ``n_flip`` buckets reached by flipping its lowest-margin planes.
@@ -531,6 +549,13 @@ def lsh_multiprobe_topk(
     16x/64x recall plateau (SCALE.md: 0.978/0.991 flat from t=2 to
     t=8) is exactly the residual misses that differ by >= 2 sign bits;
     pair probes are the dial past it.
+
+    ``dims`` is the embedding width the projection planes are generated
+    for (r13 ADVICE: the old hard-coded 64 meant any other width
+    silently yielded NULL projections — ``zip_with`` pads the shorter
+    array — and empty joins instead of an error). The bucket expression
+    on BOTH sides carries a runtime width assertion that fails the job
+    on mismatch; NULL embeddings still pass through NULL, as before.
     """
     if not 0 <= n_flip <= n_planes:
         raise ValueError(
@@ -549,7 +574,9 @@ def lsh_multiprobe_topk(
             F.col(id_col).alias("neighbor_id"),
             cd.alias("c_vec"),
             norm(cd).alias("c_n"),
-            srp_bucket(vec_col, n_planes).alias("bucket"),
+            _width_checked(
+                srp_bucket(vec_col, n_planes, dims), vec_col, dims
+            ).alias("bucket"),
         ),
         "neighbor_id",
     )
@@ -558,8 +585,10 @@ def lsh_multiprobe_topk(
         F.col(id_col).alias("query_id"),
         qd.alias("q_vec"),
         norm(qd).alias("q_n"),
-        srp_bucket(vec_col, n_planes).alias("_b"),
-        srp_margins(vec_col, n_planes).alias("_m"),
+        _width_checked(srp_bucket(vec_col, n_planes, dims), vec_col, dims).alias(
+            "_b"
+        ),
+        srp_margins(vec_col, n_planes, dims).alias("_m"),
     )
     probe_sql = (
         f"concat(array(_b), transform(slice(_m, 1, {int(n_flip)}), "
@@ -597,12 +626,15 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 6,
+    dims: int = 64,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's SRP bucket.
 
     At scale the corpus side is written bucket-partitioned once
     (``.repartition('bucket')`` / partitionBy on write), so each query
     reads a single partition — this is the IVF-style inverted-list layout.
+    ``dims`` is the embedding width the planes are generated for; both
+    sides carry a runtime width assertion (see :func:`_width_checked`).
     """
     cd = _as_double(F.col(vec_col))
     c = spread(
@@ -610,7 +642,9 @@ def lsh_bucketed_topk(
             F.col(id_col).alias("neighbor_id"),
             cd.alias("c_vec"),
             norm(cd).alias("c_n"),
-            srp_bucket(vec_col, n_planes).alias("bucket"),
+            _width_checked(
+                srp_bucket(vec_col, n_planes, dims), vec_col, dims
+            ).alias("bucket"),
         ),
         "neighbor_id",
     )
@@ -619,7 +653,9 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("query_id"),
         qd.alias("q_vec"),
         norm(qd).alias("q_n"),
-        srp_bucket(vec_col, n_planes).alias("bucket"),
+        _width_checked(srp_bucket(vec_col, n_planes, dims), vec_col, dims).alias(
+            "bucket"
+        ),
     )
     return _cosine_topk_tail(c.join(F.broadcast(q), "bucket"), k)
 

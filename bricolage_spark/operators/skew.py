@@ -26,6 +26,24 @@ def _salt_of(col: Column, n: int) -> Column:
     return F.pmod(F.hash(col), F.lit(n))
 
 
+def _require_free(names: tuple[str, ...], *frames: DataFrame) -> None:
+    """Refuse inputs that already carry a helper column name.
+
+    ``withColumn`` silently REPLACES an existing column, so a caller
+    whose frame already has ``__salt`` (or the outer-join marker
+    ``__m``) would get wrong filter/drop behavior with no error
+    (r13 ADVICE). Helper names are an internal namespace; collisions
+    are a caller bug and must fail loudly.
+    """
+    for df in frames:
+        clash = [n for n in names if n in df.columns]
+        if clash:
+            raise ValueError(
+                f"skew helper column name(s) {clash} already present in "
+                f"input columns {df.columns}; rename them before salting"
+            )
+
+
 def detect_hot_keys(
     df: DataFrame,
     key: str,
@@ -98,6 +116,7 @@ def salted_join(
       key anti-join (distinct on the bare key — map-side combine, so
       the hot key never pins that shuffle either).
     """
+    _require_free(("__salt", "__m"), skewed, other)
     if hot is None:
         hot = detect_hot_keys(skewed, key)
     if not hot:
@@ -182,6 +201,7 @@ def salted_aggregate(
     for c, fn in aggs.items():
         if fn not in mergeable and fn not in holistic:
             raise ValueError(f"non-mergeable aggregate for salting: {fn}({c})")
+    _require_free(("__salt", *(f"__p_{c}" for c in aggs)), df)
 
     salted = df.withColumn("__salt", _salt_of(F.col(salt_from), n_salts))
     phase1 = salted.groupBy(*group_cols, "__salt").agg(

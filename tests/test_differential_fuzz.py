@@ -69,3 +69,71 @@ def test_engines_agree(fuzz_env, seed):
     spark, con = fuzz_env
     case, diff = diff_fuzz.run_case(spark, con, seed)
     assert diff is None, f"{diff}\nSQL: {case['sql']}"
+
+
+# ---------------------------------------------------------------------------
+# comparator unit tests (r13 ADVICE fix): alignment must come from EXACT
+# columns only.  The old comparator sorted on floats rounded to 6 dp while
+# judging float equality at 1e-8 relative tolerance, so rows whose float
+# values tied at 6 dp (the stable sort then kept each engine's own input
+# order) zip-compared mismatched partners — a spurious divergence.
+# ---------------------------------------------------------------------------
+
+
+def _pd(rows, cols):
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=cols)
+
+
+def test_compare_aligns_on_exact_columns_only():
+    """Two rows, same exact key, float values that tie at 6 dp but differ
+    by 3e-7 (>> 1e-8 tol), listed in OPPOSITE input order per engine:
+    the old sort-key logic misaligned them; multiset matching must not."""
+    case = {"float_cols": ["v"]}
+    a = _pd([("k", 1.0000001), ("k", 1.0000004)], ["g", "v"])
+    b = _pd([("k", 1.0000004), ("k", 1.0000001)], ["g", "v"])
+    assert diff_fuzz.compare(a, b, case) is None
+
+
+def test_compare_rounding_boundary_does_not_misalign():
+    """Float sort keys straddling a 6-dp rounding boundary between engines
+    (values within 1e-8 of each other) must still align."""
+    case = {"float_cols": ["v"]}
+    a = _pd([("k", 1.0000004999), ("k", 2.0)], ["g", "v"])
+    b = _pd([("k", 1.0000005001), ("k", 2.0)], ["g", "v"])
+    assert diff_fuzz.compare(a, b, case) is None
+
+
+def test_compare_still_catches_real_float_divergence():
+    case = {"float_cols": ["v"]}
+    a = _pd([("k", 1.0), ("k", 2.0)], ["g", "v"])
+    b = _pd([("k", 1.0), ("k", 2.5)], ["g", "v"])
+    assert diff_fuzz.compare(a, b, case) is not None
+
+
+def test_compare_still_catches_exact_key_divergence():
+    case = {"float_cols": ["v"]}
+    a = _pd([("k1", 1.0)], ["g", "v"])
+    b = _pd([("k2", 1.0)], ["g", "v"])
+    msg = diff_fuzz.compare(a, b, case)
+    assert msg is not None and "exact-key" in msg
+
+
+def test_compare_group_multiplicity_divergence():
+    """Same key set but different per-key multiplicities must diverge."""
+    case = {"float_cols": []}
+    a = _pd([("k1",), ("k1",), ("k2",)], ["g"])
+    b = _pd([("k1",), ("k2",), ("k2",)], ["g"])
+    assert diff_fuzz.compare(a, b, case) is not None
+
+
+def test_compare_null_floats_match_only_nulls():
+    import numpy as np
+
+    case = {"float_cols": ["v"]}
+    a = _pd([("k", np.nan), ("k", 1.0)], ["g", "v"])
+    b = _pd([("k", 1.0), ("k", np.nan)], ["g", "v"])
+    assert diff_fuzz.compare(a, b, case) is None
+    c = _pd([("k", np.nan), ("k", np.nan)], ["g", "v"])
+    assert diff_fuzz.compare(a, c, case) is not None

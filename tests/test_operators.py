@@ -2337,3 +2337,84 @@ def test_span_registry_probe_rejects_md5_era_registry(spark):
     keys = D.positional_anchor_keys(batch, "doc_id", "text", k=8)
     with pytest.raises(JobFailure, match="key type mismatch"):
         D.span_registry_probe(keys, old_reg, "doc_id")
+
+
+def test_srp_topk_rejects_wrong_embedding_width(spark):
+    """r13 ADVICE: a non-64-wide embedding used to silently project
+    against NULL-padded planes (zip_with pads the shorter array) and
+    match nothing; now the bucket expression carries a runtime width
+    assertion that fails the job instead."""
+    import py4j.protocol
+
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(32)]), (2, [float(i) for i in range(32)])],
+        "vec_id long, embedding array<float>",
+    )
+    for fn in (S.lsh_bucketed_topk, S.lsh_multiprobe_topk):
+        with pytest.raises(
+            (SparkRuntimeException, py4j.protocol.Py4JJavaError),
+            match="SRP planes are 64-dimensional",
+        ):
+            fn(df, df, k=1, n_planes=6).collect()
+
+
+def test_srp_topk_dims_parameter_accepts_other_widths(spark):
+    """dims is now a real parameter: 32-wide embeddings with dims=32 run
+    end-to-end and a self-query finds itself (same bucket trivially)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(64)
+    ]
+    # plant an exact twin of each query: same vector -> same bucket
+    # (whatever the hash), cosine 1.0 -> guaranteed top-1 (self-matches
+    # are excluded by the shared tail)
+    rows += [(100 + i, list(rows[i][1])) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 4)
+    out = S.lsh_bucketed_topk(df, q, k=3, n_planes=4, dims=32).collect()
+    hits = {(r.query_id, r.neighbor_id) for r in out}
+    assert all((i, 100 + i) in hits for i in range(4))
+    out2 = S.lsh_multiprobe_topk(
+        df, q, k=3, n_planes=4, n_flip=2, n_flip2=1, dims=32
+    ).collect()
+    hits2 = {(r.query_id, r.neighbor_id) for r in out2}
+    # the twin (cos 1.0, guaranteed own-bucket candidate) survives any
+    # ranked-k displacement the extra probes cause
+    assert all((i, 100 + i) in hits2 for i in range(4))
+
+
+def test_srp_topk_null_embedding_still_passes_through(spark):
+    """The width guard must not turn NULL embeddings into errors: they
+    keep the pre-guard behavior (NULL projections take the CASE's
+    else-branch, i.e. bucket 0, and any pairing against a NULL vector
+    carries a NULL cos_sim — unchanged by the guard)."""
+    rows = [(1, [1.0] * 64), (2, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.lsh_bucketed_topk(df, df, k=2, n_planes=4).collect()  # no raise
+    assert all(r.cos_sim is None for r in out if 2 in (r.query_id, r.neighbor_id))
+
+
+def test_salted_join_rejects_helper_column_collision(spark):
+    """r13 ADVICE: withColumn silently replaces an existing __salt/__m,
+    corrupting filter/drop logic — inputs carrying those names must be
+    refused loudly."""
+    from bricolage_spark.operators.skew import salted_aggregate, salted_join
+
+    clean = spark.createDataFrame([(1, 10)], "k long, v long")
+    with_salt = clean.withColumn("__salt", F.lit(3))
+    with_m = clean.withColumn("__m", F.lit(9))
+    for bad, good in ((with_salt, clean), (with_m, clean)):
+        with pytest.raises(ValueError, match="helper column"):
+            salted_join(bad, good, key="k", salt_from="v", hot=[1])
+        with pytest.raises(ValueError, match="helper column"):
+            salted_join(good, bad, key="k", salt_from="v", hot=[1], how="full")
+    with pytest.raises(ValueError, match="helper column"):
+        salted_aggregate(with_salt, ["k"], {"v": "sum"}, salt_from="v")
+    with pytest.raises(ValueError, match="helper column"):
+        salted_aggregate(
+            clean.withColumn("__p_v", F.lit(0)), ["k"], {"v": "sum"}, salt_from="v"
+        )

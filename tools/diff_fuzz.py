@@ -558,8 +558,30 @@ def _canon_cell(v):
     return v
 
 
+def _tol_eq(x, y) -> bool:
+    """Float equality at the grammar's documented 1e-8 relative tolerance
+    (NULL matches only NULL)."""
+    if x is None and y is None:
+        return True
+    if x is None or y is None:
+        return False
+    return abs(x - y) <= 1e-8 * max(1.0, abs(x), abs(y))
+
+
 def compare(spark_pd, duck_pd, case) -> str | None:
-    """None if equivalent, else a human-readable divergence message."""
+    """None if equivalent, else a human-readable divergence message.
+
+    Rows are aligned on EXACT columns only (r13 ADVICE fix): the old
+    form sorted on floats rounded to 6 dp while judging float equality
+    at 1e-8 relative tolerance, so two rows identical on their exact
+    columns whose float values tied at 6 dp (or straddled a rounding
+    boundary between engines) could stable-sort into different orders
+    per engine and zip-compare mismatched rows — a spurious divergence.
+    Now rows group by their exact-key tuple and each group's float
+    tuples are matched as an order-insensitive multiset under the same
+    tolerance (exact-equal tuples matched first via a counter so large
+    groups stay linear; the tolerant remainder is a small greedy pass).
+    """
     cols = sorted(spark_pd.columns)
     if cols != sorted(duck_pd.columns):
         return f"column sets differ: {sorted(spark_pd.columns)} vs {sorted(duck_pd.columns)}"
@@ -568,56 +590,77 @@ def compare(spark_pd, duck_pd, case) -> str | None:
     if len(spark_pd) == 0:
         return None
 
-    float_cols = set(case["float_cols"])
-    exact_cols = [c for c in cols if c not in float_cols]
+    float_set = set(case["float_cols"])
+    exact_cols = [c for c in cols if c not in float_set]
+    float_cols = [c for c in cols if c in float_set]
 
-    def canon(df):
-        import pandas as pd
+    def groups(df):
+        g: dict[tuple, list[tuple]] = {}
+        ex = [[_canon_cell(v) for v in df[c]] for c in exact_cols]
+        fl = [[_canon_cell(v) for v in df[c]] for c in float_cols]
+        for i in range(len(df)):
+            key = tuple(repr(col[i]) for col in ex)
+            g.setdefault(key, []).append(tuple(col[i] for col in fl))
+        return g
 
-        df = df[cols].copy()
-        for c in cols:
-            # dtype=object, or pandas coerces the canonical None back to
-            # NaN inside a float64 column and nan != nan re-diverges
-            df[c] = pd.Series(
-                [_canon_cell(v) for v in df[c]], dtype=object, index=df.index
+    a, b = groups(spark_pd), groups(duck_pd)
+    if a.keys() != b.keys():
+        k = next(iter(a.keys() ^ b.keys()))
+        side = "spark" if k in a else "duckdb"
+        return f"exact-key row only in {side}: {dict(zip(exact_cols, k))}"
+    for key, la in a.items():
+        lb = b[key]
+        if len(la) != len(lb):
+            return (
+                f"exact-key group size differs at {dict(zip(exact_cols, key))}: "
+                f"spark={len(la)} duckdb={len(lb)}"
             )
-        # sort by exact columns first (stable identity), rounded floats
-        # as tie-breakers only
-        keys = exact_cols + [c for c in cols if c in float_cols]
-        sort_frame = {}
-        for c in keys:
-            if c in float_cols:
-                sort_frame[c] = df[c].map(
-                    lambda v: round(v, 6) if isinstance(v, float) else v
+        if not float_cols:
+            continue
+        # pass 1: cancel exact-equal float tuples (keyed on repr) —
+        # keeps the common all-match case linear in the group size
+        from collections import Counter
+
+        common = Counter(map(repr, la)) & Counter(map(repr, lb))
+        rest_a = _remainder(la, common)
+        rest_b = _remainder(lb, common)
+        # pass 2: greedy tolerant matching on the remainder (sorted for
+        # determinism; groups here are near-duplicate tails, tiny)
+        rest_a.sort(key=repr)
+        rest_b.sort(key=repr)
+        used = [False] * len(rest_b)
+        for t in rest_a:
+            hit = next(
+                (
+                    j
+                    for j, u in enumerate(rest_b)
+                    if not used[j] and all(_tol_eq(x, y) for x, y in zip(t, u))
+                ),
+                None,
+            )
+            if hit is None:
+                return (
+                    f"float tuple unmatched at exact key "
+                    f"{dict(zip(exact_cols, key))}: spark row "
+                    f"{dict(zip(float_cols, t))} has no duckdb partner "
+                    f"within tolerance (candidates: {rest_b[:3]!r})"
                 )
-            else:
-                sort_frame[c] = df[c]
-        import pandas as pd
-
-        order = pd.DataFrame(sort_frame).sort_values(
-            by=keys, key=lambda s: s.map(repr)
-        ).index
-        return df.loc[order].reset_index(drop=True)
-
-    a, b = canon(spark_pd), canon(duck_pd)
-    for c in exact_cols:
-        neq = [
-            (i, x, y)
-            for i, (x, y) in enumerate(zip(a[c], b[c]))
-            if x != y and not (x is None and y is None)
-        ]
-        if neq:
-            i, x, y = neq[0]
-            return f"exact col {c} row {i}: spark={x!r} duckdb={y!r}"
-    for c in float_cols:
-        for i, (x, y) in enumerate(zip(a[c], b[c])):
-            if x is None and y is None:
-                continue
-            if x is None or y is None:
-                return f"float col {c} row {i}: spark={x!r} duckdb={y!r}"
-            if abs(x - y) > 1e-8 * max(1.0, abs(x), abs(y)):
-                return f"float col {c} row {i}: spark={x!r} duckdb={y!r} (|d|={abs(x-y):.3e})"
+            used[hit] = True
     return None
+
+
+def _remainder(tuples: list[tuple], common: dict) -> list[tuple]:
+    """Drop each tuple up to its multiplicity in the exact-match multiset
+    intersection; what's left needs tolerant matching."""
+    credit = dict(common)
+    rest = []
+    for t in tuples:
+        r = repr(t)
+        if credit.get(r, 0) > 0:
+            credit[r] -= 1
+        else:
+            rest.append(t)
+    return rest
 
 
 STATS: dict = {}
