@@ -52,46 +52,128 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # come right after the core, and the clip falls on queries that are already
 # driver-green in multiple rounds (listed in ``_CLIP_LAST``).
 #
-# ROUND-13 ROTATION (driver window = first 50), executing the committed
-# ROUND-13 PLAN verbatim.  Must-attest (16) = the 16 rows round 12
-# explicitly clipped (newest driver row r10, two rounds stale by r13);
-# gen_query_index --check confirms no post-window registrations happened
-# in r12, so the remaining 34 slots rotate in the r11-attested cohort
-# (newest row r11): candidates = 16 + 50 = 66 rows for 50 slots ->
-# clip 16.  Applied overflow rule, unchanged: never/oldest-attested
-# first, clip the DEEPEST multi-round green history and list it
-# explicitly.
-#   In the window (50):
-#   - q36-q40 q42 q03 q05 q06 q08 q09 q10 q11 q12d q13 q14 (16) — the
-#     round-12 explicit clip, per the standing promise (listed FIRST);
-#   - q111 q112 (2) — single driver row (r11);
-#   - q104-q107 (4) — two rows (r9, r11);
-#   - q84-q94 (11) — three rows (r7, r9, r11);
-#   - q50-q54 q56-q58 q82 q83 (10) — four rows each;
-#   - q48 q49 q55 q72 q73 (5) — five rows each;
-#   - q46 q47 (2) — six rows each; the depth-6 tier holds FIVE rows
-#     (q27 q44-q47) for two slots, and the tie breaks the same way the
-#     r12 q07 tie did: round 13 is the skew-stress round (zipfian
-#     salted-vs-unsalted octaves on operators/skew.py), so the two
-#     skew-toolkit rows are the principled depth-6 survivors.
-#   EXPLICITLY CLIPPED this round (66 - 50 = 16): q18-q25 q31-q35
-#   (driver-green in SEVEN rounds each — the deepest histories in the
-#   cohort) and q27 q44 q45 (six rounds each; q46/q47, equal depth,
-#   stay in-window as above).  Listed FIRST in _CLIP_LAST so any
-#   window widening re-admits them before the freshly-r12-attested
-#   cohort.
+# ROUND-14 ROTATION (driver window = first 50), executing the committed
+# ROUND-14 PLAN verbatim.  Must-attest (18):
+#   - q113 (registered r13 AFTER that round's rotation was committed,
+#     pinned post-window there so it could not displace a committed row —
+#     it has NEVER had a driver row and goes first), and q114 (registered
+#     THIS round, before this rotation was committed, so it takes the
+#     other never-attested slot: the n_flip2 pair-probe oracle the r13
+#     verdict asked for);
+#   - the 16 rows round 13 explicitly clipped (newest driver row r11,
+#     two missed rounds by r14): q18-q25 q27 q31-q35 q44 q45.
+# The remaining 32 slots rotate the r12-attested cohort (50 rows, newest
+# row r12; CORRECTNESS_r12 50/50 green): candidates = 18 + 50 = 68 for 50
+# slots -> clip 18.  Applied overflow rule, unchanged: never/oldest-
+# attested first, clip the DEEPEST multi-round green histories and list
+# them explicitly.  Depth audit (script over all 13 CORRECTNESS files):
+#   - depth-2 (r10,r12): q108 q109 q110 — in-window;
+#   - depth-3 (r8,r10,r12): q95-q103 — in-window;
+#   - depth-5: q26b q43 q74-q81 — in-window;
+#   - depth-6: fifteen rows for ten slots.  Clipped five: q26 q41 (the
+#     two whose green spans reach back to ROUND 1 — the longest
+#     cumulative histories in the tier) and q61 q67 q70 (this round's
+#     metamorphic corpus fuzzer adds a NEW independent randomized
+#     verification surface over exactly their operators — dedup
+#     idempotence for q67, best-of-cluster order-invariance for q61,
+#     length-stat permutation invariance for q70 — so losing one driver
+#     round costs them the least external signal).  In-window ten:
+#     q59 q60 q62 q63 q64 q65 q66 q68 q69 q71;
+#   - depth-7 (the deepest histories in the cohort): q01 q02 q04 q07
+#     q12 q12b q12c q15 q16 q17 q28 q29 q30 — all thirteen clipped.
+#   EXPLICITLY CLIPPED this round (68 - 50 = 18): the five depth-6 rows
+#   above + the thirteen depth-7 rows, listed FIRST in _CLIP_LAST
+#   (shallowest first) so any window widening re-admits them before the
+#   freshly-r13-attested cohort.
 #
-# ROUND-14 PLAN: must-attest = the 16 clipped above (newest row r11,
-# two rounds stale by r14) + the r13 post-window registrations (q113,
-# registered AFTER the round-13 rotation was committed and therefore
-# pinned to the tail so it cannot displace a committed window row —
-# it has never had a driver row and goes first in r14); then
-# rotate the r12-attested cohort (q01 q02 q04 q07 q12 q12b q12c
-# q15-q17 q26 q26b q28-q30 q41 q43 q59-q71 q74-q81 q95-q103
-# q108-q110 — newest row r12) ahead of this round's 50 fresh rows,
-# same explicit-clip discipline on whatever exceeds the window.
+# ROUND-15 PLAN: must-attest = the 18 clipped above (newest row r12, two
+# missed rounds by r15); then rotate the r13-attested cohort (the 50 rows
+# now at the head of _CLIP_LAST's tail section, newest row r13) into the
+# remaining 32 slots, same explicit-clip discipline on the overflow 18.
 _EVIDENCE_FIRST = [
-    # the round-12 explicit clip — newest driver row r10 (listed FIRST):
+    # never driver-attested (see rotation note):
+    "q113_ann_multiprobe",
+    "q114_ann_multiprobe_pairs",
+    # the round-13 explicit clip — newest driver row r11:
+    "q18_subqueries",
+    "q19_case_coalesce_cast",
+    "q20_string_functions",
+    "q21_datetime_functions",
+    "q22_math_functions",
+    "q23_array_functions",
+    "q24_map_functions",
+    "q25_json_functions",
+    "q27_distinct",
+    "q31_dedup_exact",
+    "q32_minhash_signatures",
+    "q33_minhash_lsh_pairs",
+    "q34_simhash",
+    "q35_cosine_topk",
+    "q44_tumbling_window",
+    "q45_sliding_window",
+    # r12-attested cohort, depth-2 histories:
+    "q108_epoch_plan",
+    "q109_classifier_calibration",
+    "q110_span_registry_probe",
+    # depth-3:
+    "q95_bpe_merges",
+    "q96_semantic_decontamination",
+    "q97_host_pagerank",
+    "q98_dsir_importance",
+    "q99_snapshot_drift",
+    "q100_salient_terms",
+    "q101_semantic_neardup_history",
+    "q102_bpe_encode",
+    "q103_span_removal",
+    # depth-5:
+    "q26b_approx_aggregates",
+    "q43_asof_join",
+    "q74_duplicate_spans",
+    "q75_lm_perplexity",
+    "q76_url_canonical_dedup",
+    "q77_semantic_dedup",
+    "q78_span_coverage",
+    "q79_winnowing_fingerprints",
+    "q80_curation_verdicts",
+    "q81_zipf_fit",
+    # depth-6 survivors (see tie-break note):
+    "q59_source_overlap",
+    "q60_bm25_retrieval",
+    "q62_domain_caps",
+    "q63_char_entropy",
+    "q64_doc_chunking",
+    "q65_corpus_report",
+    "q66_interval_join",
+    "q68_embedding_clusters",
+    "q69_ngram_novelty",
+    "q71_language_label_audit",
+]
+
+# Explicitly demoted to the tail (absorb the driver's >50 clip).
+_CLIP_LAST = [
+    # the ROUND-14 EXPLICIT CLIP (see rotation note above), shallowest
+    # first for re-admission priority: five depth-6 rows...
+    "q26_distinct_percentiles",
+    "q41_multimodal_features",
+    "q61_dedup_best_of_cluster",
+    "q67_incremental_dedup",
+    "q70_length_histogram",
+    # ...then the thirteen depth-7 rows:
+    "q01_scan_projection",
+    "q02_filter_predicates",
+    "q04_global_aggregate",
+    "q07_broadcast_join",
+    "q12_rollup",
+    "q12b_cube",
+    "q12c_pivot",
+    "q15_topk_per_group",
+    "q16_global_topk",
+    "q17_set_ops",
+    "q28_insert_delta",
+    "q29_rebuild",
+    "q30_streaming_load_dedup",
+    # the round-13 attested cohort — newest driver row r13, the
+    # freshest rows in the inventory (CORRECTNESS_r13: 50/50 green):
     "q36_ann_lsh_bucketed",
     "q37_language_id",
     "q38_token_stats",
@@ -108,15 +190,12 @@ _EVIDENCE_FIRST = [
     "q12d_unpivot",
     "q13_window_rank",
     "q14_window_analytic",
-    # single driver row (r11):
     "q111_unimax_plan",
     "q112_lsh_banding_audit",
-    # two rows (r9, r11):
     "q104_tokenizer_fertility",
     "q105_span_contamination",
     "q106_eval_split",
     "q107_split_leakage",
-    # three rows (r7, r9, r11):
     "q84_temperature_mixture",
     "q85_ann_recall",
     "q86_sentence_dedup",
@@ -128,7 +207,6 @@ _EVIDENCE_FIRST = [
     "q92_boilerplate_removal",
     "q93_cluster_size_histogram",
     "q94_dedup_audit",
-    # four rows each:
     "q50_dedup_clusters",
     "q51_contamination",
     "q52_stratified_sample",
@@ -139,97 +217,13 @@ _EVIDENCE_FIRST = [
     "q58_doc_top_word",
     "q82_incremental_neardup",
     "q83_hashed_ngram_classifier",
-    # five rows each:
     "q48_ngram_jaccard_neardup",
     "q49_ann_ivf",
     "q55_sessionization",
     "q72_snapshot_diff",
     "q73_pmi_collocations",
-    # the depth-6 tie survivors (skew-stress round; see note above):
     "q46_salted_aggregate",
     "q47_salted_join",
-]
-
-# Explicitly demoted to the tail (absorb the driver's >50 clip).
-_CLIP_LAST = [
-    # the ROUND-13 EXPLICIT CLIP (see rotation note above): deepest
-    # driver-green histories in the rotated cohort (q18-q25/q31-q35
-    # seven rounds each; q27/q44/q45 six rounds each), re-admitted
-    # first if the window ever widens:
-    "q18_subqueries",
-    "q19_case_coalesce_cast",
-    "q20_string_functions",
-    "q21_datetime_functions",
-    "q22_math_functions",
-    "q23_array_functions",
-    "q24_map_functions",
-    "q25_json_functions",
-    "q31_dedup_exact",
-    "q32_minhash_signatures",
-    "q33_minhash_lsh_pairs",
-    "q34_simhash",
-    "q35_cosine_topk",
-    "q27_distinct",
-    "q44_tumbling_window",
-    "q45_sliding_window",
-    # the round-12 attested cohort — newest driver row r12, the
-    # freshest rows in the inventory (CORRECTNESS_r12: 50/50 green):
-    "q01_scan_projection",
-    "q02_filter_predicates",
-    "q04_global_aggregate",
-    "q12_rollup",
-    "q12b_cube",
-    "q12c_pivot",
-    "q15_topk_per_group",
-    "q16_global_topk",
-    "q17_set_ops",
-    "q26_distinct_percentiles",
-    "q26b_approx_aggregates",
-    "q28_insert_delta",
-    "q29_rebuild",
-    "q30_streaming_load_dedup",
-    "q41_multimodal_features",
-    "q43_asof_join",
-    "q108_epoch_plan",
-    "q109_classifier_calibration",
-    "q110_span_registry_probe",
-    "q95_bpe_merges",
-    "q96_semantic_decontamination",
-    "q97_host_pagerank",
-    "q98_dsir_importance",
-    "q99_snapshot_drift",
-    "q100_salient_terms",
-    "q101_semantic_neardup_history",
-    "q102_bpe_encode",
-    "q103_span_removal",
-    "q59_source_overlap",
-    "q60_bm25_retrieval",
-    "q61_dedup_best_of_cluster",
-    "q62_domain_caps",
-    "q63_char_entropy",
-    "q64_doc_chunking",
-    "q65_corpus_report",
-    "q66_interval_join",
-    "q67_incremental_dedup",
-    "q68_embedding_clusters",
-    "q69_ngram_novelty",
-    "q70_length_histogram",
-    "q71_language_label_audit",
-    "q74_duplicate_spans",
-    "q75_lm_perplexity",
-    "q76_url_canonical_dedup",
-    "q77_semantic_dedup",
-    "q78_span_coverage",
-    "q79_winnowing_fingerprints",
-    "q80_curation_verdicts",
-    "q81_zipf_fit",
-    "q07_broadcast_join",
-    # registered in r13 AFTER the rotation above was committed and
-    # driver-verified: pinned post-window (a new name in neither list
-    # would land in ``head`` = the FRONT of the window and displace a
-    # committed row).  Never driver-attested -> first must-attest slot
-    # in the ROUND-14 PLAN:
-    "q113_ann_multiprobe",
 ]
 
 

@@ -464,13 +464,19 @@ _MP_FLIPS = 2
 
 
 def _multiprobe_oracle(
-    n_planes: int = 6, dims: int = 64, n_flip: int = _MP_FLIPS
+    n_planes: int = 6, dims: int = 64, n_flip: int = _MP_FLIPS, n_flip2: int = 0
 ) -> str:
     # identical plane constants to operators.similarity.plane_components
     # (repr round-trips doubles exactly), identical margin rounding (6 dp
     # HALF_UP) and identical struct-lexicographic tie-break — DuckDB
     # re-derives the exact probe set, so even the multi-probe *candidate
     # expansion* is verified bit-for-bit, not just the final ranking.
+    # ``n_flip2`` re-derives the SECOND-ORDER probes the same way the
+    # engine builds them (operators/similarity.py pair expansion): all
+    # pairs of the 4 lowest-margin planes, margin-SUM-sorted with the
+    # flipped bucket value as tie-break — a sum of two identically
+    # 6-dp-rounded doubles is the same IEEE operation in both engines,
+    # so the pair order (and hence the probe set) is bit-reproducible.
     plane = lambda p: (
         "[" + ", ".join(repr(c) for c in S.plane_components(p, dims)) + "]"
     )
@@ -482,6 +488,23 @@ def _multiprobe_oracle(
         f"{{'m': ROUND(ABS(list_dot_product(e, {plane(p)})), 6), 'p': {p}}}"
         for p in range(n_planes)
     )
+    probes = (
+        f"[bucket] || list_transform(list_slice(sm, 1, {n_flip}), "
+        "s -> xor(bucket, CAST(1 AS BIGINT) << s.p))"
+    )
+    if n_flip2:
+        pp = min(n_planes, 4)
+        pair_structs = ", ".join(
+            f"{{'m': sm[{i + 1}].m + sm[{j + 1}].m, "
+            f"'h': xor(xor(bucket, CAST(1 AS BIGINT) << sm[{i + 1}].p), "
+            f"CAST(1 AS BIGINT) << sm[{j + 1}].p)}}"
+            for i in range(pp)
+            for j in range(i + 1, pp)
+        )
+        probes += (
+            f" || list_transform(list_slice(list_sort([{pair_structs}]), "
+            f"1, {n_flip2}), x -> x.h)"
+        )
     return f"""
     WITH v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -494,12 +517,13 @@ def _multiprobe_oracle(
                     ELSE list_transform(e, x -> 0.0) END AS ue
         FROM v
     ),
-    q0 AS (
-        SELECT vec_id AS query_id, ue AS qe,
-               [bucket] || list_transform(
-                   list_slice(list_sort([{margins}]), 1, {n_flip}),
-                   s -> xor(bucket, CAST(1 AS BIGINT) << s.p)) AS probes
+    q00 AS (
+        SELECT vec_id AS query_id, ue AS qe, bucket,
+               list_sort([{margins}]) AS sm
         FROM u WHERE vec_id < {_NQ}
+    ),
+    q0 AS (
+        SELECT query_id, qe, {probes} AS probes FROM q00
     ),
     q AS (SELECT query_id, qe, UNNEST(probes) AS bucket FROM q0),
     c AS (SELECT vec_id AS neighbor_id, bucket, ue AS ce FROM u),
@@ -535,6 +559,32 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _NQ)
     return S.lsh_multiprobe_topk(
         emb, queries, k=_K, n_planes=6, n_flip=_MP_FLIPS
+    )
+
+
+_MP_PAIRS = 4
+
+
+@register(
+    "q114_ann_multiprobe_pairs",
+    oracle=_multiprobe_oracle(n_flip2=_MP_PAIRS),
+    doc="Second-order multi-probe SRP ANN (the dial past the single-bit "
+    "plateau): on top of q113's own-bucket + 2 lowest-margin single "
+    "flips, each query probes the 4 margin-sum-lowest PAIR flips over "
+    "its 4 lowest-margin planes — the next entries of Lv et al.'s "
+    "perturbation sequence, the configuration SCALE.md measured at "
+    "recall 1.0 on the jittered fixture. The oracle re-derives the "
+    "full pair expansion (margin sums of 6-dp-rounded projections, "
+    "struct sort with flipped-bucket tie-break, xor bit flips), so the "
+    "second-order probe SET is cross-engine verified bit-for-bit, not "
+    "just the final ranking. Corpus layout identical to q36/q113: the "
+    "dial never re-indexes.",
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQ)
+    return S.lsh_multiprobe_topk(
+        emb, queries, k=_K, n_planes=6, n_flip=_MP_FLIPS, n_flip2=_MP_PAIRS
     )
 
 

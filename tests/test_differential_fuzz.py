@@ -1,6 +1,6 @@
 """Seeded differential fuzzing: Spark vs DuckDB on identical generated SQL.
 
-The fixed 117-query inventory checks the semantics its authors thought
+The fixed 118-query inventory checks the semantics its authors thought
 to check; `tools/diff_fuzz.py` generates random relational queries
 (FK-walk joins, typed predicates, aggregates, HAVING) and requires both
 engines to agree on the SAME SQL text.  The pytest wrapper runs a fixed

@@ -1,6 +1,6 @@
 """Randomized differential testing: Spark vs DuckDB on identical SQL.
 
-The 117 registered queries are FIXED oracle pairs — each one checks the
+The 118 registered queries are FIXED oracle pairs — each one checks the
 semantics its author thought to check.  This tool generates random
 relational queries from a seeded grammar over the TPC-H-ish testdata
 tables (FK-walk joins, typed predicates, group aggregates, HAVING) and
