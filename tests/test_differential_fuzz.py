@@ -64,7 +64,10 @@ def test_grammar_covers_the_interesting_shapes(fuzz_env):
 # 2446: the timestamp twin — NULL timestamps surface as pd.NaT, and
 # NaTType passes isinstance(_, datetime.datetime), so the NaT check
 # must precede the datetime branch in _canon_cell.
-@pytest.mark.parametrize("seed", [*range(N_SEEDS), 333, 389, 2446])
+# 17/29/35/48: events.ts seeds — the column joined the grammar in r14
+# after setup() started probing the parquet unit (timestamp[us] reads
+# identically in both engines; a NANOS generation is re-excluded).
+@pytest.mark.parametrize("seed", [*range(N_SEEDS), 333, 389, 2446, 17, 29, 35, 48])
 def test_engines_agree(fuzz_env, seed):
     spark, con = fuzz_env
     case, diff = diff_fuzz.run_case(spark, con, seed)
@@ -137,3 +140,15 @@ def test_compare_null_floats_match_only_nulls():
     assert diff_fuzz.compare(a, b, case) is None
     c = _pd([("k", np.nan), ("k", np.nan)], ["g", "v"])
     assert diff_fuzz.compare(a, c, case) is not None
+
+
+def test_events_ts_probe_included_on_us_data(fuzz_env, sf_dir):
+    """The driver's current testdata generation is timestamp[us] in every
+    SF, so setup() must have admitted events.ts to the grammar; if this
+    fails after a testdata regeneration, the NANOS exclusion documented
+    in the module docstring has (correctly) re-engaged and the pinned
+    ts seeds above need re-freezing."""
+    import pyarrow.parquet as pq
+
+    unit = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+    assert ("ts" in diff_fuzz.TABLES["events"]) == (unit == "timestamp[us]")

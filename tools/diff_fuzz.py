@@ -25,10 +25,17 @@ Determinism rules (what keeps an honest comparison possible):
   and NOT a divergence.  Group keys, counts, and projection-mode rows
   (raw parquet values and row-local IEEE arithmetic) are compared
   EXACTLY.
-- ``events`` is excluded: its TIMESTAMP(NANOS) column reads as BIGINT
-  under Spark's nanosAsLong conf but as TIMESTAMP in DuckDB — same SQL
-  text cannot mean the same thing there (documented session gotcha,
-  not an engine divergence).
+- ``events.ts`` joins the grammar CONDITIONALLY (r13 verdict ask #5):
+  ``setup()`` probes the parquet unit. When the driver-generated file
+  is ``timestamp[us]`` (the current generation — verified across all
+  three SFs), both engines read the identical microsecond TIMESTAMP
+  and ts fuzzes like any other "ts" column. If a future generation
+  reverts to TIMESTAMP(NANOS), the probe re-excludes it: Spark then
+  reads BIGINT under the nanosAsLong conf while DuckDB truncates to a
+  microsecond TIMESTAMP — the same SQL text cannot mean the same thing
+  over that column, and no lossless same-text normalization exists
+  (DuckDB's reader drops the sub-microsecond bits before any SQL
+  expression can see them).
 
 Usage:
     python tools/diff_fuzz.py [--sf-dir /root/testdata/sf0.01]
@@ -103,11 +110,12 @@ TABLES: dict[str, dict[str, str]] = {
         "source": "str",
         "n_chars": "int",
     },
-    # events joins nothing and EXCLUDES its ts column: the parquet type
-    # is TIMESTAMP(NANOS), which Spark reads as BIGINT under the
-    # nanosAsLong conf while DuckDB reads TIMESTAMP — the same SQL text
-    # cannot mean the same thing over that column (documented session
-    # gotcha, not an engine divergence). Every other column fuzzes.
+    # events joins nothing; its ts column is added dynamically by
+    # setup() IFF the parquet unit is timestamp[us] (identical in both
+    # engines) — a TIMESTAMP(NANOS) generation reads as BIGINT in Spark
+    # (nanosAsLong) but micro-truncated TIMESTAMP in DuckDB, so the same
+    # SQL text cannot mean the same thing and the column is excluded
+    # (see module docstring). Every other column always fuzzes.
     "events": {
         "event_id": "int",
         "user_id": "int",
@@ -667,11 +675,24 @@ STATS: dict = {}
 
 
 def setup(sf_dir: str, spark=None):
-    """Register views in both engines; fill STATS. Returns (spark, con)."""
+    """Register views in both engines; fill STATS. Returns (spark, con).
+
+    Probes the events.ts parquet unit and includes the column in the
+    grammar only when both engines read it identically (timestamp[us]);
+    a TIMESTAMP(NANOS) generation is re-excluded (module docstring)."""
     import duckdb
+    import pyarrow.parquet as pq
 
     from bricolage_spark.catalog import table_path
     from bricolage_spark.session import get_spark
+
+    ts_unit = str(
+        pq.read_schema(table_path(sf_dir, "events")).field("ts").type
+    )
+    if ts_unit == "timestamp[us]":
+        TABLES["events"]["ts"] = "ts"
+    else:
+        TABLES["events"].pop("ts", None)
 
     if spark is None:
         spark = get_spark("diff_fuzz")

@@ -1,0 +1,325 @@
+"""Metamorphic fuzzing of the §2.7 documents/embeddings operator surface.
+
+`tools/diff_fuzz.py` randomizes the RELATIONAL core (Spark vs DuckDB on
+identical SQL), but no randomized probe touched the curation operators —
+the r13 verdict's ask #4. SQL differential testing doesn't fit here (the
+operators are compositions, not single statements), so this tool checks
+METAMORPHIC properties instead: algebraic identities that must hold for
+every input, evaluated on seeded random corpora with controlled duplicate
+structure (exact-duplicate groups, word-edit near-duplicates, NULL text
+and NULL id rows).
+
+Properties (each checks the operator family behind specific inventory
+rows — the round-14 rotation clips those rows' driver slots against
+exactly this new independent surface):
+
+- P1 dedup idempotence (q31/q67 family, operators/dedup.py): running
+  ``incremental_dedup`` on its own novel output against its own digest
+  registry admits NOTHING, and re-deduping the novel set from scratch
+  returns it unchanged.
+- P2 permutation invariance (q31/q61/q70/q106 families): shuffling input
+  row order (content-hash sort + repartition) changes no result SET —
+  exact_dedup groups, LSH candidate pairs, per-doc split assignment,
+  length histogram.
+- P3 near-dedup idempotence (q50/q61 family): after keeping one
+  representative per LSH-verified connected component, re-running the
+  WHOLE pipeline (shingle → MinHash → banding → exact-Jaccard verify)
+  on the survivors finds zero verified pairs. Holds because the
+  pipeline is deterministic on content: any surviving pair that would
+  verify now would have verified before and shared a component.
+- P4 split content-keying + subset stability (q106 family,
+  operators/curation.py): byte-identical texts never straddle splits,
+  and a doc's split is unchanged when the rest of the corpus is
+  dropped (pure row-local hash — no corpus-composition dependence).
+- P5 registry order invariance (q67 family): the novel set of a batch
+  against a registry is invariant to row order of BOTH sides, and
+  batch-internal duplicates resolve to the min-id representative
+  regardless of order.
+
+Usage:
+    python tools/metamorphic_fuzz.py [--n 40] [--seed0 0]
+Exit code 1 if any (seed, property) fails; each failure prints the seed,
+the property, and the divergence. Pinned regression seeds run in
+tests/test_metamorphic_fuzz.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+_WORDS = (
+    "data spark engine corpus token shard batch query plan join filter "
+    "window stream graph vector bucket probe margin sketch sample split "
+    "quality language source digest anchor span band hash merge scan"
+).split()
+_LANGS = ["en", "es", "de", "fr"]
+_SOURCES = ["web", "wiki", "code", "news"]
+
+
+def gen_corpus(seed: int) -> list[tuple]:
+    """Seeded corpus with controlled duplicate structure.
+
+    ~60 unique base docs; ~15 exact-duplicate clones (same text, new id);
+    ~15 near-duplicate clones (1-2 word edits); 2 NULL-text rows and one
+    NULL-id row (the incremental_dedup contract drops both explicitly).
+    Returns rows (doc_id, text, lang, source).
+    """
+    rng = random.Random(seed)
+    rows: list[tuple] = []
+    next_id = 0
+
+    def add(text, lang=None, source=None):
+        nonlocal next_id
+        rows.append(
+            (
+                next_id,
+                text,
+                lang or rng.choice(_LANGS),
+                source or rng.choice(_SOURCES),
+            )
+        )
+        next_id += 1
+
+    base = []
+    for _ in range(60):
+        n = rng.randint(6, 30)
+        text = " ".join(rng.choice(_WORDS) for _ in range(n))
+        base.append(text)
+        add(text)
+    for _ in range(15):  # exact duplicates
+        add(rng.choice(base))
+    for _ in range(15):  # near duplicates: edit 1-2 words
+        words = rng.choice(base).split()
+        for _ in range(rng.randint(1, 2)):
+            words[rng.randrange(len(words))] = rng.choice(_WORDS)
+        add(" ".join(words))
+    add(None)
+    add(None)
+    rows.append((None, " ".join(rng.choice(_WORDS) for _ in range(8)),
+                 rng.choice(_LANGS), rng.choice(_SOURCES)))
+    rng.shuffle(rows)
+    return rows
+
+
+def make_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def shuffled(df: DataFrame, seed: int, key: str = "doc_id") -> DataFrame:
+    """Same rows, different physical order and partitioning."""
+    return (
+        df.withColumn("_o", F.xxhash64(F.col(key), F.lit(seed)))
+        .orderBy("_o")
+        .drop("_o")
+        .repartition(7)
+    )
+
+
+def rowset(df: DataFrame) -> set[tuple]:
+    return {tuple(r) for r in df.collect()}
+
+
+# --------------------------------------------------------------------------
+# properties: fn(spark, seed) -> None (pass) | str (failure message)
+# --------------------------------------------------------------------------
+
+
+def p1_dedup_idempotence(spark: SparkSession, seed: int) -> str | None:
+    from bricolage_spark.operators.dedup import incremental_dedup
+
+    df = make_df(spark, gen_corpus(seed))
+    novel, digests = incremental_dedup(df, None, "doc_id", "text")
+    novel = novel.localCheckpoint(eager=True)
+    again, _ = incremental_dedup(novel, digests, "doc_id", "text")
+    n = again.count()
+    if n:
+        return f"P1: re-dedup vs own registry admitted {n} rows (want 0)"
+    fresh, _ = incremental_dedup(novel, None, "doc_id", "text")
+    a, b = rowset(novel), rowset(fresh)
+    if a != b:
+        return f"P1: novel set not a fixpoint: {len(a ^ b)} rows differ"
+    return None
+
+
+def p2_permutation_invariance(spark: SparkSession, seed: int) -> str | None:
+    from bricolage_spark.operators.curation import assign_eval_split
+    from bricolage_spark.operators.dedup import (
+        exact_dedup,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+    from bricolage_spark.operators.textual import length_histogram
+
+    df = make_df(spark, gen_corpus(seed))
+    alt = shuffled(df, seed)
+    checks = []
+    checks.append(
+        ("exact_dedup", exact_dedup(df, "doc_id", "text"),
+         exact_dedup(alt, "doc_id", "text"))
+    )
+    nn = df.filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+    an = alt.filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+    sig = minhash_signatures(word_shingles(nn, "doc_id", "text"), "doc_id")
+    sig2 = minhash_signatures(word_shingles(an, "doc_id", "text"), "doc_id")
+    checks.append(
+        ("lsh_pairs",
+         lsh_candidate_pairs(sig, "doc_id", bands=8, rows_per_band=2),
+         lsh_candidate_pairs(sig2, "doc_id", bands=8, rows_per_band=2))
+    )
+    checks.append(
+        ("eval_split",
+         assign_eval_split(nn, "text").select("doc_id", "split", "split_bucket"),
+         assign_eval_split(an, "text").select("doc_id", "split", "split_bucket"))
+    )
+    est = F.ceil(F.length("text") / 4.0).cast("bigint")
+    checks.append(
+        ("length_histogram", length_histogram(nn, est, "lang"),
+         length_histogram(an, est, "lang"))
+    )
+    for name, x, y in checks:
+        a, b = rowset(x), rowset(y)
+        if a != b:
+            return f"P2: {name} not order-invariant: {len(a ^ b)} rows differ"
+    return None
+
+
+def _verified(sh: DataFrame) -> DataFrame:
+    from bricolage_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    sigs = minhash_signatures(sh, "doc_id", num_hashes=16)
+    cand = lsh_candidate_pairs(sigs, "doc_id", bands=8, rows_per_band=2)
+    return ngram_jaccard_pairs(sh, cand, id_col="doc_id").filter(
+        F.col("jaccard") >= 0.5
+    )
+
+
+def p3_neardup_idempotence(spark: SparkSession, seed: int) -> str | None:
+    from bricolage_spark.operators.dedup import word_shingles
+    from bricolage_spark.operators.graph import connected_components
+
+    df = make_df(spark, gen_corpus(seed)).filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    sh = word_shingles(df, "doc_id", "text")
+    pairs = _verified(sh).localCheckpoint(eager=True)
+    if not pairs.take(1):
+        return None  # no near-dups generated this seed; vacuous pass
+    cc = connected_components(pairs, "id_a", "id_b")
+    keep = cc.groupBy("component").agg(F.min("id").alias("doc_id"))
+    drop = cc.join(keep, cc["id"] == keep["doc_id"], "left_anti").select(
+        F.col("id").alias("doc_id")
+    )
+    survivors = df.join(drop, "doc_id", "left_anti")
+    pairs2 = _verified(word_shingles(survivors, "doc_id", "text"))
+    bad = pairs2.take(3)
+    if bad:
+        return f"P3: {len(bad)}+ verified pairs survive near-dedup: {bad}"
+    return None
+
+
+def p4_split_stability(spark: SparkSession, seed: int) -> str | None:
+    from bricolage_spark.operators.curation import assign_eval_split
+
+    # doc_id NULLs excluded: the subset check aligns rows BY id (a NULL id
+    # passes the pmod filter but can never survive the semi-join — a
+    # harness alignment artifact found at sweep seed 0, not an operator
+    # property; content keying itself is id-agnostic)
+    df = make_df(spark, gen_corpus(seed)).filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    full = assign_eval_split(df, "text")
+    straddle = (
+        full.groupBy("text")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    if straddle:
+        return f"P4: {straddle} identical texts straddle splits"
+    sub = df.filter(F.pmod(F.xxhash64("doc_id", F.lit(seed)), F.lit(3)) == 0)
+    a = rowset(full.join(sub.select("doc_id"), "doc_id", "left_semi")
+               .select("doc_id", "split"))
+    b = rowset(assign_eval_split(sub, "text").select("doc_id", "split"))
+    if a != b:
+        return f"P4: split changed under corpus subsetting: {len(a ^ b)} rows"
+    return None
+
+
+def p5_registry_order_invariance(spark: SparkSession, seed: int) -> str | None:
+    from bricolage_spark.operators.dedup import incremental_dedup
+
+    rows = gen_corpus(seed)
+    half = len(rows) // 2
+    hist, batch = make_df(spark, rows[:half]), make_df(spark, rows[half:])
+    _, registry = incremental_dedup(hist, None, "doc_id", "text")
+    registry = registry.localCheckpoint(eager=True)
+    a, _ = incremental_dedup(batch, registry, "doc_id", "text")
+    b, _ = incremental_dedup(
+        shuffled(batch, seed),
+        shuffled(registry, seed, key="content_hash"),
+        "doc_id",
+        "text",
+    )
+    sa, sb = rowset(a), rowset(b)
+    if sa != sb:
+        return f"P5: novel set order-dependent: {len(sa ^ sb)} rows differ"
+    return None
+
+
+PROPERTIES = [
+    p1_dedup_idempotence,
+    p2_permutation_invariance,
+    p3_neardup_idempotence,
+    p4_split_stability,
+    p5_registry_order_invariance,
+]
+
+
+def run_seed(spark: SparkSession, seed: int) -> list[str]:
+    fails = []
+    for prop in PROPERTIES:
+        msg = prop(spark, seed)
+        if msg:
+            fails.append(f"seed={seed} {prop.__name__}: {msg}")
+    return fails
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=40)
+    ap.add_argument("--seed0", type=int, default=0)
+    args = ap.parse_args()
+
+    from bricolage_spark.session import get_spark
+
+    spark = get_spark("metamorphic_fuzz")
+    n_fail = 0
+    for seed in range(args.seed0, args.seed0 + args.n):
+        fails = run_seed(spark, seed)
+        n_fail += len(fails)
+        for msg in fails:
+            print(f"FAIL {msg}")
+        if not fails:
+            print(f"ok seed {seed}", flush=True)
+    print(f"{args.n} seeds x {len(PROPERTIES)} properties, {n_fail} failures")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

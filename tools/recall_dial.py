@@ -65,9 +65,11 @@ def build_jittered(spark, sf_dir: str, copies: int, eps: float = 0.15) -> str:
 
     Copy 0 is the base corpus verbatim; copy i>0 adds per-component
     noise eps * u * ||v|| / sqrt(dims) with u = xxhash64-uniform in
-    [-1, 1] — E[cosine(v, v')] ~= 1/sqrt(1+eps^2) (~0.989 at 0.15), so
-    every base vector gains (copies-1) true near-twins whose SRP
-    signatures differ by a few low-margin bits.
+    [-1, 1]; u's variance is eps^2/3, so E[cosine(v, v')] =
+    1/sqrt(1+eps^2/3) (measured 0.9963 at 0.15 — the r13 text's
+    "~0.989" used unit-variance u). Every base vector gains (copies-1)
+    true near-twins whose SRP signatures differ by a few low-margin
+    bits.
     """
     out = os.path.join(PROBE_DIR, f"jitter{copies}x_eps{eps}")
     marker = os.path.join(out, "_READY")

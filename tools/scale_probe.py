@@ -94,8 +94,26 @@ PROBE_QUERIES = (
 )
 
 
-def build_scaled(spark, k: int, clique_block: int = 0) -> str:
-    """Write a k-times corpus under .scale_probe/sf{k}x (idempotent).
+def _emb_dims(emb) -> int:
+    return len(emb.select("embedding").first()["embedding"])
+
+
+def build_scaled(
+    spark, k: int, clique_block: int = 0, jitter_eps: float = 0.15
+) -> str:
+    """Write a k-times corpus under .scale_probe/sf{k}x… (idempotent).
+
+    EMBEDDINGS are JITTERED by default (r13 verdict ask #6): copy 0 is
+    the base corpus verbatim, copy i>0 adds xxhash64-derived
+    per-component noise — u uniform in [-1, 1] has variance eps²/3, so
+    E[cos(v, v')] = 1/sqrt(1+eps²/3) (measured 0.9963 at the 0.15
+    default on the 4x fixture) — the honest near-twin fixture
+    `tools/recall_dial.py` introduced. Verbatim replication (``jitter_eps=0``) made every
+    scaled vector an EXACT copy sharing its source's SRP bucket/IVF
+    cell by construction, which turned q85's 64x recall column into a
+    fixture artifact (the disclosed r13 note) and understated pairwise
+    load spread. Document-side construction is unchanged, so lexical
+    octave history stays comparable.
 
     ``clique_block`` bounds the NEAR-DUP CLIQUE SIZE: the per-copy
     suffix token breaks only EXACT duplication, so all k copies of a
@@ -114,6 +132,9 @@ def build_scaled(spark, k: int, clique_block: int = 0) -> str:
     plain rotation was tried first and failed the sanity check at 0.67
     Jaccard — a cyclic shift preserves all non-seam adjacencies.)"""
     suffix = f"_deal{clique_block}" if clique_block else ""
+    if jitter_eps:
+        suffix += f"_jit{jitter_eps}"  # recipe in the cache key: a stale
+        # verbatim-replica fixture must never satisfy a jittered request
     out = os.path.join(PROBE_DIR, f"sf{k}x{suffix}")
     marker = os.path.join(out, "_READY")
     if os.path.exists(marker):
@@ -121,6 +142,7 @@ def build_scaled(spark, k: int, clique_block: int = 0) -> str:
     os.makedirs(out, exist_ok=True)
     docs = spark.read.parquet(table_path(BASE_SF, "documents"))
     emb = spark.read.parquet(table_path(BASE_SF, "embeddings"))
+    dims = _emb_dims(emb) if jitter_eps else 0
     parts_d = []
     parts_e = []
     for i in range(k):
@@ -153,10 +175,43 @@ def build_scaled(spark, k: int, clique_block: int = 0) -> str:
                 (F.col("n_chars") + F.lit(len(f" copytag{i}"))).alias("n_chars"),
             )
         )
+        if jitter_eps and i:
+            # recall_dial.py's near-twin recipe: per-component noise
+            # eps·u·‖v‖/√dims with u = xxhash64-uniform in [-1, 1] —
+            # E[cos(v, v')] ≈ 1/sqrt(1+eps²), SRP signatures differ by
+            # a few low-margin bits (a REAL near-duplicate, not a copy)
+            v = F.col("embedding").cast("array<double>")
+            nrm = F.sqrt(
+                F.aggregate(
+                    F.zip_with(v, v, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            scl = F.lit(jitter_eps) / F.lit(float(dims) ** 0.5) * nrm
+            vec = F.transform(
+                v,
+                lambda x, j: x
+                + scl
+                * (
+                    (
+                        F.abs(
+                            F.xxhash64(
+                                F.col("vec_id"), F.lit(i), j, F.lit("jit")
+                            )
+                        )
+                        % 2_000_001
+                    ).cast("double")
+                    / F.lit(1_000_000.0)
+                    - F.lit(1.0)
+                ),
+            ).cast("array<float>")
+        else:
+            vec = F.col("embedding")
         parts_e.append(
             emb.select(
                 (F.col("vec_id") + off).alias("vec_id"),
-                "embedding",
+                vec.alias("embedding"),
                 # labels model a PRECOMPUTED coarse-quantizer cell id
                 # (q42's contract); a 16x corpus retrains with ~16x
                 # cells to hold cell size constant (q77 trains its own,
