@@ -45,6 +45,7 @@ sys.path.insert(0, REPO)
 PROBES = (
     "q36_srp_serve",
     "q113_multiprobe_serve",
+    "q114_pairprobe_serve",
     "q49_build",
     "q49_serve",
     "q68_report",
@@ -109,6 +110,14 @@ def run_single(probe: str, sf_dir: str, runs: int, scale: int) -> dict:
             .groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()
         ]
         out["bucket_dist"] = _dist(sizes)
+    elif probe == "q114_pairprobe_serve":
+        # q113's serve shape + 4 second-order pair probes (t=2, t2=4):
+        # 7 probe rows/query vs q113's 3 — still a broadcast query-side
+        # explosion over the identical corpus bucket layout
+        out["sec"] = best_of(
+            runs,
+            lambda: _noop(specs["q114_ann_multiprobe_pairs"].fn(spark, sf_dir)),
+        )
     elif probe == "q113_multiprobe_serve":
         # q36's serve shape + the query-side probe explosion (t=2):
         # corpus bucket layout identical, candidate volume ~3x of q36's
