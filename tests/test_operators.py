@@ -1870,7 +1870,9 @@ def test_cosine_topk_zero_norm_vector_scores_not_crashes(spark):
     out = {r.neighbor_id: r.cos_sim
            for r in brute_force_cosine_topk(emb, q, k=3).collect()}
     assert out[1] == 0.0
-    lsh_bucketed_topk(emb, q, k=3).collect()  # must not raise
+    # dims=2 matches the fixture width (the r14 width guard correctly
+    # rejects the old implicit 64-plane default against 2-dim vectors)
+    lsh_bucketed_topk(emb, q, k=3, dims=2).collect()  # must not raise
     cents = ivf_centroids(emb, k_cells=2, seed=1)
     ivf_topk(emb, q, cents, k=3).collect()  # must not raise
 
@@ -2389,13 +2391,18 @@ def test_srp_topk_dims_parameter_accepts_other_widths(spark):
 
 def test_srp_topk_null_embedding_still_passes_through(spark):
     """The width guard must not turn NULL embeddings into errors: they
-    keep the pre-guard behavior (NULL projections take the CASE's
-    else-branch, i.e. bucket 0, and any pairing against a NULL vector
-    carries a NULL cos_sim — unchanged by the guard)."""
+    keep the pre-guard behavior — NULL projections take the bucket
+    CASE's else-branch (bucket 0) and any pairing against a NULL vector
+    goes through guarded_cosine's NULL/zero-norm contract (score 0.0,
+    never a raise — the same contract test_cosine_topk_zero_norm pins)."""
     rows = [(1, [1.0] * 64), (2, None)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = S.lsh_bucketed_topk(df, df, k=2, n_planes=4).collect()  # no raise
-    assert all(r.cos_sim is None for r in out if 2 in (r.query_id, r.neighbor_id))
+    assert all(
+        (r.cos_sim or 0.0) == 0.0
+        for r in out
+        if 2 in (r.query_id, r.neighbor_id)
+    )
 
 
 def test_salted_join_rejects_helper_column_collision(spark):

@@ -370,3 +370,22 @@ def test_window_bound_walk_stays_on_first_child_spine():
         "+- GlobalLimit 10",
     ]
     assert not _window_input_is_bounded(sibling_not_descendant, 1)
+
+
+def test_multiprobe_broadcasts_the_query_side(simple_plans):
+    """q113/q114 contract: the ONLY broadcast in the probe join is the
+    QUERY side (small by contract — its probe explosion multiplies a
+    handful of rows), never the corpus inverted-list layout. In the
+    executedPlan tree the probe join is the bucket-keyed
+    BroadcastHashJoin with BuildRight (the code joins
+    corpus.join(broadcast(queries), 'bucket'))."""
+    import re as _re
+
+    for name in ("q113_ann_multiprobe", "q114_ann_multiprobe_pairs"):
+        p = simple_plans[name]
+        m = _re.search(r"BroadcastHashJoin \[bucket[^\n]*", p)
+        assert m, f"{name}: no bucket-keyed broadcast hash join in the plan"
+        assert "BuildRight" in m.group(0), (
+            f"{name}: probe join must build the (broadcast) query side: "
+            f"{m.group(0)[:120]}"
+        )

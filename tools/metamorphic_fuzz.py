@@ -282,12 +282,114 @@ def p5_registry_order_invariance(spark: SparkSession, seed: int) -> str | None:
     return None
 
 
+def p6_span_pipeline_order_invariance(spark: SparkSession, seed: int) -> str | None:
+    """q74/q103 family: span DETECTION (duplicate_spans) and REMOVAL
+    (remove_duplicate_spans) are content functions — both result sets
+    must be invariant to input row order/partitioning. Toy-corpus
+    params (anchor_len=4, min_span=6) so the 6-30-word docs and their
+    clones actually produce spans (non-vacuity asserted)."""
+    from bricolage_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    df = make_df(spark, gen_corpus(seed)).filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    alt = shuffled(df, seed)
+    kw = dict(anchor_len=4, min_span=6)
+    s1 = duplicate_spans(df, "doc_id", "text", **kw)
+    s2 = duplicate_spans(alt, "doc_id", "text", **kw)
+    a, b = rowset(s1), rowset(s2)
+    if a != b:
+        return f"P6: duplicate_spans not order-invariant: {len(a ^ b)} rows"
+    if not a:
+        return "P6: vacuous — no spans detected (fixture should produce clones)"
+    r1 = rowset(remove_duplicate_spans(df, s1, "doc_id", "text"))
+    r2 = rowset(remove_duplicate_spans(alt, s2, "doc_id", "text"))
+    if r1 != r2:
+        return f"P6: remove_duplicate_spans not order-invariant: {len(r1 ^ r2)} rows"
+    if not any(t[2] > 0 for t in r1):  # (id, n_words, n_removed, clean_text)
+        return "P6: vacuous — removal stripped nothing despite detected spans"
+    return None
+
+
+def p7_simhash_content_function(spark: SparkSession, seed: int) -> str | None:
+    """q34 family: simhash is a pure content function — byte-identical
+    texts carry identical fingerprints, and the (id, simhash) set is
+    row-order invariant (the +1/-1 per-bit sums are commutative)."""
+    from bricolage_spark.operators.dedup import simhash
+
+    df = make_df(spark, gen_corpus(seed)).filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    sh = simhash(df, "doc_id", "text").localCheckpoint(eager=True)
+    n = (
+        df.select("doc_id", "text")
+        .join(sh, "doc_id")
+        .groupBy("text")
+        .agg(F.countDistinct("simhash").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    if n:
+        return f"P7: {n} identical texts carry different simhashes"
+    alt = rowset(simhash(shuffled(df, seed), "doc_id", "text"))
+    if rowset(sh) != alt:
+        return "P7: simhash set not order-invariant"
+    return None
+
+
+def p8_span_registry_probe_order_invariance(
+    spark: SparkSession, seed: int
+) -> str | None:
+    """q110 family: the span-registry probe's flagged spans are a
+    function of (batch content, registry content) — invariant to row
+    order of BOTH sides. History = first half of the corpus, batch =
+    second half (clone structure guarantees cross-half hits;
+    non-vacuity asserted)."""
+    from bricolage_spark.operators.dedup import (
+        positional_anchor_keys,
+        span_registry_probe,
+    )
+
+    rows = [
+        r for r in gen_corpus(seed) if r[0] is not None and r[1] is not None
+    ]
+    half = len(rows) // 2
+    hist, batch = make_df(spark, rows[:half]), make_df(spark, rows[half:])
+    k = 4
+    reg = (
+        positional_anchor_keys(hist, "doc_id", "text", k=k)
+        .select("ahash")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ba = positional_anchor_keys(batch, "doc_id", "text", k=k)
+    a = rowset(span_registry_probe(ba, reg, "doc_id", anchor_len=k, min_span=6))
+    ba2 = positional_anchor_keys(shuffled(batch, seed), "doc_id", "text", k=k)
+    b = rowset(
+        span_registry_probe(
+            ba2, shuffled(reg, seed, key="ahash"), "doc_id",
+            anchor_len=k, min_span=6,
+        )
+    )
+    if a != b:
+        return f"P8: probe not order-invariant: {len(a ^ b)} rows differ"
+    if not a:
+        return "P8: vacuous — no cross-half spans (fixture should produce clones)"
+    return None
+
+
 PROPERTIES = [
     p1_dedup_idempotence,
     p2_permutation_invariance,
     p3_neardup_idempotence,
     p4_split_stability,
     p5_registry_order_invariance,
+    p6_span_pipeline_order_invariance,
+    p7_simhash_content_function,
+    p8_span_registry_probe_order_invariance,
 ]
 
 
