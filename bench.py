@@ -213,11 +213,22 @@ def baseline_regressions(
         )
     try:
         with open(base_path) as f:
-            head = json.loads(f.readline())
-            base = head.get("queries", {})
-            if head.get("sf") != sf:
-                return {}
-    except (OSError, ValueError):
+            txt = f.read()
+        # BASELINE.json is one standalone JSON document — parse the WHOLE
+        # file. The old first-line read silently raised on the indented
+        # format the r12 re-pin introduced, and the except below turned
+        # every bench's `regressions` into a vacuous {} for three rounds
+        # (found r14; regression-tested in test_bench_regressions.py).
+        # The single-line fallback keeps bench-output files (first line =
+        # detail JSON) usable as an explicit base_path.
+        try:
+            head = json.loads(txt)
+        except ValueError:
+            head = json.loads(txt.splitlines()[0])
+        base = head.get("queries", {})
+        if head.get("sf") != sf:
+            return {}
+    except (OSError, ValueError, IndexError):
         return {}
     scale = 1.0
     dd_base = head.get("duckdb_total")

@@ -111,3 +111,58 @@ def test_summary_ratios_and_query_key_shortening(tmp_path):
     assert s["ratio_default"] == 1.2
     assert s["ratio_tuned"] == 0.8
     assert s["tuned_total"] == 8.0
+
+
+def test_detector_parses_the_indented_baseline_format(tmp_path):
+    """r14 finding: the loader read only the FIRST LINE of BASELINE.json;
+    the r12 re-pin switched the file to json.dump(indent=1), the parse
+    raised, the except swallowed it, and every bench's `regressions`
+    field was a vacuous {} for three rounds. The detector must parse the
+    indented multi-line format (and the tests above must not be the only
+    coverage, since they fed it single-line synthetics)."""
+    b = _bench()
+    p = tmp_path / "BASELINE.json"
+    p.write_text(
+        json.dumps(
+            {"sf": 0.1, "queries": {"q1": 0.5}, "duckdb_total": 10.0},
+            indent=1,
+        )
+    )
+    out = b.baseline_regressions(
+        {"q1": 5.0}, 0.1, duckdb_total=10.0, base_path=str(p)
+    )
+    assert out == {"q1": [0.5, 5.0]}, "multi-line baseline must parse"
+
+
+def test_detector_parses_the_live_repo_baseline():
+    """Format drift guard on the REAL artifact: whatever format the repo's
+    BASELINE.json is re-pinned in, a planted 3x row must flag. If this
+    fails after a re-pin, the detector is silently dead again."""
+    b = _bench()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "BASELINE.json")
+    with open(path) as f:
+        head = json.load(f)
+    name, ref = next(iter(head["queries"].items()))
+    out = b.baseline_regressions(
+        {name: max(0.31, ref * 3 + 0.3)},
+        head["sf"],
+        duckdb_total=head.get("duckdb_total"),
+        base_path=path,
+    )
+    assert name in out, "live BASELINE.json format must be parseable"
+
+
+def test_detector_first_line_fallback_for_bench_output(tmp_path):
+    """Explicit base_path may point at a bench OUTPUT file (detail JSON on
+    line 1, summary on line 2): the fallback must read line 1."""
+    b = _bench()
+    p = tmp_path / "bench_out.json"
+    p.write_text(
+        json.dumps({"sf": 0.1, "queries": {"q1": 0.5}, "duckdb_total": 10.0})
+        + "\n" + json.dumps({"metric": "summary"}) + "\n"
+    )
+    out = b.baseline_regressions(
+        {"q1": 5.0}, 0.1, duckdb_total=10.0, base_path=str(p)
+    )
+    assert out == {"q1": [0.5, 5.0]}
