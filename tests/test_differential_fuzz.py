@@ -67,7 +67,9 @@ def test_grammar_covers_the_interesting_shapes(fuzz_env):
 # 17/29/35/48: events.ts seeds — the column joined the grammar in r14
 # after setup() started probing the parquet unit (timestamp[us] reads
 # identically in both engines; a NANOS generation is re-excluded).
-@pytest.mark.parametrize("seed", [*range(N_SEEDS), 333, 389, 2446, 17, 29, 35, 48])
+# 18/70: correlated-EXISTS seeds (the r14 grammar extension; a
+# different decorrelation path in both planners than IN-subqueries).
+@pytest.mark.parametrize("seed", [*range(N_SEEDS), 333, 389, 2446, 17, 29, 35, 48, 18, 70])
 def test_engines_agree(fuzz_env, seed):
     spark, con = fuzz_env
     case, diff = diff_fuzz.run_case(spark, con, seed)

@@ -228,7 +228,14 @@ def _predicate(rng: random.Random, table: str, col: str, ty: str, stats) -> str:
             return f"{col} IS NOT NULL"
         return f"{col} LIKE '{prefix}%'"
     # FK-edge subquery predicates: col IN (SELECT parent_pk FROM parent
-    # WHERE ...) — the parent PKs are non-NULL, so NOT IN is safe too
+    # WHERE ...) — the parent PKs are non-NULL, so NOT IN is safe too.
+    # The EXISTS form is the CORRELATED twin (r14 grammar extension):
+    # EXISTS (SELECT 1 FROM parent WHERE parent.pk = child.fk AND ...) —
+    # same semantics on non-NULL FK columns but a different decorrelation
+    # path in both planners, i.e. a distinct engine surface. The inner
+    # FROM shadows the parent name; the correlation qualifies the outer
+    # table explicitly (never self-referential: FK edges join distinct
+    # tables).
     fk = [e for e in FK_EDGES if e[0] == table and e[2] == col]
     if fk and rng.random() < 0.5:
         _lt, rt, _lc, rc = rng.choice(fk)
@@ -237,6 +244,11 @@ def _predicate(rng: random.Random, table: str, col: str, ty: str, stats) -> str:
             random.Random(rng.randint(0, 1 << 30)), *rng.choice(sub_cols), stats
         )
         neg = rng.choice(["", "NOT "])
+        if rng.random() < 0.4:
+            return (
+                f"{neg}EXISTS (SELECT 1 FROM {rt} WHERE {rt}.{rc} = "
+                f"{table}.{col} AND ({sub_pred}))"
+            )
         return f"{col} {neg}IN (SELECT {rc} FROM {rt} WHERE {sub_pred})"
     if ty == "int" and rng.random() < 0.15:
         # scalar subquery: AVG over ints is exact (integer sum / exact

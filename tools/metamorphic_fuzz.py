@@ -381,6 +381,77 @@ def p8_span_registry_probe_order_invariance(
     return None
 
 
+def p9_stream_batch_equivalence(spark: SparkSession, seed: int) -> str | None:
+    """Structured Streaming's batch/stream unification, fuzzed (§2.3
+    streaming rows): tumbling-window counts over a random OUT-OF-ORDER
+    event stream, executed as a REAL file-source stream (availableNow
+    micro-batches, complete-mode memory sink), must equal the batch
+    groupBy over the same rows — and be invariant to how the rows are
+    SPLIT into files (micro-batch boundaries are an execution detail,
+    never a semantics knob). Values are multiples of 0.25 so float sums
+    are exact in any accumulation order."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from bricolage_spark.streaming import windows as W
+
+    rng = random.Random(seed * 31 + 7)
+    rows = [
+        {
+            "event_id": i,
+            "ts": f"2024-01-01T{rng.randint(0, 3):02d}:{rng.randint(0, 59):02d}:00",
+            "user_id": rng.randint(1, 5),
+            "event_type": rng.choice(["click", "view", "buy"]),
+            "value": rng.randint(0, 40) * 0.25,
+        }
+        for i in range(rng.randint(40, 120))
+    ]
+    rng.shuffle(rows)  # out-of-order event time across micro-batches
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    batch = spark.createDataFrame(
+        [(r["event_id"], r["ts"].replace("T", " "), r["user_id"],
+          r["event_type"], r["value"]) for r in rows],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    expect = rowset(W.tumbling_counts(batch))
+
+    def run_stream(n_files: int, tag: str) -> set:
+        d = tempfile.mkdtemp(prefix=f"p9_{seed}_{tag}_")
+        try:
+            per = max(1, len(rows) // n_files)
+            for fi in range(0, len(rows), per):
+                with open(f"{d}/b{fi}.json", "w") as f:
+                    for r in rows[fi : fi + per]:
+                        f.write(_json.dumps(r) + "\n")
+            name = f"p9_sink_{seed}_{tag}"
+            q = (
+                W.tumbling_counts(W.read_event_stream(spark, d, schema))
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", f"{d}/_ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return rowset(spark.table(name))
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    one = run_stream(1, "one")
+    if one != expect:
+        return f"P9: single-file stream != batch: {len(one ^ expect)} rows"
+    many = run_stream(4, "many")
+    if many != expect:
+        return f"P9: 4-file stream != batch: {len(many ^ expect)} rows"
+    return None
+
+
 PROPERTIES = [
     p1_dedup_idempotence,
     p2_permutation_invariance,
@@ -390,6 +461,7 @@ PROPERTIES = [
     p6_span_pipeline_order_invariance,
     p7_simhash_content_function,
     p8_span_registry_probe_order_invariance,
+    p9_stream_batch_equivalence,
 ]
 
 
