@@ -7,10 +7,9 @@ numbers on its own):
 
     {...full detail: per-query times, tuned block, duckdb oracles...}
     {"metric": "...", "value": <total sec>, "unit": "sec", "sf": 0.1,
-     "n_queries": N, "queries": {"q01": sec, ...}, "duckdb_total": ...,
-     "ratio_default": ..., ...}
+     "n_queries": N, "duckdb_total": ..., "ratio_default": ..., ...}
 
-Two config blocks run back-to-back, each in a fresh SparkSession:
+Two configurations are measured (plus the DuckDB oracle column):
 
 - DEFAULT (the headline ``value``): the engine's own session defaults —
   AQE on, shuffle.partitions as get_spark() sets them. The published
@@ -21,6 +20,24 @@ Two config blocks run back-to-back, each in a fresh SparkSession:
   scheduling overhead; at 100 TB AQE re-enables and picks partition
   counts at runtime. The tuned block quantifies that harness floor —
   it is NOT an engine default and is labeled accordingly.
+
+Two measurement PROTOCOLS (``--protocol``):
+
+- ``interleaved`` (DEFAULT since round 15): for EACH query, the
+  default-conf runs, tuned-conf runs, and DuckDB-oracle runs execute
+  back-to-back — same-minute, not same-quarter-hour — so host-load
+  drift cancels in the published ratios. Motivation (r14 verdict):
+  three same-code block-mode runs read 50.9 / 67.9 / 98.6 s on the
+  default block while tuned and DuckDB held flat — the AQE block's
+  stage-by-stage scheduling pays the host's contended floor per stage,
+  and a block design lets minutes of drift accumulate between the
+  numerator and denominator of the gate ratio. The two Spark confs
+  share one session (both differ only in runtime-settable SQL confs,
+  toggled per measurement); artifacts are staged ONCE and the single
+  build cost is reported in ``artifact_build``.
+- ``block``: the historical design — each conf in its own fresh
+  SparkSession, whole inventory per block, DuckDB last. Kept for
+  continuity with the pinned BASELINE.md tables (r1–r14).
 
 Each query executes fully via the no-op sink (write.format("noop")) so
 timing covers the whole plan — scan, shuffle, agg — without collect/
@@ -58,6 +75,7 @@ conditions.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import re
@@ -66,8 +84,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from bricolage_spark.queries import load_all
-from bricolage_spark.session import get_spark, stop_spark
+# bricolage_spark / pyspark imports are deferred into the functions that
+# need them so `bench.py --help` answers in well under a second instead of
+# paying the pyspark import (r14 verdict ask #5).
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -138,6 +157,7 @@ def bench_block(
 ) -> tuple[dict[str, float], float]:
     """One config block in a fresh session; returns (best_times, build_sec)."""
     from bricolage_spark.queries import llm_ops
+    from bricolage_spark.session import get_spark, stop_spark
 
     stop_spark()
     spark = get_spark("bench", extra_conf=extra_conf)
@@ -160,7 +180,8 @@ def bench_block(
     return times, build_sec
 
 
-def run_duckdb(specs, sf_dir: str, n_runs: int) -> dict[str, float]:
+def duckdb_connect(sf_dir: str):
+    """DuckDB connection with the testdata tables registered as views."""
     import duckdb
 
     from bricolage_spark.catalog import TESTDATA_TABLES, table_path
@@ -171,6 +192,11 @@ def run_duckdb(specs, sf_dir: str, n_runs: int) -> dict[str, float]:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{table_path(sf_dir, t)}')"
         )
+    return con
+
+
+def run_duckdb(specs, sf_dir: str, n_runs: int) -> dict[str, float]:
+    con = duckdb_connect(sf_dir)
     times: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         if spec.oracle is None:
@@ -182,6 +208,83 @@ def run_duckdb(specs, sf_dir: str, n_runs: int) -> dict[str, float]:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
     return times
+
+
+def bench_interleaved(
+    specs,
+    sf_dir: str,
+    tuned_conf: dict[str, str],
+    n_runs: int,
+    mode: str,
+    with_duckdb: bool,
+) -> tuple[dict[str, float], dict[str, float], dict[str, float], float]:
+    """Per-query interleaving: for EACH query, measure default conf, tuned
+    conf, and the DuckDB oracle back-to-back, so the three columns of any
+    one row see the same host state and drift cancels in the ratios.
+
+    One SparkSession serves both confs — the tuned knobs (AQE,
+    shuffle.partitions) are runtime-settable SQL confs, toggled per
+    measurement. Artifacts are staged ONCE (under default conf, before the
+    loop); both Spark columns serve from the same staged tables, and the
+    single build cost is the returned ``build_sec`` — the block protocol
+    instead re-stages per block, which is the one intended difference
+    between the designs (per-query serve times are the same statistic in
+    both).
+
+    Returns (default_times, tuned_times, duckdb_times, build_sec); the
+    dicts for skipped columns (mode/--no-duckdb) come back empty.
+    """
+    from bricolage_spark.queries import llm_ops
+    from bricolage_spark.session import get_spark, stop_spark
+
+    stop_spark()
+    spark = get_spark("bench")
+    llm_ops.release_caches()
+    default_conf = {k: spark.conf.get(k) for k in tuned_conf}
+
+    def _set(conf: dict[str, str]) -> None:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+
+    con = duckdb_connect(sf_dir) if with_duckdb else None
+    # warm-up under BOTH confs: JVM, codegen, parquet footer caches
+    for conf in (tuned_conf, default_conf):
+        _set(conf)
+        specs["q05_tpch_q1"].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    t0 = time.perf_counter()
+    llm_ops.stage_artifacts(spark, sf_dir)
+    build_sec = round(time.perf_counter() - t0, 3)
+
+    d_times: dict[str, float] = {}
+    t_times: dict[str, float] = {}
+    dd_times: dict[str, float] = {}
+
+    def _best_spark(spec) -> float:
+        best = float("inf")
+        for _ in range(n_runs):
+            t1 = time.perf_counter()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t1)
+        return round(best, 3)
+
+    for name, spec in sorted(specs.items()):
+        if mode in ("default", "both"):
+            _set(default_conf)
+            d_times[name] = _best_spark(spec)
+        if mode in ("tuned", "both"):
+            _set(tuned_conf)
+            t_times[name] = _best_spark(spec)
+        if con is not None and spec.oracle is not None:
+            best = float("inf")
+            for _ in range(n_runs):
+                t1 = time.perf_counter()
+                con.sql(spec.oracle).fetchall()
+                best = min(best, time.perf_counter() - t1)
+            dd_times[name] = round(best, 3)
+    _set(default_conf)
+    return d_times, t_times, dd_times, build_sec
 
 
 def _short(name: str) -> str:
@@ -251,62 +354,157 @@ def baseline_regressions(
     return out
 
 
+_TUNED_LABEL = (
+    "AQE off, shuffle.partitions=8 (bench harness tuning, "
+    "NOT an engine default; at scale AQE re-enables and picks "
+    "partition counts at runtime)"
+)
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    """Strict CLI: an unknown flag ERRORS (exit 2) instead of silently
+    burning a ~14-minute full run (r14 verdict: ``--help`` used to run the
+    whole bench). Env vars remain the defaults for driver continuity."""
+    p = argparse.ArgumentParser(
+        prog="bench.py",
+        description=(
+            "Benchmark the full query inventory at $SPARK_GRAFT_SF_DIR "
+            "(default /root/testdata/sf0.1). Prints a detail JSON line, "
+            "then a compact summary as the FINAL line (the driver "
+            "captures only a small stdout tail)."
+        ),
+        epilog=(
+            "Protocols: 'interleaved' (default) measures default-conf / "
+            "tuned-conf / DuckDB back-to-back PER QUERY in one session, so "
+            "host drift cancels in the ratios; 'block' is the historical "
+            "design (each conf a fresh session over the whole inventory, "
+            "DuckDB last — minutes apart, drift-sensitive). Confs: "
+            "DEFAULT = engine defaults (AQE on); TUNED = " + _TUNED_LABEL
+        ),
+    )
+    p.add_argument(
+        "--no-duckdb",
+        action="store_true",
+        help="skip the same-run DuckDB oracle column (isolating Spark timings)",
+    )
+    p.add_argument(
+        "--protocol",
+        choices=["interleaved", "block"],
+        default=os.environ.get("SPARK_GRAFT_BENCH_PROTOCOL", "interleaved"),
+        help="measurement protocol (default: interleaved; env SPARK_GRAFT_BENCH_PROTOCOL)",
+    )
+    p.add_argument(
+        "--mode",
+        choices=["default", "tuned", "both"],
+        default=os.environ.get("SPARK_GRAFT_BENCH_MODE", "both"),
+        help="which Spark conf(s) to measure (default: both; env SPARK_GRAFT_BENCH_MODE)",
+    )
+    p.add_argument(
+        "--runs",
+        type=int,
+        default=max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))),
+        help="best-of-N runs per query per engine (default: 3; env SPARK_GRAFT_BENCH_RUNS)",
+    )
+    return p.parse_args(argv)
+
+
 def main() -> None:
+    args = parse_args()
+    from bricolage_spark.queries import load_all
+
     specs = load_all()
     # DuckDB same-run comparison is ON by default (the gate ratio must be
     # attested in the driver-visible artifact, not only in BASELINE.md)
-    with_duckdb = "--no-duckdb" not in sys.argv
+    with_duckdb = not args.no_duckdb
     if with_duckdb:
         try:
             import duckdb  # noqa: F401
         except ImportError:
             with_duckdb = False
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "both")  # default|tuned|both
+    n_runs = max(1, args.runs)
+    mode = args.mode
+    tuned_conf = {
+        "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "false"),
+        "spark.sql.shuffle.partitions": os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"
+        ),
+    }
 
-    out: dict = {"unit": "sec", "sf": sf_of(SF_DIR)}
-    if mode in ("default", "both"):
-        times, build_sec = bench_block(specs, SF_DIR, None, n_runs)
-        out["metric"] = (
-            f"sum of per-query best-of-{n_runs} wall sec, full query "
-            "inventory (noop sink, warm session, ENGINE-DEFAULT conf: "
-            "AQE on)"
+    out: dict = {"unit": "sec", "sf": sf_of(SF_DIR), "protocol": args.protocol}
+    if args.protocol == "interleaved":
+        d_times, t_times, dd_times, build_sec = bench_interleaved(
+            specs, SF_DIR, tuned_conf, n_runs, mode, with_duckdb
         )
-        out["value"] = round(sum(times.values()), 3)
-        out["queries"] = times
-        out["artifact_build"] = build_sec
-    if mode in ("tuned", "both"):
-        tuned_conf = {
-            "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "false"),
-            "spark.sql.shuffle.partitions": os.environ.get(
-                "SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"
-            ),
-        }
-        t_times, t_build = bench_block(specs, SF_DIR, tuned_conf, n_runs)
-        tuned = {
-            "conf": "AQE off, shuffle.partitions=8 (bench harness tuning, "
-            "NOT an engine default; at scale AQE re-enables and picks "
-            "partition counts at runtime)",
-            "total": round(sum(t_times.values()), 3),
-            "queries": t_times,
-            "artifact_build": t_build,
-        }
-        if mode == "tuned":
+        proto_note = (
+            "; INTERLEAVED protocol: default/tuned/duckdb measured "
+            "back-to-back per query, one shared session + artifact stage"
+        )
+        if mode in ("default", "both"):
             out["metric"] = (
                 f"sum of per-query best-of-{n_runs} wall sec, full query "
-                "inventory (noop sink, warm session, TUNED conf)"
+                "inventory (noop sink, warm session, ENGINE-DEFAULT conf: "
+                "AQE on" + proto_note + ")"
             )
-            out["value"] = tuned["total"]
-            out["queries"] = t_times
-            out["artifact_build"] = t_build
-        else:
-            out["tuned"] = tuned
+            out["value"] = round(sum(d_times.values()), 3)
+            out["queries"] = d_times
+            out["artifact_build"] = build_sec
+        if mode in ("tuned", "both"):
+            tuned = {
+                "conf": _TUNED_LABEL,
+                "total": round(sum(t_times.values()), 3),
+                "queries": t_times,
+                # one shared stage serves both confs in this protocol
+                "artifact_build": build_sec,
+            }
+            if mode == "tuned":
+                out["metric"] = (
+                    f"sum of per-query best-of-{n_runs} wall sec, full query "
+                    "inventory (noop sink, warm session, TUNED conf"
+                    + proto_note + ")"
+                )
+                out["value"] = tuned["total"]
+                out["queries"] = t_times
+                out["artifact_build"] = build_sec
+            else:
+                out["tuned"] = tuned
+        if with_duckdb:
+            out["duckdb_queries"] = dd_times
+            out["duckdb_total"] = round(sum(dd_times.values()), 3)
+    else:
+        if mode in ("default", "both"):
+            times, build_sec = bench_block(specs, SF_DIR, None, n_runs)
+            out["metric"] = (
+                f"sum of per-query best-of-{n_runs} wall sec, full query "
+                "inventory (noop sink, warm session, ENGINE-DEFAULT conf: "
+                "AQE on)"
+            )
+            out["value"] = round(sum(times.values()), 3)
+            out["queries"] = times
+            out["artifact_build"] = build_sec
+        if mode in ("tuned", "both"):
+            t_times, t_build = bench_block(specs, SF_DIR, tuned_conf, n_runs)
+            tuned = {
+                "conf": _TUNED_LABEL,
+                "total": round(sum(t_times.values()), 3),
+                "queries": t_times,
+                "artifact_build": t_build,
+            }
+            if mode == "tuned":
+                out["metric"] = (
+                    f"sum of per-query best-of-{n_runs} wall sec, full query "
+                    "inventory (noop sink, warm session, TUNED conf)"
+                )
+                out["value"] = tuned["total"]
+                out["queries"] = t_times
+                out["artifact_build"] = t_build
+            else:
+                out["tuned"] = tuned
+        if with_duckdb:
+            out["duckdb_queries"] = run_duckdb(specs, SF_DIR, n_runs)
+            # sum of per-query bests — the SAME statistic as the Spark
+            # totals, so the ratio compares like with like.
+            out["duckdb_total"] = round(sum(out["duckdb_queries"].values()), 3)
     out["staged_artifact_queries"] = list(STAGED)
-    if with_duckdb:
-        out["duckdb_queries"] = run_duckdb(specs, SF_DIR, n_runs)
-        # sum of per-query bests — the SAME statistic as the Spark totals,
-        # so the ratio compares like with like.
-        out["duckdb_total"] = round(sum(out["duckdb_queries"].values()), 3)
     print(json.dumps(out))
     sys.stdout.flush()
     print(json.dumps(build_summary(out, mode)), flush=True)
@@ -314,17 +512,22 @@ def main() -> None:
 
 def build_summary(out: dict, mode: str, base_path: str | None = None) -> dict:
     """The COMPACT final stdout line: the driver records only a small
-    stdout tail, which the full detail line above can overflow. Short
-    per-query keys (qNN) keep this line well under 2 kB for the whole
-    inventory."""
+    stdout tail (~2,000 chars), which the full detail line above always
+    overflows. This line must therefore stay BOUNDED regardless of
+    inventory size: no per-query dict (it is on the detail line), and
+    ``regressions`` capped to the top 8 by absolute excess with the full
+    count in ``n_regressions_total``. (r14 lesson: the 118-entry query
+    dict plus a 47-entry regressions dict pushed the line to 2,594 chars
+    and the driver recorded ``parsed: null`` — pinned small forever by
+    test_summary_line_stays_bounded.)"""
     summary: dict = {
         "metric": out.get("metric", "bench"),
         "value": out.get("value"),
         "unit": "sec",
         "sf": out["sf"],
+        "protocol": out.get("protocol", "block"),
         "n_queries": len(out.get("queries", {})),
         "artifact_build": out.get("artifact_build"),
-        "queries": {_short(k): v for k, v in out.get("queries", {}).items()},
     }
     # Regressions are defined as default-conf vs BASELINE.json's
     # default-conf column; in tuned-only mode out["queries"] holds tuned
@@ -334,7 +537,11 @@ def build_summary(out: dict, mode: str, base_path: str | None = None) -> dict:
             out["queries"], out["sf"], out.get("duckdb_total"),
             base_path=base_path,
         )
-        summary["regressions"] = {_short(k): v for k, v in sorted(reg.items())}
+        worst_first = sorted(
+            reg.items(), key=lambda kv: kv[1][1] - kv[1][0], reverse=True
+        )
+        summary["n_regressions_total"] = len(reg)
+        summary["regressions"] = {_short(k): v for k, v in worst_first[:8]}
     if "tuned" in out:
         summary["tuned_total"] = out["tuned"]["total"]
     if "duckdb_total" in out:

@@ -499,7 +499,11 @@ def _width_checked(bucket: Column, vec: str, dims: int) -> Column:
     expression (r13 ADVICE): a vector whose width differs from the plane
     dimensionality fails the job with a clear message instead of silently
     projecting against NULL-padded planes. NULL embeddings keep their
-    pre-guard behavior (NULL bucket, matches nothing)."""
+    pre-guard behavior: srp_bucket maps a NULL vector to bucket 0 (each
+    IF(NULL >= 0, bit, 0) term yields 0), so NULL rows on both sides
+    collide in bucket 0 and pair at score 0.0 via the guarded-cosine
+    NULL contract (pinned by
+    test_srp_topk_null_embedding_still_passes_through)."""
     return (
         F.when(F.col(vec).isNull() | (F.size(F.col(vec)) == dims), bucket)
         .otherwise(

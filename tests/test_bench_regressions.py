@@ -97,7 +97,7 @@ def test_tuned_mode_summary_skips_regressions(tmp_path, monkeypatch):
         assert s["regressions"] == {"q1": [0.5, 5.0]}
 
 
-def test_summary_ratios_and_query_key_shortening(tmp_path):
+def test_summary_ratios_and_no_per_query_dict(tmp_path):
     b = _bench()
     out = {
         "sf": 0.1,
@@ -107,10 +107,87 @@ def test_summary_ratios_and_query_key_shortening(tmp_path):
         "tuned": {"total": 8.0},
     }
     s = b.build_summary(out, "both", base_path=str(tmp_path / "nope"))
-    assert s["queries"] == {"q33": 12.0}
+    # r14 driver-contract regression: the per-query dict overflowed the
+    # driver's stdout tail (parsed: null) — it must NEVER be on this line
+    assert "queries" not in s
+    assert s["n_queries"] == 1
     assert s["ratio_default"] == 1.2
     assert s["ratio_tuned"] == 0.8
     assert s["tuned_total"] == 8.0
+
+
+def test_summary_line_stays_bounded(tmp_path):
+    """The final stdout line must stay <1.5 kB even with a synthetic
+    118-row inventory where EVERY query flags as a regression — the
+    worst case that broke the r14 driver capture (2,594 chars)."""
+    b = _bench()
+    queries = {f"q{i}_some_longish_query_name": 0.5 for i in range(1, 119)}
+    base = _baseline(tmp_path, queries, duckdb_total=10.0)
+    current = {k: 5.0 for k in queries}  # 10x everywhere: all 118 flag
+    out = {
+        "metric": "sum of per-query best-of-3 wall sec, full query "
+        "inventory (noop sink, warm session, ENGINE-DEFAULT conf: AQE on; "
+        "INTERLEAVED protocol: default/tuned/duckdb measured back-to-back "
+        "per query, one shared session + artifact stage)",
+        "sf": 0.1,
+        "protocol": "interleaved",
+        "value": 590.0,
+        "queries": current,
+        "artifact_build": 12.345,
+        "duckdb_total": 10.0,
+        "tuned": {"total": 8.0},
+    }
+    s = b.build_summary(out, "both", base_path=base)
+    line = json.dumps(s)
+    assert len(line) < 1500, f"summary line is {len(line)} chars"
+    assert s["n_regressions_total"] == 118
+    assert len(s["regressions"]) == 8
+
+
+def test_summary_regressions_capped_worst_first(tmp_path):
+    b = _bench()
+    queries = {f"q{i}_x": 0.5 for i in range(1, 21)}
+    base = _baseline(tmp_path, queries, duckdb_total=10.0)
+    # q20 has the largest absolute excess, descending from there
+    current = {f"q{i}_x": 0.5 + 0.5 * i for i in range(1, 21)}
+    out = {"sf": 0.1, "value": 1.0, "queries": current, "duckdb_total": 10.0}
+    s = b.build_summary(out, "both", base_path=base)
+    assert s["n_regressions_total"] == 20
+    assert list(s["regressions"]) == [f"q{i}" for i in range(20, 12, -1)]
+
+
+def test_cli_help_and_unknown_flag(tmp_path):
+    """r14 verdict: `bench.py --help` used to silently run the full
+    ~14-minute bench. argparse must make --help exit 0 fast and an
+    unknown flag exit 2, neither touching Spark."""
+    import subprocess
+    import sys as _sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench = os.path.join(root, "bench.py")
+    r = subprocess.run(
+        [_sys.executable, bench, "--help"], capture_output=True, timeout=60
+    )
+    assert r.returncode == 0
+    assert b"interleaved" in r.stdout and b"block" in r.stdout
+    r = subprocess.run(
+        [_sys.executable, bench, "--duckdb"], capture_output=True, timeout=60
+    )
+    assert r.returncode == 2
+    assert b"unrecognized" in r.stderr
+
+
+def test_cli_defaults():
+    b = _bench()
+    args = b.parse_args([])
+    assert args.protocol == "interleaved"
+    assert args.mode == "both"
+    assert args.runs == 3
+    assert args.no_duckdb is False
+    args = b.parse_args(["--protocol", "block", "--no-duckdb", "--runs", "1"])
+    assert args.protocol == "block"
+    assert args.no_duckdb is True
+    assert args.runs == 1
 
 
 def test_detector_parses_the_indented_baseline_format(tmp_path):

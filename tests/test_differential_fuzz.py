@@ -133,6 +133,50 @@ def test_compare_group_multiplicity_divergence():
     assert diff_fuzz.compare(a, b, case) is not None
 
 
+def test_compare_overlapping_tolerance_windows_use_maximal_matching():
+    """r14 ADVICE: a1 within tol of b1 AND b2, a2 within tol of b1 only —
+    greedy first-fit consumes b1 for a1 and strands a2, reporting a
+    spurious divergence though a perfect matching (a1-b2, a2-b1) exists.
+    In ONE float column the deterministic repr-sort happens to rescue
+    greedy (the tolerance graph is an interval graph), so this is the
+    genuinely adversarial TWO-column construction where sort order
+    (x-major) conflicts with the match structure (decided by y):
+    a1=(1.0, 1.0) sorts first and tries b1=(1.0, 1.000000008) first,
+    but b1 is the ONLY partner of a2=(1.000000005, 1.000000012)."""
+    case = {"float_cols": ["x", "y"]}
+    a = _pd(
+        [("k", 1.0, 1.0), ("k", 1.000000005, 1.000000012)], ["g", "x", "y"]
+    )
+    b = _pd(
+        [("k", 1.0, 1.000000008), ("k", 1.000000005, 1.0)], ["g", "x", "y"]
+    )
+    # adjacency sanity for the scenario: a2-b2 differ by 1.2e-8 in y,
+    # above the ~1e-8 relative tolerance; every other pair is within it
+    assert not diff_fuzz._tol_eq(1.000000012, 1.0)
+    assert diff_fuzz._tol_eq(1.0, 1.000000008)
+    assert diff_fuzz.compare(a, b, case) is None
+    # sanity: a genuinely unmatchable remainder still diverges
+    c = _pd(
+        [("k", 1.0, 1.000000008), ("k", 1.000000005, 2.0)], ["g", "x", "y"]
+    )
+    assert diff_fuzz.compare(a, c, case) is not None
+
+
+def test_compare_exact_key_folds_integral_floats():
+    """r14 ADVICE: a nullable integer column materializing as float64 in
+    one engine (1.0) and int in the other (1) must key to the SAME exact
+    group (the old value-equality comparator matched 1 == 1.0)."""
+    case = {"float_cols": []}
+    a = _pd([(1, "x")], ["n", "s"])
+    b = _pd([(1.0, "x")], ["n", "s"])
+    assert b["n"].dtype.kind == "f"  # the dtype split actually happened
+    assert diff_fuzz.compare(a, b, case) is None
+    # non-integral floats must NOT fold onto ints
+    c = _pd([(1.5, "x")], ["n", "s"])
+    msg = diff_fuzz.compare(a, c, case)
+    assert msg is not None and "exact-key" in msg
+
+
 def test_compare_null_floats_match_only_nulls():
     import numpy as np
 

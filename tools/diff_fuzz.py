@@ -600,7 +600,10 @@ def compare(spark_pd, duck_pd, case) -> str | None:
     Now rows group by their exact-key tuple and each group's float
     tuples are matched as an order-insensitive multiset under the same
     tolerance (exact-equal tuples matched first via a counter so large
-    groups stay linear; the tolerant remainder is a small greedy pass).
+    groups stay linear; the tolerant remainder gets a maximal bipartite
+    matching so overlapping tolerance windows can't fail spuriously).
+    Exact keys fold integral floats to int (``_fold_integral``) so a
+    dtype-only 1-vs-1.0 difference between engines doesn't split groups.
     """
     cols = sorted(spark_pd.columns)
     if cols != sorted(duck_pd.columns):
@@ -616,7 +619,9 @@ def compare(spark_pd, duck_pd, case) -> str | None:
 
     def groups(df):
         g: dict[tuple, list[tuple]] = {}
-        ex = [[_canon_cell(v) for v in df[c]] for c in exact_cols]
+        ex = [
+            [_fold_integral(_canon_cell(v)) for v in df[c]] for c in exact_cols
+        ]
         fl = [[_canon_cell(v) for v in df[c]] for c in float_cols]
         for i in range(len(df)):
             key = tuple(repr(col[i]) for col in ex)
@@ -644,29 +649,56 @@ def compare(spark_pd, duck_pd, case) -> str | None:
         common = Counter(map(repr, la)) & Counter(map(repr, lb))
         rest_a = _remainder(la, common)
         rest_b = _remainder(lb, common)
-        # pass 2: greedy tolerant matching on the remainder (sorted for
-        # determinism; groups here are near-duplicate tails, tiny)
+        # pass 2: MAXIMAL bipartite matching on the remainder (r14
+        # ADVICE: greedy first-fit could consume a partner another row
+        # needed when tolerance windows overlap — a1~b1, a1~b2, a2~b1
+        # only — and report a spurious divergence despite a perfect
+        # matching existing). Kuhn's augmenting paths; sorted for
+        # determinism, and groups here are near-duplicate tails, tiny.
         rest_a.sort(key=repr)
         rest_b.sort(key=repr)
-        used = [False] * len(rest_b)
-        for t in rest_a:
-            hit = next(
-                (
-                    j
-                    for j, u in enumerate(rest_b)
-                    if not used[j] and all(_tol_eq(x, y) for x, y in zip(t, u))
-                ),
-                None,
-            )
-            if hit is None:
+        adj = [
+            [
+                j
+                for j, u in enumerate(rest_b)
+                if all(_tol_eq(x, y) for x, y in zip(t, u))
+            ]
+            for t in rest_a
+        ]
+        match_b: list[int | None] = [None] * len(rest_b)
+
+        def _augment(i: int, seen: set[int]) -> bool:
+            for j in adj[i]:
+                if j in seen:
+                    continue
+                seen.add(j)
+                if match_b[j] is None or _augment(match_b[j], seen):
+                    match_b[j] = i
+                    return True
+            return False
+
+        for i, t in enumerate(rest_a):
+            if not _augment(i, set()):
                 return (
                     f"float tuple unmatched at exact key "
                     f"{dict(zip(exact_cols, key))}: spark row "
                     f"{dict(zip(float_cols, t))} has no duckdb partner "
                     f"within tolerance (candidates: {rest_b[:3]!r})"
                 )
-            used[hit] = True
     return None
+
+
+def _fold_integral(v):
+    """Type-fold for EXACT-column keying (r14 ADVICE): a nullable integer
+    column can materialize as float64 in one engine (1.0) and int in the
+    other (1); grouping keys on repr() would then split 1 from 1.0 even
+    though the old value-equality comparator matched them. Fold integral
+    floats to int (recursively through array cells) before repr."""
+    if isinstance(v, float) and v.is_integer():
+        return int(v)
+    if isinstance(v, tuple):
+        return tuple(_fold_integral(x) for x in v)
+    return v
 
 
 def _remainder(tuples: list[tuple], common: dict) -> list[tuple]:

@@ -178,7 +178,9 @@ def build_scaled(
         if jitter_eps and i:
             # recall_dial.py's near-twin recipe: per-component noise
             # eps·u·‖v‖/√dims with u = xxhash64-uniform in [-1, 1] —
-            # E[cos(v, v')] ≈ 1/sqrt(1+eps²), SRP signatures differ by
+            # Var[u] = eps²/3, so E[cos(v, v')] ≈ 1/sqrt(1+eps²/3)
+            # (~0.9963 at eps=0.15; matches the docstring derivation
+            # above and recall_dial.py), SRP signatures differ by
             # a few low-margin bits (a REAL near-duplicate, not a copy)
             v = F.col("embedding").cast("array<double>")
             nrm = F.sqrt(
