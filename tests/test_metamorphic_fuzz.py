@@ -3,7 +3,11 @@
 `tools/metamorphic_fuzz.py` checks algebraic identities (dedup
 idempotence, permutation invariance, near-dedup fixpoint, split
 content-keying/subset stability, registry order invariance) on seeded
-random corpora with controlled duplicate structure. The CLI runs
+random corpora with controlled duplicate structure; round 15 extended it
+to the ANN/similarity family (P10-P13: SRP content function, multi-probe
+determinism/degeneracy/monotonicity, exhaustive-probe == brute force,
+IVF assignment invariance) over a seeded vector corpus with exact
+duplicate vectors. The CLI runs
 open-ended sweeps (recorded in PLANS_r14.md); this block FREEZES a seed
 range so CI is deterministic — a failure here is a real operator
 property violation (or a generator-determinism regression), never fuzz
@@ -31,6 +35,15 @@ SEEDS = range(4)
 def test_corpus_generator_is_deterministic():
     assert mf.gen_corpus(7) == mf.gen_corpus(7)
     assert mf.gen_corpus(7) != mf.gen_corpus(8)
+
+
+def test_vector_generator_is_deterministic_with_duplicates():
+    rows = mf.gen_vectors(5)
+    assert rows == mf.gen_vectors(5)
+    assert rows != mf.gen_vectors(6)
+    vecs = [tuple(v) for (_, v) in rows]
+    assert len(vecs) != len(set(vecs)), "no duplicate vectors generated"
+    assert all(v is not None for (_, v) in rows), "NULLs excluded by design"
 
 
 def test_corpus_has_the_structures_the_properties_need():

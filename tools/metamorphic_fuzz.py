@@ -35,6 +35,14 @@ exactly this new independent surface):
   against a registry is invariant to row order of BOTH sides, and
   batch-internal duplicates resolve to the min-id representative
   regardless of order.
+- P10-P13 (round 15) extend the surface to the ANN/similarity family —
+  the one §2.7 family with no randomized probe through r14 (r14 verdict
+  ask #4): SRP bucket/margins as content functions, multi-probe
+  determinism + n_flip=0 degeneracy + probe monotonicity (q113/q114),
+  exhaustive-probe equivalence to the exact brute force (at n_planes=2
+  the 1+2+1 probe set covers ALL buckets, so the candidate set is the
+  whole corpus and the top-k must EQUAL q35's), and IVF assignment
+  invariance at fixed centroids (q49/q68).
 
 Usage:
     python tools/metamorphic_fuzz.py [--n 40] [--seed0 0]
@@ -452,6 +460,200 @@ def p9_stream_batch_equivalence(spark: SparkSession, seed: int) -> str | None:
     return None
 
 
+_VEC_DIMS = 8  # small width: planes/centroids stay readable, runs stay fast
+
+
+def gen_vectors(seed: int) -> list[tuple]:
+    """Seeded embedding corpus: 40 unique gaussian vectors + 10 exact
+    duplicates (same vector, new id), rounded to 6 dp so the duplicate
+    structure survives any engine round-trip. Returns (vec_id, embedding).
+    NULL embeddings are deliberately excluded — the NULL contract
+    (bucket 0, score 0.0 guarded cosine) is pinned by dedicated unit
+    tests and would break the P12 brute-force equivalence (explode drops
+    a NULL probe row; the cross join keeps it)."""
+    rng = random.Random(seed * 1_000_003 + 17)
+    rows: list[tuple] = []
+    base: list[list[float]] = []
+    for i in range(40):
+        v = [round(rng.gauss(0.0, 1.0), 6) for _ in range(_VEC_DIMS)]
+        base.append(v)
+        rows.append((i, v))
+    for j in range(10):
+        rows.append((40 + j, list(rng.choice(base))))
+    rng.shuffle(rows)
+    return rows
+
+
+def make_vec_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _vec_queries(df: DataFrame) -> DataFrame:
+    return df.filter(F.col("vec_id") % 5 == 0)
+
+
+def p10_srp_content_function(spark: SparkSession, seed: int) -> str | None:
+    """q36/q113 family: srp_bucket and srp_margins are pure content
+    functions — byte-identical vectors carry identical buckets AND
+    identical margin sequences, and the (id, bucket) set is row-order
+    invariant."""
+    from bricolage_spark.operators.similarity import srp_bucket, srp_margins
+
+    df = make_vec_df(spark, gen_vectors(seed))
+    lab = df.select(
+        "vec_id",
+        "embedding",
+        srp_bucket("embedding", 6, _VEC_DIMS).alias("bucket"),
+        srp_margins("embedding", 6, _VEC_DIMS).cast("string").alias("margins"),
+    ).localCheckpoint(eager=True)
+    n = (
+        lab.groupBy("embedding")
+        .agg(
+            F.countDistinct("bucket").alias("nb"),
+            F.countDistinct("margins").alias("nm"),
+        )
+        .filter((F.col("nb") > 1) | (F.col("nm") > 1))
+        .count()
+    )
+    if n:
+        return f"P10: {n} identical vectors got different buckets/margins"
+    a = rowset(lab.select("vec_id", "bucket"))
+    b = rowset(
+        shuffled(df, seed, key="vec_id").select(
+            "vec_id", srp_bucket("embedding", 6, _VEC_DIMS).alias("bucket")
+        )
+    )
+    if a != b:
+        return f"P10: bucket set not order-invariant: {len(a ^ b)} rows differ"
+    return None
+
+
+def p11_multiprobe_determinism(spark: SparkSession, seed: int) -> str | None:
+    """q113/q114 family: (a) n_flip=0 degenerates EXACTLY to the
+    single-probe operator; (b) the multi-probe result (pair probes on)
+    is invariant to row order of corpus AND queries; (c) probe
+    monotonicity — growing the probe set (0,0)->(2,0)->(2,2)->(6,6)
+    only ever improves the rank-i similarity per query (candidates are
+    supersets, and the shared top-k tail ranks identically)."""
+    from bricolage_spark.operators.similarity import (
+        lsh_bucketed_topk,
+        lsh_multiprobe_topk,
+    )
+
+    df = make_vec_df(spark, gen_vectors(seed))
+    q = _vec_queries(df)
+    kw = dict(k=5, n_planes=6, dims=_VEC_DIMS)
+    base = rowset(lsh_bucketed_topk(df, q, **kw))
+    degen = rowset(lsh_multiprobe_topk(df, q, n_flip=0, **kw))
+    if base != degen:
+        return f"P11: n_flip=0 != single-probe: {len(base ^ degen)} rows differ"
+    full = lsh_multiprobe_topk(df, q, n_flip=2, n_flip2=2, **kw)
+    alt = lsh_multiprobe_topk(
+        shuffled(df, seed, key="vec_id"),
+        shuffled(q, seed + 1, key="vec_id"),
+        n_flip=2,
+        n_flip2=2,
+        **kw,
+    )
+    a, b = rowset(full), rowset(alt)
+    if a != b:
+        return f"P11: multiprobe not order-invariant: {len(a ^ b)} rows differ"
+    ladder = [(0, 0), (2, 0), (2, 2), (6, 6)]
+    prev: dict[tuple, float] = {}
+    for f1, f2 in ladder:
+        cur = {
+            (r["query_id"], r["rank"]): r["cos_sim"]
+            for r in lsh_multiprobe_topk(
+                df, q, n_flip=f1, n_flip2=f2, **kw
+            ).collect()
+        }
+        for key, sim in prev.items():
+            if key in cur and cur[key] < sim - 1e-9:
+                return (
+                    f"P11: rank-{key[1]} sim for query {key[0]} DROPPED "
+                    f"{sim} -> {cur[key]} when probes grew to {(f1, f2)}"
+                )
+            if key not in cur:
+                return (
+                    f"P11: (query {key[0]}, rank {key[1]}) vanished when "
+                    f"probes grew to {(f1, f2)}"
+                )
+        prev = cur
+    return None
+
+
+def p12_exhaustive_probe_equals_brute_force(
+    spark: SparkSession, seed: int
+) -> str | None:
+    """q35 vs q113/q114: at n_planes=2 the probe set 1 base + 2 single
+    flips + 1 pair flip covers ALL 4 buckets, so every corpus vector is
+    a candidate for every query and the multi-probe top-k must EQUAL
+    the exact brute-force top-k row for row (both rank through the
+    shared rounded-sim + id-tiebreak tail)."""
+    from bricolage_spark.operators.similarity import (
+        brute_force_cosine_topk,
+        lsh_multiprobe_topk,
+    )
+
+    df = make_vec_df(spark, gen_vectors(seed))
+    q = _vec_queries(df)
+    exact = rowset(brute_force_cosine_topk(df, q, k=5))
+    probed = rowset(
+        lsh_multiprobe_topk(
+            df, q, k=5, n_planes=2, n_flip=2, n_flip2=1, dims=_VEC_DIMS
+        )
+    )
+    if exact != probed:
+        return (
+            f"P12: exhaustive probing != brute force: "
+            f"{len(exact ^ probed)} rows differ"
+        )
+    if not exact:
+        return "P12: vacuous — brute force returned no rows"
+    return None
+
+
+def p13_ivf_assignment_invariance(spark: SparkSession, seed: int) -> str | None:
+    """q49/q68 family: at FIXED centroids, cell assignment is a pure
+    row-local content function — invariant to corpus row order,
+    identical for identical vectors, and the head of the nprobe
+    sequence IS the assigned cell."""
+    from bricolage_spark.operators.similarity import (
+        ivf_cell,
+        ivf_centroids,
+        ivf_probe_cells,
+    )
+
+    df = make_vec_df(spark, gen_vectors(seed))
+    cents = ivf_centroids(df, "vec_id", "embedding", k_cells=4)
+    lab = df.select(
+        "vec_id",
+        "embedding",
+        ivf_cell("embedding", cents).alias("cell"),
+        F.element_at(ivf_probe_cells("embedding", cents, 2), 1).alias("head"),
+    ).localCheckpoint(eager=True)
+    n = (
+        lab.groupBy("embedding")
+        .agg(F.countDistinct("cell").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    if n:
+        return f"P13: {n} identical vectors assigned to different cells"
+    bad = lab.filter(F.col("cell") != F.col("head")).count()
+    if bad:
+        return f"P13: {bad} rows where probe head != assigned cell"
+    a = rowset(lab.select("vec_id", "cell"))
+    b = rowset(
+        shuffled(df, seed, key="vec_id").select(
+            "vec_id", ivf_cell("embedding", cents).alias("cell")
+        )
+    )
+    if a != b:
+        return f"P13: assignment not order-invariant: {len(a ^ b)} rows differ"
+    return None
+
+
 PROPERTIES = [
     p1_dedup_idempotence,
     p2_permutation_invariance,
@@ -462,12 +664,16 @@ PROPERTIES = [
     p7_simhash_content_function,
     p8_span_registry_probe_order_invariance,
     p9_stream_batch_equivalence,
+    p10_srp_content_function,
+    p11_multiprobe_determinism,
+    p12_exhaustive_probe_equals_brute_force,
+    p13_ivf_assignment_invariance,
 ]
 
 
-def run_seed(spark: SparkSession, seed: int) -> list[str]:
+def run_seed(spark: SparkSession, seed: int, props=None) -> list[str]:
     fails = []
-    for prop in PROPERTIES:
+    for prop in props or PROPERTIES:
         msg = prop(spark, seed)
         if msg:
             fails.append(f"seed={seed} {prop.__name__}: {msg}")
@@ -478,20 +684,35 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=40)
     ap.add_argument("--seed0", type=int, default=0)
+    ap.add_argument(
+        "--props",
+        default="",
+        help="comma-separated property-name prefixes to run (e.g. "
+        "'p10,p11,p12,p13'); default: all",
+    )
     args = ap.parse_args()
+    props = PROPERTIES
+    if args.props:
+        want = [w.strip() for w in args.props.split(",") if w.strip()]
+        props = [
+            p for p in PROPERTIES
+            if any(p.__name__.startswith(w) for w in want)
+        ]
+        if not props:
+            ap.error(f"no property matches {args.props!r}")
 
     from bricolage_spark.session import get_spark
 
     spark = get_spark("metamorphic_fuzz")
     n_fail = 0
     for seed in range(args.seed0, args.seed0 + args.n):
-        fails = run_seed(spark, seed)
+        fails = run_seed(spark, seed, props)
         n_fail += len(fails)
         for msg in fails:
             print(f"FAIL {msg}")
         if not fails:
             print(f"ok seed {seed}", flush=True)
-    print(f"{args.n} seeds x {len(PROPERTIES)} properties, {n_fail} failures")
+    print(f"{args.n} seeds x {len(props)} properties, {n_fail} failures")
     return 1 if n_fail else 0
 
 
