@@ -7,7 +7,11 @@ random corpora with controlled duplicate structure; round 15 extended it
 to the ANN/similarity family (P10-P13: SRP content function, multi-probe
 determinism/degeneracy/monotonicity, exhaustive-probe == brute force,
 IVF assignment invariance) over a seeded vector corpus with exact
-duplicate vectors. The CLI runs
+duplicate vectors, then to the graph kernel (P14: exact labeling on
+known-structure random graphs incl. a star-fallback-forcing long path,
+order/direction invariance, star agreement) and the BPE family (P15:
+trainer order invariance + tier equality, encoder content function,
+merge-prefix monotonicity). The CLI runs
 open-ended sweeps (recorded in PLANS_r14.md); this block FREEZES a seed
 range so CI is deterministic — a failure here is a real operator
 property violation (or a generator-determinism regression), never fuzz

@@ -43,6 +43,14 @@ exactly this new independent surface):
   the 1+2+1 probe set covers ALL buckets, so the candidate set is the
   whole corpus and the top-k must EQUAL q35's), and IVF assignment
   invariance at fixed centroids (q49/q68).
+- P14-P15 (round 15) cover the last two §2.7 families with no
+  randomized probe: the graph kernel (connected_components on random
+  graphs with KNOWN group structure — exact labeling, edge order +
+  direction invariance, star-implementation agreement, and a
+  45-node-path group whose diameter forces the max_iter star-fallback
+  handover every seed) and the BPE trainer/encoder (merge-sequence
+  corpus-order invariance, driver-tier == distributed-tier merges,
+  encode as a content function, merge-prefix token-count monotonicity).
 
 Usage:
     python tools/metamorphic_fuzz.py [--n 40] [--seed0 0]
@@ -654,6 +662,132 @@ def p13_ivf_assignment_invariance(spark: SparkSession, seed: int) -> str | None:
     return None
 
 
+def gen_graph(seed: int) -> tuple[list[tuple[int, int]], dict[int, int]]:
+    """Seeded random graph with KNOWN components: ~6 disjoint groups
+    (random spanning tree + extra intra-group edges, occasional
+    self-loops and duplicate edges), one of them a LONG PATH (~45
+    nodes) that exceeds connected_components' default max_iter=20 and
+    so exercises the star-fallback handover. Node ids are drawn
+    non-contiguously and the edge list shuffled. Returns
+    (edges, expected: node_id -> min id of its group)."""
+    rng = random.Random(seed * 7_777_777 + 3)
+    ids = rng.sample(range(1, 100_000), 120)
+    random.Random(seed).shuffle(ids)
+    edges: list[tuple[int, int]] = []
+    expected: dict[int, int] = {}
+    cursor = 0
+
+    def take(n: int) -> list[int]:
+        nonlocal cursor
+        grp = ids[cursor : cursor + n]
+        cursor += n
+        return grp
+
+    groups = [take(rng.randint(2, 12)) for _ in range(5)]
+    groups.append(take(45))  # the long path: diameter 44 > max_iter 20
+    for gi, grp in enumerate(groups):
+        lo = min(grp)
+        for node in grp:
+            expected[node] = lo
+        if gi == len(groups) - 1:
+            edges.extend(zip(grp, grp[1:]))  # pure path, no shortcuts
+        else:
+            for i, node in enumerate(grp[1:], 1):
+                edges.append((node, grp[rng.randrange(i)]))  # spanning tree
+            for _ in range(rng.randint(0, 4)):  # extra edges + noise
+                a, b = rng.choice(grp), rng.choice(grp)
+                edges.append((a, b))  # may be a self-loop or duplicate
+    rng.shuffle(edges)
+    return edges, expected
+
+
+def p14_connected_components(spark: SparkSession, seed: int) -> str | None:
+    """q50/q93 family graph kernel: connected_components on a random
+    graph with KNOWN structure must (a) return exactly the expected
+    (node, min-group-id) labeling — including through the star-fallback
+    path the long-diameter group forces; (b) be invariant to edge-list
+    row order AND per-edge direction flips; (c) agree with the
+    independent O(log n) star implementation on the same edges."""
+    from bricolage_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges, expected = gen_graph(seed)
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = rowset(connected_components(edf, "id_a", "id_b"))
+    want = set(expected.items())
+    if got != want:
+        return f"P14: labeling wrong: {len(got ^ want)} rows differ"
+    rng = random.Random(seed + 99)
+    flipped = [(b, a) if rng.random() < 0.5 else (a, b) for a, b in edges]
+    rng.shuffle(flipped)
+    fdf = spark.createDataFrame(flipped, "id_a long, id_b long").repartition(5)
+    if rowset(connected_components(fdf, "id_a", "id_b")) != want:
+        return "P14: not invariant to edge order/direction"
+    star = rowset(connected_components_star(edf, "id_a", "id_b"))
+    if star != want:
+        return f"P14: star implementation disagrees: {len(star ^ want)} rows"
+    return None
+
+
+def p15_bpe_trainer_encoder(spark: SparkSession, seed: int) -> str | None:
+    """q95/q102/q104 family: (a) the learned merge sequence is invariant
+    to corpus row order (word counts are commutative aggregates) and
+    identical between the driver-tier and DISTRIBUTED trainer loops on
+    the same corpus; (b) encode is a content function — identical texts
+    carry identical (n_symbols, n_tokens, token_preview); (c) merge
+    monotonicity — encoding with a PREFIX of the merge list never
+    yields fewer tokens than the full list, n_tokens <= n_symbols, and
+    n_merged >= 0 everywhere."""
+    from bricolage_spark.operators.textual import bpe_encode, bpe_learn_merges
+
+    df = make_df(spark, gen_corpus(seed)).filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    kw = dict(n_merges=10)
+    merges = bpe_learn_merges(df, "doc_id", "text", **kw)
+    if bpe_learn_merges(shuffled(df, seed), "doc_id", "text", **kw) != merges:
+        return "P15: merges depend on corpus row order"
+    dist = bpe_learn_merges(df, "doc_id", "text", driver_vocab_max=0, **kw)
+    if dist != merges:
+        return (
+            f"P15: distributed trainer diverges from driver tier: "
+            f"{[m for m in merges if m not in dist][:3]}"
+        )
+    pairs = [(a, b) for (_, a, b, _) in merges]
+    enc = bpe_encode(df, "doc_id", "text", pairs).localCheckpoint(eager=True)
+    n = (
+        df.select("doc_id", "text")
+        .join(enc, "doc_id")
+        .groupBy("text")
+        .agg(
+            F.countDistinct("n_tokens").alias("nt"),
+            F.countDistinct("token_preview").alias("np"),
+        )
+        .filter((F.col("nt") > 1) | (F.col("np") > 1))
+        .count()
+    )
+    if n:
+        return f"P15: {n} identical texts encode differently"
+    bad = enc.filter(
+        (F.col("n_tokens") > F.col("n_symbols")) | (F.col("n_merged") < 0)
+    ).count()
+    if bad:
+        return f"P15: {bad} rows violate n_tokens <= n_symbols"
+    half = bpe_encode(df, "doc_id", "text", pairs[: len(pairs) // 2]).select(
+        "doc_id", F.col("n_tokens").alias("half_tokens")
+    )
+    worse = (
+        enc.join(half, "doc_id")
+        .filter(F.col("half_tokens") < F.col("n_tokens"))
+        .count()
+    )
+    if worse:
+        return f"P15: {worse} rows got FEWER tokens from a merge prefix"
+    return None
+
+
 PROPERTIES = [
     p1_dedup_idempotence,
     p2_permutation_invariance,
@@ -668,6 +802,8 @@ PROPERTIES = [
     p11_multiprobe_determinism,
     p12_exhaustive_probe_equals_brute_force,
     p13_ivf_assignment_invariance,
+    p14_connected_components,
+    p15_bpe_trainer_encoder,
 ]
 
 
