@@ -90,6 +90,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Per-artifact wall seconds of the most recent stage_artifacts() call
+# (interleaved protocol), copied onto the DETAIL line as
+# ``artifact_build_detail`` — observability for the 48 s build row.
+_LAST_STAGE_DETAIL: dict[str, float] = {}
+
 # Queries whose best-of-N is a SERVE-stage time over a staged artifact
 # (built once per block by stage_artifacts(), shared across sibling
 # queries; build cost = the block's ``artifact_build`` row):
@@ -258,6 +263,8 @@ def bench_interleaved(
     build_sec = round(time.perf_counter() - t0, 3)
 
     d_times: dict[str, float] = {}
+    global _LAST_STAGE_DETAIL
+    _LAST_STAGE_DETAIL = dict(llm_ops.LAST_STAGE_TIMINGS)
     t_times: dict[str, float] = {}
     dd_times: dict[str, float] = {}
 
@@ -448,6 +455,7 @@ def main() -> None:
             out["value"] = round(sum(d_times.values()), 3)
             out["queries"] = d_times
             out["artifact_build"] = build_sec
+            out["artifact_build_detail"] = _LAST_STAGE_DETAIL
         if mode in ("tuned", "both"):
             tuned = {
                 "conf": _TUNED_LABEL,
@@ -507,27 +515,57 @@ def main() -> None:
     out["staged_artifact_queries"] = list(STAGED)
     print(json.dumps(out))
     sys.stdout.flush()
-    print(json.dumps(build_summary(out, mode)), flush=True)
+    print(summary_line(out, mode), flush=True)
+
+
+def summary_line(out: dict, mode: str, base_path: str | None = None) -> str:
+    """Serialize the summary with COMPACT separators: the whole line must
+    land inside the driver's ~2,000-char stdout tail (r14's 2,594-char
+    line left ``parsed: null``), and the per-query dict alone is ~1,400
+    chars even with short keys."""
+    return json.dumps(build_summary(out, mode, base_path=base_path),
+                      separators=(",", ":"))
+
+
+# The summary line's metric string is deliberately TERSE (the detail line
+# carries the full methodology text): every char here competes with the
+# 118-entry per-query dict for the driver's ~2,000-char stdout tail.
+_SUMMARY_METRIC = (
+    "sum of per-query best-of-N wall sec, full inventory, "
+    "{conf} conf (methodology on detail line 1)"
+)
 
 
 def build_summary(out: dict, mode: str, base_path: str | None = None) -> dict:
     """The COMPACT final stdout line: the driver records only a small
     stdout tail (~2,000 chars), which the full detail line above always
-    overflows. This line must therefore stay BOUNDED regardless of
-    inventory size: no per-query dict (it is on the detail line), and
-    ``regressions`` capped to the top 8 by absolute excess with the full
-    count in ``n_regressions_total``. (r14 lesson: the 118-entry query
+    overflows. The driver contract requires the per-query dict on the
+    parsed line (it is what the lower-core-count scaling run compares),
+    so it is carried in the r10–r13 compact form — short ``qNN`` keys,
+    2-decimal values — while everything else is trimmed to fit: terse
+    metric text, compact JSON separators (see ``summary_line``), and
+    ``regressions`` capped to the top 5 by absolute excess with the full
+    count in ``n_regressions_total``. (r14 lesson: the full-precision
     dict plus a 47-entry regressions dict pushed the line to 2,594 chars
-    and the driver recorded ``parsed: null`` — pinned small forever by
+    and the driver recorded ``parsed: null`` — bounded forever by
     test_summary_line_stays_bounded.)"""
     summary: dict = {
-        "metric": out.get("metric", "bench"),
+        "metric": _SUMMARY_METRIC.format(
+            conf="TUNED" if mode == "tuned" else "ENGINE-DEFAULT"
+        ),
         "value": out.get("value"),
         "unit": "sec",
         "sf": out["sf"],
-        "protocol": out.get("protocol", "block"),
         "n_queries": len(out.get("queries", {})),
         "artifact_build": out.get("artifact_build"),
+        # Short keys (q33_minhash_lsh_pairs -> q33) and 2-dp rounding
+        # (1-dp past 10 s, where 0.1 s is sub-percent noise anyway):
+        # the same key form the driver parsed in every green round
+        # (BENCH_r10–r13 ``parsed.queries``), sized to fit the tail.
+        "queries": {
+            _short(k): round(v, 2 if v < 10 else 1)
+            for k, v in out.get("queries", {}).items()
+        },
     }
     # Regressions are defined as default-conf vs BASELINE.json's
     # default-conf column; in tuned-only mode out["queries"] holds tuned
@@ -541,7 +579,9 @@ def build_summary(out: dict, mode: str, base_path: str | None = None) -> dict:
             reg.items(), key=lambda kv: kv[1][1] - kv[1][0], reverse=True
         )
         summary["n_regressions_total"] = len(reg)
-        summary["regressions"] = {_short(k): v for k, v in worst_first[:8]}
+        summary["regressions"] = {
+            _short(k): [round(a, 2), round(b, 2)] for k, [a, b] in worst_first[:5]
+        }
     if "tuned" in out:
         summary["tuned_total"] = out["tuned"]["total"]
     if "duckdb_total" in out:

@@ -623,48 +623,68 @@ def incremental_neardup_flags(
 
 
 def ngram_jaccard_pairs(
-    shingles: DataFrame, pairs: DataFrame, id_col: str = "id"
+    shingles: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs.
 
-    |A∩B| via join on shingle; |A|,|B| via per-doc counts broadcast back.
     Runs only on candidates — the LSH step already pruned the n² space.
-    Returns (id_a, id_b, jaccard).
+    Returns (id_a, id_b, jaccard), one row per candidate pair that
+    shares at least one shingle (zero-intersection band-hash-collision
+    candidates are dropped, the original contract).
+
+    r15 optimization (guide §2.4, the shape ``ngram_jaccard_neardup``
+    already ships): |A∩B| is ``array_intersect`` over per-doc shingle
+    SETS joined to the pair table — two id-keyed joins and a row-local
+    intersection — instead of the exploded shape (pairs ⋈ shingles on
+    id_a, ⋈ shingles again on (id_b, shingle), a per-pair groupBy, then
+    two size joins). Shuffle bytes at scale are comparable — either
+    path moves each candidate doc's shingles once — but this is 3 fewer
+    shuffles (plan audit on q33: 10 → 7 Exchanges), and callers holding
+    the STAGED per-doc set table (``_doc_shingle_sets``) pass it in so
+    the corpus-side aggregation is served from the materialized index,
+    exactly as a production near-dup pass reads the forward index its
+    build stage wrote. Sizes are ``size(set)`` — free, and identical to
+    the per-doc counts (shingles are distinct per doc); intersection
+    stays integer arithmetic, so the Jaccard is bit-identical.
+
+    Broadcast pin (r11 adjudication, unchanged invariant): the
+    candidate-pair table is data-proportional but its logical plan ends
+    in Generate/Aggregate chains whose STATIC size estimate is tiny —
+    at a 64x scale probe the planner broadcast a 12.9M-row pairs table
+    and OOM'd the build. Both pair-lineage joins stay merge-hinted: the
+    pairs side is never a broadcast build (gate-enforced in
+    test_plan_quality.py).
     """
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
-    # the candidate-pair table is data-proportional (near-dup pair count
-    # grows with the corpus), but its logical plan usually ends in
-    # Generate/Aggregate chains whose STATIC size estimate is tiny — at
-    # a 64x scale probe the planner broadcast a 12.9M-row pairs table
-    # and OOM'd the build. Pin BOTH joins to sort-merge: the first
-    # join's output is pairs-derived and inherits the same tiny static
-    # estimate, so without the second hint the planner could still pick
-    # the pairs-side intermediate as the broadcast build of the
-    # (id_b, shingle) join — the invariant is "the pairs side is never
-    # a broadcast build", not "the first join isn't".
-    joined_a = pairs.hint("merge").join(sa, "id_a")
-    inter = (
-        joined_a.hint("merge")
-        .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(za, "id_a")
-        .join(zb, "id_b")
+    if sets is None:
+        sets = shingles.groupBy(id_col).agg(
+            F.collect_set("shingle").alias("sh_set")
+        )
+    pa = sets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a"))
+    pb = sets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("set_b"))
+    joined = (
+        pairs.hint("merge")
+        .join(pa, "id_a")
+        .hint("merge")
+        .join(pb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.col("n_inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
-                4,
-            ).alias("jaccard"),
+            F.size(F.array_intersect("set_a", "set_b")).alias("n_inter"),
+            F.size("set_a").alias("sz_a"),
+            F.size("set_b").alias("sz_b"),
         )
+    )
+    return joined.where(F.col("n_inter") > 0).select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+            4,
+        ).alias("jaccard"),
     )
 
 

@@ -97,19 +97,21 @@ def test_tuned_mode_summary_skips_regressions(tmp_path, monkeypatch):
         assert s["regressions"] == {"q1": [0.5, 5.0]}
 
 
-def test_summary_ratios_and_no_per_query_dict(tmp_path):
+def test_summary_ratios_and_compact_per_query_dict(tmp_path):
     b = _bench()
     out = {
         "sf": 0.1,
         "value": 12.0,
-        "queries": {"q33_minhash_lsh_pairs": 12.0},
+        "queries": {"q33_minhash_lsh_pairs": 12.345},
         "duckdb_total": 10.0,
         "tuned": {"total": 8.0},
     }
     s = b.build_summary(out, "both", base_path=str(tmp_path / "nope"))
-    # r14 driver-contract regression: the per-query dict overflowed the
-    # driver's stdout tail (parsed: null) — it must NEVER be on this line
-    assert "queries" not in s
+    # Driver contract: the parsed final line must carry the per-query
+    # dict (the lower-core scaling run reads it) — in the r10–r13 compact
+    # form: SHORT keys, 2-dp values. Boundedness is enforced by
+    # test_summary_line_stays_bounded, not by dropping the dict.
+    assert s["queries"] == {"q33": 12.3}  # >=10 s rows round to 1 dp
     assert s["n_queries"] == 1
     assert s["ratio_default"] == 1.2
     assert s["ratio_tuned"] == 0.8
@@ -117,13 +119,17 @@ def test_summary_ratios_and_no_per_query_dict(tmp_path):
 
 
 def test_summary_line_stays_bounded(tmp_path):
-    """The final stdout line must stay <1.5 kB even with a synthetic
-    118-row inventory where EVERY query flags as a regression — the
-    worst case that broke the r14 driver capture (2,594 chars)."""
+    """The final stdout line — WITH the contract-required 120-row
+    per-query dict — must stay under the driver's ~2,000-char stdout
+    tail even when every query flags as a regression and every time is
+    a pathological 3-digit number (the r14 live line was 2,594 chars
+    and the driver recorded ``parsed: null``)."""
     b = _bench()
-    queries = {f"q{i}_some_longish_query_name": 0.5 for i in range(1, 119)}
-    base = _baseline(tmp_path, queries, duckdb_total=10.0)
-    current = {k: 5.0 for k in queries}  # 10x everywhere: all 118 flag
+    queries = {f"q{i}_some_longish_query_name": 11.111 for i in range(1, 121)}
+    base = _baseline(
+        tmp_path, {k: 0.5 for k in queries}, duckdb_total=10.0
+    )
+    current = {k: 111.111 for k in queries}  # 222x everywhere: all flag
     out = {
         "metric": "sum of per-query best-of-3 wall sec, full query "
         "inventory (noop sink, warm session, ENGINE-DEFAULT conf: AQE on; "
@@ -131,17 +137,19 @@ def test_summary_line_stays_bounded(tmp_path):
         "per query, one shared session + artifact stage)",
         "sf": 0.1,
         "protocol": "interleaved",
-        "value": 590.0,
+        "value": 13333.3,
         "queries": current,
         "artifact_build": 12.345,
         "duckdb_total": 10.0,
         "tuned": {"total": 8.0},
     }
-    s = b.build_summary(out, "both", base_path=base)
-    line = json.dumps(s)
-    assert len(line) < 1500, f"summary line is {len(line)} chars"
-    assert s["n_regressions_total"] == 118
-    assert len(s["regressions"]) == 8
+    line = b.summary_line(out, "both", base_path=base)
+    assert len(line) < 1950, f"summary line is {len(line)} chars"
+    s = json.loads(line)
+    assert s["n_regressions_total"] == 120
+    assert len(s["regressions"]) == 5
+    assert len(s["queries"]) == 120  # contract: per-query dict present
+    assert s["queries"]["q1"] == 111.1
 
 
 def test_summary_regressions_capped_worst_first(tmp_path):
@@ -153,7 +161,7 @@ def test_summary_regressions_capped_worst_first(tmp_path):
     out = {"sf": 0.1, "value": 1.0, "queries": current, "duckdb_total": 10.0}
     s = b.build_summary(out, "both", base_path=base)
     assert s["n_regressions_total"] == 20
-    assert list(s["regressions"]) == [f"q{i}" for i in range(20, 12, -1)]
+    assert list(s["regressions"]) == [f"q{i}" for i in range(20, 15, -1)]
 
 
 def test_cli_help_and_unknown_flag(tmp_path):

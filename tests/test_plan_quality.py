@@ -232,25 +232,19 @@ def test_registry_probe_helpers_pin_smj_against_bogus_estimates(spark):
     )
     jac = D.ngram_jaccard_pairs(shingles, pairs, id_col="id")
     plan = jac._jdf.queryExecution().executedPlan().toString()
-    # both pairs-LINEAGE joins must be SMJ: the intersect join on
-    # (id_b, shingle) — identifiable by its compound key — and the
-    # pairs|><|sa join on id_a. The per-doc size joins (also keyed
-    # id_a/id_b) MAY broadcast their sizes side: its estimate is
-    # scan-derived (honest), and the 64x octave ran that shape clean.
-    join2 = [
-        ln
-        for ln in plan.splitlines()
-        if "Join" in ln and "id_b" in ln and "shingle" in ln
-    ]
-    assert join2, "expected the (id_b, shingle) intersect join in the plan"
-    for ln in join2:
-        assert "SortMergeJoin" in ln, f"intersect join not SMJ: {ln.strip()[:120]}"
-    smj_id_a = [
-        ln
-        for ln in plan.splitlines()
-        if "SortMergeJoin" in ln and "id_a" in ln and "shingle" not in ln
-    ]
-    assert smj_id_a, "expected the pinned pairs-side id_a join to be SMJ"
+    # r15 sets-based verify: BOTH pair-lineage joins (pairs ⋈ sets on
+    # id_a, then ⋈ sets on id_b) must be SMJ — the pairs side is never
+    # a broadcast build, whatever its bogus static estimate says.
+    for key in ("id_a", "id_b"):
+        join_lines = [
+            ln for ln in plan.splitlines() if "Join" in ln and key in ln
+        ]
+        assert join_lines, f"expected the pairs-side {key} join in the plan"
+        for ln in join_lines:
+            assert "SortMergeJoin" in ln, (
+                f"pairs-side {key} join not SMJ: {ln.strip()[:120]}"
+            )
+    assert "BroadcastHashJoin" not in plan, "pairs lineage must never broadcast"
 
 
 # -- single-partition-window gate (SCALE.md claim #4) -----------------------
