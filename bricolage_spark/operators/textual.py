@@ -1329,9 +1329,53 @@ def calibration_table(
     doc-keyed join, a |buckets|-row aggregate; a production pipeline
     stages the per-doc metrics table once and the report is then
     metadata-scale."""
-    cls = hashed_ngram_score(df, id_col, text_col).select(id_col, "score")
-    rep = repetition_stats(df, id_col, text_col)
-    j = cls.join(rep, id_col)
+    # r15 optimization (guide §2.4: remove shuffles outright): both
+    # metric families are ROW-LOCAL projections of the same corpus scan,
+    # so they are computed in ONE pass — the previous shape derived two
+    # frames (hashed_ngram_score ⋈ repetition_stats on doc id), paying a
+    # second scan+normalize of the text plus two exchanges and a join
+    # that exist only as code-reuse artifacts. Same expressions, same
+    # two-stage projection discipline as the operators themselves
+    # (grams/counts materialized once, HOF aggregate projected once),
+    # so every output value is bit-identical. NULL-text docs drop
+    # exactly as the old inner join dropped them (the classifier side
+    # filtered them before the join).
+    wtab = _weights_lit()
+
+    def gram_weight(gram: Column) -> Column:
+        idx = (hash32(gram, CLASSIFIER_SEED_BUCKET) % CLASSIFIER_BUCKETS) + 1
+        return F.element_at(wtab, idx.cast("int"))
+
+    base = spread(df.where(F.col(text_col).isNotNull()), id_col)
+    p1 = base.select(
+        F.col(id_col),
+        gram_array(text_col).alias("_grams"),
+        *_repetition_count_cols(text_col),
+    )
+    p2 = p1.select(
+        F.col(id_col),
+        F.col("_n").cast("bigint").alias("n_words"),
+        *_repetition_stat_cols(),
+        F.size("_grams").cast("bigint").alias("n_grams"),
+        F.aggregate(
+            "_grams", F.lit(0).cast("bigint"), lambda acc, g: acc + gram_weight(g)
+        ).alias("_total"),
+    )
+    z = F.lit(CLASSIFIER_BIAS) + (
+        F.col("_total").cast("double") / F.col("n_grams").cast("double")
+    ) / F.lit(1000.0)
+    j = p2.withColumn(
+        "score", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    )
+    return _calibration_report(j, n_buckets)
+
+
+def _calibration_report(j: DataFrame, n_buckets: int) -> DataFrame:
+    """The bucketing + aggregation tail of ``calibration_table``, over a
+    per-doc metrics frame carrying (score, dup_word_frac,
+    dup_trigram_frac, n_words, keep) — separated so the clamp contract
+    is unit-testable with a synthetic saturated-score frame (the fused
+    single-pass pipeline above offers no stub seam)."""
     # clamp the top edge: the report contract is EXACTLY n_buckets
     # fixed-width buckets, but the score rounds to 6 decimals, so a
     # high-z doc under a real weight table scores exactly 1.0 and

@@ -633,15 +633,40 @@ _NEARDUP_MIN = 0.4
 )
 def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(read_table(spark, sf_dir, "embeddings"), "vec_id")
+    # r15: norms precomputed ONCE PER ROW below the label-join exchange
+    # (the barrier stops project-collapse from re-inlining them), so the
+    # quadratic within-bucket pair stage is one dot + one divide per
+    # pair instead of three dots — the same discipline
+    # brute_force_cosine_topk documents. The vectors themselves stay
+    # FLOAT through the exchange (guide §2.3: narrower types — casting
+    # before the join would double the shuffled embedding bytes); the
+    # float→double cast happens at the pair stage exactly as cosine_sim
+    # did, so every double is bit-identical.
+    ed = F.col("embedding").cast("array<double>")
     a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("ea")
+        F.col("vec_id").alias("id_a"),
+        F.col("label"),
+        F.col("embedding").alias("ea"),
+        S.norm(ed).alias("na"),
     )
     b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("eb")
+        F.col("vec_id").alias("id_b"),
+        F.col("label"),
+        F.col("embedding").alias("eb"),
+        S.norm(ed).alias("nb"),
     )
     pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
     sims = pairs.select(
-        "id_a", "id_b", S.cosine_sim(F.col("ea"), F.col("eb")).alias("raw")
+        "id_a",
+        "id_b",
+        S.guarded_cosine(
+            S.dot(
+                F.col("ea").cast("array<double>"),
+                F.col("eb").cast("array<double>"),
+            ),
+            F.col("na"),
+            F.col("nb"),
+        ).alias("raw"),
     )
     return sims.filter(F.col("raw") >= _NEARDUP_MIN).select(
         "id_a", "id_b", F.round("raw", 4).alias("cos_sim")

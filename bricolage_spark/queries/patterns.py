@@ -147,8 +147,15 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     dest = summarize(li)  # the previously-built table
     # DELETE FROM dest WHERE sale_month >= cutoff  (insert-delta.rb delete_cond)
     kept = dest.filter(F.col("sale_month") < cutoff)
-    # INSERT INTO dest SELECT ... (recomputed delta from source)
-    delta = summarize(li.filter(F.date_trunc("month", "l_shipdate") >= cutoff))
+    # INSERT INTO dest SELECT ... (recomputed delta from source).
+    # r15: filter on the RAW column, not date_trunc(month, ...) — a
+    # derived-column predicate never reaches PushedFilters (guide §6),
+    # so the delta branch re-scanned every row group. The cutoff is a
+    # month boundary, so l_shipdate >= cutoff selects exactly the same
+    # rows as date_trunc('month', l_shipdate) >= cutoff (truncation
+    # never moves a date across a month-start boundary in one
+    # direction without the raw date being across it too).
+    delta = summarize(li.filter(F.col("l_shipdate") >= cutoff))
     # (idempotence of the delete+insert cycle is pytest-verified in
     # tests/test_jobs.py — re-running here would only double the plan)
     return kept.unionByName(delta)
@@ -216,25 +223,38 @@ _LOG_CUTOFF = "2024-01-15"
 )
 def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")
-    files = (
-        e.select(F.date_trunc("day", "ts").alias("d"))
-        .distinct()
-        .select(
-            F.concat(F.date_format("d", "yyyyMMdd"), F.lit("_00.json")).alias("data_file"),
-            "d",
-        )
-    )
-    log_cut = F.lit(_LOG_CUTOFF).cast("timestamp")
-    load_log = files.filter(F.col("d") < log_cut).select("data_file")
-    new_files = files.join(load_log, "data_file", "left_anti")
-    return (
-        e.join(F.broadcast(new_files), F.date_trunc("day", e.ts) == new_files.d)
-        .groupBy("data_file")
+    # r15 optimization (guide §2.3 "aggregate before you shuffle"): the
+    # old shape scanned events TWICE — once to derive the candidate file
+    # list (distinct days), once re-joined against the broadcast
+    # new-file list before aggregating. Per-day totals are aggregated in
+    # ONE pass first (map-side combine → |days| rows); the file-name
+    # derivation, the load-log anti-join (the streaming_load.rb
+    # exactly-once contract), and the final projection then all run at
+    # metadata scale on that tiny table. Identical output: a day's
+    # aggregate is independent of which files are new, and the anti-join
+    # keeps exactly the same file rows. NULL-day rows (if a ts were
+    # NULL) are dropped explicitly — the old inner join on d could never
+    # match them.
+    day_aggs = (
+        e.groupBy(F.date_trunc("day", "ts").alias("d"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
+        .where(F.col("d").isNotNull())
     )
+    files = day_aggs.select(
+        F.concat(F.date_format("d", "yyyyMMdd"), F.lit("_00.json")).alias(
+            "data_file"
+        ),
+        "d",
+        "n_rows",
+        "sum_value",
+    )
+    log_cut = F.lit(_LOG_CUTOFF).cast("timestamp")
+    load_log = files.filter(F.col("d") < log_cut).select("data_file")
+    new_files = files.join(load_log, "data_file", "left_anti")
+    return new_files.select("data_file", "n_rows", "sum_value")
 
 
 # --------------------------------------------------------------------------

@@ -2116,31 +2116,21 @@ def test_span_registry_probe_flags_history_spans(spark):
     # doc 11 shares only 8 tokens (one anchor, span_len 8 < 12): filtered
 
 
-def test_calibration_table_clamps_top_bucket(spark, monkeypatch):
+def test_calibration_table_clamps_top_bucket(spark):
     """The report contract is EXACTLY n_buckets fixed-width buckets: a
     score of exactly 1.0 (reachable under a real weight table once the
     6-decimal rounding saturates the sigmoid) must land in bucket
-    n_buckets-1, not mint an (n+1)-th row.  The fixture weight table
-    cannot produce 1.0, so the saturated classifier is stubbed in."""
-    from pyspark.sql import functions as SF
-
-    docs = spark.createDataFrame(
-        [(1, "alpha beta gamma delta"), (2, "spam spam spam spam spam")],
-        "doc_id long, text string",
+    n_buckets-1, not mint an (n+1)-th row. The fixture weight table
+    cannot produce 1.0, and the fused single-pass calibration pipeline
+    (r15) offers no classifier stub seam, so the clamp is pinned on the
+    report tail (_calibration_report) with a synthetic saturated
+    metrics frame — the exact frame shape the fused pipeline feeds it."""
+    metrics = spark.createDataFrame(
+        [(1, 4, 0.0, 0.0, 1.0, True), (2, 5, 0.8, 0.9, 0.31, True)],
+        "doc_id long, n_words long, dup_word_frac double, "
+        "dup_trigram_frac double, score double, keep boolean",
     )
-
-    def saturated(df, id_col, text_col, threshold=0.5):
-        return df.select(
-            F.col(id_col),
-            F.lit(4).cast("bigint").alias("n_grams"),
-            SF.when(F.col(id_col) == 1, F.lit(1.0))
-            .otherwise(F.lit(0.31))
-            .alias("score"),
-            F.lit(True).alias("keep"),
-        )
-
-    monkeypatch.setattr(T, "hashed_ngram_score", saturated)
-    cells = T.calibration_table(docs, "doc_id", "text", n_buckets=10).collect()
+    cells = T._calibration_report(metrics, 10).collect()
     buckets = {c.score_bucket for c in cells}
     assert buckets == {9, 3}  # floor(1.0*10)=10 clamps to 9; 0.31 -> 3
     assert all(0 <= c.score_bucket <= 9 for c in cells)
