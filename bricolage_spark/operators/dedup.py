@@ -179,14 +179,22 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
 
     Shingles are built with array ops (sequence+transform+slice) — pure
     Catalyst expressions, whole-stage-codegen'd, no Python in the loop.
+
+    r15 optimization (guide §2.4: remove shuffles outright — "a distinct
+    on data that is already unique"): dedup is ROW-LOCAL
+    (``array_distinct`` before the explode), not a global ``.distinct()``
+    — every shingle of a document originates in that document's single
+    input row, so within-row dedup IS the full (id, shingle) distinct,
+    and the corpus-wide shuffle of the biggest table in the dedup family
+    (one row per (doc, shingle)) disappears from the index build. The
+    result SET is identical; row order was never part of the contract
+    (every consumer aggregates or joins).
     """
-    return (
-        spread(df, id_col)
-        .select(
-            F.col(id_col),
-            F.explode(shingle_array(F.col(text_col), k)).alias("shingle"),
-        )
-        .distinct()
+    return spread(df, id_col).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingle_array(F.col(text_col), k))).alias(
+            "shingle"
+        ),
     )
 
 

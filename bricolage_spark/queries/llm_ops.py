@@ -1477,9 +1477,10 @@ def stage_artifacts(
     chains (shingle postings → its aux tables → verified pairs →
     clusters; fingerprints → postings; SRP bands → registry) stay
     ordered WITHIN their chain; each chain runs on one worker thread.
-    ``max_workers`` defaults to $SPARK_GRAFT_STAGE_WORKERS (4 — measured
-    sweet spot on local[32]; 1 reproduces the historical sequential
-    build). Each artifact's job is labeled (§1.5) and its wall seconds
+    ``max_workers`` defaults to $SPARK_GRAFT_STAGE_WORKERS (8 — measured
+    sweep at sf0.1: 1 worker 51.0 s, 4 workers 30.4 s, 8 workers 24.7 s,
+    close to the dependency-chain floor of the longest pole; 1
+    reproduces the historical sequential build). Each artifact's job is labeled (§1.5) and its wall seconds
     recorded in LAST_STAGE_TIMINGS.
     """
     from concurrent.futures import ThreadPoolExecutor
@@ -1487,7 +1488,7 @@ def stage_artifacts(
     from bricolage_spark.queries import patterns, relational
 
     if max_workers is None:
-        max_workers = max(1, int(os.environ.get("SPARK_GRAFT_STAGE_WORKERS", "4")))
+        max_workers = max(1, int(os.environ.get("SPARK_GRAFT_STAGE_WORKERS", "8")))
 
     timings: dict[str, float] = {}
 
