@@ -95,6 +95,25 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def quality_col(text_col: str) -> Column:
+    """The row-local ``quality`` Column of :func:`quality_score`, exposed
+    so a pipeline keeping other columns of the same row (q65's corpus
+    report) can compute it in ONE corpus pass instead of deriving a
+    second frame and joining it back (r15, guide §2.4)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = F.split(normalize_text(t), " ")
+    n_words = F.size(words)
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
+    stop = _marker_hits(words, LANG_MARKERS["en"])
+    stop_ratio = F.round(stop / F.greatest(n_words, F.lit(1)), 4)
+    len_sig = F.least(F.greatest((n_chars - 100) / 900.0, F.lit(0.0)), F.lit(1.0))
+    stop_sig = F.least(stop_ratio / 0.05, F.lit(1.0))
+    punct_sig = F.least(F.greatest(1.0 - punct_ratio / 0.2, F.lit(0.0)), F.lit(1.0))
+    return F.round((len_sig + stop_sig + punct_sig) / 3.0, 4)
+
+
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic document quality: length / punctuation / stopword signals.
 
@@ -114,16 +133,13 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     avg_wlen = F.round(
         (F.length(F.concat_ws("", words)) / F.greatest(n_words, F.lit(1))), 4
     )
-    len_sig = F.least(F.greatest((n_chars - 100) / 900.0, F.lit(0.0)), F.lit(1.0))
-    stop_sig = F.least(stop_ratio / 0.05, F.lit(1.0))
-    punct_sig = F.least(F.greatest(1.0 - punct_ratio / 0.2, F.lit(0.0)), F.lit(1.0))
     return df.select(
         F.col(id_col),
         n_chars.cast("bigint").alias("n_chars"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
         avg_wlen.alias("avg_word_len"),
-        F.round((len_sig + stop_sig + punct_sig) / 3.0, 4).alias("quality"),
+        quality_col(text_col).alias("quality"),
     )
 
 

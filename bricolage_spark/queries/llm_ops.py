@@ -1985,10 +1985,9 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bricolage_spark.operators.curation import domain_cap
 
     docs = read_table(spark, sf_dir, "documents")
-    qual = T.quality_score(docs, "doc_id", "text")
-    dq = docs.select("doc_id", "source").join(
-        qual.select("doc_id", "quality"), "doc_id"
-    )
+    # r15 (guide §2.4): quality is row-local — one projection, not a
+    # second quality_score frame joined back on doc id.
+    dq = docs.select("doc_id", "source", T.quality_col("text").alias("quality"))
     return domain_cap(
         dq, group_col="source", id_col="doc_id", cap=_DOMAIN_CAP
     )
@@ -2123,12 +2122,16 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    qual = T.quality_score(docs, "doc_id", "text")
+    # r15 (guide §2.4): n_words and quality are both row-local over the
+    # same scan — ONE projection, no second frame joined back on doc id
+    # (the old shape re-scanned documents and paid two exchanges + a
+    # join purely as a code-reuse artifact).
     feats = docs.select(
         "doc_id",
         "lang",
         F.size(F.split(D.normalize_text(F.col("text")), " ")).alias("n_words"),
-    ).join(qual.select("doc_id", "quality"), "doc_id")
+        T.quality_col("text").alias("quality"),
+    )
     return feats.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_words").cast("bigint").alias("total_words"),
