@@ -70,28 +70,55 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return guarded_cosine(dot(ad, bd), norm(ad), norm(bd))
 
 
+#: SQL form of :func:`dot` — the identical aggregate(zip_with(...)) fold,
+#: as text so fixed-name call sites can be built as ONE memoized parsed
+#: expression instead of ~6 per-call higher-order-function lambda
+#: constructions (each lambda is several Py4J round-trips; profiled at
+#: ~0.25 s of driver time per ANN-query plan build, r15 guide §1.2
+#: "per-task work" applied to the DRIVER side).
+_DOT_SQL = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+
+def vec_d(vec_col: str) -> Column:
+    """Memoized ``CAST(vec AS ARRAY<DOUBLE>)`` (same tree as _as_double)."""
+    return _memo_expr(("vec_d", vec_col), f"CAST({vec_col} AS ARRAY<DOUBLE>)")
+
+
+def vec_norm(vec_col: str) -> Column:
+    """Memoized L2 norm of a (float) vector column by NAME — the exact
+    ``norm(_as_double(col))`` tree, parsed once per session."""
+    a = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    return _memo_expr(
+        ("vec_norm", vec_col), f"sqrt({_DOT_SQL.format(a=a, b=a)})"
+    )
+
+
 def _cosine_topk_tail(cands: DataFrame, k: int) -> DataFrame:
     """Shared tail of every cosine top-k: candidates with columns
     (query_id, neighbor_id, q_vec, q_n, c_vec, c_n) → rounded guarded
     similarity, per-query rank window (desc sim, neighbor-id tiebreak
-    for engine-reproducible order), keep rank <= k."""
+    for engine-reproducible order), keep rank <= k.
+
+    r15: the similarity and rank expressions are memoized generated SQL
+    (identical trees to the previous Column-built forms — guarded
+    cosine, round 4, row_number over (query_id; cos_sim DESC,
+    neighbor_id)) so repeated plan builds cost two dict hits instead of
+    re-constructing HOF lambdas and a window spec through Py4J."""
+    cos = _memo_expr(
+        ("topk_cos",),
+        "round(CASE WHEN q_n > 0D AND c_n > 0D THEN "
+        + _DOT_SQL.format(a="q_vec", b="c_vec")
+        + " / (q_n * c_n) ELSE 0.0D END, 4)",
+    )
+    rank = _memo_expr(
+        ("topk_rank",),
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos_sim DESC, neighbor_id) AS BIGINT)",
+    )
     sims = cands.filter(F.col("neighbor_id") != F.col("query_id")).select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            guarded_cosine(
-                dot(F.col("q_vec"), F.col("c_vec")), F.col("q_n"), F.col("c_n")
-            ),
-            4,
-        ).alias("cos_sim"),
+        "query_id", "neighbor_id", cos.alias("cos_sim")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    return sims.withColumn("rank", rank).filter(F.col("rank") <= k)
 
 
 # NOTE: never express normalization as a unit-vector transform — a lambda
@@ -117,18 +144,16 @@ def brute_force_cosine_topk(
     (+ id tiebreak) so results are reproducible across engines despite
     last-ulp float differences.
     """
-    qd = _as_double(F.col(vec_col))
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        qd.alias("q_vec"),
-        norm(qd).alias("q_n"),
+        vec_d(vec_col).alias("q_vec"),
+        vec_norm(vec_col).alias("q_n"),
     )
-    cd = _as_double(F.col(vec_col))
     c = spread(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
-            cd.alias("c_vec"),
-            norm(cd).alias("c_n"),
+            vec_d(vec_col).alias("c_vec"),
+            vec_norm(vec_col).alias("c_n"),
         ),
         "neighbor_id",
     )
@@ -421,12 +446,11 @@ def ivf_index(
     the corpus per query (as a naive formulation would) re-pays the
     8-centroid × dims argmax on every search.
     """
-    cd = _as_double(F.col(vec_col))
     return spread(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
-            cd.alias("c_vec"),
-            norm(cd).alias("c_n"),
+            vec_d(vec_col).alias("c_vec"),
+            vec_norm(vec_col).alias("c_n"),
             ivf_cell(vec_col, centroids).alias("cell"),
         ),
         "neighbor_id",
@@ -453,13 +477,12 @@ def ivf_topk(
     queries against one labeling pass — the 100 TB deployment shape.
     """
     c = index if index is not None else ivf_index(corpus, centroids, id_col, vec_col)
-    qd = _as_double(F.col(vec_col))
     # explode in a separate projection (same Generate-rewrite hazard as in
     # ivf_centroids: generator + struct-array argmin in one select)
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        qd.alias("q_vec"),
-        norm(qd).alias("q_n"),
+        vec_d(vec_col).alias("q_vec"),
+        vec_norm(vec_col).alias("q_n"),
         ivf_probe_cells(vec_col, centroids, nprobe).alias("cells"),
     ).select("query_id", "q_vec", "q_n", F.explode("cells").alias("cell"))
     return _cosine_topk_tail(c.join(F.broadcast(q), "cell"), k)
@@ -572,23 +595,21 @@ def lsh_multiprobe_topk(
             f"lsh_multiprobe_topk: n_flip2 ({n_flip2}) must be in "
             f"[0, {max_pairs}] (pairs of the 4 lowest-margin planes)"
         )
-    cd = _as_double(F.col(vec_col))
     c = spread(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
-            cd.alias("c_vec"),
-            norm(cd).alias("c_n"),
+            vec_d(vec_col).alias("c_vec"),
+            vec_norm(vec_col).alias("c_n"),
             _width_checked(
                 srp_bucket(vec_col, n_planes, dims), vec_col, dims
             ).alias("bucket"),
         ),
         "neighbor_id",
     )
-    qd = _as_double(F.col(vec_col))
     q0 = queries.select(
         F.col(id_col).alias("query_id"),
-        qd.alias("q_vec"),
-        norm(qd).alias("q_n"),
+        vec_d(vec_col).alias("q_vec"),
+        vec_norm(vec_col).alias("q_n"),
         _width_checked(srp_bucket(vec_col, n_planes, dims), vec_col, dims).alias(
             "_b"
         ),
@@ -640,23 +661,21 @@ def lsh_bucketed_topk(
     ``dims`` is the embedding width the planes are generated for; both
     sides carry a runtime width assertion (see :func:`_width_checked`).
     """
-    cd = _as_double(F.col(vec_col))
     c = spread(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
-            cd.alias("c_vec"),
-            norm(cd).alias("c_n"),
+            vec_d(vec_col).alias("c_vec"),
+            vec_norm(vec_col).alias("c_n"),
             _width_checked(
                 srp_bucket(vec_col, n_planes, dims), vec_col, dims
             ).alias("bucket"),
         ),
         "neighbor_id",
     )
-    qd = _as_double(F.col(vec_col))
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        qd.alias("q_vec"),
-        norm(qd).alias("q_n"),
+        vec_d(vec_col).alias("q_vec"),
+        vec_norm(vec_col).alias("q_n"),
         _width_checked(srp_bucket(vec_col, n_planes, dims), vec_col, dims).alias(
             "bucket"
         ),
@@ -739,18 +758,16 @@ def max_sim_to_reference(
     Returns (vec_id, nn_ref_id, max_sim, keep) with keep = max_sim
     strictly below ``threshold``.
     """
-    rd = _as_double(F.col(vec_col))
     ref = reference.select(
         F.col(id_col).alias("_rid"),
-        rd.alias("_rv"),
-        norm(rd).alias("_rn"),
+        vec_d(vec_col).alias("_rv"),
+        vec_norm(vec_col).alias("_rn"),
     )
-    cd = _as_double(F.col(vec_col))
     c = spread(
         corpus.select(
             F.col(id_col).alias("vec_id"),
-            cd.alias("_cv"),
-            norm(cd).alias("_cn"),
+            vec_d(vec_col).alias("_cv"),
+            vec_norm(vec_col).alias("_cn"),
         ),
         "vec_id",
     )
