@@ -6210,20 +6210,33 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    truth = (
-        D.ngram_jaccard_pairs(sh, co, id_col="id")
-        .filter(F.col("jaccard") >= _JACCARD_MIN)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
-    sigs = D.minhash_signatures(sh, "id", num_hashes=_N_HASHES)
-    cand = D.lsh_candidate_pairs(
-        sigs,
-        "id",
-        bands=_BANDS,
-        rows_per_band=_ROWS_PER_BAND,
-        max_bucket=_MAX_BUCKET,  # the cap the audit oracle embeds
-    ).localCheckpoint(eager=True)
+    # r15 (guide §2.6): truth and cand both depend only on the
+    # checkpointed sample shingles — their eager materializations are
+    # INDEPENDENT jobs (measured 1.04 s + 0.89 s sequential at sf0.1),
+    # so they run concurrently and the audit pays the longer of the two.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _truth() -> DataFrame:
+        return (
+            D.ngram_jaccard_pairs(sh, co, id_col="id")
+            .filter(F.col("jaccard") >= _JACCARD_MIN)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+
+    def _cand() -> DataFrame:
+        sigs = D.minhash_signatures(sh, "id", num_hashes=_N_HASHES)
+        return D.lsh_candidate_pairs(
+            sigs,
+            "id",
+            bands=_BANDS,
+            rows_per_band=_ROWS_PER_BAND,
+            max_bucket=_MAX_BUCKET,  # the cap the audit oracle embeds
+        ).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_truth, f_cand = pool.submit(_truth), pool.submit(_cand)
+        truth, cand = f_truth.result(), f_cand.result()
     hits = truth.join(cand, ["id_a", "id_b"], "left_semi")
     d = sh.agg(F.count_distinct("id").cast("bigint").alias("n_docs"))
     t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
