@@ -1136,3 +1136,83 @@ def span_registry_probe(
         .where(F.col("span_len") >= min_span)
         .drop("grp")
     )
+
+
+def span_registry_doc_report(
+    batch_anchors: DataFrame,
+    registry: DataFrame,
+    id_col: str,
+    *,
+    anchor_len: int = 8,
+    min_span: int = 12,
+) -> DataFrame:
+    """Per-DOC span-probe report — the fused aggregation form of
+    :func:`span_registry_probe` for consumers (q110) that only need
+    per-doc span statistics, not the individual spans.
+
+    Same probe semantics and semi-join discipline (type guard, merge
+    hint, bucketed-registry / runtime-Bloom contract — see
+    :func:`span_registry_probe`), but the gaps-and-islands tail is
+    computed ROW-LOCALLY: hit positions collect to one sorted array per
+    doc (a position is unique within its doc, so the array is strictly
+    increasing) and islands are derived with higher-order functions, so
+    the per-doc Sort + Window(row_number) + two aggregation passes of
+    the per-span form collapse into one aggregation + one projection.
+    The per-doc state is bounded by the doc's own hit count (≤ its token
+    count) — the same bound the window form's partition already had.
+
+    Returns (id, n_spans, n_hit_anchors, max_span_len, first_span_start)
+    for docs with at least one span of ``min_span`` tokens — exactly
+    ``span_registry_probe(...).groupBy(id).agg(count, sum n_anchors,
+    max span_len, min span_start)`` (oracle-verified equal on q110).
+    """
+    b_t = batch_anchors.schema["ahash"].dataType
+    r_t = registry.schema["ahash"].dataType
+    if b_t != r_t:
+        raise JobFailure(
+            f"span registry key type mismatch: batch ahash is "
+            f"{b_t.simpleString()}, registry ahash is {r_t.simpleString()}"
+            " — an md5-era registry must be re-keyed once "
+            "(re-run span-registry over the published history, or "
+            "rebuild the registry with positional_anchor_keys) before "
+            "probing with xxhash64 keys."
+        )
+    hits = batch_anchors.join(
+        registry.select("ahash").distinct().hint("merge"), "ahash", "left_semi"
+    )
+    per_doc = hits.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("_ps")
+    )
+    # Island decomposition of the strictly-increasing position array:
+    # run starts are positions with no predecessor pos-1, run ends are
+    # positions with no successor pos+1; zipping them pairs up each
+    # maximal run. span_len = last - first + anchor_len, exactly the
+    # window form's MAX(pos) - MIN(pos) + anchor_len per island.
+    runs = (
+        f"zip_with("
+        f"  filter(sequence(0, size(_ps) - 1),"
+        f"         i -> i = 0 OR _ps[i] != _ps[i - 1] + 1),"
+        f"  filter(sequence(0, size(_ps) - 1),"
+        f"         i -> i = size(_ps) - 1 OR _ps[i + 1] != _ps[i] + 1),"
+        f"  (s, e) -> struct(_ps[s] AS start,"
+        f"                   _ps[e] - _ps[s] + {int(anchor_len)} AS len,"
+        f"                   CAST(e - s + 1 AS BIGINT) AS na))"
+    )
+    qual = f"filter({runs}, r -> r.len >= {int(min_span)})"
+    return (
+        per_doc.withColumn("_runs", F.expr(qual))
+        .where(F.size("_runs") > 0)
+        .select(
+            F.col(id_col),
+            F.size("_runs").cast("bigint").alias("n_spans"),
+            F.expr(
+                "aggregate(_runs, CAST(0 AS BIGINT), (a, r) -> a + r.na)"
+            ).alias("n_hit_anchors"),
+            F.expr("array_max(transform(_runs, r -> r.len))")
+            .cast("bigint")
+            .alias("max_span_len"),
+            F.expr("array_min(transform(_runs, r -> r.start))")
+            .cast("bigint")
+            .alias("first_span_start"),
+        )
+    )

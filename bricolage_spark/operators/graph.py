@@ -167,6 +167,13 @@ def pagerank(
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).localCheckpoint(
         eager=True
     )
+    # The dangling-node membership is FIXED across rounds, so it rides on
+    # the nodes/ranks frame as a boolean column instead of a separate id
+    # frame (r15, guide §2.4 — remove joins outright): the per-round
+    # dangling-mass scalar becomes a filtered aggregate over the ranks
+    # frame the round reads anyway, eliminating one semi-join (and its
+    # broadcast build job) per round plus the dangling_ids checkpoint at
+    # setup. Cost: one boolean per node row through the round lineage.
     nodes = (
         e.select(F.col("s").alias("id"))
         .union(e.select(F.col("t").alias("id")))
@@ -183,19 +190,21 @@ def pagerank(
     w_edges = e.join(outdeg, "s").select(
         "s", "t", (F.lit(1.0) / F.col("outdeg")).alias("w")
     ).localCheckpoint(eager=True)
-    # dangling = nodes with no out-edges; fixed set, computed once
-    dangling_ids = nodes.join(
-        outdeg.select(F.col("s").alias("id")), "id", "left_anti"
-    ).localCheckpoint(eager=True)
 
     teleport = (1.0 - damping) / n
-    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint(
-        eager=True
+    # ranks carries (id, _dangling, rank); _dangling = no out-edges
+    ranks = (
+        nodes.join(outdeg.select(F.col("s").alias("id"), "outdeg"), "id", "left")
+        .select(
+            "id",
+            F.col("outdeg").isNull().alias("_dangling"),
+            F.lit(1.0 / n).alias("rank"),
+        )
+        .localCheckpoint(eager=True)
     )
     for _ in range(iterations):
-        dm = (
-            ranks.join(dangling_ids, "id", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        dm = ranks.where(F.col("_dangling")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
         )
         contribs = (
             w_edges.join(ranks.select(F.col("id").alias("s"), "rank"), "s")
@@ -203,10 +212,12 @@ def pagerank(
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
         ranks = (
-            nodes.join(contribs, "id", "left")
+            ranks.select("id", "_dangling")
+            .join(contribs, "id", "left")
             .crossJoin(F.broadcast(dm))
             .select(
                 "id",
+                "_dangling",
                 (
                     F.lit(teleport)
                     + F.lit(damping)
@@ -218,7 +229,7 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-    return ranks
+    return ranks.select("id", "rank")
 
 
 def connected_components_star(

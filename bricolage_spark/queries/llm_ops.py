@@ -5901,11 +5901,13 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY doc_id
     """,
     doc="Cross-snapshot SPAN dedup probe (operators/dedup.py::"
+    "span_registry_doc_report, the fused per-doc form of "
     "span_registry_probe): the new batch (doc_id % 3 == 0) probes the "
     f"xxhash64 {_SPAN_K}-gram anchor registry of all ingested history — "
     "one semi-join of 8-byte keys (measured adjudication + collision "
-    "note: positional_anchor_keys) + a per-doc gaps-and-islands window "
-    f"(bounded by the doc's hit count) — and reports its >= {_SPAN_MIN}-"
+    "note: positional_anchor_keys) + row-local gaps-and-islands over "
+    "each doc's sorted hit positions (bounded by the doc's hit count) "
+    f"— and reports its >= {_SPAN_MIN}-"
     "token verbatim-duplicated spans per doc. History TEXT is never "
     "rescanned: the registry is an append-only digest table maintained "
     "by the span-registry job class (example jobnet: span_registry + "
@@ -5926,14 +5928,11 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     b_anch = D.positional_anchor_keys(batch, "doc_id", "text", k=_SPAN_K)
-    spans = D.span_registry_probe(
+    # fused per-doc tail (r15): the per-span window form + two groupBys
+    # collapse into one aggregation + row-local island HOFs — same probe
+    # join, same report rows (operator docstring has the equivalence).
+    return D.span_registry_doc_report(
         b_anch, registry, "doc_id", anchor_len=_SPAN_K, min_span=_SPAN_MIN
-    )
-    return spans.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
-        F.sum("n_anchors").cast("bigint").alias("n_hit_anchors"),
-        F.max("span_len").cast("bigint").alias("max_span_len"),
-        F.min("span_start").cast("bigint").alias("first_span_start"),
     )
 
 

@@ -2116,6 +2116,61 @@ def test_span_registry_probe_flags_history_spans(spark):
     # doc 11 shares only 8 tokens (one anchor, span_len 8 < 12): filtered
 
 
+def test_span_registry_doc_report_equals_probe_rollup(spark):
+    """The r15 fused per-doc report (row-local island HOFs over the
+    sorted hit-position array) must equal span_registry_probe + the
+    q110 groupBy — on a fixture with multiple islands per doc, a
+    sub-min_span island to filter, and a doc whose every island is
+    filtered (must vanish from the report, exactly as the per-span
+    groupBy form drops it)."""
+    from pyspark.sql import functions as SF
+
+    from bricolage_spark.operators import dedup as D
+
+    k, min_span = 3, 5
+    # synthetic anchor hits: (doc, pos, ahash) probe a registry holding
+    # a subset of hashes; islands form on consecutive surviving pos runs
+    batch = spark.createDataFrame(
+        [(d, p, (d * 1000 + p) % 7) for d in (1, 2, 3) for p in range(1, 21)],
+        "doc_id long, pos long, ahash long",
+    )
+    reg = spark.createDataFrame(
+        [(h,) for h in (0, 1, 2, 3)], "ahash long"
+    )
+    old = (
+        D.span_registry_probe(batch, reg, "doc_id", anchor_len=k, min_span=min_span)
+        .groupBy("doc_id")
+        .agg(
+            SF.count(SF.lit(1)).cast("bigint").alias("n_spans"),
+            SF.sum("n_anchors").cast("bigint").alias("n_hit_anchors"),
+            SF.max("span_len").cast("bigint").alias("max_span_len"),
+            SF.min("span_start").cast("bigint").alias("first_span_start"),
+        )
+    )
+    new = D.span_registry_doc_report(
+        batch, reg, "doc_id", anchor_len=k, min_span=min_span
+    )
+    as_rows = lambda df: sorted(tuple(r) for r in df.collect())
+    assert as_rows(new) == as_rows(old)
+    assert new.columns == [
+        "doc_id", "n_spans", "n_hit_anchors", "max_span_len", "first_span_start",
+    ]
+    # non-vacuity: the fixture must exercise a real multi-island report
+    assert len(new.collect()) >= 1
+    # single-anchor islands (span_len == k < min_span) must be filtered:
+    # a registry admitting only isolated positions yields an empty report
+    lone = spark.createDataFrame(
+        [(9, 2, 42), (9, 10, 42)], "doc_id long, pos long, ahash long"
+    )
+    lone_reg = spark.createDataFrame([(42,)], "ahash long")
+    assert (
+        D.span_registry_doc_report(
+            lone, lone_reg, "doc_id", anchor_len=k, min_span=min_span
+        ).count()
+        == 0
+    )
+
+
 def test_calibration_table_clamps_top_bucket(spark):
     """The report contract is EXACTLY n_buckets fixed-width buckets: a
     score of exactly 1.0 (reachable under a real weight table once the
