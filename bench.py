@@ -559,11 +559,15 @@ def build_summary(out: dict, mode: str, base_path: str | None = None) -> dict:
         "n_queries": len(out.get("queries", {})),
         "artifact_build": out.get("artifact_build"),
         # Short keys (q33_minhash_lsh_pairs -> q33) and 2-dp rounding
-        # (1-dp past 10 s, where 0.1 s is sub-percent noise anyway):
-        # the same key form the driver parsed in every green round
-        # (BENCH_r10–r13 ``parsed.queries``), sized to fit the tail.
+        # (1-dp past 10 s, 0-dp past 100 s — 0.1 s is sub-percent noise
+        # there, and the integer form caps the per-entry width so even a
+        # pathological all-4-digit run stays inside the driver tail, the
+        # r15 ADVICE headroom ask): the same key form the driver parsed
+        # in every green round (BENCH_r10–r13 ``parsed.queries``).
         "queries": {
-            _short(k): round(v, 2 if v < 10 else 1)
+            _short(k): (
+                round(v, 2) if v < 10 else round(v, 1) if v < 100 else round(v)
+            )
             for k, v in out.get("queries", {}).items()
         },
     }

@@ -52,6 +52,12 @@ def table_path(sf_dir: str, name: str) -> str:
 # Staleness caveat (same contract as the shingle cache): the handle
 # snapshots the file listing at first read — regenerating parquet under
 # the SAME sf_dir within one session requires release_tables(sf_dir).
+# Audited (r16, r15 ADVICE ask): no in-repo code path rewrites parquet
+# under an sf_dir this memo serves — the one in-place writer
+# (streaming_load's stage-and-move) targets the SparkEngine WAREHOUSE,
+# whose register() re-reads fresh and never touches this cache; test
+# fixtures use per-test tmp dirs. Anything new that regenerates an
+# sf_dir table must call release_tables(sf_dir).
 _TABLE_CACHE: dict = {}
 
 
@@ -69,18 +75,22 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from bricolage_spark.session import session_token
 
     key = (session_token(spark), os.path.abspath(sf_dir), name)
-    cached = _TABLE_CACHE.get(key)
-    if cached is not None:
-        return cached
     # The driver's events.parquet carries TIMESTAMP(NANOS) — a type Spark's
     # parquet reader rejects outright. Read nanos as raw int64 and rebuild a
     # (microsecond) timestamp; set defensively here because the driver may
     # hand us a session built without this legacy conf.
+    # Re-asserted on cache HITS too (r15 ADVICE): a mid-session conf
+    # reset by the driver must not leave later SCANS of the memoized
+    # handle (the read conf is consulted at execution) mis-configured —
+    # two runtime conf sets are microseconds.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Likewise no-timezone parquet timestamps must surface as TIMESTAMP
     # (session-UTC), not TIMESTAMP_NTZ — unix_micros()/window() reject NTZ
     # and the session timezone is pinned to UTC so values are identical.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")

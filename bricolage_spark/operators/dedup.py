@@ -177,6 +177,15 @@ def shingle_array(text_col: Column, k: int = 3) -> Column:
 def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Distinct word k-shingles per document: (id, shingle).
 
+    PRECONDITION (caller-facing): ``id_col`` must be unique per row —
+    one row per document. The within-row dedup below is the global
+    (id, shingle) distinct ONLY under that invariant; a table with
+    duplicate ids (e.g. an arbitrary user table fed to the leakage
+    audit) would yield duplicate postings and inflate row-count
+    consumers such as the df table. Every in-repo corpus table has
+    unique ids; pre-aggregate (`dropDuplicates([id_col])`) before
+    calling if yours may not.
+
     Shingles are built with array ops (sequence+transform+slice) — pure
     Catalyst expressions, whole-stage-codegen'd, no Python in the loop.
 
@@ -518,23 +527,44 @@ def lsh_candidate_pairs(
     band only* — it still pairs through its other ``bands − 1``
     buckets. ``max_bucket=0`` disables the cap and runs the classic
     self-join (audit use; quadratic by construction).
+
+    r16 (guide §2.3, narrower shuffle keys): the internal melt groups on
+    the RAW per-band signature tuple (``array(h_i..)`` — 8 bytes per
+    row-hash) instead of ``band_buckets``' md5 hex string (32 chars +
+    an md5 per (doc, band) of pure CPU). Bucket partitions are
+    IDENTICAL: two docs share a band iff their row-hash tuples are
+    equal, and md5 equality on equal inputs is exactly tuple equality
+    (an md5 COLLISION could only have merged distinct buckets — the
+    digest-free form is the strictly-more-exact one). ``band_buckets``
+    itself is untouched: its md5 hex row format is the persisted
+    REGISTRY contract (q82/q101/q112 band registries, ~40-byte rows).
     """
     from pyspark.sql import Window
 
-    melted = band_buckets(signatures, id_col, bands, rows_per_band)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            F.struct(
+                F.lit(b).alias("band_id"), F.array(*cols).alias("band_key")
+            )
+        )
+    melted = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_rows)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_key")
     if max_bucket:
         salted = melted.withColumn(
             "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(64))
         )
-        p1 = salted.groupBy("band_id", "band_hash", "_salt").agg(
+        p1 = salted.groupBy("band_id", "band_key", "_salt").agg(
             F.collect_list(F.col(id_col)).alias("_part"),
             F.count(F.lit(1)).alias("_c"),
         )
-        w = Window.partitionBy("band_id", "band_hash")
+        w = Window.partitionBy("band_id", "band_key")
         grp = (
             p1.withColumn("_n", F.sum("_c").over(w))
             .where((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
-            .groupBy("band_id", "band_hash")
+            .groupBy("band_id", "band_key")
             .agg(F.flatten(F.collect_list("_part")).alias("_ids"))
         )
         ids = F.array_sort(F.col("_ids"))
@@ -564,7 +594,7 @@ def lsh_candidate_pairs(
         a.join(
             b,
             (F.col(f"a.band_id") == F.col(f"b.band_id"))
-            & (F.col(f"a.band_hash") == F.col(f"b.band_hash"))
+            & (F.col(f"a.band_key") == F.col(f"b.band_key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
@@ -667,8 +697,14 @@ def ngram_jaccard_pairs(
     test_plan_quality.py).
     """
     if sets is None:
+        # r16 (guide §2.3): collect 8-byte xxhash64 digests, not shingle
+        # strings — |A∩B|/|A|/|B| are digest-invariant (absent an
+        # in-pair collision, ~|A|·|B|/2⁶⁴), and the set aggregation +
+        # both verify joins shuffle ~4× fewer bytes per shingle. The
+        # staged path (callers passing ``sets``) stores digests too
+        # (llm_ops._doc_shingle_sets).
         sets = shingles.groupBy(id_col).agg(
-            F.collect_set("shingle").alias("sh_set")
+            F.collect_set(F.xxhash64("shingle")).alias("sh_set")
         )
     pa = sets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a"))
     pb = sets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("set_b"))
@@ -755,7 +791,11 @@ def ngram_jaccard_neardup(
     # small. Intersection stays integer arithmetic: bit-identical Jaccard
     # in any engine.
     if sets is None:
-        sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
+        # digests, not strings (same §2.3 narrowing as ngram_jaccard_pairs;
+        # Jaccard is digest-invariant absent an in-pair collision)
+        sets = sh.groupBy(id_col).agg(
+            F.collect_set(F.xxhash64("shingle")).alias("sh_set")
+        )
     pa = sets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a"))
     pb = sets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("set_b"))
     n_inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))

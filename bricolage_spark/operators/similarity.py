@@ -70,15 +70,6 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return guarded_cosine(dot(ad, bd), norm(ad), norm(bd))
 
 
-#: SQL form of :func:`dot` — the identical aggregate(zip_with(...)) fold,
-#: as text so fixed-name call sites can be built as ONE memoized parsed
-#: expression instead of ~6 per-call higher-order-function lambda
-#: constructions (each lambda is several Py4J round-trips; profiled at
-#: ~0.25 s of driver time per ANN-query plan build, r15 guide §1.2
-#: "per-task work" applied to the DRIVER side).
-_DOT_SQL = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-
-
 def vec_d(vec_col: str) -> Column:
     """Memoized ``CAST(vec AS ARRAY<DOUBLE>)`` (same tree as _as_double)."""
     return _memo_expr(("vec_d", vec_col), f"CAST({vec_col} AS ARRAY<DOUBLE>)")
@@ -86,11 +77,12 @@ def vec_d(vec_col: str) -> Column:
 
 def vec_norm(vec_col: str) -> Column:
     """Memoized L2 norm of a (float) vector column by NAME — the exact
-    ``norm(_as_double(col))`` tree, parsed once per session."""
+    ``norm(_as_double(col))`` tree, parsed once per session. The SQL
+    text comes from :func:`_dot_sql` — the ONE source of truth for the
+    dot-product fold (r15 ADVICE: a second module-level copy of the
+    fold text risked silent divergence)."""
     a = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
-    return _memo_expr(
-        ("vec_norm", vec_col), f"sqrt({_DOT_SQL.format(a=a, b=a)})"
-    )
+    return _memo_expr(("vec_norm", vec_col), f"sqrt({_dot_sql(a, a)})")
 
 
 def _cosine_topk_tail(cands: DataFrame, k: int) -> DataFrame:
@@ -107,7 +99,7 @@ def _cosine_topk_tail(cands: DataFrame, k: int) -> DataFrame:
     cos = _memo_expr(
         ("topk_cos",),
         "round(CASE WHEN q_n > 0D AND c_n > 0D THEN "
-        + _DOT_SQL.format(a="q_vec", b="c_vec")
+        + _dot_sql("q_vec", "c_vec")
         + " / (q_n * c_n) ELSE 0.0D END, 4)",
     )
     rank = _memo_expr(
@@ -318,6 +310,8 @@ def ivf_centroids(
     run the same two jobs on a 1% sample; the contract (tiny centroid
     table out, full scan stays distributed) is unchanged.
     """
+    import math
+
     from bricolage_spark.operators.dedup import hash32
 
     vd = _as_double(F.col(vec_col))
@@ -331,12 +325,62 @@ def ivf_centroids(
     )
     seed_cents = [(i, list(r["v"])) for i, r in enumerate(seeds)]
 
-    # two selects: a generator (posexplode) in the same projection as the
-    # struct-array argmin trips Spark's Generate rewrite (field names
-    # degrade to col1/col2 and getField("cell") fails analysis)
-    labeled = corpus.select(
-        ivf_cell(vec_col, seed_cents).alias("cell"), vd.alias("v")
-    )
+    dims = len(seed_cents[0][1]) if seed_cents else 0
+    if k_cells * dims > 1024:
+        # r16 (guide §1.2 per-task work): past ~1k inlined centroid
+        # literals the argmin chain blows the whole-stage-codegen method
+        # limit and the Lloyd labeling runs interpreted — the exact
+        # hazard _sem_assignment documents for its SERVE pass; the
+        # training pass now takes the same cure. Assignment = broadcast
+        # seed table + per-row max_by on the identical 6-dp rounded
+        # guarded cosine (ties to the lowest cell via -cell, matching
+        # ivf_cell's lexicographic array_min exactly — centroids
+        # asserted list-equal to the literal path at k=8 and k=32 in
+        # the adoption probe). Measured at k=32×64 dims, sf0.1:
+        # literal 5.3 s cold / 2.3–2.5 s warm → broadcast 3.7 s cold /
+        # 1.5–1.6 s warm; at k=8 the literal chain stays faster
+        # (0.6–0.8 s vs ~1.0 s — the join pays more than codegen saves),
+        # hence the size gate.
+        cdf = corpus.sparkSession.createDataFrame(
+            [
+                (
+                    int(c),
+                    [float(x) for x in v],
+                    math.sqrt(sum(float(x) ** 2 for x in v)),
+                )
+                for c, v in seed_cents
+            ],
+            "cell int, ce array<double>, cn double",
+        )
+        vecs = corpus.select(F.col(id_col), vd.alias("v"), norm(vd).alias("nv"))
+        scored = vecs.join(F.broadcast(cdf)).select(
+            id_col,
+            "v",
+            "cell",
+            F.round(
+                guarded_cosine(
+                    dot(F.col("v"), F.col("ce")), F.col("nv"), F.col("cn")
+                ),
+                6,
+            ).alias("sim"),
+        )
+        labeled = (
+            scored.groupBy(id_col)
+            .agg(
+                F.max_by(
+                    F.struct("cell", "v"),
+                    F.struct(F.col("sim"), -F.col("cell")),
+                ).alias("_b")
+            )
+            .select(F.col("_b.cell").alias("cell"), F.col("_b.v").alias("v"))
+        )
+    else:
+        # two selects: a generator (posexplode) in the same projection as
+        # the struct-array argmin trips Spark's Generate rewrite (field
+        # names degrade to col1/col2 and getField("cell") fails analysis)
+        labeled = corpus.select(
+            ivf_cell(vec_col, seed_cents).alias("cell"), vd.alias("v")
+        )
     assigned = labeled.select("cell", F.posexplode("v").alias("pos", "val"))
     rows = (
         assigned.groupBy("cell", "pos")

@@ -121,13 +121,28 @@ def _shingle_rare(spark: SparkSession, sf_dir: str, max_df: int) -> DataFrame:
 
 
 def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r16 (guide §2.3, narrower shuffle keys): the forward index stores
+    # per-doc sets of 8-byte xxhash64 DIGESTS, not shingle strings. The
+    # only consumers (q33/q48 verify, verified_pairs) compute
+    # |A∩B| / |A| / |B| — values identical to the string form absent an
+    # in-pair xxhash64 collision (~|A|·|B|/2⁶⁴ per pair; oracle
+    # hash-match re-verified at sf0.001/sf0.01 after the change), so
+    # the collect_set aggregation AND the two verify joins shuffle ~4×
+    # fewer bytes per shingle, and array_intersect compares longs, not
+    # strings. Measured variants (sf0.1, warm postings, interleaved ×4):
+    # digest collect_set 0.13–0.18 s ≈ string collect_set 0.12–0.15 s
+    # locally (the narrowing pays at scale, not here); a row-local
+    # rebuild from the documents scan (zero-shuffle) measured 0.70 s
+    # steady-state — it re-pays the normalize+shingle CPU the postings
+    # build already spent, and contended badly inside the staging pool,
+    # so the postings-derived aggregation stays.
     key = (session_token(spark), sf_dir, "sets")
     sets = _SHINGLE_AUX_CACHE.get(key)
     if sets is None:
         sets = (
             _doc_shingles(spark, sf_dir)
             .groupBy("doc_id")
-            .agg(F.collect_set("shingle").alias("sh_set"))
+            .agg(F.collect_set(F.xxhash64("shingle")).alias("sh_set"))
             .persist()
         )
         _SHINGLE_AUX_CACHE[key] = sets
@@ -1482,6 +1497,19 @@ def stage_artifacts(
     close to the dependency-chain floor of the longest pole; 1
     reproduces the historical sequential build). Each artifact's job is labeled (§1.5) and its wall seconds
     recorded in LAST_STAGE_TIMINGS.
+
+    Threading assumptions (r15 ADVICE, documented): per-thread job
+    descriptions rely on pinned-thread mode (``PYSPARK_PIN_THREAD``,
+    the default since Spark 3.2) — without it the labels (observability
+    only, never semantics) can cross-talk between chains. Cache-key
+    races are excluded by CONSTRUCTION, not locking: the shared
+    upstream (``_doc_shingles``) materializes before the pool starts,
+    and every other session-keyed cache (_SHINGLE_AUX_CACHE entries,
+    _PAIR_CACHE, _CC_CACHE, IVF/BM25/LM/etc.) is written by exactly one
+    chain, with intra-chain order covering its readers — so no two
+    threads can build (and orphan) the same persisted frame. A new
+    artifact must keep that invariant: add it to the chain that builds
+    the caches it touches.
     """
     from concurrent.futures import ThreadPoolExecutor
 

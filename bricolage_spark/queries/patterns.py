@@ -144,9 +144,18 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
 
-    dest = summarize(li)  # the previously-built table
-    # DELETE FROM dest WHERE sale_month >= cutoff  (insert-delta.rb delete_cond)
-    kept = dest.filter(F.col("sale_month") < cutoff)
+    # the previously-built table, minus DELETE FROM dest WHERE
+    # sale_month >= cutoff (insert-delta.rb delete_cond).
+    # r16: the delete-cond is applied to summarize's INPUT on the raw
+    # column — the same month-boundary equivalence the delta branch got
+    # in r15 (guide §6): date_trunc('month', d) < cutoff ⇔ d < cutoff
+    # when cutoff is a month start (truncation never moves a date
+    # across a month boundary), and filtering before the groupBy keeps
+    # exactly the groups the post-aggregate filter kept. This pushes
+    # the predicate into the scan (PushedFilters: LessThan(l_shipdate))
+    # instead of filtering 6 aggregated rows AFTER scanning every row
+    # group — at scale the win is row-group pruning on both branches.
+    kept = summarize(li.filter(F.col("l_shipdate") < cutoff))
     # INSERT INTO dest SELECT ... (recomputed delta from source).
     # r15: filter on the RAW column, not date_trunc(month, ...) — a
     # derived-column predicate never reaches PushedFilters (guide §6),

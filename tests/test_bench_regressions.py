@@ -122,14 +122,16 @@ def test_summary_line_stays_bounded(tmp_path):
     """The final stdout line — WITH the contract-required 120-row
     per-query dict — must stay under the driver's ~2,000-char stdout
     tail even when every query flags as a regression and every time is
-    a pathological 3-digit number (the r14 live line was 2,594 chars
-    and the driver recorded ``parsed: null``)."""
+    a pathological 4-digit number (the r14 live line was 2,594 chars
+    and the driver recorded ``parsed: null``; r15 ADVICE asked for
+    4-digit headroom — >=100 s values round to integers, so the entry
+    width is capped at 4 digits + key)."""
     b = _bench()
     queries = {f"q{i}_some_longish_query_name": 11.111 for i in range(1, 121)}
     base = _baseline(
         tmp_path, {k: 0.5 for k in queries}, duckdb_total=10.0
     )
-    current = {k: 111.111 for k in queries}  # 222x everywhere: all flag
+    current = {k: 1111.111 for k in queries}  # 2222x everywhere: all flag
     out = {
         "metric": "sum of per-query best-of-3 wall sec, full query "
         "inventory (noop sink, warm session, ENGINE-DEFAULT conf: AQE on; "
@@ -149,7 +151,7 @@ def test_summary_line_stays_bounded(tmp_path):
     assert s["n_regressions_total"] == 120
     assert len(s["regressions"]) == 5
     assert len(s["queries"]) == 120  # contract: per-query dict present
-    assert s["queries"]["q1"] == 111.1
+    assert s["queries"]["q1"] == 1111  # >=100 s rows round to integers
 
 
 def test_summary_regressions_capped_worst_first(tmp_path):

@@ -1,6 +1,7 @@
 """Dump ``explain("formatted")`` for every declared query to
-``plans/r15/<query>_<tag>.txt`` (r15 optimization-round evidence: the
-judge cannot run Spark and checks plan claims against these files).
+``plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<tag>.txt`` (optimization-round
+evidence: the judge cannot run Spark and checks plan claims against
+these files; the round dir defaults to r16).
 
 Usage:
     python tools/dump_plans.py before [sf_dir] [query ...]
@@ -10,7 +11,7 @@ With no query names, dumps the full inventory. Plans are produced with
 the engine's own session (AQE on) — ``AdaptiveSparkPlan isFinalPlan=false``
 is expected; Exchange counts / join strategies / PushedFilters are what
 we audit. Also appends a one-line summary index at
-``plans/r15/_index_<tag>.tsv``: name, n_exchanges, joins, scans,
+``plans/<round>/_index_<tag>.tsv``: name, n_exchanges, joins, scans,
 python-eval nodes.
 """
 
@@ -64,7 +65,9 @@ def main() -> None:
     )
     only = set(sys.argv[3:])
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r16"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
