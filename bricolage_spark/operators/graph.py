@@ -61,22 +61,33 @@ def connected_components(
     ).localCheckpoint(eager=True)
     sym = e.union(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
 
-    # round 0 folded into init: label = min(id, min neighbor id)
-    labels = (
-        sym.groupBy(F.col("s").alias("id"))
-        .agg(F.least(F.min("t"), F.col("s")).alias("component"))
-        .localCheckpoint(eager=True)
-    )
-    # Convergence via Σcomponent: labels only ever DECREASE (least of mins),
-    # so the sum is strictly decreasing until fixpoint — an unchanged sum
-    # IS convergence. This makes each round two jobs (materialize + tiny
-    # sum over the checkpointed frame) instead of three (no join-compare
-    # against the previous labels).
+    from pyspark.sql import Observation
+
+    # Convergence via Σcomponent: labels only ever DECREASE (least of
+    # mins), so the sum is strictly decreasing until fixpoint — an
+    # unchanged sum IS convergence.
+    # r16 (guide §1.2): the sum rides the checkpoint job as an
+    # Observation (CollectMetrics) instead of a second per-round
+    # aggregate-and-collect job — one job per round, and at scale the
+    # convergence check no longer re-scans the checkpointed labels at
+    # all (the metric is folded during materialization, driver receives
+    # one scalar). A fresh Observation per round: instances are
+    # single-use by API contract.
     # decimal(38,0), not a raw long sum: 64-bit (hash-derived) node ids
     # overflow a bigint sum — ANSI mode turns that into a hard
     # ARITHMETIC_OVERFLOW crash (connected_components_star's checksum
     # guards the same way)
-    prev_sum = labels.agg(F.sum(F.col("component").cast("decimal(38,0)"))).first()[0]
+    _sum = F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+
+    # round 0 folded into init: label = min(id, min neighbor id)
+    obs = Observation()
+    labels = (
+        sym.groupBy(F.col("s").alias("id"))
+        .agg(F.least(F.min("t"), F.col("s")).alias("component"))
+        .observe(obs, _sum)
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = obs.get["s"]
     converged = False
     for _ in range(max_iter):
         nb_min = (
@@ -89,6 +100,7 @@ def connected_components(
             .groupBy(F.col("s").alias("id"))
             .agg(F.min("t_comp").alias("nb_comp"))
         )
+        obs = Observation()
         labels = (
             labels.join(nb_min, "id", "left")
             .select(
@@ -97,11 +109,10 @@ def connected_components(
                     "component", F.coalesce("nb_comp", "component")
                 ).alias("component"),
             )
+            .observe(obs, _sum)
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)"))
-        ).first()[0]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             converged = True
             break
@@ -174,13 +185,20 @@ def pagerank(
     # frame the round reads anyway, eliminating one semi-join (and its
     # broadcast build job) per round plus the dangling_ids checkpoint at
     # setup. Cost: one boolean per node row through the round lineage.
+    from pyspark.sql import Observation
+
+    # the one-time node count rides the checkpoint job as an Observation
+    # (r16, same single-pass discipline as connected_components'
+    # convergence sum) instead of a second count() job over the frame
+    obs = Observation()
     nodes = (
         e.select(F.col("s").alias("id"))
         .union(e.select(F.col("t").alias("id")))
         .distinct()
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    n = nodes.count()
+    n = obs.get["n"]
     if n == 0:
         return nodes.select("id", F.lit(0.0).alias("rank"))
 

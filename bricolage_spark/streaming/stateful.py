@@ -102,8 +102,18 @@ def _sessionize_group_fn(gap_ms: int, tz: str):
             )
         else:
             state.update((ts_min, ts_max, n_new, total_new))
-        # inactivity gap of event time beyond the newest event
-        state.setTimeoutTimestamp(_epoch_ms(ts_max) + gap_ms)
+        # inactivity gap of event time beyond the newest event — clamped
+        # to just past the CURRENT watermark: a micro-batch whose files
+        # carry events older than (watermark − gap) would otherwise ask
+        # for a timeout in the past, which GroupState rejects
+        # (INVALID_TIMEOUT_TIMESTAMP — surfaced by the r16 stream
+        # profile, where real unordered parquet chunks put 2h-old
+        # events behind a later file's watermark). watermark+1 fires at
+        # the next trigger: exactly "the inactivity gap has already
+        # passed" semantics for such a session.
+        state.setTimeoutTimestamp(
+            max(_epoch_ms(ts_max) + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
         yield pd.DataFrame(
             columns=[f.name for f in SESSION_SCHEMA.fields]
         )  # nothing emitted until the session closes

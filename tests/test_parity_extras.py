@@ -467,14 +467,21 @@ def test_sessionize_state_fn_honors_gap_and_timezone():
         hasTimedOut = False
         exists = False
 
-        def __init__(self):
+        def __init__(self, watermark_ms=0):
             self.timeout = None
+            self._wm = watermark_ms
 
         def update(self, v):
             self.stored = v
 
         def setTimeoutTimestamp(self, ms):
+            # mirror GroupState's contract (the r16 stream profile hit it
+            # live): a timeout at/below the current watermark is rejected
+            assert ms > self._wm, "timeout must be past the watermark"
             self.timeout = ms
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
 
     rows = pd.DataFrame(
         {"ts": [pd.Timestamp("2024-01-01 00:00:00")], "value": [1.0]}
@@ -492,3 +499,13 @@ def test_sessionize_state_fn_honors_gap_and_timezone():
     st = FakeState()
     list(_sessionize_group_fn(600_000, "Etc/GMT-2")((7,), iter([rows]), st))
     assert st.timeout == base_utc - 2 * 3600 * 1000 + 600_000
+
+    # late data: a batch whose events sit behind the watermark must clamp
+    # the timeout to watermark+1 (GroupState rejects a timeout in the
+    # past — INVALID_TIMEOUT_TIMESTAMP, surfaced live by the r16 stream
+    # profile on unordered parquet chunks), which fires at the next
+    # trigger: the inactivity gap has already passed for that session
+    late_wm = base_utc + 3 * 3600 * 1000  # watermark 3h past the event
+    st = FakeState(watermark_ms=late_wm)
+    list(_sessionize_group_fn(600_000, "UTC")((7,), iter([rows]), st))
+    assert st.timeout == late_wm + 1
