@@ -48,6 +48,21 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # --- concurrent jobs (staging pool, overlapped materializations) -
+        # FAIR task scheduling between the engine's concurrent jobs
+        # (stage_artifacts' thread pool, q112's overlapped builds).
+        # Under FIFO a queued job's tasks wait for every earlier job's
+        # current stage to drain, so the 8-thread staging pool
+        # quantum-thrashes at high core counts; FAIR round-robins task
+        # slots across the live jobs. Measured on the 32-core artifact
+        # build (r16, alternating same-minute runs): FIFO 19.3/17.9 s →
+        # FAIR 13.4/15.9 s; at 8 cores inside noise (15.5 vs 16.1 s).
+        # Scale-agnostic (single-job work is untouched — there is nothing
+        # to arbitrate) and semantics-free; env-overridable for A/Bs.
+        .config(
+            "spark.scheduler.mode",
+            os.environ.get("SPARK_GRAFT_SCHEDULER", "FAIR"),
+        )
         # --- adaptive execution: the scale story -------------------------
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
